@@ -1,0 +1,147 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.PageRow
+
+/** Deterministic synthesis of the input corpus table
+  * (repo, path, commit, lang, content) — shape per BASELINE.json input_hint.
+  *
+  * The 15 canonical entities reproduce the reference's golden fixture
+  * (reference: pokemon.ttl — ndex 0001-0009, 0147-0149, 0152-0154); field
+  * values transcribed from that fixture so the pipeline's output replays it.
+  * Squirtle (0007) demonstrates the parser's truncation quirk: a nested
+  * `{{tt|...}}` template in the category value cuts the infobox body at the
+  * first `}` (reference: parser/WikiInfoboxParser.java:13-22), which is why
+  * the golden graph has no height/weight/ability/generation for 0007.
+  *
+  * `scaled(k)` clones the corpus across k synthetic repos with distinct
+  * commits for throughput/scaling benchmarks (SURVEY §7.6); content is
+  * byte-identical per clone so triple output stays fixed under distinct.
+  */
+object Fixtures {
+
+  final case class E(
+      name: String, jname: String, tmname: String, ndex: String,
+      type1: String, type2: String, category: String,
+      height: String, weight: String, ability1: String, generation: String,
+      catchrate: String, expyield: String, prevo: String, evointo: String)
+
+  val entities: Seq[E] = Seq(
+    E("Bulbasaur", "フシギダネ", "Fushigidane", "0001", "Grass", "Poison",
+      "Seed", "0.7", "6.9", "Overgrow", "1", "45", "64", "", "Ivysaur"),
+    E("Ivysaur", "フシギソウ", "Fushigisou", "0002", "Grass", "Poison",
+      "Seed", "1", "13", "Overgrow", "1", "45", "142", "Bulbasaur", "Venusaur"),
+    E("Venusaur", "フシギバナ", "Fushigibana", "0003", "Grass", "Poison",
+      "Seed", "2", "100", "Overgrow", "1", "45", "236", "Ivysaur", "None"),
+    E("Charmander", "ヒトカゲ", "Hitokage", "0004", "Fire", "",
+      "Lizard", "0.6", "8.5", "Blaze", "1", "45", "62", "", "Charmeleon"),
+    E("Charmeleon", "リザード", "Lizardo", "0005", "Fire", "",
+      "Flame", "1.1", "19", "Blaze", "1", "45", "142", "Charmander", "Charizard"),
+    E("Charizard", "リザードン", "Lizardon", "0006", "Fire", "Flying",
+      "Flame", "1.7", "90.5", "Blaze", "1", "45", "240", "Charmeleon", "None"),
+    // 0007: category carries a nested template -> infobox parse truncates here
+    E("Squirtle", "ゼニガメ", "Zenigame", "0007", "Water", "",
+      "{{tt|Tiny Turtle|tooltip}}", "0.5", "9", "Torrent", "1", "45", "63", "", "Wartortle"),
+    E("Wartortle", "カメール", "Kameil", "0008", "Water", "",
+      "Turtle", "1", "22.5", "Torrent", "1", "45", "142", "Squirtle", "Blastoise"),
+    E("Blastoise", "カメックス", "Kamex", "0009", "Water", "",
+      "Shellfish", "1.6", "85.5", "Torrent", "1", "45", "239", "Wartortle", "None"),
+    E("Dratini", "ミニリュウ", "Miniryu", "0147", "Dragon", "",
+      "Dragon", "1.8", "3.3", "Shed Skin", "1", "45", "60", "", "Dragonair"),
+    E("Dragonair", "ハクリュー", "Hakuryu", "0148", "Dragon", "",
+      "Dragon", "4", "16.5", "Shed Skin", "1", "45", "147", "Dratini", "Dragonite"),
+    E("Dragonite", "カイリュー", "Kairyu", "0149", "Dragon", "Flying",
+      "Dragon", "2.2", "210", "Inner Focus", "1", "45", "270", "Dragonair", "None"),
+    E("Chikorita", "チコリータ", "Chicorita", "0152", "Grass", "",
+      "Leaf", "0.9", "6.4", "Overgrow", "2", "45", "64", "", "Bayleef"),
+    E("Bayleef", "ベイリーフ", "Bayleaf", "0153", "Grass", "",
+      "Leaf", "1.2", "15.8", "Overgrow", "2", "45", "142", "Chikorita", "Meganium"),
+    E("Meganium", "メガニウム", "Meganium", "0154", "Grass", "",
+      "Herb", "1.8", "100.5", "Overgrow", "2", "45", "236", "Bayleef", "None"))
+
+  /** Wikitext layout matches what the reference parser and line-scans consume
+    * (reference: parser/WikiInfoboxParser.java:13-23,
+    * client/EvolutionChainFetcher.java:126-177, FIXTURES.md §1). */
+  def wikitext(e: E): String = {
+    val sb = new StringBuilder
+    sb.append("{{Pokémon Infobox\n")
+    sb.append(s"|name=${e.name}\n")
+    sb.append(s"|jname=${e.jname}\n")
+    sb.append(s"|tmname=${e.tmname}\n")
+    sb.append(s"|ndex=${e.ndex}\n")
+    sb.append(s"|type1=${e.type1}\n")
+    if (e.type2.nonEmpty) sb.append(s"|type2=${e.type2}\n")
+    sb.append(s"|category=${e.category}\n")
+    if (e.height.nonEmpty) sb.append(s"|height-m=${e.height}\n")
+    if (e.weight.nonEmpty) sb.append(s"|weight-kg=${e.weight}\n")
+    if (e.ability1.nonEmpty) sb.append(s"|ability1=${e.ability1}\n")
+    if (e.generation.nonEmpty) sb.append(s"|generation=${e.generation}\n")
+    if (e.catchrate.nonEmpty) sb.append(s"|catchrate=${e.catchrate}\n")
+    if (e.expyield.nonEmpty) sb.append(s"|expyield=${e.expyield}\n")
+    if (e.prevo.nonEmpty) sb.append(s"|prevo=${e.prevo}\n")
+    sb.append(s"|evointo=${e.evointo}\n")
+    sb.append("}}\n")
+    sb.append(s"[[Category:Generation ${if (e.generation == "2") "II" else "I"} Pokémon]]\n")
+    sb.append(s"[[Category:${e.type1}-type Pokémon]]\n")
+    sb.toString
+  }
+
+  /** Pages that must parse to nothing or to non-Pokemon records — negative
+    * coverage for the other infobox types and guards (FIXTURES.md §1). */
+  def negativePages: Seq[(String, String)] = Seq(
+    "Tackle_(move).wiki" ->
+      "{{Move Infobox\n|name=Tackle\n|type=Normal\n|power=40\n|accuracy=100\n|pp=35\n}}\n",
+    "Overgrow_(Ability).wiki" ->
+      "{{Ability Infobox\n|name=Overgrow\n|jname=しんりょく\n|effect=Powers up Grass moves\n}}\n",
+    "Potion.wiki" ->
+      "{{Item Infobox\n|name=Potion\n|type=Medicine\n|effect=Restores 20 HP\n}}\n",
+    "Pallet_Town.wiki" ->
+      "{{Location Infobox\n|name=Pallet Town\n|region=Kanto\n|type=Town\n}}\n",
+    "Plain_page.wiki" ->
+      "Just prose, no infobox.\n[[Category:Lore]]\n",
+    // mega-page: hub-link repetition for skew paths (FIXTURES.md §1)
+    "Mega_page.wiki" ->
+      ("lead\n" + ("[[Pikachu]] [[Water (type)|Water]] " * 2000) + "\n[[Category:Hubs]]\n"))
+
+  def commitOf(repo: String, path: String): String =
+    WikitextParser.sha256Hex(repo + "/" + path + "#seed=42").substring(0, 12)
+
+  /** Variant 0 is the golden corpus verbatim. Variant i > 0 rewrites entity
+    * names (suffix `_i`) and ndex (offset i*10000) so every clone yields a
+    * disjoint entity set — dedup, joins and linking then scale with k instead
+    * of collapsing onto 15 hot keys (only the 18-type class triples stay hot,
+    * which is the skew the north_star expects us to handle). */
+  def pageRows(variant: Long): Seq[PageRow] = {
+    val repo = s"r$variant"
+    def vName(n: String): String = if (variant == 0L || n.isEmpty || n == "None") n else s"${n}_$variant"
+    def vNdex(nd: String): String =
+      if (variant == 0L) nd else (nd.toLong + variant * 10000L).toString
+    val pok = entities.map { e =>
+      val e2 = e.copy(name = vName(e.name), ndex = vNdex(e.ndex),
+        prevo = vName(e.prevo), evointo = vName(e.evointo))
+      val path = s"${e2.name.replace(" ", "_")}_(Pokémon).wiki"
+      PageRow(repo, path, commitOf(repo, path), "wikitext", wikitext(e2))
+    }
+    val neg = negativePages.map { case (path, content) =>
+      PageRow(repo, path, commitOf(repo, path), "wikitext", content)
+    }
+    pok ++ neg
+  }
+
+  /** Single-repo golden corpus (21 rows: 15 entities + 6 negatives). */
+  def pages(spark: SparkSession): Dataset[PageRow] = scaled(spark, 1)
+
+  /** k-variant corpus for scale/bench runs; generated distributed (one task
+    * per slice of variants) rather than one giant driver-side collection. */
+  def scaled(spark: SparkSession, k: Int): Dataset[PageRow] = {
+    import spark.implicits._
+    if (k == 1) {
+      spark.createDataset(pageRows(0L))
+    } else {
+      val par = spark.sparkContext.defaultParallelism
+      spark.range(0, k.toLong, 1, math.min(k, par * 4))
+        .as[Long]
+        .flatMap(i => pageRows(i))
+    }
+  }
+}

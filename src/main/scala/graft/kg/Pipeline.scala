@@ -1,0 +1,177 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{LineageTriple, PageRow, ParsedPage}
+import graft.store.TableIO
+
+/** name→ndex dictionary row for evolvesFrom resolution (top-level so Catalyst
+  * codegen can instantiate it in generated projections). */
+final case class NameNdex(prevName: String, prevNdex: String)
+
+/** End-to-end KG construction:
+  *
+  *   scan(pages) → parse(UDF-shaped typed map) → prevo-resolution join →
+  *   triple emit (flatMap) → distinct w/ deterministic lineage → materialize
+  *
+  * replacing the reference's crawl→thread-pool→Jena-model accumulation
+  * (reference: App.java:21-107, client/DataCollectionCoordinator.java:29-83).
+  * Thread/process boundaries of the reference become stage/shuffle
+  * boundaries here (SURVEY §3 EP1).
+  *
+  * Scale notes (100 TB / 1000-executor design):
+  *  - The only wide exchanges are (a) the name→ndex equi-join and (b) the
+  *    dedup aggregation. Everything else is narrow (map/flatMap).
+  *  - Filters on raw columns (`lang`, `content LIKE '%Infobox%'`) run *before*
+  *    the parse map so parquet row-group pruning and predicate pushdown see
+  *    them (a UDF is a pushdown barrier — SURVEY §4).
+  *  - Pages without a prevo reference never enter the join (an empty-string
+  *    join key would concentrate the whole corpus on one hash bucket); they
+  *    take the narrow path and union back after.
+  *  - The name→ndex dictionary is left unhinted: AQE converts the shuffle
+  *    join to broadcast when the dictionary is small (always, in the golden
+  *    corpus) and keeps a shuffle join when entity count is cluster-scale.
+  *  - The wikidata linking dictionary is a compile-time constant Map inside
+  *    the emit function — cheaper than any broadcast join for a 9-entry dict
+  *    (north_star's "hot dictionaries use broadcast hash joins" degenerates
+  *    to a literal lookup here).
+  *  - Dedup = partial (map-side) aggregation on the 6-column triple key, so
+  *    k× duplicated triples combine before the exchange.
+  */
+object Pipeline {
+
+  /** Candidate pages: cheap raw-column prefilter, pushdown-friendly. Keeps
+    * every page any of the five infobox regexes could match
+    * (reference: parser/WikiInfoboxParser.java:13-20). */
+  def candidatePages(pages: Dataset[PageRow]): Dataset[PageRow] =
+    pages.filter(col("lang") === "wikitext" && col("content").contains("Infobox"))
+
+  def parse(pages: Dataset[PageRow]): Dataset[ParsedPage] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ParsedPage]
+    candidatePages(pages).map(WikitextParser.parsePage)
+  }
+
+  /** Parsed pokemon pages → lineage-tagged candidate triples. */
+  def emit(spark: SparkSession, parsed: Dataset[ParsedPage]): Dataset[LineageTriple] = {
+    import spark.implicits._
+
+    val pok = parsed
+      .filter(p => p.infoboxType == "Pokemon" && p.ndex.nonEmpty)
+
+    // name→ndex dictionary for evolvesFrom resolution (the reference resolves
+    // prevo pages by a second fetch — client/DataCollectionCoordinator.java:85-101;
+    // here it is a corpus self-join on the extracted name).
+    val dict = pok
+      .flatMap(p => p.params.get("name").map(n => NameNdex(n.trim, p.ndex)))
+      .filter(_.prevName.nonEmpty)
+
+    val withPrevo = pok.filter(_.evolvesFrom.nonEmpty)
+    val withoutPrevo = pok.filter(_.evolvesFrom.isEmpty)
+
+    val resolved: Dataset[(ParsedPage, String)] = withPrevo
+      .joinWith(dict, withPrevo("evolvesFrom") === dict("prevName"), "left_outer")
+      .map { case (p, nn) => (p, Option(nn).map(_.prevNdex).getOrElse("")) }
+      .unionByName(withoutPrevo.map(p => (p, "")))
+
+    resolved.flatMap { case (p, prevNdex) =>
+      TripleEmit.emit(p, prevNdex).map { t =>
+        LineageTriple(t.subj, t.pred, t.objIsIri, t.objLex, t.objDtype, t.objLang,
+          p.repo, p.path, p.commit, p.srcSha256)
+      }
+    }
+  }
+
+  private val tripleKey = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+
+  /** Set semantics of the reference's Jena Model.add (reference: App.java:37-44)
+    * with *deterministic* lineage: min(struct(...)) instead of dropDuplicates'
+    * arbitrary survivor, so two runs produce byte-identical output. */
+  def dedup(emitted: Dataset[LineageTriple]): DataFrame =
+    emitted
+      .groupBy(tripleKey.map(col): _*)
+      .agg(min(struct(col("srcRepo"), col("srcPath"), col("srcCommit"), col("srcSha256"))).as("src"))
+      .select((tripleKey.map(col) :+ col("src.*")): _*)
+
+  /** pages → deduplicated lineage-tagged triples (no persistence). */
+  def triples(spark: SparkSession, pages: Dataset[PageRow]): DataFrame =
+    dedup(emit(spark, parse(pages)))
+
+  /** Graph materialization: vertices (distinct IRIs with kind + best label)
+    * and edges (IRI→IRI triples) — the north_star's "vertices/edges as
+    * Iceberg tables". */
+  def vertices(triples: DataFrame): DataFrame = {
+    val subjects = triples.select(col("subj").as("id"))
+    val objects = triples.filter(col("objIsIri")).select(col("objLex").as("id"))
+    val ids = subjects.unionByName(objects).distinct()
+    val names = triples
+      .filter(col("pred") === graft.model.Vocab.SchemaName && !col("objIsIri"))
+      .groupBy(col("subj").as("id")).agg(min(col("objLex")).as("label"))
+    ids.join(names, Seq("id"), "left_outer")
+      .withColumn("kind",
+        when(col("id").startsWith(graft.model.Vocab.Base + "pokemon/"), "pokemon")
+          .when(col("id").startsWith(graft.model.Vocab.Base + "Type/"), "type")
+          .when(col("id").startsWith(graft.model.Vocab.Base + "ability/"), "ability")
+          .when(col("id").contains("dbpedia.org"), "dbpedia")
+          .when(col("id").contains("wikidata.org"), "wikidata")
+          .when(col("id").contains("bulbapedia"), "bulbapedia")
+          .when(col("id").contains("wikipedia.org"), "wikipedia")
+          .otherwise("other"))
+  }
+
+  def edges(triples: DataFrame): DataFrame =
+    triples.filter(col("objIsIri"))
+      .select(col("subj").as("src"), col("pred"), col("objLex").as("dst"))
+
+  /** Per-partition extraction metrics for one stage (north_rule lineage +
+    * metrics requirement): rows and distinct source pages per partition. */
+  def partitionMetrics(df: DataFrame, stage: String): DataFrame =
+    df.groupBy(spark_partition_id().as("partId"))
+      .agg(count(lit(1)).as("rows"),
+        approx_count_distinct(col("srcSha256")).as("approxSrcPages"))
+      .withColumn("stage", lit(stage))
+
+  /** Input invariant per BASELINE.json input_hint: every lineage sha256 must
+    * equal sha256(content) of its source row. Returns violation count (0 = ok). */
+  def shaInvariantViolations(spark: SparkSession, pages: Dataset[PageRow], triples: DataFrame): Long = {
+    val expected = pages.toDF()
+      .select(col("repo").as("srcRepo"), col("path").as("srcPath"),
+        col("commit").as("srcCommit"), sha2(col("content"), 256).as("expectedSha"))
+    triples
+      .join(expected, Seq("srcRepo", "srcPath", "srcCommit"), "left_outer")
+      .filter(col("expectedSha").isNull || col("expectedSha") =!= col("srcSha256"))
+      .count()
+  }
+
+  /** Checkpointed end-to-end run: each stage persists under `outDir` keyed by
+    * a fingerprint; a re-run with unchanged input skips completed stages.
+    * Returns (triples, skippedStages). */
+  def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+          fingerprint: String): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    val skipped = Seq.newBuilder[String]
+
+    val (emittedDf, s1) = TableIO.stage(spark, s"$outDir/emitted", fingerprint) {
+      emit(spark, parse(pages)).toDF()
+    }
+    if (s1) skipped += "emitted"
+
+    val (tripleDf, s2) = TableIO.stage(spark, s"$outDir/triples", fingerprint) {
+      implicit val enc = org.apache.spark.sql.Encoders.product[LineageTriple]
+      dedup(emittedDf.as[LineageTriple])
+    }
+    if (s2) skipped += "triples"
+
+    val (_, s3) = TableIO.stage(spark, s"$outDir/metrics", fingerprint) {
+      partitionMetrics(emittedDf, "emit")
+        .unionByName(partitionMetrics(tripleDf, "dedup"))
+    }
+    if (s3) skipped += "metrics"
+
+    val (_, s4) = TableIO.stage(spark, s"$outDir/vertices", fingerprint)(vertices(tripleDf))
+    if (s4) skipped += "vertices"
+    val (_, s5) = TableIO.stage(spark, s"$outDir/edges", fingerprint)(edges(tripleDf))
+    if (s5) skipped += "edges"
+
+    (tripleDf, skipped.result())
+  }
+}

@@ -1,0 +1,128 @@
+package graft.kg
+
+import graft.model.{ParsedPage, Triple, Vocab => V}
+
+/** Page record → candidate triples (the template-to-predicate mapping stage).
+  * One pure function per page, applied via typed flatMap — Spark's Generator
+  * shape without a custom Generator (SURVEY §2-D).
+  *
+  * The emitted vocabulary targets the reference's *golden* output
+  * (reference: pokemon.ttl; SURVEY §0.1): strictly richer than the HEAD
+  * converter (reference: rdf/PokemonRDFConverter.java:30-96), including
+  * catchRate / baseExperienceYield / primaryAbility / generation /
+  * japaneseName / romajiName / secondaryType / evolvesFrom / evolutionStage
+  * and the malformed shared `//type` class subject.
+  */
+object TripleEmit {
+
+  private def nonEmpty(v: Option[String]): Option[String] =
+    v.map(_.trim).filter(_.nonEmpty)
+
+  /** Range-guarded decimal (reference: rdf/PokemonRDFConverter.java:123-141).
+    * The lexical form is the cleaned source text (no BigDecimal(double)
+    * double-rounding artifact — comparison is value-normalized, SURVEY §0.3). */
+  private def decimalIfInRange(v: Option[String], min: Double, max: Double): Option[String] =
+    nonEmpty(v).flatMap { s =>
+      try {
+        val d = s.toDouble
+        if (d >= min && d <= max) Some(s) else None
+      } catch { case _: NumberFormatException => None }
+    }
+
+  private def intLex(v: Option[String]): Option[String] =
+    nonEmpty(v).flatMap { s =>
+      try Some(s.toInt.toString) catch { case _: NumberFormatException => None }
+    }
+
+  /** prevNdex: the evolvesFrom *name* resolved to that page's ndex via the
+    * corpus self-join (reference: client/DataCollectionCoordinator.java:85-101);
+    * empty when unresolved. */
+  def emit(page: ParsedPage, prevNdex: String): Seq[Triple] = {
+    if (page.infoboxType != "Pokemon" || page.ndex.isEmpty) return Seq.empty
+    val p = page.params
+    val subj = V.pokemonIri(page.ndex)
+    val out = Seq.newBuilder[Triple]
+
+    out += Triple.iri(subj, V.RdfType, V.PokemonClass)
+
+    nonEmpty(p.get("type1")).foreach { t =>
+      val tc = V.typeClass(t)
+      out += Triple.iri(subj, V.RdfType, tc)
+      out += Triple.lit(subj, V.PrimaryType, t)
+      // per-entity type class with empty localName — one shared malformed IRI
+      // (reference: pokemon.ttl `<http://example.org/pokemon//type>`, SURVEY §1)
+      out += Triple.iri(subj, V.RdfType, V.MalformedEntityType)
+      out += Triple.iri(V.MalformedEntityType, V.RdfsSubClassOf, tc)
+      out += Triple.iri(tc, V.RdfsSubClassOf, V.PokemonClass)
+    }
+    nonEmpty(p.get("type2")).foreach(t => out += Triple.lit(subj, V.SecondaryType, t))
+
+    nonEmpty(p.get("name")).foreach { name =>
+      out += Triple.lit(subj, V.SchemaName, name)
+      out += Triple.langLit(subj, V.RdfsLabel, name, "en")
+      out ++= externalLinks(subj, name)
+    }
+    out += Triple.lit(subj, V.SchemaIdentifier, page.ndex)
+
+    nonEmpty(p.get("category")).foreach(v => out += Triple.lit(subj, V.Category, v))
+    nonEmpty(p.get("jname")).foreach { v =>
+      out += Triple.lit(subj, V.JapaneseName, v)
+      out += Triple.langLit(subj, V.RdfsLabel, v, "ja")
+    }
+    nonEmpty(p.get("tmname")).foreach { v =>
+      out += Triple.lit(subj, V.RomajiName, v)
+      out += Triple.langLit(subj, V.RdfsLabel, v, "ja-Latn")
+    }
+
+    decimalIfInRange(p.get("height-m"), 0.1, 25.0)
+      .foreach(v => out += Triple.typed(subj, V.SchemaHeight, v, V.XsdDecimal))
+    decimalIfInRange(p.get("weight-kg"), 0.1, 1000.0)
+      .foreach(v => out += Triple.typed(subj, V.SchemaWeight, v, V.XsdDecimal))
+
+    intLex(p.get("generation")).foreach(v => out += Triple.typed(subj, V.Generation, v, V.XsdInt))
+    intLex(p.get("catchrate")).foreach(v => out += Triple.typed(subj, V.CatchRate, v, V.XsdInt))
+    intLex(p.get("expyield")).foreach(v => out += Triple.typed(subj, V.BaseExpYield, v, V.XsdInt))
+
+    nonEmpty(p.get("ability1")).foreach { a =>
+      val ai = V.abilityIri(a)
+      out += Triple.iri(subj, V.PrimaryAbility, ai)
+      out += Triple.lit(ai, V.RdfsLabel, a)
+    }
+
+    if (page.evolvesFrom.nonEmpty && prevNdex.nonEmpty)
+      out += Triple.iri(subj, V.EvolvesFrom, V.pokemonIri(prevNdex))
+    out += Triple.typed(subj, V.EvolutionStage, page.evolutionStage.toString, V.XsdInteger)
+
+    out.result()
+  }
+
+  /** External-link fan-out, replicated structurally from the golden fixture
+    * (reference: pokemon.ttl; census in SURVEY §5 / FIXTURES.md §4):
+    * always DBpedia + Bulbapedia; for dictionary hits additionally Wikidata,
+    * Wikipedia (schema:sameAs) and the cross-links among the three external
+    * subjects (reference: rdf/PokemonRDFConverter.java:143-189 emits the HEAD
+    * subset; the extra cross-links are golden-only). */
+  def externalLinks(subj: String, name: String): Seq[Triple] = {
+    val out = Seq.newBuilder[Triple]
+    val db = V.dbpediaIri(name)
+    val bp = V.bulbapediaIri(name)
+    out += Triple.iri(subj, V.OwlSameAs, db)
+    out += Triple.iri(subj, V.OwlSameAs, bp)
+    out += Triple.iri(subj, V.SchemaSameAs, bp)
+    out += Triple.lit(db, V.SchemaName, name)
+    out += Triple.lit(bp, V.SchemaName, name)
+    V.WikidataIds.get(name).foreach { q =>
+      val wd = V.wikidataIri(q)
+      val wp = V.wikipediaIri(name)
+      out += Triple.iri(subj, V.OwlSameAs, wd)
+      out += Triple.iri(subj, V.SchemaSameAs, wp)
+      out += Triple.lit(wd, V.SchemaName, name)
+      Seq(db, wd, bp).foreach { x =>
+        out += Triple.iri(x, V.SchemaSameAs, wp)
+        out += Triple.iri(x, V.OwlSameAs, db)
+        out += Triple.iri(x, V.OwlSameAs, wd)
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,169 @@
+package graft.kg
+
+import java.util.regex.Pattern
+import graft.model.{PageRow, ParsedPage}
+
+/** Wikitext → structured record. Pure, deterministic, null-safe scalar logic,
+  * invoked per row from a typed Dataset map (a single JVM call per page — the
+  * regex work dominates, so a codegen Expression would buy nothing; SURVEY §4).
+  *
+  * Semantics replicate the reference parser exactly, quirks included:
+  *  - infobox body truncates at the first `}` (nested templates cut off)
+  *    (reference: parser/WikiInfoboxParser.java:13-20)
+  *  - param values stop at `|` or `}` (reference: WikiInfoboxParser.java:22)
+  *  - cleanup regex chain order matters (reference: WikiInfoboxParser.java:163-179)
+  *  - evolution data honored only when `|evointo=` present; stage rule per
+  *    reference: client/EvolutionChainFetcher.java:146-177
+  *  - ndex extracted by line scan then zero-padded %04d
+  *    (reference: client/EvolutionChainFetcher.java:126-144)
+  */
+object WikitextParser {
+
+  // Deterministic match order (the reference iterates a HashMap — order
+  // unspecified; pages carry at most one infobox so this is observationally
+  // identical). First match wins (reference: WikiInfoboxParser.java:38-43).
+  private val infoboxPatterns: Seq[(String, Pattern)] = Seq(
+    "Pokemon"  -> "\\{\\{Pokémon Infobox([^}]*?)\\}\\}",
+    "Move"     -> "\\{\\{Move Infobox([^}]*?)\\}\\}",
+    "Ability"  -> "\\{\\{Ability Infobox([^}]*?)\\}\\}",
+    "Item"     -> "\\{\\{Item Infobox([^}]*?)\\}\\}",
+    "Location" -> "\\{\\{Location Infobox([^}]*?)\\}\\}"
+  ).map { case (k, v) => k -> Pattern.compile(v, Pattern.DOTALL) }
+
+  private val paramPattern =
+    Pattern.compile("\\|\\s*([^=]+?)\\s*=\\s*([^|\\}]*?)\\s*(?=\\||\\}\\})", Pattern.DOTALL)
+  private val categoryPattern = Pattern.compile("\\[\\[Category:([^\\]]+)\\]\\]")
+  private val genPattern = Pattern.compile("(\\d+)")
+
+  /** Markup cleanup; chain order is semantic (reference: WikiInfoboxParser.java:163-179). */
+  def cleanWikiText(text0: String): String = {
+    if (text0 == null || text0.isEmpty) return ""
+    var t = text0
+    t = t.replaceAll("\\{\\{tt\\|([^|]+)\\|[^}]+\\}\\}", "$1")
+    t = t.replaceAll("\\[\\[(?:[^|\\]]*\\|)?([^\\]]+)\\]\\]", "$1")
+    t = t.replaceAll("'''?([^']+)'''?", "$1")
+    t = t.replaceAll("''([^']+)''", "$1")
+    t = t.replaceAll("<!--.*?-->", "")
+    t = t.replaceAll("<br\\s*/?\\s*>", " ")
+    t = t.replaceAll("\\{\\{[^}]+\\}\\}", "")
+    t = t.replaceAll("\\s+", " ")
+    t.trim
+  }
+
+  /** Per-infobox-type whitelist + rename (reference: WikiInfoboxParser.java:90-161).
+    * `catchrate`/`expyield` admitted for the Pokemon type: present in the golden
+    * fixture's vocabulary (pokemon:catchRate / pokemon:baseExperienceYield,
+    * reference: pokemon.ttl) though dropped from the HEAD whitelist — golden wins
+    * (SURVEY §0.1). */
+  private val pokemonKeys = Set(
+    "ndex", "type1", "type2", "ability1", "ability2", "height-m", "weight-kg",
+    "category", "name", "jname", "tmname", "catchrate", "expyield")
+  private val moveKeys     = Set("name", "type", "category", "power", "accuracy", "pp", "description")
+  private val abilityKeys  = Set("name", "jname", "effect", "description")
+  private val itemKeys     = Set("name", "type", "effect", "description")
+  private val locationKeys = Set("name", "region", "type", "description")
+
+  private def keepParam(tpe: String, key: String, value: String): Option[(String, String)] =
+    tpe match {
+      case "Pokemon" =>
+        if (pokemonKeys(key)) Some(key -> value)
+        else if (key == "generation") {
+          val m = genPattern.matcher(value)
+          if (m.find()) Some("generation" -> m.group(1)) else None
+        } else None
+      case "Move"     => if (moveKeys(key)) Some(s"move_$key" -> value) else None
+      case "Ability"  => if (abilityKeys(key)) Some(s"ability_$key" -> value) else None
+      case "Item"     => if (itemKeys(key)) Some(s"item_$key" -> value) else None
+      case "Location" => if (locationKeys(key)) Some(s"location_$key" -> value) else None
+      case _          => None
+    }
+
+  def parseInfobox(content: String): (String, Map[String, String]) = {
+    infoboxPatterns.foreach { case (tpe, pat) =>
+      val m = pat.matcher(content)
+      if (m.find()) {
+        val body = m.group(1)
+        val pm = paramPattern.matcher(body)
+        val b = Map.newBuilder[String, String]
+        while (pm.find()) {
+          val key = pm.group(1).trim
+          val value = cleanWikiText(pm.group(2).trim)
+          keepParam(tpe, key, value).foreach(b += _)
+        }
+        return (tpe, b.result())
+      }
+    }
+    ("", Map.empty)
+  }
+
+  def extractCategories(content: String): Seq[String] = {
+    val m = categoryPattern.matcher(content)
+    val b = scala.collection.mutable.SortedSet.empty[String]
+    while (m.find()) b += m.group(1).trim
+    b.toSeq
+  }
+
+  /** reference: client/EvolutionChainFetcher.java:126-144 */
+  def extractNdex(content: String): String = {
+    val i = content.indexOf("|ndex=")
+    if (i < 0) return ""
+    val start = i + 6
+    val end = content.indexOf('\n', start)
+    if (end <= start) return ""
+    val raw = content.substring(start, end).trim
+    try "%04d".format(raw.toInt)
+    catch { case _: NumberFormatException => "" }
+  }
+
+  /** (evolvesFrom, evolvesTo, stage) — reference: client/EvolutionChainFetcher.java:146-177.
+    * Quirk kept: pages without any `|evointo=` key get stage 1 and no evolvesFrom;
+    * stage 3 iff evolvesFrom present and every evointo is None. */
+  def extractEvolution(content: String): (String, String, Int) = {
+    var from = ""
+    var to = ""
+    if (content.contains("|evointo=")) {
+      content.split("\n").foreach { line =>
+        if (line.startsWith("|prevo=")) {
+          val v = line.substring(7).trim
+          if (v.nonEmpty && v != "None") from = v
+        }
+        if (line.startsWith("|evointo=")) {
+          val v = line.substring(9).trim
+          if (v.nonEmpty && v != "None") to = v
+        }
+      }
+    }
+    val stage =
+      if (from.isEmpty) 1
+      else if (content.contains("|evointo=") && !content.contains("|evointo=None")) 2
+      else 3
+    (from, to, stage)
+  }
+
+  def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Page title from the corpus path: file name sans extension
+    * (fixture paths look like "Bulbasaur_(Pokémon).wiki"). */
+  def titleOf(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  def parsePage(row: PageRow): ParsedPage = {
+    val content = if (row.content == null) "" else row.content
+    val (tpe, params) = parseInfobox(content)
+    val (from, to, stage) = extractEvolution(content)
+    ParsedPage(
+      repo = row.repo, path = row.path, commit = row.commit,
+      srcSha256 = sha256Hex(content),
+      title = titleOf(row.path),
+      infoboxType = tpe, params = params,
+      categories = extractCategories(content),
+      ndex = extractNdex(content),
+      evolvesFrom = from, evolvesTo = to, evolutionStage = stage)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.model
+
+/** One row of the input corpus table, shape per BASELINE.json `input_hint`:
+  * an Iceberg/Parquet table of page content keyed by (repo, path, commit).
+  * `content` carries the wikitext (the reference's `wikitext` record field,
+  * reference: client/EvolutionChainFetcher.java:99-124).
+  */
+final case class PageRow(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** Parsed page: fixed columns + the dynamic infobox key/value map
+  * (the reference's Map<String,String> record,
+  * reference: parser/WikiInfoboxParser.java:25-57).
+  */
+final case class ParsedPage(
+    repo: String,
+    path: String,
+    commit: String,
+    srcSha256: String,
+    title: String,
+    infoboxType: String,          // "" when no infobox matched
+    params: Map[String, String],  // whitelisted + renamed per infobox type
+    categories: Seq[String],      // sorted, distinct
+    ndex: String,                 // zero-padded "%04d", "" when absent
+    evolvesFrom: String,          // prevo *name* ("" when absent)
+    evolvesTo: String,            // evointo name ("" when absent)
+    evolutionStage: Int)
+
+/** Canonical RDF triple. Flat (no nested struct) so Encoders, joins and
+  * dropDuplicates stay simple and codegen-friendly. Plain literals carry
+  * objDtype = "" and objLang = ""; language-tagged literals carry the BCP-47
+  * tag in objLang; IRIs carry objIsIri = true and empty dtype/lang.
+  * Set semantics of the reference's Jena Model (reference: App.java:37-44)
+  * = dropDuplicates over all six fields.
+  */
+final case class Triple(
+    subj: String,
+    pred: String,
+    objIsIri: Boolean,
+    objLex: String,
+    objDtype: String,
+    objLang: String)
+
+object Triple {
+  def iri(s: String, p: String, o: String): Triple =
+    Triple(s, p, objIsIri = true, o, "", "")
+  def lit(s: String, p: String, o: String): Triple =
+    Triple(s, p, objIsIri = false, o, "", "")
+  def langLit(s: String, p: String, o: String, lang: String): Triple =
+    Triple(s, p, objIsIri = false, o, "", lang)
+  def typed(s: String, p: String, o: String, dtype: String): Triple =
+    Triple(s, p, objIsIri = false, o, dtype, "")
+}
+
+/** Triple plus per-row lineage, the unit the pipeline materializes
+  * (north_rule: "per-partition lineage + metrics"). srcSha256 is the
+  * sha256 of the originating row's `content` (input invariant per
+  * BASELINE.json input_hint). */
+final case class LineageTriple(
+    subj: String,
+    pred: String,
+    objIsIri: Boolean,
+    objLex: String,
+    objDtype: String,
+    objLang: String,
+    srcRepo: String,
+    srcPath: String,
+    srcCommit: String,
+    srcSha256: String)

@@ -1,0 +1,92 @@
+package graft.model
+
+/** IRI vocabulary of the knowledge graph.
+  *
+  * Mirrors the predicate/class IRIs of the reference pipeline
+  * (reference: src/main/java/org/example/rdf/PokemonRDFConverter.java:17-28,
+  * inference/InferenceHandler.java:14-16) and the golden fixture
+  * (reference: pokemon.ttl:1-6 prefixes).
+  */
+object Vocab {
+  val Base   = "http://example.org/pokemon/"
+  val Schema = "http://schema.org/"
+  val Rdf    = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val Rdfs   = "http://www.w3.org/2000/01/rdf-schema#"
+  val Owl    = "http://www.w3.org/2002/07/owl#"
+  val Xsd    = "http://www.w3.org/2001/XMLSchema#"
+
+  // classes
+  val PokemonClass = Base + "Pokemon"
+  val AbilityClass = Base + "Ability"
+  def typeClass(t: String): String = Base + "Type/" + t
+  /** The reference's earlier generator built per-entity type-class IRIs from an
+    * empty localName, yielding one shared malformed subject for every entity
+    * (reference: pokemon.ttl — `<http://example.org/pokemon//type>`; SURVEY §1).
+    * Replicated verbatim because the golden fixture contains it. */
+  val MalformedEntityType = Base + "/type"
+
+  // rdf / rdfs / owl
+  val RdfType       = Rdf + "type"
+  val RdfsLabel     = Rdfs + "label"
+  val RdfsSubClassOf    = Rdfs + "subClassOf"
+  val RdfsSubPropertyOf = Rdfs + "subPropertyOf"
+  val OwlSameAs     = Owl + "sameAs"
+
+  // schema.org
+  val SchemaName       = Schema + "name"
+  val SchemaIdentifier = Schema + "identifier"
+  val SchemaHeight     = Schema + "height"
+  val SchemaWeight     = Schema + "weight"
+  val SchemaSameAs     = Schema + "sameAs"
+
+  // pokemon namespace predicates (golden vocabulary, SURVEY §0.1)
+  val PrimaryType    = Base + "primaryType"
+  val SecondaryType  = Base + "secondaryType"
+  val Category       = Base + "category"
+  val JapaneseName   = Base + "japaneseName"
+  val RomajiName     = Base + "romajiName"
+  val Generation     = Base + "generation"
+  val CatchRate      = Base + "catchRate"
+  val BaseExpYield   = Base + "baseExperienceYield"
+  val PrimaryAbility = Base + "primaryAbility"
+  val EvolvesFrom    = Base + "evolvesFrom"
+  val EvolutionStage = Base + "evolutionStage"
+  val Characteristic = Base + "characteristic"
+
+  // datatypes
+  val XsdDecimal = Xsd + "decimal"
+  val XsdInt     = Xsd + "int"
+  val XsdInteger = Xsd + "integer"
+  val XsdString  = "" // plain literal: dtype stored as empty string
+
+  /** 18-type whitelist (reference: inference/InferenceHandler.java:117-121,
+    * pokemon-shapes.ttl:26-28). */
+  val AllTypes: Seq[String] = Seq(
+    "Normal", "Fire", "Water", "Electric", "Grass", "Ice",
+    "Fighting", "Poison", "Ground", "Flying", "Psychic", "Bug",
+    "Rock", "Ghost", "Dragon", "Dark", "Steel", "Fairy")
+
+  /** Static entity-linking dictionary
+    * (reference: rdf/PokemonRDFConverter.java:177-189, linking/ExternalLinker.java:14-29). */
+  val WikidataIds: Map[String, String] = Map(
+    "Bulbasaur"  -> "Q1410", "Ivysaur"    -> "Q1411", "Venusaur" -> "Q1412",
+    "Charmander" -> "Q1416", "Charmeleon" -> "Q1417", "Charizard" -> "Q1418",
+    "Squirtle"   -> "Q1420", "Wartortle"  -> "Q1421", "Blastoise" -> "Q1422")
+
+  def pokemonIri(ndex4: String): String = Base + "pokemon/" + ndex4
+  def abilityIri(name: String): String =
+    Base + "ability/" + name.trim.toLowerCase.replace(" ", "_")
+  def dbpediaIri(name: String): String =
+    "http://dbpedia.org/resource/" + name.replace(" ", "_")
+  def wikidataIri(q: String): String = "http://www.wikidata.org/entity/" + q
+  def wikipediaIri(name: String): String =
+    "https://en.wikipedia.org/wiki/" + name.replace(" ", "_")
+  def bulbapediaIri(name: String): String =
+    "https://bulbapedia.bulbagarden.net/wiki/" + name.replace(" ", "_") + "_(Pokémon)"
+
+  /** subPropertyOf pokemon:characteristic registrations
+    * (reference: inference/InferenceHandler.java:18-34). */
+  val CharacteristicProps: Seq[String] = Seq(
+    Base + "height", Base + "weight", Base + "category", Base + "ability",
+    PrimaryType, SecondaryType, SchemaHeight, SchemaWeight)
+}

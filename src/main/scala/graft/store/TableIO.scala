@@ -1,0 +1,45 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage seam: Parquet directories locally, the same DataFrame code against
+  * an Iceberg catalog when one is configured on a real cluster (SURVEY §7 —
+  * no Iceberg runtime jar ships in this sandbox). Adds the checkpoint
+  * manifest that gives the pipeline stage-skip resume (north_rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  */
+object TableIO {
+
+  def write(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  private def manifestPath(dir: String) = Paths.get(dir, "_STAGE_MANIFEST")
+
+  /** Run `compute` and persist its result under `dir` unless a previous run
+    * already completed there with the same fingerprint — then just re-read.
+    * The fingerprint should capture the input snapshot + stage config (we use
+    * caller-supplied strings, e.g. corpus path + row count + config hash).
+    * The manifest is written only after a successful parquet commit, so a
+    * killed run re-executes the stage (kill/rerun test in PipelineResumeSpec).
+    * Returns (result, skipped).
+    */
+  def stage(spark: SparkSession, dir: String, fingerprint: String)
+           (compute: => DataFrame): (DataFrame, Boolean) = {
+    val mp = manifestPath(dir)
+    if (Files.exists(mp) && new String(Files.readAllBytes(mp), "UTF-8") == fingerprint) {
+      (read(spark, dir), true)
+    } else {
+      val df = compute
+      write(df, dir)
+      Files.createDirectories(mp.getParent)
+      Files.write(mp, fingerprint.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      (read(spark, dir), false)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.{Fixtures, Pipeline}
+
+/** Replays the reference's triple-equality fixture: the pipeline over the
+  * synthesized 15-entity corpus must reproduce the golden triple set
+  * (reference: pokemon.ttl, transcribed to src/test/resources/golden_triples.tsv)
+  * at P/R >= 0.95 under value-normalized literal comparison (SURVEY §0.3 —
+  * the golden file carries BigDecimal(double) double-rounding artifacts that
+  * must compare numerically equal to clean forms).
+  */
+class GoldenReplaySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  /** (subj, pred, isIri, lex-or-normalized-number, dtypeClass, lang) */
+  type Key = (String, String, Boolean, String, String, String)
+
+  private val numericDtypes = Set(
+    "http://www.w3.org/2001/XMLSchema#decimal",
+    "http://www.w3.org/2001/XMLSchema#int",
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#double")
+
+  def normalize(subj: String, pred: String, isIri: Boolean,
+                lex: String, dtype: String, lang: String): Key = {
+    if (!isIri && numericDtypes.contains(dtype)) {
+      // The golden file's artifact forms are exact expansions of
+      // `new BigDecimal(double)` (reference: rdf/PokemonRDFConverter.java:123-141),
+      // so normalizing through the nearest double collapses "0.7" and
+      // "0.6999...4" to one value (SURVEY §0.3).
+      val norm = java.lang.Double.toString(new java.math.BigDecimal(lex).doubleValue())
+      (subj, pred, isIri, norm, "num", lang)
+    } else (subj, pred, isIri, lex, dtype, lang)
+  }
+
+  lazy val golden: Set[Key] = {
+    val in = getClass.getResourceAsStream("/golden_triples.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    lines.map { l =>
+      val f = l.split("\t", -1)
+      normalize(f(0), f(1), f(2) == "1", f(3), f(4), f(5))
+    }.toSet
+  }
+
+  lazy val produced: Set[Key] = {
+    val df = Pipeline.triples(spark, Fixtures.pages(spark))
+    df.select("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      .collect()
+      .map(r => normalize(r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+      .toSet
+  }
+
+  test("golden fixture parsed: 15 entities, ~500 raw triples") {
+    assert(golden.size > 400)
+    val subjects = golden.map(_._1).filter(_.startsWith("http://example.org/pokemon/pokemon/"))
+    assert(subjects.size == 15)
+  }
+
+  test("triple P/R >= 0.95 vs golden fixture (value-normalized)") {
+    val tp = (produced intersect golden).size.toDouble
+    val precision = tp / produced.size
+    val recall = tp / golden.size
+    info(f"precision=$precision%.4f recall=$recall%.4f " +
+      f"produced=${produced.size} golden=${golden.size} tp=${tp.toLong}")
+    if (precision < 1.0) {
+      (produced -- golden).toSeq.sortBy(t => (t._1, t._2)).take(20)
+        .foreach(t => info(s"EXTRA: $t"))
+    }
+    if (recall < 1.0) {
+      (golden -- produced).toSeq.sortBy(t => (t._1, t._2)).take(20)
+        .foreach(t => info(s"MISSING: $t"))
+    }
+    assert(precision >= 0.95, "precision below target")
+    assert(recall >= 0.95, "recall below target")
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.{Fixtures, WikitextParser}
+import graft.model.PageRow
+
+class WikitextParserSpec extends AnyFunSuite {
+
+  test("pokemon infobox params extracted with whitelist") {
+    val content = Fixtures.wikitext(Fixtures.entities.head) // Bulbasaur
+    val (tpe, params) = WikitextParser.parseInfobox(content)
+    assert(tpe == "Pokemon")
+    assert(params("name") == "Bulbasaur")
+    assert(params("jname") == "フシギダネ")
+    assert(params("type1") == "Grass")
+    assert(params("type2") == "Poison")
+    assert(params("height-m") == "0.7")
+    assert(params("catchrate") == "45")
+    assert(params("expyield") == "64")
+    assert(!params.contains("prevo")) // not whitelisted
+  }
+
+  test("infobox body truncates at first `}` — nested template cuts params") {
+    val squirtle = Fixtures.entities.find(_.ndex == "0007").get
+    val (tpe, params) = WikitextParser.parseInfobox(Fixtures.wikitext(squirtle))
+    assert(tpe == "Pokemon")
+    assert(params("category") == "{{tt") // junk value preserved, per golden fixture
+    assert(!params.contains("height-m")) // everything after the nested template is cut
+    assert(!params.contains("ability1"))
+  }
+
+  test("cleanup chain: tt template, wikilinks, bold, comments, br, whitespace") {
+    assert(WikitextParser.cleanWikiText("{{tt|Seed|the seed pokemon}}") == "Seed")
+    assert(WikitextParser.cleanWikiText("[[Grass (type)|Grass]]") == "Grass")
+    assert(WikitextParser.cleanWikiText("'''Bold''' and ''italic''") == "Bold and italic")
+    assert(WikitextParser.cleanWikiText("a<!-- hidden -->b") == "ab")
+    assert(WikitextParser.cleanWikiText("line<br/>break") == "line break")
+    assert(WikitextParser.cleanWikiText("{{unknown|x}} rest") == "rest")
+    assert(WikitextParser.cleanWikiText("  a   b  ") == "a b")
+  }
+
+  test("ndex extraction pads to 4 digits, rejects junk") {
+    assert(WikitextParser.extractNdex("x\n|ndex=1\ny") == "0001")
+    assert(WikitextParser.extractNdex("|ndex=0152\n") == "0152")
+    assert(WikitextParser.extractNdex("|ndex=abc\n") == "")
+    assert(WikitextParser.extractNdex("no ndex here") == "")
+  }
+
+  test("evolution stage quirks per reference rules") {
+    // no evointo key at all -> stage 1, no evolvesFrom even when prevo present
+    assert(WikitextParser.extractEvolution("|prevo=Bulbasaur\n") == ("", "", 1))
+    // evointo present, no prevo -> stage 1
+    assert(WikitextParser.extractEvolution("|evointo=Ivysaur\n") == ("", "Ivysaur", 1))
+    // prevo + evointo!=None -> stage 2
+    assert(WikitextParser.extractEvolution("|prevo=Bulbasaur\n|evointo=Venusaur\n") ==
+      ("Bulbasaur", "Venusaur", 2))
+    // prevo + evointo=None -> stage 3
+    assert(WikitextParser.extractEvolution("|prevo=Ivysaur\n|evointo=None\n") ==
+      ("Ivysaur", "", 3))
+    // None prevo ignored
+    assert(WikitextParser.extractEvolution("|prevo=None\n|evointo=Ivysaur\n") ==
+      ("", "Ivysaur", 1))
+  }
+
+  test("categories: distinct, sorted, trimmed") {
+    val c = WikitextParser.extractCategories(
+      "[[Category:B cat]] [[Category:A cat ]] [[Category:B cat]]")
+    assert(c == Seq("A cat", "B cat"))
+  }
+
+  test("move/ability/item/location infoboxes get prefixed params") {
+    val (t1, p1) = WikitextParser.parseInfobox("{{Move Infobox\n|name=Tackle\n|power=40\n|pp=35\n}}")
+    assert(t1 == "Move" && p1("move_name") == "Tackle" && p1("move_power") == "40")
+    val (t2, p2) = WikitextParser.parseInfobox("{{Ability Infobox\n|name=Overgrow\n|effect=x\n}}")
+    assert(t2 == "Ability" && p2("ability_name") == "Overgrow")
+    val (t3, p3) = WikitextParser.parseInfobox("{{Item Infobox\n|name=Potion\n|effect=Heals\n|type=x\n}}")
+    assert(t3 == "Item" && p3("item_effect") == "Heals")
+    val (t4, p4) = WikitextParser.parseInfobox("{{Location Infobox\n|name=Pallet Town\n|region=Kanto\n|type=x\n}}")
+    assert(t4 == "Location" && p4("location_region") == "Kanto")
+  }
+
+  test("quirk: the final infobox param is dropped (lookahead needs | or }}, " +
+    "but }} is outside the captured body — reference: WikiInfoboxParser.java:22,38-43)") {
+    val (_, p) = WikitextParser.parseInfobox("{{Move Infobox\n|name=Tackle\n|power=40\n}}")
+    assert(p.get("move_name").contains("Tackle"))
+    assert(!p.contains("move_power"))
+  }
+
+  test("parsePage is total on junk input") {
+    val p = WikitextParser.parsePage(PageRow("r", "x.wiki", "c", "wikitext", "{{{|=}}"))
+    assert(p.infoboxType == "")
+    assert(p.srcSha256.length == 64)
+    val pn = WikitextParser.parsePage(PageRow("r", "x.wiki", "c", "wikitext", null))
+    assert(pn.infoboxType == "")
+  }
+}
