@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.QueryDef
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every verifiable capability:
+  *  - graft.queries.Relational — operator inventory (SURVEY §2 A–K) with
+  *    DuckDB oracles over the driver's TPC-H-ish tables;
+  *  - graft.ops.Text / Similarity / Dedup — training-data-pipeline operators
+  *    (token stats, quality, lang-ID, fingerprints, n-gram Jaccard, MinHash
+  *    LSH, SimHash, cosine top-k, LSH ANN);
+  *  - graft.kg.* — the KG-construction pipeline itself (parse → emit → link →
+  *    dedup → infer → validate), rows-only checks (its input is the
+  *    deterministic fixture corpus, not the sfDir tables; golden-fixture
+  *    P/R is asserted in ScalaTest instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def allDefs: Seq[QueryDef] =
+    graft.queries.Relational.defs ++
+      graft.ops.Text.defs ++
+      graft.ops.Similarity.defs ++
+      graft.ops.Dedup.defs ++
+      graft.kg.KgQueries.defs
+
+  /** Flagship: the KG construction pipeline end-to-end on the golden fixture
+    * corpus (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.kg.Pipeline.triples(spark, graft.kg.Fixtures.pages(spark))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(o => q.name -> o.replaceAll("\\s+", " ").trim)).toMap
 }

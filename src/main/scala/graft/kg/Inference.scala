@@ -1,0 +1,158 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Vocab => V}
+import graft.queries.Iterative
+
+/** Rule-based inference to fixpoint over the triple table — the Spark
+  * re-expression of the reference's InferenceHandler (reference:
+  * inference/InferenceHandler.java:169-193 orchestration order:
+  * type-hierarchy → sameAs → property-inheritance → characteristic
+  * hierarchy). The reference loops naively over the full in-memory model;
+  * here each rule is a declarative join and the recursive parts run on the
+  * semi-naive kernels in graft.queries.Iterative (delta joins +
+  * localCheckpoint lineage truncation).
+  *
+  * Scale: sameAs property inheritance (I4) is the big self-join
+  * (pairs ⋈ triples on subj) — left to sort-merge + AQE (hub entities make
+  * it skewed; AQE skew-join splits oversized partitions). The static rule
+  * heads (I1/I5) are constant DataFrames. Everything funnels into one
+  * distinct-based dedup at the end (set semantics of the reference's
+  * Model.add).
+  */
+object Inference {
+
+  private val lineageCols = Seq(
+    lit("_inference").as("srcRepo"), lit("").as("srcPath"),
+    lit("").as("srcCommit"), lit("").as("srcSha256"))
+
+  private def asTriples(df: DataFrame): DataFrame =
+    df.select(Seq(col("subj"), col("pred"), col("objIsIri"),
+      col("objLex"), col("objDtype"), col("objLang")) ++ lineageCols: _*)
+
+  /** I1 static heads + I5 subPropertyOf registrations
+    * (reference: InferenceHandler.java:110-121, :18-34). */
+  def staticTriples(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val typeRows = V.AllTypes.map(t =>
+      (V.typeClass(t), V.RdfsSubClassOf, true, V.PokemonClass, "", ""))
+    val propRows = V.CharacteristicProps.map(p =>
+      (p, V.RdfsSubPropertyOf, true, V.Characteristic, "", ""))
+    asTriples((typeRows ++ propRows)
+      .toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang"))
+  }
+
+  /** I1 derived: each (s primaryType t) materializes class membership and the
+    * type-class back-link (reference: InferenceHandler.java:122-167). */
+  def typeHierarchy(triples: DataFrame): DataFrame = {
+    val typed = triples
+      .filter(col("pred") === V.PrimaryType && !col("objIsIri"))
+      .select(col("subj").as("s"), col("objLex").as("t"))
+    val rows =
+      typed.select(col("s").as("subj"), lit(V.RdfType).as("pred"), lit(true).as("objIsIri"),
+          concat(lit(V.Base + "Type/"), col("t")).as("objLex"), lit("").as("objDtype"), lit("").as("objLang"))
+        .unionByName(typed.select(col("s").as("subj"), lit(V.RdfType).as("pred"), lit(true).as("objIsIri"),
+          lit(V.PokemonClass).as("objLex"), lit("").as("objDtype"), lit("").as("objLang")))
+        .unionByName(typed.select(concat(lit(V.Base + "Type/"), col("t")).as("subj"),
+          lit(V.PrimaryType).as("pred"), lit(false).as("objIsIri"),
+          col("t").as("objLex"), lit("").as("objDtype"), lit("").as("objLang")))
+    asTriples(rows.distinct())
+  }
+
+  /** I2: transitive subClassOf closure (semi-naive — the reference's naive
+    * fixpoint is InferenceHandler.java:36-60) plus type membership through
+    * the closed hierarchy: (s type C) ∧ (C ⊑* D) ⇒ (s type D). */
+  def subClassOfClosure(triples: DataFrame): DataFrame = {
+    val edges = triples.filter(col("pred") === V.RdfsSubClassOf && col("objIsIri"))
+      .select(col("subj").as("src"), col("objLex").as("dst"))
+    val closed = Iterative.closure(edges)
+    val closureTriples = closed.select(
+      col("src").as("subj"), lit(V.RdfsSubClassOf).as("pred"), lit(true).as("objIsIri"),
+      col("dst").as("objLex"), lit("").as("objDtype"), lit("").as("objLang"))
+    val membership = triples.filter(col("pred") === V.RdfType && col("objIsIri"))
+      .select(col("subj").as("s"), col("objLex").as("c"))
+      .join(closed, col("c") === col("src"))
+      .select(col("s").as("subj"), lit(V.RdfType).as("pred"), lit(true).as("objIsIri"),
+        col("dst").as("objLex"), lit("").as("objDtype"), lit("").as("objLang"))
+      .distinct()
+    asTriples(closureTriples.unionByName(membership))
+  }
+
+  /** sameAs edge list (owl:sameAs, IRI objects). */
+  def sameAsEdges(triples: DataFrame): DataFrame =
+    triples.filter(col("pred") === V.OwlSameAs && col("objIsIri"))
+      .select(col("subj").as("a"), col("objLex").as("b"))
+
+  /** I3 canonicalization: connected components over sameAs — every IRI maps
+    * to a canonical id (min IRI of its cluster). This is the
+    * "connected-components-style sameAs merging" table the north_star names;
+    * the output triples keep original subjects (replicating the reference's
+    * symmetric-pair behavior), the component table is exposed for
+    * canonical-id queries. */
+  def sameAsComponents(triples: DataFrame): DataFrame =
+    Iterative.connectedComponents(sameAsEdges(triples))
+      .select(col("node").as("iri"), col("component").as("canonId"))
+
+  /** I3 emit: symmetric sameAs pairs (reference: InferenceHandler.java:62-85). */
+  def sameAsSymmetric(triples: DataFrame): DataFrame = {
+    val e = sameAsEdges(triples)
+    asTriples(e.select(col("b").as("subj"), lit(V.OwlSameAs).as("pred"),
+      lit(true).as("objIsIri"), col("a").as("objLex"),
+      lit("").as("objDtype"), lit("").as("objLang")))
+  }
+
+  /** Symmetric pair table used by name propagation + property inheritance. */
+  private def symmetricPairs(triples: DataFrame): DataFrame = {
+    val e = sameAsEdges(triples)
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+  }
+
+  /** I3 name propagation: copy schema:name across sameAs pairs
+    * (reference: InferenceHandler.java:86-108). */
+  def namePropagation(triples: DataFrame): DataFrame = {
+    val names = triples.filter(col("pred") === V.SchemaName && !col("objIsIri"))
+      .select(col("subj").as("a"), col("objLex").as("name"))
+    val copied = symmetricPairs(triples)
+      .join(names, "a")
+      .select(col("b").as("subj"), lit(V.SchemaName).as("pred"), lit(false).as("objIsIri"),
+        col("name").as("objLex"), lit("").as("objDtype"), lit("").as("objLang"))
+      .distinct()
+    asTriples(copied)
+  }
+
+  /** I4 property inheritance: every non-sameAs statement of s is copied to
+    * each o with s sameAs o (reference: InferenceHandler.java:238-278).
+    * pairs ⋈ triples on subj — the skewed sort-merge self-join of the
+    * north_star. */
+  def propertyInheritance(triples: DataFrame): DataFrame = {
+    val pairs = symmetricPairs(triples)
+    val inheritable = triples.filter(
+      col("pred") =!= V.OwlSameAs && col("pred") =!= V.SchemaSameAs)
+    val copied = pairs.alias("p")
+      .join(inheritable.alias("t"), col("p.a") === col("t.subj"))
+      .select(col("p.b").as("subj"), col("t.pred").as("pred"),
+        col("t.objIsIri").as("objIsIri"), col("t.objLex").as("objLex"),
+        col("t.objDtype").as("objDtype"), col("t.objLang").as("objLang"))
+      .distinct()
+    asTriples(copied)
+  }
+
+  /** Full inference pass in the reference's fixed order, ending in one
+    * distinct-based dedup (new facts only are unioned — the contains-guard
+    * anti-join of the reference becomes the final distinct). */
+  def infer(spark: SparkSession, base: DataFrame): DataFrame = {
+    val t1 = base
+      .unionByName(staticTriples(spark))
+      .unionByName(typeHierarchy(base))
+    val t2 = t1.unionByName(subClassOfClosure(t1))
+    val withSame = t2
+      .unionByName(sameAsSymmetric(t2))
+    val t3 = withSame
+      .unionByName(namePropagation(withSame))
+      .unionByName(propertyInheritance(withSame))
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.model.LineageTriple]
+    Pipeline.dedup(t3.as[graft.model.LineageTriple](enc))
+  }
+}

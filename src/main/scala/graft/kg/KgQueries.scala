@@ -1,0 +1,144 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Vocab => V}
+import graft.queries.QueryDef
+
+/** The KG pipeline and its query corpus as verifiable entries. Input is the
+  * deterministic fixture corpus (BASELINE.json input_hint shape), not the
+  * sfDir tables, so these are rows-only checks for the driver; exact
+  * golden-fixture P/R is asserted in GoldenReplaySpec. The corpus queries
+  * re-express the reference's served SPARQL set
+  * (reference: src/main/resources/queries/pokemon_queries.sparql,
+  * test-queries.txt) as DataFrame plans over the triple table (SURVEY §2-F/G/H).
+  */
+object KgQueries {
+
+  /** Fixture corpus scale for verify runs: small but non-degenerate (enough
+    * rows that joins/dedup actually exercise multiple partitions). */
+  private val VerifyK = 4
+
+  // memoize the constructed graph per session so each corpus query doesn't
+  // re-run parse/emit (verify executes queries one at a time)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  // localCheckpoint (eager) both materializes the result and truncates the
+  // logical plan — downstream corpus queries and the 11 validation
+  // aggregations then re-analyze a one-node scan instead of the full
+  // parse→emit→closure union tree (Catalyst re-analysis of that tree per
+  // aggregation cost ~20 s each before this)
+  private def triples(spark: SparkSession): DataFrame =
+    cache.computeIfAbsent("triples:" + spark.hashCode(), _ =>
+      Pipeline.triples(spark, Fixtures.scaled(spark, VerifyK)).localCheckpoint())
+
+  private def inferred(spark: SparkSession): DataFrame =
+    cache.computeIfAbsent("inferred:" + spark.hashCode(), _ =>
+      Inference.infer(spark, triples(spark)).localCheckpoint())
+
+  private def slice(t: DataFrame, pred: String, as: String, lexAs: String): DataFrame =
+    t.filter(col("pred") === pred).select(col("subj").as(as), col("objLex").as(lexAs))
+
+  /** Corpus query 1: identifier + name + OPTIONAL height/weight, ordered
+    * (reference: pokemon_queries.sparql:6-15 — BGP self-join + OPTIONAL). */
+  def overview(t: DataFrame): DataFrame = {
+    val id = slice(t, V.SchemaIdentifier, "subj", "identifier")
+    val nm = slice(t, V.SchemaName, "subj", "name")
+    val ht = slice(t, V.SchemaHeight, "subj", "height")
+    val wt = slice(t, V.SchemaWeight, "subj", "weight")
+    id.join(nm, "subj")
+      .join(ht, Seq("subj"), "left_outer")
+      .join(wt, Seq("subj"), "left_outer")
+      .orderBy("identifier", "name")
+  }
+
+  /** 3-stage evolution chains (reference: pokemon_queries.sparql:40-56 —
+    * object→subject traversal joins, F3/F4). */
+  def evolutionChains(t: DataFrame): DataFrame = {
+    val evo = t.filter(col("pred") === V.EvolvesFrom)
+      .select(col("subj").as("child"), col("objLex").as("parent"))
+    val nm = slice(t, V.SchemaName, "s", "n")
+    val chains = evo.alias("e1")
+      .join(evo.alias("e2"), col("e1.child") === col("e2.parent"))
+      .select(col("e1.parent").as("stage1"), col("e1.child").as("stage2"),
+        col("e2.child").as("stage3"))
+    chains
+      .join(nm.select(col("s").as("stage1"), col("n").as("name1")), "stage1")
+      .join(nm.select(col("s").as("stage2"), col("n").as("name2")), "stage2")
+      .join(nm.select(col("s").as("stage3"), col("n").as("name3")), "stage3")
+      .select("name1", "name2", "name3")
+      .distinct()
+      .orderBy("name1")
+  }
+
+  /** GROUP_CONCAT of labels per entity, deterministic
+    * (reference: pokemon_queries.sparql:86-97). */
+  def labelConcat(t: DataFrame): DataFrame =
+    t.filter(col("pred") === V.RdfsLabel)
+      .groupBy(col("subj"))
+      .agg(concat_ws("|", array_sort(collect_set(
+        concat(col("objLex"), lit("@"), col("objLang"))))).as("labels"))
+      .orderBy("subj")
+
+  /** Per-type stats (reference: test-queries.txt:90-103 — G3). */
+  def typeStats(t: DataFrame): DataFrame = {
+    val ty = slice(t, V.PrimaryType, "subj", "ptype")
+    val ht = slice(t, V.SchemaHeight, "subj", "h")
+    ty.join(ht, Seq("subj"), "left_outer")
+      .groupBy("ptype")
+      .agg(count(lit(1)).as("n"),
+        floor(lit(100.0) * avg(col("h").cast("double"))).cast("long").as("avg_height_cm"))
+      .orderBy(desc("n"), asc("ptype"))
+  }
+
+  /** Same-type pairs with ≠ filter (reference: test-queries.txt:69-88 — F5
+    * theta self-join; hub types make it skewed → AQE). */
+  def sameTypePairs(t: DataFrame): DataFrame = {
+    val ty = slice(t, V.PrimaryType, "s", "ptype")
+    ty.alias("a").join(ty.alias("b"),
+        col("a.ptype") === col("b.ptype") && col("a.s") < col("b.s"))
+      .groupBy(col("a.ptype").as("ptype")).agg(count(lit(1)).as("pairs"))
+      .orderBy("ptype")
+  }
+
+  /** Transitive evolvesFrom+ ancestry (reference: pokemon_queries.sparql:112-122
+    * — property path F6) via the semi-naive closure kernel. */
+  def evolutionAncestry(t: DataFrame): DataFrame = {
+    val edges = t.filter(col("pred") === V.EvolvesFrom)
+      .select(col("subj").as("src"), col("objLex").as("dst"))
+    graft.queries.Iterative.closure(edges)
+      .groupBy("src").agg(count(lit(1)).as("n_ancestors"))
+      .orderBy("src")
+  }
+
+  /** Completeness checks (reference: pokemon_queries.sparql:182-238 — G1 +
+    * validation-by-query). */
+  def completeness(t: DataFrame): DataFrame =
+    t.agg(
+      countDistinct(when(col("pred") === V.SchemaIdentifier, col("subj"))).as("n_entities"),
+      countDistinct(when(col("pred") === V.OwlSameAs, col("objLex"))).as("n_external"),
+      count(when(col("pred") === V.RdfsLabel, 1)).as("n_labels"),
+      countDistinct(col("subj")).as("n_subjects"),
+      count(lit(1)).as("n_triples"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("kg_triples", (s, _) => triples(s), None),
+    QueryDef("kg_vertices", (s, _) => Pipeline.vertices(triples(s)), None),
+    QueryDef("kg_edges", (s, _) => Pipeline.edges(triples(s)), None),
+    QueryDef("kg_inferred", (s, _) => inferred(s), None),
+    QueryDef("kg_sameas_components", (s, _) => Inference.sameAsComponents(triples(s)), None),
+    QueryDef("kg_validation", (s, _) => Validation.report(inferred(s)), None),
+    QueryDef("kg_metrics", (s, _) => {
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.product[graft.model.LineageTriple]
+      Pipeline.partitionMetrics(triples(s).as[graft.model.LineageTriple](enc).toDF(), "triples")
+    }, None),
+    QueryDef("kg_q_overview", (s, _) => overview(triples(s)), None),
+    QueryDef("kg_q_evolution_chains", (s, _) => evolutionChains(triples(s)), None),
+    QueryDef("kg_q_label_concat", (s, _) => labelConcat(triples(s)), None),
+    QueryDef("kg_q_type_stats", (s, _) => typeStats(triples(s)), None),
+    QueryDef("kg_q_same_type_pairs", (s, _) => sameTypePairs(triples(s)), None),
+    QueryDef("kg_q_evolution_ancestry", (s, _) => evolutionAncestry(triples(s)), None),
+    QueryDef("kg_q_completeness", (s, _) => completeness(triples(s)), None)
+  )
+}

@@ -1,0 +1,72 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{Vocab => V}
+
+/** SHACL-equivalent constraint checks as DataFrame predicates
+  * (reference: pokemon-shapes.ttl:6-67 via validation/PokemonShapes.java:18-107,
+  * executed by Jena ShaclValidator in validation/RDFValidator.java:22-34).
+  * Each shape becomes a declarative violation query; the report aggregates
+  * one row per rule (always non-empty, so a clean graph still yields an
+  * auditable table).
+  */
+object Validation {
+
+  /** Pokemon entities = subjects typed as the Pokemon class. */
+  private def pokemonSubjects(triples: DataFrame): DataFrame =
+    triples.filter(col("pred") === V.RdfType && col("objLex") === V.PokemonClass)
+      .select(col("subj")).distinct()
+
+  private def predValues(triples: DataFrame, pred: String): DataFrame =
+    triples.filter(col("pred") === pred)
+      .select(col("subj"), col("objLex"), col("objLang"))
+
+  /** sh:minCount 1 — entities missing the predicate entirely (anti-join). */
+  def missing(triples: DataFrame, pred: String): DataFrame =
+    pokemonSubjects(triples)
+      .join(predValues(triples, pred).select("subj").distinct(), Seq("subj"), "left_anti")
+
+  def report(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+
+    def one(rule: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations")).select(lit(rule).as("rule"), col("violations"))
+
+    val idVals = predValues(triples, V.SchemaIdentifier)
+    val labelVals = predValues(triples, V.RdfsLabel)
+    val stageVals = predValues(triples, V.EvolutionStage)
+
+    val checks = Seq(
+      // minCount 1 on name / identifier / primaryType (pokemon-shapes.ttl:10-29)
+      one("minCount_name", missing(triples, V.SchemaName)),
+      one("minCount_identifier", missing(triples, V.SchemaIdentifier)),
+      one("minCount_primaryType", missing(triples, V.PrimaryType)),
+      // identifier sh:pattern ^[0-9]{4}$ (pokemon-shapes.ttl:19)
+      one("pattern_identifier", idVals.filter(!col("objLex").rlike("^[0-9]{4}$"))),
+      // primaryType sh:in 18-type whitelist (pokemon-shapes.ttl:26-28)
+      one("in_typeWhitelist", predValues(triples, V.PrimaryType)
+        .filter(!col("objLex").isin(V.AllTypes: _*))),
+      // height/weight decimal range (pokemon-shapes.ttl:32-44)
+      one("range_height", predValues(triples, V.SchemaHeight)
+        .filter(!col("objLex").cast("double").between(0.1, 25.0))),
+      one("range_weight", predValues(triples, V.SchemaWeight)
+        .filter(!col("objLex").cast("double").between(0.1, 1000.0))),
+      // evolutionStage ∈ [1,3] (pokemon-shapes.ttl:47-52)
+      one("range_evolutionStage", stageVals
+        .filter(!col("objLex").cast("int").between(1, 3))),
+      // sh:languageIn (en ja ja-Latn) (pokemon-shapes.ttl:55-59)
+      one("languageIn_label", labelVals
+        .filter(col("objLang") =!= "" && !col("objLang").isin("en", "ja", "ja-Latn"))),
+      // sh:uniqueLang on rdfs:label (pokemon-shapes.ttl:55-59)
+      one("uniqueLang_label", labelVals.filter(col("objLang") =!= "")
+        .groupBy("subj", "objLang").count().filter(col("count") > 1)),
+      // AbilityShape: every ability entity carries a label (pokemon-shapes.ttl:62-67)
+      one("minCount_abilityLabel",
+        triples.filter(col("objIsIri") && col("pred") === V.PrimaryAbility)
+          .select(col("objLex").as("subj")).distinct()
+          .join(labelVals.select("subj").distinct(), Seq("subj"), "left_anti"))
+    )
+    checks.reduce(_ unionByName _)
+  }
+}

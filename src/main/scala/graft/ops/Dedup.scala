@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * fuzziness:
+  *
+  *  1. exact       — hash-groupBy on a content fingerprint (one shuffle,
+  *                    map-side combinable);
+  *  2. MinHash+LSH — shingle → 64-slot minhash signature → banded bucket
+  *                    join; only same-band candidates are compared, so the
+  *                    all-pairs O(n²) never materializes;
+  *  3. SimHash     — 64-bit weighted-bit sketch; near-dup candidates share
+  *                    one of four 16-bit bands (pigeonhole: hamming ≤ 3 ⇒
+  *                    some band equal), verified by bit_count(xor).
+  *
+  * Everything is built-in expressions (xxhash64, bit ops, higher-order array
+  * functions) — codegen'd end-to-end, no UDF, no driver-side loops. Hash
+  * seeds are fixed, so results are deterministic across runs and executors.
+  */
+object Dedup {
+
+  val MinhashPerms = 64
+  val Bands = 16 // 16 bands × 4 rows
+
+  /** Exact dedup groups: fingerprint → keeper (min doc_id) + group size. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** MinHash signature per doc: explode 3-gram shingles once, then 64
+    * parallel min-aggregations of seeded xxhash64 values (partial agg =>
+    * the shuffle carries one 64-long row per doc, not the shingles). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = Text.shingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until MinhashPerms).map(i =>
+      min(xxhash64(concat(lit(s"p$i:"), col("s")))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join per band, then
+    * estimate Jaccard as the fraction of matching minhash slots. */
+  def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame = {
+    val rowsPerBand = MinhashPerms / Bands
+    val sigs = minhashSignatures(docs)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand))))")))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    cand.select(col("a"), col("b"),
+        expr(s"aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
+          .as("matching"))
+      .select(col("a"), col("b"),
+        floor(lit(10000.0) * col("matching") / lit(MinhashPerms.toDouble)).cast("long").as("est_jaccard_bp"))
+      .filter(col("est_jaccard_bp") >= minEstBp)
+  }
+
+  /** 64-bit SimHash of the token stream: per-bit weighted sum of token-hash
+    * bits, sign → bit. Aggregation is 64 sums over the exploded tokens
+    * (map-side combinable). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val perBit = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until 64)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${java.lang.Long.toString(1L << j)}L ELSE 0L END)")
+      .mkString(" + ")
+    perBit.select(col("doc_id"), expr(sigExpr).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: four 16-bit bands bucket the join
+    * (hamming ≤ 3 guarantees a shared band); exact hamming verifies. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b*16)) & 65535)")))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d1_dedup_groups",
+      (s, d) => exactGroups(t(s, d, "documents")),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_docs
+              FROM documents GROUP BY md5(text)""")),
+
+    // rows-only: xxhash64 seeding is engine-specific; estimate quality vs
+    // true Jaccard is asserted in DedupSpec
+    QueryDef("d2_minhash_lsh",
+      (s, d) => minhashLshPairs(t(s, d, "documents"), minEstBp = 1500),
+      None),
+
+    QueryDef("d3_simhash",
+      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 16),
+      None)
+  )
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. One broadcast of
+  *    the query vector, one narrow map, one top-k sort — no shuffle except
+  *    the final k-row ordering (TakeOrderedAndProject).
+  *  - LSH-bucketed ANN (random hyperplanes): the scale path. Vectors are
+  *    sketched to a b-bit signature; candidates share a signature bucket, so
+  *    the quadratic all-pairs compare becomes per-bucket joins. Deterministic
+  *    pseudo-random hyperplanes are derived from a hash of (plane, dim) —
+  *    no RNG state, identical across runs/executors.
+  *
+  * Quantization discipline for the oracle-paired variant: per-element
+  * products are floored to 1e-6 grid before the sum, so the reduction is an
+  * integer sum (order-independent ⇒ bit-identical across engines).
+  */
+object Similarity {
+
+  /** Quantized dot product of two array<float> columns as a long. */
+  private def dotQ(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000.0) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+
+  private def normQ(a: String): Column = dotQ(a, a)
+
+  /** Brute-force cosine top-k against the embedding of `queryId`. */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("dot_q", dotQ("embedding", "qv"))
+      .withColumn("n1_q", normQ("embedding"))
+      .withColumn("n2_q", normQ("qv"))
+      .select(col("vec_id"),
+        round(col("dot_q").cast("double") /
+          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a fixed integer hash folded to [-1, 1). Same formula is used in tests. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    var h = p * 1000003 + i * 10007 + 12345
+    h ^= (h << 13); h ^= (h >>> 17); h ^= (h << 5) // xorshift, deterministic
+    (h % 100000) / 100000.0
+  }
+
+  /** b-bit random-hyperplane signature of the embedding column. */
+  def lshSignature(dim: Int, bits: Int): Column = {
+    val bitExprs = (0 until bits).map { p =>
+      val terms = (0 until dim)
+        .map(i => s"(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * ${planeComponent(p, i)})")
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p}L ELSE 0L END)"
+    }
+    expr(bitExprs.mkString(" + ")).as("sig")
+  }
+
+  /** ANN: candidate pairs within the same LSH bucket, scored by exact
+    * quantized cosine, top-k per query vector. Buckets bound the join:
+    * shuffle key = signature, per-bucket cross-compare replaces the global
+    * quadratic one. Bucket skew → AQE skew-join; signature width trades
+    * recall vs bucket size. */
+  def annLsh(embeddings: DataFrame, dim: Int = 64, bits: Int = 12, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = embeddings.select(col("vec_id"), col("embedding"), lshSignature(dim, bits))
+    val pairs = sig.alias("x").join(sig.alias("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .withColumn("dot_q", dotQ("ea", "eb"))
+      .withColumn("n1_q", normQ("ea"))
+      .withColumn("n2_q", normQ("eb"))
+      .select(col("vec_id"), col("nbr"),
+        round(col("dot_q").cast("double") /
+          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("vec_id"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("s1_cosine_topk",
+      (s, d) => cosineTopK(t(s, d, "embeddings"), queryId = 0L, k = 10),
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+                scored AS (
+                  SELECT e.vec_id,
+                         CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                           s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT) AS dot_q,
+                         CAST(list_sum(list_transform(e.embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT) AS n1_q,
+                         CAST(list_sum(list_transform(q.qv,
+                           x -> CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT) AS n2_q
+                  FROM embeddings e, q WHERE e.vec_id <> 0)
+              SELECT vec_id, round(CAST(dot_q AS DOUBLE)/(sqrt(CAST(n1_q AS DOUBLE))*sqrt(CAST(n2_q AS DOUBLE))), 6) AS cos
+              FROM scored ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // rows-only check (LSH bucketing not ANSI-SQL-expressible portably);
+    // recall vs brute force is asserted in SimilaritySpec
+    QueryDef("s2_ann_lsh",
+      (s, d) => annLsh(t(s, d, "embeddings")),
+      None)
+  )
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token stats, quality scoring, language ID, document
+  * fingerprinting, n-gram Jaccard near-dup pairs. All built-in (codegen'd)
+  * expressions — no UDFs — so whole-stage codegen spans the full pipeline
+  * and filters stay pushdown-eligible.
+  *
+  * Cross-engine numeric discipline: ratios are quantized to basis points via
+  * floor(10000.0*a/b) (single double mul+div then floor — bit-identical in
+  * any IEEE-754 engine) rather than compared as raw doubles.
+  */
+object Text {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Marker dictionaries for the n-gram/stopword language-ID heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "un"))
+
+  private def countIn(toksCol: String, words: Seq[String]): Column = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter($toksCol, t -> t IN ($lst)))").cast("long")
+  }
+
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"))
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_cnt", countIn("toks", stopwords))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        floor(lit(10000.0) * col("stop_cnt") / col("n_tokens")).cast("long").as("stop_bp"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("len_ok"))
+
+  /** Stopword-dictionary language ID with a deterministic priority argmax. */
+  def langId(docs: DataFrame): DataFrame = {
+    val withToks = docs.withColumn("toks", split(lower(col("text")), " "))
+    val scored = langMarkers.foldLeft(withToks) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang", countIn("toks", words))
+    }
+    val guess = langMarkers.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, elseCol) =>
+        val others = langMarkers.map(_._1).filter(_ != lang)
+        val isMax = others.map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _) && col(s"score_$lang") > 0
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    scored.select(col("doc_id") +: col("lang").as("declared_lang") +:
+      langMarkers.map { case (l, _) => col(s"score_$l") } :+ guess.as("guessed_lang"): _*)
+  }
+
+  def fingerprint(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+  }
+
+  /** Shingle (3-gram) sets per doc, capped to the first `cap` tokens. */
+  def shingles(docs: DataFrame, cap: Int = 30): DataFrame =
+    docs
+      .withColumn("toks", slice(split(col("text"), " "), 1, cap))
+      .withColumn("sh", array_distinct(expr(
+        """transform(sequence(1, greatest(size(toks)-2, 0)),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))""".stripMargin)))
+      .select(col("doc_id"), col("sh"))
+
+  /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
+    * self-join on shingle (the LSH-free exact variant), score
+    * |∩| / (|A|+|B|-|∩|) quantized to basis points. The shingle join is the
+    * canonical dedup shuffle: partial-agg on (a,b) after an equi-join keyed
+    * by content n-grams; hot shingles are the skew risk — AQE skew-join
+    * handles it, and `cap` bounds per-doc fan-out by construction. */
+  def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.alias("x")
+      .join(ex.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("a"), col("b"), col("common"),
+        floor(lit(10000.0) * col("common") / (col("na") + col("nb") - col("common")))
+          .cast("long").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= minBp)
+  }
+
+  // ---- oracle-paired query definitions -------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t1_token_stats",
+      (s, d) => tokenStats(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars_actual,
+                     CAST(length(replace(text,' ','')) AS BIGINT) AS n_nonspace
+              FROM documents""")),
+
+    QueryDef("t2_quality_score",
+      (s, d) => qualityScore(t(s, d, "documents")),
+      Some(s"""SELECT doc_id, n_tokens, stop_cnt,
+                      CAST(floor(10000.0*stop_cnt/n_tokens) AS BIGINT) AS stop_bp,
+                      (n_tokens >= 10 AND n_tokens <= 1000) AS len_ok
+               FROM (SELECT doc_id,
+                            CAST(len(toks) AS BIGINT) AS n_tokens,
+                            CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
+                     FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))""")),
+
+    QueryDef("t3_lang_id",
+      (s, d) => langId(t(s, d, "documents")),
+      Some {
+        val scores = langMarkers.map { case (l, ws) =>
+          val lst = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(toks, t -> t IN ($lst))) AS BIGINT) AS score_$l"
+        }.mkString(",\n                            ")
+        val guess = langMarkers.map(_._1).foldRight("'und'") { case (lang, els) =>
+          val others = langMarkers.map(_._1).filter(_ != lang)
+          val cond = others.map(o => s"score_$lang >= score_$o").mkString(" AND ") +
+            s" AND score_$lang > 0"
+          s"CASE WHEN $cond THEN '$lang' ELSE $els END"
+        }
+        s"""SELECT doc_id, declared_lang, score_en, score_es, score_de, score_fr,
+                   $guess AS guessed_lang
+            FROM (SELECT doc_id, lang AS declared_lang,
+                         $scores
+                  FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS toks FROM documents))"""
+      }),
+
+    QueryDef("t4_fingerprint",
+      (s, d) => fingerprint(t(s, d, "documents")),
+      Some("""SELECT doc_id, md5(text) AS fp,
+                     CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+              FROM documents""")),
+
+    QueryDef("t5_ngram_jaccard",
+      (s, d) => ngramJaccardPairs(t(s, d, "documents")),
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                FROM (SELECT doc_id, string_split(text,' ')[1:30] AS toks FROM documents)
+              ),
+              ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+              common AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+                FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+              )
+              SELECT a, b, common,
+                     CAST(floor(10000.0*common/(sa.n_sh + sb.n_sh - common)) AS BIGINT) AS jaccard_bp
+              FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE floor(10000.0*common/(sa.n_sh + sb.n_sh - common)) >= 500""")),
+
+    // Multimodal plumbing scalar layer: byte-level metadata over the text
+    // treated as an opaque payload (the real binary path is ops.Multimodal)
+    QueryDef("m1_binary_meta",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_cp")),
+      Some("""SELECT doc_id,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes,
+                     CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_cp
+              FROM documents"""))
+  )
+}

@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine capability: a DataFrame implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query over
+  * the same parquet tables. Column names/types are aligned between the two on
+  * purpose — the driver compares sorted-by-name hashed values.
+  *
+  * Numeric discipline for cross-engine hash equality:
+  *  - money/measure sums quantized per row with floor(x*100) before the sum
+  *    (integer sums are order-independent; double sums are not);
+  *  - counts via count(...) (BIGINT in both engines);
+  *  - DuckDB integer sums wrapped in CAST(... AS BIGINT) (DuckDB widens to
+  *    HUGEINT);
+  *  - raw doubles only passed through unmodified (no re-aggregation).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Parquet table reader used by every query (the local stand-in for the
+    * Iceberg catalog reads on a real cluster — see graft.store.TableIO). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef.t
+
+/** The operator-inventory suite (SURVEY.md §2 classes A–K) expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB oracle. Query names carry the
+  * §2 row they evidence (c1→C1 filters, e1/e2→E dedup/anti-join, f1/f2/f4/f5/f6
+  * →F joins, g1/g2/g3→G aggregations, h1→H sort/limit, j1→J validation,
+  * k1→K scalar functions, a8→A8 JSON decode, w1→window extension).
+  *
+  * Scale notes: dimension joins (customer, nation, region) are explicitly
+  * broadcast; fact-fact joins are left to sort-merge + AQE; every aggregation
+  * is partial-aggregable (map-side combine) because keys are low-cardinality
+  * vs input.
+  */
+object Relational {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // C1/C3: filter + projection — predicate reaches the parquet scan
+    // (reference: client/EvolutionChainFetcher.java:80, rdf/PokemonRDFConverter.java:98-103)
+    QueryDef("c1_filter_project",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "purchase" && col("value") > 100)
+        .select("event_id", "user_id", "value"),
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE event_type = 'purchase' AND value > 100""")),
+
+    // B2-shape: one row per extracted token with position (the reference's
+    // infobox param explosion — parser/WikiInfoboxParser.java:59-88 — as a
+    // Generator; built-in posexplode, no custom UDTF)
+    QueryDef("b2_token_explode",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok")),
+      Some("""SELECT doc_id, i-1 AS pos, toks[i] AS tok
+              FROM (SELECT doc_id, string_split(text,' ') toks FROM documents),
+                   LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)""")),
+
+    // E1: exact dedup via distinct (reference set semantics: App.java:37-44)
+    QueryDef("e1_dedup_exact",
+      (s, d) => t(s, d, "documents").select("lang", "source").distinct(),
+      Some("SELECT DISTINCT lang, source FROM documents")),
+
+    // E2: anti-join (reference contains-guard: inference/InferenceHandler.java:50,77)
+    QueryDef("e2_anti_join",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")),
+
+    // F1/F7: equi join with broadcast dimension + grouped agg
+    QueryDef("f1_join_agg",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("revenue_cents")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""")),
+
+    // F2: left outer join (reference OPTIONAL: pokemon_queries.sparql:13)
+    QueryDef("f2_left_join",
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey")).agg(count(o("o_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey""")),
+
+    // F4: multi-way chain join (reference 3-way evolution chains:
+    // pokemon_queries.sparql:40-56); dims broadcast, facts sort-merge
+    QueryDef("f4_chain_join",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents")),
+      Some("""SELECT r_name, count(*) AS n_items,
+                     CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem
+              JOIN orders   ON l_orderkey  = o_orderkey
+              JOIN customer ON o_custkey   = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              GROUP BY r_name""")),
+
+    // F5: theta self-join with non-equi residual (reference same-type pairs
+    // FILTER(?p1 != ?p2): test-queries.txt:69-88) — the skew-prone shape
+    QueryDef("f5_theta_self_join",
+      (s, d) => {
+        val a = t(s, d, "customer").alias("a")
+        val b = t(s, d, "customer").alias("b")
+        a.join(b, col("a.c_nationkey") === col("b.c_nationkey")
+            && col("a.c_custkey") < col("b.c_custkey"))
+          .groupBy(col("a.c_nationkey").as("c_nationkey"))
+          .agg(count(lit(1)).as("pairs"))
+      },
+      Some("""SELECT a.c_nationkey AS c_nationkey, count(*) AS pairs
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+              GROUP BY a.c_nationkey""")),
+
+    // F6/I2: transitive closure by semi-naive iterative join (the reference's
+    // subClassOf/evolvesFrom+ fixpoint — inference/InferenceHandler.java:36-60)
+    // over a synthetic parent DAG dst = floor(src/2)
+    QueryDef("f6_transitive_closure",
+      (s, d) => Iterative.ancestorClosure(t(s, d, "orders")),
+      Some("""WITH RECURSIVE anc(src, dst) AS (
+                SELECT o_orderkey AS src, CAST(floor(o_orderkey/2.0) AS BIGINT) AS dst
+                FROM orders WHERE o_orderkey > 0
+                UNION
+                SELECT a.src, CAST(floor(a.dst/2.0) AS BIGINT) FROM anc a WHERE a.dst > 0
+              )
+              SELECT src, count(*) AS n_anc, CAST(max(dst) AS BIGINT) AS max_anc
+              FROM anc GROUP BY src""")),
+
+    // I3: connected components via iterative min-label propagation (the
+    // reference's sameAs closure — inference/InferenceHandler.java:62-108 —
+    // as CC, the north_star's "connected-components-style sameAs merging")
+    QueryDef("i3_connected_components",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select((col("c_custkey") + 10000).cast("long").as("a"),
+            col("c_nationkey").cast("long").as("b"))
+        val nat = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("a"),
+            (col("n_regionkey") + 5000).cast("long").as("b"))
+        Iterative.connectedComponents(cust.unionByName(nat))
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT c_custkey+10000 AS a, CAST(c_nationkey AS BIGINT) AS b FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey AS BIGINT), n_regionkey+5000 FROM nation
+              ),
+              u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+              reach(node, m) AS (
+                SELECT a, a FROM u
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN u ON r.m = u.a
+              )
+              SELECT node, min(m) AS component FROM reach GROUP BY node""")),
+
+    // G1: count distinct (reference completeness check: pokemon_queries.sparql:182-190)
+    QueryDef("g1_count_distinct",
+      (s, d) => t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders")),
+
+    // G2: deterministic GROUP_CONCAT — sorted collect_set
+    // (reference: pokemon_queries.sparql:86-97)
+    QueryDef("g2_group_concat",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(concat_ws("|", array_sort(collect_set(col("c_mktsegment")))).as("segments")),
+      Some("""SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+              FROM customer GROUP BY c_nationkey""")),
+
+    // G3: grouped stats with quantized measures (reference per-type stats:
+    // test-queries.txt:90-103)
+    QueryDef("g3_agg_stats",
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_cents"),
+          min(cents(col("value"))).as("min_cents"),
+          max(cents(col("value"))).as("max_cents")),
+      Some("""SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                     CAST(min(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS min_cents,
+                     CAST(max(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+              FROM events GROUP BY event_type""")),
+
+    // H1/H3: total sort + limit with deterministic tiebreak
+    QueryDef("h1_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // Window extension (beyond the reference — engine completeness):
+    // top-3 per partition by rank
+    QueryDef("w1_window_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 3)
+          .select("event_type", "event_id", "value", "rn")
+      },
+      Some("""SELECT event_type, event_id, value, rn FROM (
+                SELECT event_type, event_id, value,
+                       CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
+                FROM events) WHERE rn <= 3""")),
+
+    // J: declarative constraint validation as count-if predicates
+    // (reference SHACL shapes: pokemon-shapes.ttl:6-67, SURVEY §2-J)
+    QueryDef("j1_validation",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v_quantity"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("v_discount"),
+        count(when(col("l_tax") < 0, 1)).as("v_tax"),
+        count(when(col("l_extendedprice") <= 0, 1)).as("v_price"),
+        count(when(col("l_shipdate").isNull, 1)).as("v_shipdate")),
+      Some("""SELECT
+                count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS v_quantity,
+                count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS v_discount,
+                count(CASE WHEN l_tax < 0 THEN 1 END) AS v_tax,
+                count(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS v_price,
+                count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS v_shipdate
+              FROM lineitem""")),
+
+    // K: scalar-function pipeline (trim/lower/regexp/format/case —
+    // reference scalar census SURVEY §2-K), all codegen'd built-ins
+    QueryDef("k1_scalar_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        lower(trim(regexp_replace(col("p_name"), "\\s+", "_"))).as("name_norm"),
+        format_string("%08d", col("p_partkey")).as("key_pad"),
+        when(col("p_size") < 10, "S").when(col("p_size") < 25, "M").otherwise("L").as("size_class"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num")),
+      Some("""SELECT p_partkey,
+                     lower(trim(regexp_replace(p_name, '\s+', '_', 'g'))) AS name_norm,
+                     printf('%08d', p_partkey) AS key_pad,
+                     CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M' ELSE 'L' END AS size_class,
+                     regexp_extract(p_brand, '(\d+)', 1) AS brand_num
+              FROM part""")),
+
+    // A8: JSON attribute decode + banded histogram
+    QueryDef("a8_json_extract",
+      (s, d) => t(s, d, "events")
+        .select(floor(get_json_object(col("props"), "$.k").cast("int") / 10).cast("int").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(floor(CAST(json_extract_string(props,'$.k') AS INT)/10.0) AS INT) AS band,
+                     count(*) AS n
+              FROM events GROUP BY band"""))
+  )
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables and compare against the Verify parquet dumps
+(columns sorted by name, rows sorted by all columns, exact value match)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints→int64, floats→float64, bools→bool, rest→str
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+n_ok = n_bad = n_missing = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"MISSING  {name} (no spark output)")
+        n_missing += 1
+        continue
+    try:
+        sdf = norm(pd.concat([pd.read_parquet(p) for p in glob.glob(f"{spark_dir}/*.parquet")],
+                             ignore_index=True))
+        odf = norm(con.execute(sql).df())
+    except Exception as e:
+        print(f"ERROR    {name}: {e}")
+        n_bad += 1
+        continue
+    if list(sdf.columns) != list(odf.columns):
+        print(f"SCHEMA   {name}: spark={list(sdf.columns)} oracle={list(odf.columns)}")
+        n_bad += 1
+    elif len(sdf) != len(odf):
+        print(f"ROWS     {name}: spark={len(sdf)} oracle={len(odf)}")
+        n_bad += 1
+    elif not sdf.equals(odf):
+        diff = (sdf != odf).any(axis=1)
+        print(f"VALUES   {name}: {diff.sum()} differing rows; first:")
+        i = diff.idxmax()
+        print("  spark :", sdf.iloc[i].to_dict())
+        print("  oracle:", odf.iloc[i].to_dict())
+        n_bad += 1
+    else:
+        print(f"OK       {name} ({len(sdf)} rows)")
+        n_ok += 1
+
+# rows-only entries (no oracle): check non-empty
+for spark_dir in sorted(glob.glob(f"{out_dir}/*")):
+    name = os.path.basename(spark_dir)
+    if not os.path.isdir(spark_dir) or name in oracle:
+        continue
+    files = glob.glob(f"{spark_dir}/*.parquet")
+    n = sum(len(pd.read_parquet(p)) for p in files) if files else 0
+    print(f"{'ROWSONLY' if n > 0 else 'EMPTY!!!'} {name} ({n} rows)")
+    if n == 0:
+        n_bad += 1
+
+print(f"\n{n_ok} oracle-matched, {n_bad} problems, {n_missing} missing")
+sys.exit(1 if (n_bad or n_missing) else 0)
