@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling diagnostics: run one pipeline stage (or the full pipeline) at a
+  * given core count and print stage-level wall times. Usage:
+  *   runMain graft.ScaleProbe <cores> <k> [stage]
+  * stage ∈ full | parse | emit | dedup (default full).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val k = args(1).toInt
+    val stage = if (args.length > 2) args(2) else "full"
+    // fixed partitioning across parallelism levels: a scaling comparison must
+    // hold the data layout constant (shuffle.partitions=cores would make the
+    // low-core run spill and the comparison meaningless)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"scale-probe-$cores")
+      .config("spark.sql.shuffle.partitions", 128)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    val gcTime = new java.util.concurrent.atomic.AtomicLong()
+    val deserTime = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskMetrics != null) {
+          taskTime.addAndGet(e.taskMetrics.executorRunTime)
+          gcTime.addAndGet(e.taskMetrics.jvmGCTime)
+          deserTime.addAndGet(e.taskMetrics.executorDeserializeTime)
+        }
+      }
+    })
+
+    def timed(label: String)(f: => Long): Unit = {
+      taskTime.set(0); gcTime.set(0); deserTime.set(0)
+      val t0 = System.nanoTime()
+      val n = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let listener drain
+      println(f"[probe] cores=$cores k=$k $label rows=$n wall=$wall%.2f s " +
+        f"taskSum=${taskTime.get / 1e3}%.1f s gcSum=${gcTime.get / 1e3}%.1f s " +
+        f"deserSum=${deserTime.get / 1e3}%.1f s parallelEff=${taskTime.get / 1e3 / (wall * cores)}%.2f")
+    }
+
+    val pages = graft.kg.Fixtures.scaled(spark, k, numParts = 128)
+    // warm-up: JIT + codegen on a small slice
+    graft.kg.Pipeline.triples(spark, graft.kg.Fixtures.scaled(spark, math.max(k / 10, 1), numParts = 128)).count()
+
+    stage match {
+      case "parse" => timed("parse")(graft.kg.Pipeline.parse(pages).count())
+      case "emit"  => timed("emit")(graft.kg.Pipeline.emit(spark, pages).count())
+      case "gen"   => timed("gen")(pages.count())
+      case _       => timed("full")(graft.kg.Pipeline.triples(spark, pages).count())
+    }
+    spark.stop()
+  }
+}

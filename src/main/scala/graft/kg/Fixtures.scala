@@ -132,14 +132,16 @@ object Fixtures {
   def pages(spark: SparkSession): Dataset[PageRow] = scaled(spark, 1)
 
   /** k-variant corpus for scale/bench runs; generated distributed (one task
-    * per slice of variants) rather than one giant driver-side collection. */
-  def scaled(spark: SparkSession, k: Int): Dataset[PageRow] = {
+    * per slice of variants) rather than one giant driver-side collection.
+    * `numParts` pins the input partitioning — scaling benchmarks must hold
+    * data layout constant across parallelism levels (0 = 4× cores). */
+  def scaled(spark: SparkSession, k: Int, numParts: Int = 0): Dataset[PageRow] = {
     import spark.implicits._
     if (k == 1) {
       spark.createDataset(pageRows(0L))
     } else {
-      val par = spark.sparkContext.defaultParallelism
-      spark.range(0, k.toLong, 1, math.min(k, par * 4))
+      val par = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism * 4
+      spark.range(0, k.toLong, 1, math.min(k, par))
         .as[Long]
         .flatMap(i => pageRows(i))
     }

@@ -151,8 +151,6 @@ object Inference {
     val t3 = withSame
       .unionByName(namePropagation(withSame))
       .unionByName(propertyInheritance(withSame))
-    import org.apache.spark.sql.Encoders
-    implicit val enc = Encoders.product[graft.model.LineageTriple]
-    Pipeline.dedup(t3.as[graft.model.LineageTriple](enc))
+    Pipeline.dedup(t3)
   }
 }

@@ -47,14 +47,19 @@ object Validation {
       // primaryType sh:in 18-type whitelist (pokemon-shapes.ttl:26-28)
       one("in_typeWhitelist", predValues(triples, V.PrimaryType)
         .filter(!col("objLex").isin(V.AllTypes: _*))),
-      // height/weight decimal range (pokemon-shapes.ttl:32-44)
+      // height/weight decimal range (pokemon-shapes.ttl:32-44); try_cast so a
+      // malformed lexical counts as a violation instead of throwing under
+      // ANSI mode (and survives Catalyst predicate reordering)
       one("range_height", predValues(triples, V.SchemaHeight)
-        .filter(!col("objLex").cast("double").between(0.1, 25.0))),
+        .withColumn("v", expr("try_cast(objLex AS DOUBLE)"))
+        .filter(col("v").isNull || !col("v").between(0.1, 25.0))),
       one("range_weight", predValues(triples, V.SchemaWeight)
-        .filter(!col("objLex").cast("double").between(0.1, 1000.0))),
+        .withColumn("v", expr("try_cast(objLex AS DOUBLE)"))
+        .filter(col("v").isNull || !col("v").between(0.1, 1000.0))),
       // evolutionStage ∈ [1,3] (pokemon-shapes.ttl:47-52)
       one("range_evolutionStage", stageVals
-        .filter(!col("objLex").cast("int").between(1, 3))),
+        .withColumn("v", expr("try_cast(objLex AS INT)"))
+        .filter(col("v").isNull || !col("v").between(1, 3))),
       // sh:languageIn (en ja ja-Latn) (pokemon-shapes.ttl:55-59)
       one("languageIn_label", labelVals
         .filter(col("objLang") =!= "" && !col("objLang").isin("en", "ja", "ja-Latn"))),

@@ -22,32 +22,61 @@ object WikitextParser {
   // Deterministic match order (the reference iterates a HashMap — order
   // unspecified; pages carry at most one infobox so this is observationally
   // identical). First match wins (reference: WikiInfoboxParser.java:38-43).
-  private val infoboxPatterns: Seq[(String, Pattern)] = Seq(
-    "Pokemon"  -> "\\{\\{Pokémon Infobox([^}]*?)\\}\\}",
-    "Move"     -> "\\{\\{Move Infobox([^}]*?)\\}\\}",
-    "Ability"  -> "\\{\\{Ability Infobox([^}]*?)\\}\\}",
-    "Item"     -> "\\{\\{Item Infobox([^}]*?)\\}\\}",
-    "Location" -> "\\{\\{Location Infobox([^}]*?)\\}\\}"
-  ).map { case (k, v) => k -> Pattern.compile(v, Pattern.DOTALL) }
+  // (type, literal prefix for a cheap indexOf gate, anchored pattern) —
+  // the indexOf pre-check avoids 5 full-content NFA scans per non-matching
+  // page (mega pages are ~66 KB)
+  private val infoboxPatterns: Seq[(String, String, Pattern)] = Seq(
+    ("Pokemon",  "{{Pokémon Infobox",  "\\{\\{Pokémon Infobox([^}]*?)\\}\\}"),
+    ("Move",     "{{Move Infobox",     "\\{\\{Move Infobox([^}]*?)\\}\\}"),
+    ("Ability",  "{{Ability Infobox",  "\\{\\{Ability Infobox([^}]*?)\\}\\}"),
+    ("Item",     "{{Item Infobox",     "\\{\\{Item Infobox([^}]*?)\\}\\}"),
+    ("Location", "{{Location Infobox", "\\{\\{Location Infobox([^}]*?)\\}\\}")
+  ).map { case (k, lit, v) => (k, lit, Pattern.compile(v, Pattern.DOTALL)) }
 
   private val paramPattern =
     Pattern.compile("\\|\\s*([^=]+?)\\s*=\\s*([^|\\}]*?)\\s*(?=\\||\\}\\})", Pattern.DOTALL)
   private val categoryPattern = Pattern.compile("\\[\\[Category:([^\\]]+)\\]\\]")
   private val genPattern = Pattern.compile("(\\d+)")
 
+  // Precompiled cleanup chain — String.replaceAll would Pattern.compile on
+  // every call (~100 compiles/page across params), which at 32 threads turns
+  // into an allocation storm that destroys multicore scaling (measured: 3×
+  // per-task slowdown at local[32] vs local[8] before this).
+  private val cleanupChain: Array[(Pattern, String)] = Array(
+    Pattern.compile("\\{\\{tt\\|([^|]+)\\|[^}]+\\}\\}") -> "$1",
+    Pattern.compile("\\[\\[(?:[^|\\]]*\\|)?([^\\]]+)\\]\\]") -> "$1",
+    Pattern.compile("'''?([^']+)'''?") -> "$1",
+    Pattern.compile("''([^']+)''") -> "$1",
+    Pattern.compile("<!--.*?-->") -> "",
+    Pattern.compile("<br\\s*/?\\s*>") -> " ",
+    Pattern.compile("\\{\\{[^}]+\\}\\}") -> "")
+  private val wsPattern = Pattern.compile("\\s+")
+
+  /** True when no cleanup pattern can possibly fire — plain values ("45",
+    * "Grass") skip the whole matcher chain. */
+  private def isPlain(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '{' || c == '[' || c == '\'' || c == '<') return false
+      i += 1
+    }
+    true
+  }
+
   /** Markup cleanup; chain order is semantic (reference: WikiInfoboxParser.java:163-179). */
   def cleanWikiText(text0: String): String = {
     if (text0 == null || text0.isEmpty) return ""
     var t = text0
-    t = t.replaceAll("\\{\\{tt\\|([^|]+)\\|[^}]+\\}\\}", "$1")
-    t = t.replaceAll("\\[\\[(?:[^|\\]]*\\|)?([^\\]]+)\\]\\]", "$1")
-    t = t.replaceAll("'''?([^']+)'''?", "$1")
-    t = t.replaceAll("''([^']+)''", "$1")
-    t = t.replaceAll("<!--.*?-->", "")
-    t = t.replaceAll("<br\\s*/?\\s*>", " ")
-    t = t.replaceAll("\\{\\{[^}]+\\}\\}", "")
-    t = t.replaceAll("\\s+", " ")
-    t.trim
+    if (!isPlain(t)) {
+      var i = 0
+      while (i < cleanupChain.length) {
+        val (p, r) = cleanupChain(i)
+        t = p.matcher(t).replaceAll(r)
+        i += 1
+      }
+    }
+    wsPattern.matcher(t).replaceAll(" ").trim
   }
 
   /** Per-infobox-type whitelist + rename (reference: WikiInfoboxParser.java:90-161).
@@ -79,9 +108,9 @@ object WikitextParser {
     }
 
   def parseInfobox(content: String): (String, Map[String, String]) = {
-    infoboxPatterns.foreach { case (tpe, pat) =>
+    infoboxPatterns.foreach { case (tpe, lit, pat) =>
       val m = pat.matcher(content)
-      if (m.find()) {
+      if (content.indexOf(lit) >= 0 && m.find()) {
         val body = m.group(1)
         val pm = paramPattern.matcher(body)
         val b = Map.newBuilder[String, String]
@@ -151,6 +180,28 @@ object WikitextParser {
     val base = path.substring(path.lastIndexOf('/') + 1)
     val dot = base.lastIndexOf('.')
     if (dot > 0) base.substring(0, dot) else base
+  }
+
+  /** Hot-path variant of parsePage for the emit pipeline: same parsing
+    * semantics, flat record out (no Map/Seq through the encoder). Only
+    * meaningful for Pokemon-infobox pages; callers pre-filter on the
+    * literal anchor `{{Pokémon Infobox`. */
+  def parseRecord(row: PageRow): graft.model.PokemonRecord = {
+    val content = if (row.content == null) "" else row.content
+    val (tpe, params) = parseInfobox(content)
+    val (from, _, stage) = extractEvolution(content)
+    val ndex = if (tpe == "Pokemon") extractNdex(content) else ""
+    def p(k: String): String = params.getOrElse(k, "")
+    graft.model.PokemonRecord(
+      repo = row.repo, path = row.path, commit = row.commit,
+      srcSha256 = sha256Hex(content),
+      ndex = ndex,
+      name = p("name"), jname = p("jname"), tmname = p("tmname"),
+      type1 = p("type1"), type2 = p("type2"), category = p("category"),
+      heightM = p("height-m"), weightKg = p("weight-kg"),
+      ability1 = p("ability1"), generation = p("generation"),
+      catchrate = p("catchrate"), expyield = p("expyield"),
+      evolvesFrom = from, evolutionStage = stage)
   }
 
   def parsePage(row: PageRow): ParsedPage = {

@@ -56,6 +56,34 @@ object Triple {
     Triple(s, p, objIsIri = false, o, dtype, "")
 }
 
+/** Flat (no Map/Seq) parsed Pokemon page for the hot emit path: the Map
+  * encoder of ParsedPage costs ~30 allocations/row through Catalyst, which
+  * caps multicore scaling on the allocation-rate ceiling; the emit pipeline
+  * uses this fixed-column record instead (the whitelisted Pokemon keys are a
+  * closed set — reference: parser/WikiInfoboxParser.java:98-116). Empty
+  * string = absent.
+  */
+final case class PokemonRecord(
+    repo: String,
+    path: String,
+    commit: String,
+    srcSha256: String,
+    ndex: String,
+    name: String,
+    jname: String,
+    tmname: String,
+    type1: String,
+    type2: String,
+    category: String,
+    heightM: String,
+    weightKg: String,
+    ability1: String,
+    generation: String,
+    catchrate: String,
+    expyield: String,
+    evolvesFrom: String,
+    evolutionStage: Int)
+
 /** Triple plus per-row lineage, the unit the pipeline materializes
   * (north_rule: "per-partition lineage + metrics"). srcSha256 is the
   * sha256 of the originating row's `content` (input invariant per

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Fixtures, Inference, Pipeline, Validation}
+import graft.model.{Vocab => V}
+
+/** Inference rule passes over the golden corpus (reference semantics:
+  * inference/InferenceHandler.java) + SHACL-equivalent validation. */
+class InferenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private lazy val base = Pipeline.triples(spark, Fixtures.pages(spark)).localCheckpoint()
+  private lazy val inferred = Inference.infer(spark, base).localCheckpoint()
+
+  test("inference only adds triples (base ⊆ inferred)") {
+    val key = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val missing = base.select(key.map(col): _*)
+      .except(inferred.select(key.map(col): _*)).count()
+    assert(missing == 0)
+    assert(inferred.count() > base.count())
+  }
+
+  test("18 static type classes subClassOf Pokemon present") {
+    val n = inferred.filter(col("pred") === V.RdfsSubClassOf
+      && col("objLex") === V.PokemonClass
+      && col("subj").startsWith(V.Base + "Type/")).count()
+    assert(n == 18)
+  }
+
+  test("sameAs is symmetric after inference") {
+    val pairs = inferred.filter(col("pred") === V.OwlSameAs)
+      .select("subj", "objLex").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.forall(p => pairs.contains((p._2, p._1))))
+  }
+
+  test("property inheritance copies schema:identifier to external sameAs targets") {
+    // Bulbasaur dbpedia IRI must inherit the identifier triple
+    val db = "http://dbpedia.org/resource/Bulbasaur"
+    val n = inferred.filter(col("subj") === db && col("pred") === V.SchemaIdentifier
+      && col("objLex") === "0001").count()
+    assert(n == 1)
+  }
+
+  test("name propagation: every sameAs target of a named entity carries schema:name") {
+    val named = inferred.filter(col("pred") === V.SchemaName).select(col("subj")).distinct()
+    val targets = inferred.filter(col("pred") === V.OwlSameAs)
+      .join(named, inferred("subj") === named("subj"))
+      .select(col("objLex").as("t")).distinct()
+    val unnamed = targets.join(
+      inferred.filter(col("pred") === V.SchemaName).select(col("subj").as("t")).distinct(),
+      Seq("t"), "left_anti").count()
+    assert(unnamed == 0)
+  }
+
+  test("sameAs connected components: one cluster per dict-hit entity") {
+    val comp = Inference.sameAsComponents(base)
+    // Bulbasaur cluster: pokemon IRI + dbpedia + wikidata + bulbapedia share a component
+    val rows = comp.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val c = rows(V.Base + "pokemon/0001")
+    assert(rows("http://dbpedia.org/resource/Bulbasaur") == c)
+    assert(rows("http://www.wikidata.org/entity/Q1410") == c)
+  }
+
+  test("validation: clean corpus has zero violations across all 11 rules") {
+    val rep = Validation.report(inferred).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.size == 11)
+    val dirty = rep.filter(_._2 > 0)
+    assert(dirty.isEmpty, s"unexpected violations: $dirty")
+  }
+
+  test("validation: corrupted triples are caught by the right rules") {
+    import spark.implicits._
+    val bad = Seq(
+      (V.Base + "pokemon/9999", V.RdfType, true, V.PokemonClass, "", ""),          // missing name/id/type
+      (V.Base + "pokemon/0001", V.PrimaryType, false, "Shadow", "", ""),           // not in whitelist
+      (V.Base + "pokemon/0001", V.SchemaHeight, false, "99.9", V.XsdDecimal, ""),  // out of range
+      (V.Base + "pokemon/0001", V.RdfsLabel, false, "Bulbizarre", "", "fr")        // lang not allowed
+    ).toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      .withColumn("srcRepo", lit("x")).withColumn("srcPath", lit("x"))
+      .withColumn("srcCommit", lit("x")).withColumn("srcSha256", lit("x"))
+    val rep = Validation.report(inferred.unionByName(bad)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("minCount_name") >= 1)
+    assert(rep("in_typeWhitelist") >= 1)
+    assert(rep("range_height") >= 1)
+    assert(rep("languageIn_label") >= 1)
+  }
+}

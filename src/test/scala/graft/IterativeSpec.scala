@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Iterative
+
+/** Iterative kernels on graphs with known closures/components. */
+class IterativeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  test("transitive closure of a chain a->b->c->d") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val closed = Iterative.closure(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closed == Set(("a","b"),("b","c"),("c","d"),("a","c"),("b","d"),("a","d")))
+  }
+
+  test("transitive closure terminates on a cycle and yields all reachable pairs") {
+    val edges = Seq(("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val closed = Iterative.closure(edges).collect().length
+    assert(closed == 9) // every node reaches every node (incl. itself via the cycle)
+  }
+
+  test("closure of a DAG with diamonds deduplicates paths") {
+    // a->b, a->c, b->d, c->d : (a,d) reachable two ways, emitted once
+    val edges = Seq(("a","b"),("a","c"),("b","d"),("c","d")).toDF("src", "dst")
+    val closed = Iterative.closure(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closed == Set(("a","b"),("a","c"),("b","d"),("c","d"),("a","d")))
+  }
+
+  test("connected components: two components, min-id labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = Iterative.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges (diameter > 1 iteration)") {
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Iterative.connectedComponents(edges).collect()
+    assert(cc.length == 21 && cc.forall(_.getLong(1) == 0L))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, Text}
+
+/** Training-data operators: MinHash estimate quality vs true Jaccard,
+  * SimHash near-dup detection, LSH-ANN recall vs brute force. Uses a
+  * synthetic corpus with planted near-duplicates (deterministic). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  /** 40 base docs + 10 near-duplicates (one token changed) + 5 exact dups. */
+  private lazy val docs = {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    def text(seed: Int): String = {
+      // seeded-random tokens: high shingle entropy (a linear (seed*a + i*b)
+      // % 12 scheme cycles after 4 tokens → degenerate 5-shingle sets), plus
+      // a seed-unique lead token so base docs never collide with each other
+      val r = new scala.util.Random(seed)
+      (s"doc$seed" +: (0 until 40).map(_ => words(r.nextInt(words.length)))).mkString(" ")
+    }
+    val base = (0 until 40).map(i => (i.toLong, text(i)))
+    val nearDups = (0 until 10).map { i =>
+      val t = text(i).split(" "); t(20) = "CHANGED"
+      (100L + i, t.mkString(" "))
+    }
+    val exactDups = (0 until 5).map(i => (200L + i, text(i)))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups: 5 planted exact duplicates found, keeper is min id") {
+    val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
+    assert(g.length == 5)
+    assert(g.forall(r => r.getLong(1) < 100 && r.getLong(2) == 2))
+  }
+
+  test("minhash LSH finds planted near-duplicates with accurate Jaccard estimate") {
+    val pairs = Dedup.minhashLshPairs(docs, minEstBp = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every exact dup pair (jaccard 1.0) must surface
+    (0 until 5).foreach { i =>
+      val hit = pairs.find(p => p._1 == i.toLong && p._2 == 200L + i)
+      assert(hit.isDefined, s"exact dup pair ($i, ${200 + i}) missed")
+      assert(hit.get._3 == 10000L, "exact dup must estimate 1.0")
+    }
+    // near-dup pairs (one token of 40 changed → shingle jaccard ≈ 0.85)
+    val nearHits = (0 until 10).count { i =>
+      pairs.exists(p => p._1 == i.toLong && p._2 == 100L + i && p._3 >= 7000L)
+    }
+    assert(nearHits >= 8, s"only $nearHits/10 near-dups found")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated docs far") {
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 5).foreach(i => assert(ham(sig(i.toLong), sig(200L + i)) == 0))
+    val nearOk = (0 until 10).count(i => ham(sig(i.toLong), sig(100L + i)) <= 16)
+    assert(nearOk >= 8)
+  }
+
+  test("ngram jaccard pairs: exact dups at 10000 bp") {
+    val pairs = Text.ngramJaccardPairs(docs, minBp = 9000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 200L + i))))
+  }
+
+  /** Deterministic pseudo-embeddings with planted neighbor structure. */
+  private lazy val embeddings = {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 50).map(i => (i.toLong, vec(i)))
+    // planted neighbors: base vector + small noise
+    val nbrs = (0 until 10).map { i =>
+      val v = vec(i); val r = new scala.util.Random(1000 + i)
+      (100L + i, v.map(x => x + 0.05f * r.nextGaussian().toFloat))
+    }
+    (base ++ nbrs).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k: planted neighbor of query 0 ranks first") {
+    val top = Similarity.cosineTopK(embeddings, queryId = 0L, k = 5).collect()
+    assert(top.head.getLong(0) == 100L, s"expected planted neighbor 100 first, got ${top.head}")
+    assert(top.head.getDouble(1) > 0.9)
+  }
+
+  test("LSH ANN: recall of planted nearest neighbors >= 0.7 vs brute force") {
+    val ann = Similarity.annLsh(embeddings, dim = 64, bits = 8, k = 3)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // for the 10 planted pairs, the true NN of i is 100+i and vice versa
+    val recalled = (0 until 10).count(i => ann.get(i.toLong).contains(100L + i))
+    assert(recalled >= 7, s"LSH recall too low: $recalled/10")
+  }
+
+  test("language ID picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "the cat and the dog is here", "en"),
+      (2L, "el perro y la casa de madrid", "es"),
+      (3L, "der hund und die katze das haus", "de"),
+      (4L, "le chien et la maison un chat", "fr"),
+      (5L, "xyz qqq zzz", "und")).toDF("doc_id", "text", "lang")
+    val out = Text.langId(d).select("doc_id", "guessed_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "es")
+    assert(out(3L) == "de"); assert(out(5L) == "und")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Fixtures, Pipeline, TripleEmit, WikitextParser}
+
+/** Pipeline invariants: sha256 lineage equality (BASELINE.json input_hint),
+  * determinism, checkpointed resume, and equivalence of the expression-based
+  * triple emit with the executable Scala spec (TripleEmit). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("per-row sha256 lineage invariant holds (0 violations)") {
+    val pages = Fixtures.scaled(spark, 3)
+    val triples = Pipeline.triples(spark, pages)
+    assert(Pipeline.shaInvariantViolations(spark, pages, triples) == 0L)
+  }
+
+  test("pipeline is deterministic: two runs produce identical triple sets with identical lineage") {
+    val a = Pipeline.triples(spark, Fixtures.scaled(spark, 2)).collect().map(_.toString).sorted
+    val b = Pipeline.triples(spark, Fixtures.scaled(spark, 2)).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("expression-template emit ≡ TripleEmit executable spec on the golden corpus") {
+    import spark.implicits._
+    // expression path
+    val expr = Pipeline.emit(spark, Fixtures.pages(spark))
+      .select("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      .collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+    // spec path: parsePage + TripleEmit with hand-resolved prevNdex
+    val parsed = Fixtures.pageRows(0L).map(WikitextParser.parsePage)
+      .filter(p => p.infoboxType == "Pokemon" && p.ndex.nonEmpty)
+    val nameToNdex = parsed.flatMap(p => p.params.get("name").map(_.trim -> p.ndex)).toMap
+    val spec = parsed.flatMap { p =>
+      val prev = if (p.evolvesFrom.nonEmpty) nameToNdex.getOrElse(p.evolvesFrom, "") else ""
+      TripleEmit.emit(p, prev)
+    }.map(t => Row6(t.subj, t.pred, t.objIsIri, t.objLex, t.objDtype, t.objLang).toString)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(expr == spec)
+  }
+
+  private case class Row6(subj: String, pred: String, objIsIri: Boolean,
+                          objLex: String, objDtype: String, objLang: String) {
+    override def toString: String = s"[$subj,$pred,$objIsIri,$objLex,$objDtype,$objLang]"
+  }
+
+  test("checkpointed resume: second run skips all stages; changed fingerprint recomputes") {
+    val dir = java.nio.file.Files.createTempDirectory("kg-resume").toString
+    val pages = Fixtures.pages(spark)
+    val (_, s1) = Pipeline.run(spark, pages, dir, "fp-A")
+    assert(s1.isEmpty, "cold run must compute every stage")
+    val (t2, s2) = Pipeline.run(spark, pages, dir, "fp-A")
+    assert(s2 == Seq("emitted", "triples", "metrics", "vertices", "edges"))
+    assert(t2.count() == 490)
+    val (_, s3) = Pipeline.run(spark, pages, dir, "fp-B")
+    assert(s3.isEmpty, "fingerprint change must recompute")
+  }
+
+  test("partition metrics cover every emitted row") {
+    val emitted = Pipeline.emit(spark, Fixtures.pages(spark))
+    val m = Pipeline.partitionMetrics(emitted, "emit")
+    val total = m.agg(sum("rows")).collect()(0).getLong(0)
+    assert(total == emitted.count())
+  }
+}
