@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.Text.defs ++
       graft.ops.Similarity.defs ++
       graft.ops.Dedup.defs ++
+      graft.ops.Multimodal.defs ++
       graft.kg.KgQueries.defs
 
   /** Flagship: the KG construction pipeline end-to-end on the golden fixture

@@ -83,6 +83,12 @@ object Fixtures {
     sb.append("}}\n")
     sb.append(s"[[Category:Generation ${if (e.generation == "2") "II" else "I"} Pokémon]]\n")
     sb.append(s"[[Category:${e.type1}-type Pokémon]]\n")
+    // prose wikilinks: resolvable entity mentions for the linking stage
+    // (invisible to the infobox/evolution extractors, which are line-anchored)
+    if (e.prevo.nonEmpty && e.prevo != "None")
+      sb.append(s"It evolves from [[${e.prevo}]].\n")
+    if (e.evointo.nonEmpty && e.evointo != "None")
+      sb.append(s"It evolves into [[${e.evointo}|its next stage]].\n")
     sb.toString
   }
 

@@ -139,6 +139,27 @@ object KgQueries {
     QueryDef("kg_q_type_stats", (s, _) => typeStats(triples(s)), None),
     QueryDef("kg_q_same_type_pairs", (s, _) => sameTypePairs(triples(s)), None),
     QueryDef("kg_q_evolution_ancestry", (s, _) => evolutionAncestry(triples(s)), None),
-    QueryDef("kg_q_completeness", (s, _) => completeness(triples(s)), None)
+    QueryDef("kg_q_completeness", (s, _) => completeness(triples(s)), None),
+    // entity linking: batched mention-detect + broadcast-dict + link-score
+    QueryDef("kg_mentions", (s, _) => Linking.mentions(Fixtures.scaled(s, VerifyK)), None),
+    QueryDef("kg_linked_mentions",
+      (s, _) => Linking.linkedMentions(s, Fixtures.scaled(s, VerifyK)), None),
+    // multilingual TSV enrichment (corrected keying; opt-in — SURVEY §0.2)
+    QueryDef("kg_tsv_labels",
+      (s, _) => Enrich.labelTriples(triples(s), Enrich.syntheticDict(s)), None),
+    // point lookup + ASK (linked-data dereference — reference:
+    // server/LinkedDataServer.java:85-117,170-179)
+    QueryDef("kg_q_point_lookup", (s, _) => {
+      val uri = graft.model.Vocab.Base + "pokemon/0001"
+      triples(s).filter(col("subj") === uri)
+        .select("pred", "objIsIri", "objLex", "objDtype", "objLang")
+        .orderBy("pred", "objLex")
+    }, None),
+    QueryDef("kg_q_ask", (s, _) => {
+      import s.implicits._
+      val uri = graft.model.Vocab.Base + "pokemon/0001"
+      val exists = triples(s).filter(col("subj") === uri).limit(1).count() == 1
+      Seq(exists).toDF("ask_result")
+    }, None)
   )
 }

@@ -101,8 +101,9 @@ object Pipeline {
 
   import graft.model.{Vocab => V}
 
-  /** PokemonRecord (+ prevNdex) rows → LineageTriple rows, pure expressions. */
-  private[kg] def emitTriples(df: DataFrame): DataFrame = {
+  /** PokemonRecord (+ prevNdex) rows → LineageTriple rows, pure expressions
+    * (stateless — shared by the batch pipeline and streaming ingestion). */
+  private[graft] def emitTriples(df: DataFrame): DataFrame = {
     val subj = concat(lit(V.Base + "pokemon/"), col("ndex"))
     val tc = concat(lit(V.Base + "Type/"), col("type1"))
     val slug = translate(col("name"), " ", "_")

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** One media item: opaque binary payload + typed metadata. */
+final case class MediaRow(
+    doc_id: Long,
+    kind: String,          // "image" | "audio" | "video" — synthetic here
+    payload: Array[Byte],
+    declaredBytes: Long)
+
+/** Extracted features for one media item (decode is STUBBED — see below). */
+final case class MediaFeatures(
+    doc_id: Long,
+    kind: String,
+    nBytes: Long,
+    sha256: String,
+    histogram: Array[Float], // 16-bin byte histogram, L1-normalized
+    decodeOk: Boolean)
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/video
+  * as opaque `binary` columns with typed metadata, processed per-partition in
+  * batches (the Scala analogue of `mapInPandas` — one buffer-reuse pass per
+  * partition, not per row).
+  *
+  * DECODE IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` computes a deterministic fake feature (byte histogram) where
+  * a real deployment would call the codec. The Spark-side plumbing — schema,
+  * binary payload handling, partition batching, feature schema — is real and
+  * tested; swap `decodeStub` for a JNI/codec call to productionize.
+  *
+  * Scale: payloads never pass through a shuffle (features are extracted
+  * before any wide operation); partition sizing is controlled upstream via
+  * maxPartitionBytes so a partition of payloads fits executor memory.
+  */
+object Multimodal {
+
+  /** Deterministic synthetic media table derived from the documents table
+    * (payload = UTF-8 bytes of the text standing in for real media bytes). */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("kind", element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .select(col("doc_id"), col("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        octet_length(col("text")).cast("long").as("declaredBytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: byte histogram as the stand-in feature vector. Real
+    * implementation would decode the payload (JPEG/PCM/...) here. */
+  private[ops] def decodeStub(payload: Array[Byte]): (Array[Float], Boolean) = {
+    if (payload == null || payload.isEmpty) return (Array.fill(16)(0f), false)
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1f; i += 1 }
+    val n = payload.length.toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    (hist, true)
+  }
+
+  /** Per-partition batched feature extraction (mapPartitions = the batch
+    * boundary; one digest instance reused per partition, not per row). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { m =>
+        md.reset()
+        val sha = md.digest(m.payload).map("%02x".format(_)).mkString
+        val (hist, ok) = decodeStub(m.payload)
+        MediaFeatures(m.doc_id, m.kind,
+          if (m.payload == null) 0L else m.payload.length.toLong, sha, hist, ok)
+      }
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // rows-only: binary payload plumbing + stubbed decode; feature values
+    // are asserted deterministic in MultimodalSpec
+    QueryDef("m2_decode_stub",
+      (s, d) => extractFeatures(syntheticMedia(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("nBytes"), col("sha256"),
+          col("decodeOk"), round(element_at(col("histogram"), 1), 6).as("hist0")),
+      None)
+  )
+}

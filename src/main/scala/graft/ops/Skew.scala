@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew handling utilities — the north_star's "salted repartitioning and AQE
+  * skew-join hints" made explicit. AQE (spark.sql.adaptive.skewJoin) handles
+  * post-shuffle partition splitting automatically; these helpers cover the
+  * cases AQE cannot:
+  *
+  *  - `saltedRepartition`: content-hash repartitioning of an input whose
+  *    natural layout clusters heavy rows (mega-pages arriving in one file
+  *    split). Deterministic (hash of key columns, no RNG).
+  *  - `saltedJoin`: an equi-join where ONE key dominates (hub entity). The
+  *    skewed side gets a deterministic salt in [0, K); the build side is
+  *    exploded ×K, so the hub key's rows spread over K reducers.
+  */
+object Skew {
+
+  /** Repartition by a deterministic hash of `keys` (+ optional salt width
+    * for composite heavy keys): spreads mega-rows evenly regardless of the
+    * source file layout. */
+  def saltedRepartition(df: DataFrame, numParts: Int, keys: Column*): DataFrame =
+    // repartition re-hashes its expression, so pass the full-width hash (a
+    // pre-modded salt would collapse to fewer buckets after the re-hash)
+    df.repartition(numParts, xxhash64(keys: _*))
+
+  /** Equi-join `big` (skewed on `key`) with `small`, salting the hot keys.
+    * `saltSrc` must be a deterministic expression over big's columns that
+    * varies within a key group (e.g. a row id or content hash). K bounds
+    * the fan-out of the replicated small side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltSrc: Column, k: Int, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("_salt", pmod(xxhash64(saltSrc), lit(k)))
+    val smallS = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("_salt", col("_salt").cast("long"))
+    bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.Pipeline
+import graft.model.PageRow
+
+/** Structured Streaming surfaces. The reference is strictly batch (its only
+  * streaming-ish behavior is rate-limited micro-batching of 50 pages —
+  * reference: client/DataCollectionCoordinator.java:19-20,37-75, which a
+  * table input obsoletes; SURVEY §2-K), so these are engine-completeness
+  * extensions:
+  *
+  *  - continuous KG ingestion: a stream of page rows → the SAME
+  *    expression-template emit as batch (stateless, so it runs unchanged in
+  *    a streaming plan) with a stream-static broadcast join for prevo
+  *    resolution against the already-materialized dictionary;
+  *  - watermarked windowed aggregation over an event stream;
+  *  - streaming dedup of pages within a watermark.
+  */
+object StreamPipeline {
+
+  /** Streaming page rows (+ event-time column `ts`) → candidate triples.
+    * `staticDict` is the name→ndex dictionary from the materialized graph
+    * (stream-static joins broadcast the static side per micro-batch). */
+  def triplesStream(pagesStream: Dataset[PageRow], staticDict: DataFrame): DataFrame = {
+    val recs = Pipeline.parseRecords(pagesStream)
+    val withPrevo = recs.filter(col("evolvesFrom") =!= "")
+      .join(broadcast(staticDict), col("evolvesFrom") === col("prevName"), "left_outer")
+      .drop("prevName")
+    val withoutPrevo = recs.filter(col("evolvesFrom") === "")
+      .withColumn("prevNdex", lit(null).cast("string"))
+    Pipeline.emitTriples(withPrevo.unionByName(withoutPrevo))
+  }
+
+  /** Tumbling-window event counts with a watermark: late events beyond the
+    * watermark are dropped, state is bounded. */
+  def windowedEventCounts(events: DataFrame, window_ : String = "10 minutes",
+                          watermark: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup of pages keyed by (repo, path, commit) within a
+    * watermark — the streaming form of the pipeline's C2 dedup. */
+  def dedupPages(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("repo", "path", "commit")
+}

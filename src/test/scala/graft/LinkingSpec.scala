@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Enrich, Fixtures, Linking, Pipeline}
+import graft.model.{Vocab => V}
+
+/** Entity linking (mention detect → broadcast dict → link score) and TSV
+  * label enrichment. */
+class LinkingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private lazy val pages = Fixtures.pages(spark)
+
+  test("mention detection: mega page's 2000x hub repeats collapse to one row per target") {
+    val m = Linking.mentions(pages)
+    val mega = m.filter(col("path") === "Mega_page.wiki").collect()
+      .map(r => r.getString(3) -> r.getLong(4)).toMap
+    assert(mega == Map("Pikachu" -> 2000L, "Water (type)" -> 2000L))
+  }
+
+  test("linking resolves exact and normalized mentions with scores") {
+    import spark.implicits._
+    val extra = Seq(
+      graft.model.PageRow("r0", "Links.wiki", "c1", "wikitext",
+        "See [[Bulbasaur]] and [[bulbasaur]] and [[Bulbasaur_(Pokémon)|the seed one]].\n"))
+    val all = pages.unionByName(spark.createDataset(extra))
+    val linked = Linking.linkedMentions(spark, all)
+      .filter(col("path") === "Links.wiki")
+      .collect().map(r => (r.getString(3), r.getString(5), r.getDouble(6))).toSet
+    val iri = V.Base + "pokemon/0001"
+    assert(linked.contains(("Bulbasaur", iri, 1.0)))
+    assert(linked.contains(("bulbasaur", iri, 0.9)))
+    assert(linked.contains(("Bulbasaur_(Pokémon)", iri, 0.8)))
+  }
+
+  test("mention triples join back through the page entity") {
+    import spark.implicits._
+    val extra = Seq(graft.model.PageRow("r0", "X.wiki", "c9", "wikitext",
+      "{{Pokémon Infobox\n|name=Testmon\n|ndex=9001\n|type1=Fire\n|evointo=None\n}}\nsee [[Ivysaur]]\n"))
+    val all = pages.unionByName(spark.createDataset(extra))
+    val t = Linking.mentionTriples(spark, all)
+      .filter(col("subj") === (V.Base + "pokemon/9001")).collect()
+    assert(t.length == 1 && t(0).getString(3) == V.Base + "pokemon/0002")
+  }
+
+  test("TSV enrichment with corrected zero-pad keying emits lang labels") {
+    val triples = Pipeline.triples(spark, pages)
+    val labels = Enrich.labelTriples(triples, Enrich.syntheticDict(spark))
+    assert(labels.count() == 30) // 15 entities × 2 languages
+    val fr = labels.filter(col("objLang") === "fr"
+      && col("subj") === (V.Base + "pokemon/0001")).collect()
+    assert(fr.length == 1 && fr(0).getString(3) == "Bulbasaur_fr")
+    // lineage flows from the identifier triple's source page
+    assert(fr(0).getString(6) == "r0")
+  }
+
+  test("unpadded dict ids key correctly (the reference's bug, fixed)") {
+    import spark.implicits._
+    val dict = Seq(("pokemon", "1", "Bulbizarre", "fr")).toDF("type", "id", "label", "language")
+    val triples = Pipeline.triples(spark, pages)
+    val labels = Enrich.labelTriples(triples, dict).collect()
+    assert(labels.length == 1 && labels(0).getString(0) == V.Base + "pokemon/0001")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Skew}
+
+class SkewMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  test("saltedRepartition spreads a hot key over all partitions") {
+    val df = (0 until 1000).map(i => (if (i < 900) "HOT" else s"k$i", i)).toDF("key", "v")
+    val parts = Skew.saltedRepartition(df, 8, col("key"), col("v"))
+      .select(spark_partition_id().as("p")).groupBy("p").count().collect()
+    assert(parts.length == 8, "all 8 partitions used")
+    assert(parts.map(_.getLong(1)).max < 400, "no partition holds the whole hot key")
+  }
+
+  test("saltedJoin equals plain join on a skewed key") {
+    val big = (0 until 500).map(i => (if (i % 5 != 4) "HOT" else s"k$i", i.toLong)).toDF("key", "v")
+    val small = Seq(("HOT", "hotval"), ("k4", "v4"), ("k9", "v9")).toDF("key", "w")
+    val plain = big.join(small, Seq("key")).select("key", "v", "w")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(big, small, "key", col("v"), k = 8)
+      .select("key", "v", "w").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+  }
+
+  test("multimodal stub pipeline: deterministic features, batched per partition") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "hello world")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).nBytes == 11 && feats(1L).decodeOk)
+    assert(feats(2L).nBytes == 0 && !feats(2L).decodeOk)
+    // identical payloads → identical sha + histogram
+    assert(feats(1L).sha256 == feats(3L).sha256)
+    assert(feats(1L).histogram.sameElements(feats(3L).histogram))
+    // histogram is L1-normalized
+    assert(math.abs(feats(1L).histogram.sum - 1.0f) < 1e-5)
+    // kinds are assigned deterministically by doc_id
+    assert(feats(1L).kind == "audio" && feats(2L).kind == "video" && feats(3L).kind == "image")
+  }
+}
