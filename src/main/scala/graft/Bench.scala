@@ -31,6 +31,7 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", 128)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "512") // 41-template emit array = 246 struct fields
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -58,7 +59,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "10000").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "20000").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
     // interleave the levels across rounds (this VM's throughput drifts on

@@ -24,6 +24,7 @@ object Main {
       .appName("graft-kg")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "512") // 41-template emit array = 246 struct fields
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

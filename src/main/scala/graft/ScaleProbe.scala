@@ -20,6 +20,7 @@ object ScaleProbe {
       .appName(s"scale-probe-$cores")
       .config("spark.sql.shuffle.partitions", 128)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "512") // 41-template emit array = 246 struct fields
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -10,6 +10,7 @@ object SparkTestHarness {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "512") // 41-template emit array = 246 struct fields
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
