@@ -121,6 +121,52 @@ object KgQueries {
       countDistinct(col("subj")).as("n_subjects"),
       count(lit(1)).as("n_triples"))
 
+  /** Label coverage per subject kind (reference validation-by-query corpus:
+    * pokemon_queries.sparql:192-204). */
+  def labelCoverage(t: DataFrame): DataFrame = {
+    val subjects = t.select(col("subj")).distinct()
+    val labeled = t.filter(col("pred") === V.RdfsLabel).select(col("subj")).distinct()
+      .withColumn("has_label", lit(true))
+    subjects.join(labeled, Seq("subj"), "left_outer")
+      .agg(count(lit(1)).as("n_subjects"),
+        count(when(col("has_label"), 1)).as("n_labeled"))
+  }
+
+  /** Shared-characteristic pairs via the subPropertyOf hierarchy
+    * (reference: pokemon_queries.sparql:166-180 — theta join over the
+    * characteristic roll-up). */
+  def sharedCharacteristicPairs(spark: SparkSession, t: DataFrame): DataFrame = {
+    val subProps = Inference.staticTriples(spark)
+      .filter(col("pred") === V.RdfsSubPropertyOf)
+      .select(col("subj").as("pred"))
+    val chars = t.join(subProps, Seq("pred"))
+      .filter(!col("objIsIri"))
+      .select(col("subj").as("s"), col("pred"), col("objLex").as("v"))
+    chars.alias("a").join(chars.alias("b"),
+        col("a.pred") === col("b.pred") && col("a.v") === col("b.v")
+          && col("a.s") < col("b.s"))
+      .groupBy(col("a.pred").as("characteristic"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("characteristic")
+  }
+
+  /** sameAs cluster roll-up through the canonical component table
+    * (reference property path owl:sameAs* — pokemon_queries.sparql:124-136). */
+  def sameAsClusters(t: DataFrame): DataFrame =
+    Inference.sameAsComponents(t)
+      .groupBy("canonId")
+      .agg(count(lit(1)).as("cluster_size"),
+        concat_ws("|", array_sort(collect_set(col("iri")))).as("members"))
+      .orderBy(desc("cluster_size"), asc("canonId"))
+
+  /** DISTINCT label GROUP_CONCAT variant (reference: pokemon_queries.sparql:206-216). */
+  def distinctLabelConcat(t: DataFrame): DataFrame =
+    t.filter(col("pred") === V.RdfsLabel)
+      .groupBy(col("objLang").as("lang"))
+      .agg(countDistinct(col("objLex")).as("n_distinct"),
+        concat_ws("|", array_sort(collect_set(col("objLex")))).as("labels"))
+      .orderBy("lang")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("kg_triples", (s, _) => triples(s), None),
     QueryDef("kg_vertices", (s, _) => Pipeline.vertices(triples(s)), None),
@@ -160,6 +206,11 @@ object KgQueries {
       val uri = graft.model.Vocab.Base + "pokemon/0001"
       val exists = triples(s).filter(col("subj") === uri).limit(1).count() == 1
       Seq(exists).toDF("ask_result")
-    }, None)
+    }, None),
+    QueryDef("kg_q_label_coverage", (s, _) => labelCoverage(triples(s)), None),
+    QueryDef("kg_q_shared_characteristics",
+      (s, _) => sharedCharacteristicPairs(s, inferred(s)), None),
+    QueryDef("kg_q_sameas_clusters", (s, _) => sameAsClusters(triples(s)), None),
+    QueryDef("kg_q_distinct_labels", (s, _) => distinctLabelConcat(triples(s)), None)
   )
 }

@@ -197,6 +197,18 @@ object Pipeline {
   def triples(spark: SparkSession, pages: Dataset[PageRow]): DataFrame =
     dedup(emit(spark, pages))
 
+  /** Salted repartition of the raw corpus before parse — the north_star's
+    * "salted repartitioning" for mega-page balancing: when the source file
+    * layout clusters heavy pages (one giant repo in one split), a
+    * content-hash shuffle spreads them before the CPU-heavy parse. Costs
+    * one exchange of the raw bytes, so it is OPT-IN for skewed layouts;
+    * output is identical either way (PropertySpec asserts invariance). */
+  def balancedPages(pages: Dataset[PageRow], numParts: Int): Dataset[PageRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[PageRow]
+    graft.ops.Skew.saltedRepartition(pages.toDF(), numParts,
+      col("repo"), col("path"), col("commit")).as[PageRow]
+  }
+
   /** Graph materialization: vertices (distinct IRIs with kind + best label)
     * and edges (IRI→IRI triples) — the north_star's "vertices/edges as
     * Iceberg tables". */

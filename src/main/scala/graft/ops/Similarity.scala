@@ -86,6 +86,60 @@ object Similarity {
       .select(col("vec_id"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate pairs
+    * (a<b, deduped across bands) with exact quantized cosine ≥ threshold —
+    * the embedding-space analogue of MinHash dedup. */
+  def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 12,
+                            minCos: Double = 0.9): DataFrame = {
+    val sig = embeddings.select(col("vec_id"), col("embedding"), lshSignature(dim, bits))
+    sig.alias("x").join(sig.alias("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .distinct()
+      .withColumn("dot_q", dotQ("ea", "eb"))
+      .withColumn("n1_q", normQ("ea"))
+      .withColumn("n2_q", normQ("eb"))
+      .select(col("a"), col("b"),
+        round(col("dot_q").cast("double") /
+          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (the first `nCentroids`
+    * vectors by id — a stand-in for a k-means codebook, which at cluster
+    * scale would be trained offline and broadcast), every vector assigned to its
+    * nearest centroid, probes search only the query's cell. The cell
+    * assignment join is a broadcast of the centroid table; the search is a
+    * per-cell join instead of all-pairs. */
+  def annIvf(embeddings: DataFrame, queryId: Long, k: Int = 5,
+             nCentroids: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(embeddings
+      .orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    def assigned(df: DataFrame): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("cdot", dotQ("embedding", "cv"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cdot"), asc("cid"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(df.columns.map(col) :+ col("cid"): _*)
+    }
+    val all = assigned(embeddings)
+    val q = all.filter(col("vec_id") === queryId)
+      .select(col("cid").as("qcid"), col("embedding").as("qv"))
+    all.join(broadcast(q), col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("dot_q", dotQ("embedding", "qv"))
+      .withColumn("n1_q", normQ("embedding"))
+      .withColumn("n2_q", normQ("qv"))
+      .select(col("vec_id"),
+        round(col("dot_q").cast("double") /
+          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk",
       (s, d) => cosineTopK(t(s, d, "embeddings"), queryId = 0L, k = 10),
@@ -106,6 +160,14 @@ object Similarity {
     // recall vs brute force is asserted in SimilaritySpec
     QueryDef("s2_ann_lsh",
       (s, d) => annLsh(t(s, d, "embeddings")),
+      None),
+
+    QueryDef("s3_ann_ivf",
+      (s, d) => annIvf(t(s, d, "embeddings"), queryId = 0L, k = 10),
+      None),
+
+    QueryDef("d4_embedding_neardup",
+      (s, d) => embeddingNearDupPairs(t(s, d, "embeddings"), bits = 10, minCos = 0.15),
       None)
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.kg.{Fixtures, Pipeline, WikitextParser}
+import graft.model.PageRow
+
+/** Property-based tests (SURVEY §5): parser totality + determinism over
+  * arbitrary input, dedup idempotence, salted-repartition invariance. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val wikiGen: Gen[String] = Gen.frequency(
+    5 -> Gen.asciiPrintableStr,
+    3 -> Gen.listOf(Gen.oneOf(
+      "{{Pokémon Infobox\n", "|name=X\n", "|ndex=", "12", "abc", "\n", "}}",
+      "[[Category:Y]]", "[[link|a]]", "{{tt|a|b}}", "'''b'''", "<!--c-->",
+      "|evointo=None\n", "|prevo=Z\n", "|height-m=1.5\n", "é", "|", "=")).map(_.mkString),
+    1 -> Gen.const(null: String))
+
+  test("parsePage is total and deterministic on arbitrary wikitext") {
+    check(Prop.forAll(wikiGen) { content =>
+      val row = PageRow("r", "p.wiki", "c", "wikitext", content)
+      val a = WikitextParser.parsePage(row)
+      val b = WikitextParser.parsePage(row)
+      a == b && a.evolutionStage >= 1 && a.evolutionStage <= 3
+    })
+  }
+
+  test("parseRecord agrees with parsePage on every projected field") {
+    check(Prop.forAll(wikiGen) { content =>
+      val row = PageRow("r", "p.wiki", "c", "wikitext", content)
+      val p = WikitextParser.parsePage(row)
+      val r = WikitextParser.parseRecord(row)
+      val ndexAgree =
+        if (p.infoboxType == "Pokemon") r.ndex == p.ndex else r.ndex == ""
+      ndexAgree &&
+        r.evolvesFrom == p.evolvesFrom &&
+        r.evolutionStage == p.evolutionStage &&
+        r.srcSha256 == p.srcSha256 &&
+        (p.infoboxType != "Pokemon" ||
+          (r.name == p.params.getOrElse("name", "") &&
+           r.type1 == p.params.getOrElse("type1", "") &&
+           r.heightM == p.params.getOrElse("height-m", "")))
+    })
+  }
+
+  test("extractNdex yields %04d or empty") {
+    check(Prop.forAll(wikiGen) { content =>
+      val n = WikitextParser.extractNdex(if (content == null) "" else content)
+      n.isEmpty || (n.length >= 4 && n.forall(c => c.isDigit || c == '-'))
+    })
+  }
+
+  test("cleanWikiText is total and collapses whitespace") {
+    check(Prop.forAll(wikiGen) { content =>
+      val c = WikitextParser.cleanWikiText(content)
+      c != null && !c.contains("  ") && c == c.trim
+    })
+  }
+
+  test("dedup is idempotent") {
+    val emitted = Pipeline.emit(spark, Fixtures.scaled(spark, 2))
+    val once = Pipeline.dedup(emitted)
+    val twice = Pipeline.dedup(once)
+    assert(once.collect().map(_.toString).sorted
+      .sameElements(twice.collect().map(_.toString).sorted))
+  }
+
+  test("salted repartition does not change pipeline output") {
+    val pages = Fixtures.scaled(spark, 2)
+    val plain = Pipeline.triples(spark, pages).collect().map(_.toString).sorted
+    val salted = Pipeline.triples(spark, Pipeline.balancedPages(pages, 16))
+      .collect().map(_.toString).sorted
+    assert(plain.sameElements(salted))
+  }
+}
