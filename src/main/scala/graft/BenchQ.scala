@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query benchmark: warm-up at sf0.001, then timed run at the target
+  * sf dir. Usage: runMain graft.BenchQ [sfDir] [query ...] (no queries =
+  * all). */
+object BenchQ {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.codegen.maxFields", "512")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- names) {
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() // warm
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, sf).count()
+      println(f"[benchq] $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -2,50 +2,52 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative dataflow kernels: semi-naive transitive closure and
   * connected components by min-label propagation. These are the generic
   * engines behind the KG inference stage (subClassOf/evolvesFrom closure,
   * sameAs merging — reference: inference/InferenceHandler.java:36-108) —
   * the reference uses naive full-model rescans; here every iteration joins
-  * only the delta, and lineage is truncated per iteration with
-  * localCheckpoint so plans don't grow unboundedly (SURVEY §4).
+  * only the delta.
   *
-  * Scale: each iteration is one shuffle on the join key; rows in flight are
-  * |delta| not |closure|. Convergence check is an isEmpty on the delta
-  * (cheap: limit-1 scan of a cached DataFrame).
+  * Job discipline (this is where iterative Spark jobs go slow):
+  *  - each iteration materializes ONLY the new delta via an eager
+  *    localCheckpoint (one job) — lineage is truncated, so plans never grow
+  *    with iteration count;
+  *  - the accumulated `seen` set stays a LAZY union of already-checkpointed
+  *    deltas — never re-materialized (re-checkpointing `seen` each round
+  *    copies the whole closure per iteration = quadratic bytes);
+  *  - convergence comes from the delta's count (cheap job over cached
+  *    partitions), not an extra limit(1) probe.
+  *
+  * Scale: each iteration is one shuffle keyed on the join column; rows in
+  * flight are |delta|, not |closure|. Hub skew inside an iteration is
+  * handled by AQE skew-join splitting.
   */
 object Iterative {
 
-  /** Generic semi-naive transitive closure over an edge list (src, dst):
-    * returns all (src, anc) pairs reachable via dst-chains. `step` derives
-    * the next hop from the current frontier. Used with a closed-form step
-    * for the oracle-checked query; the KG closures pass edges ⋈ delta.
-    */
+  /** Closure of the synthetic parent DAG dst = floor(key/2) (the
+    * oracle-checked f6 query). */
   def ancestorClosure(orders: DataFrame): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
-
-    // synthetic parent DAG: every orderkey's parent is floor(key/2)
     val edges = orders
       .filter(col("o_orderkey") > 0)
       .select(col("o_orderkey").as("src"), floor(col("o_orderkey") / 2.0).cast("long").as("dst"))
+      .localCheckpoint()
 
-    var seen = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var delta = seen
-    var n = seen.count() // materialize
+    var seen = edges
+    var delta = edges
+    var n = delta.count()
     var iter = 0
-    while (delta.limit(1).count() > 0 && iter < 64) {
+    while (n > 0 && iter < 64) {
+      // the parent chain is strictly decreasing, so every next hop is a new
+      // fact by construction — no dedup anti-join needed (the general
+      // kernel below keeps one); each iteration is a narrow map, no shuffle
       val next = delta
         .filter(col("dst") > 0)
         .select(col("src"), floor(col("dst") / 2.0).cast("long").as("dst"))
-        .join(seen, Seq("src", "dst"), "left_anti") // semi-naive: only new facts
         .localCheckpoint()
-      val grown = seen.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count()
-      seen.unpersist(false)
-      seen = grown
+      n = next.count()
+      if (n > 0) seen = seen.unionByName(next)
       delta = next
       iter += 1
     }
@@ -54,30 +56,26 @@ object Iterative {
   }
 
   /** Transitive closure over an explicit edge table (src, dst) by repeated
-    * delta ⋈ edges join — the KG subClassOf/evolvesFrom+ kernel
+    * delta ⋈ edges joins — the KG subClassOf/evolvesFrom+ kernel
     * (reference: inference/InferenceHandler.java:36-60). Returns distinct
-    * (src, dst) reachability pairs (the input edges included). maxDepth
-    * bounds runaway graphs (cycles are handled by the anti-join, which
-    * stops emitting once every reachable pair is seen).
-    */
+    * (src, dst) reachability pairs (input edges included). Cycles terminate
+    * via the anti-join (once every reachable pair is seen, the delta dries
+    * up); maxDepth is a safety bound. */
   def closure(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     var seen = edges
     var delta = edges
+    var n = delta.count()
     var iter = 0
-    while (delta.limit(1).count() > 0 && iter < maxDepth) {
+    while (n > 0 && iter < maxDepth) {
       val next = delta.alias("d")
         .join(edges.alias("e"), col("d.dst") === col("e.src"))
         .select(col("d.src").as("src"), col("e.dst").as("dst"))
         .distinct()
         .join(seen, Seq("src", "dst"), "left_anti")
         .localCheckpoint()
-      val grown = seen.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count()
-      if (!(seen eq edges)) seen.unpersist(false)
-      seen = grown
+      n = next.count()
+      if (n > 0) seen = seen.unionByName(next)
       delta = next
       iter += 1
     }
@@ -88,22 +86,18 @@ object Iterative {
     * undirected edge list (a, b): every node ends with component = min node
     * id reachable from it. Iterations ∝ graph diameter — the right regime
     * for sameAs/dedup clusters (small diameter, possibly huge count).
-    * Hub skew (one label joining millions of edges) is absorbed by AQE
-    * skew-join splitting; the label table stays (node, long) narrow.
-    */
+    * Per iteration: one eager checkpoint job for the new labels + one
+    * cheap aggregation job for the changed-count. */
   def connectedComponents(edges0: DataFrame): DataFrame = {
-    val spark = edges0.sparkSession
     val fwd = edges0.select(col("a"), col("b"))
     val undirected = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    undirected.count()
+      .localCheckpoint()
 
     var labels = undirected.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint()
 
     var changed = 1L
     var iter = 0
@@ -119,13 +113,10 @@ object Iterative {
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count()
-      labels.unpersist(false)
-      labels = next.persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
+        .count()
+      labels = next
       iter += 1
     }
-    undirected.unpersist(false)
     labels.select(col("node"), col("component"))
   }
 }
