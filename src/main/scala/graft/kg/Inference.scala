@@ -138,6 +138,39 @@ object Inference {
     asTriples(copied)
   }
 
+  /** Canonicalized edge table: every IRI endpoint rewritten to its sameAs
+    * component's canonical id — the "connected-components-style sameAs
+    * merging ... into a materialized graph" of the north_star. Left joins so
+    * IRIs outside any sameAs cluster stay themselves. */
+  def canonicalEdges(triples: DataFrame, components: DataFrame): DataFrame = {
+    val comp = components.select(col("iri"), col("canonId"))
+    triples.filter(col("objIsIri") && col("pred") =!= V.OwlSameAs)
+      .select(col("subj"), col("pred"), col("objLex").as("dst"))
+      .join(comp.withColumnRenamed("iri", "subj").withColumnRenamed("canonId", "srcCanon"),
+        Seq("subj"), "left_outer")
+      .join(comp.withColumnRenamed("iri", "dst").withColumnRenamed("canonId", "dstCanon"),
+        Seq("dst"), "left_outer")
+      .select(coalesce(col("srcCanon"), col("subj")).as("src"), col("pred"),
+        coalesce(col("dstCanon"), col("dst")).as("dst"))
+      .distinct()
+  }
+
+  /** Canonical vertices: one row per canonical id with member count and a
+    * deterministic representative label. */
+  def canonicalVertices(triples: DataFrame, components: DataFrame): DataFrame = {
+    val comp = components.select(col("iri"), col("canonId"))
+    val allIris = triples.select(col("subj").as("iri"))
+      .unionByName(triples.filter(col("objIsIri")).select(col("objLex").as("iri")))
+      .distinct()
+    val canon = allIris.join(comp, Seq("iri"), "left_outer")
+      .select(col("iri"), coalesce(col("canonId"), col("iri")).as("canonId"))
+    val names = triples.filter(col("pred") === V.SchemaName && !col("objIsIri"))
+      .select(col("subj").as("iri"), col("objLex").as("label"))
+    canon.join(names, Seq("iri"), "left_outer")
+      .groupBy("canonId")
+      .agg(count(lit(1)).as("n_members"), min(col("label")).as("label"))
+  }
+
   /** Full inference pass in the reference's fixed order, ending in one
     * distinct-based dedup (new facts only are unioned — the contains-guard
     * anti-join of the reference becomes the final distinct). */

@@ -207,6 +207,10 @@ object KgQueries {
       val exists = triples(s).filter(col("subj") === uri).limit(1).count() == 1
       Seq(exists).toDF("ask_result")
     }, None),
+    QueryDef("kg_canonical_edges", (s, _) =>
+      Inference.canonicalEdges(inferred(s), Inference.sameAsComponents(triples(s))), None),
+    QueryDef("kg_canonical_vertices", (s, _) =>
+      Inference.canonicalVertices(inferred(s), Inference.sameAsComponents(triples(s))), None),
     QueryDef("kg_q_label_coverage", (s, _) => labelCoverage(triples(s)), None),
     QueryDef("kg_q_shared_characteristics",
       (s, _) => sharedCharacteristicPairs(s, inferred(s)), None),

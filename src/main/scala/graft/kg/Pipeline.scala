@@ -284,6 +284,32 @@ object Pipeline {
     val (_, s5) = TableIO.stage(spark, s"$outDir/edges", fingerprint)(edges(tripleDf))
     if (s5) skipped += "edges"
 
+    // inference + canonicalization + validation (reference order:
+    // server load triggers InferenceHandler then validation — SURVEY §3 EP1)
+    val (inferredDf, s6) = TableIO.stage(spark, s"$outDir/inferred", fingerprint) {
+      Inference.infer(spark, tripleDf)
+    }
+    if (s6) skipped += "inferred"
+
+    val (componentsDf, s7) = TableIO.stage(spark, s"$outDir/components", fingerprint) {
+      Inference.sameAsComponents(tripleDf)
+    }
+    if (s7) skipped += "components"
+
+    val (_, s8) = TableIO.stage(spark, s"$outDir/canonical_vertices", fingerprint) {
+      Inference.canonicalVertices(inferredDf, componentsDf)
+    }
+    if (s8) skipped += "canonical_vertices"
+    val (_, s9) = TableIO.stage(spark, s"$outDir/canonical_edges", fingerprint) {
+      Inference.canonicalEdges(inferredDf, componentsDf)
+    }
+    if (s9) skipped += "canonical_edges"
+
+    val (_, s10) = TableIO.stage(spark, s"$outDir/validation", fingerprint) {
+      Validation.report(inferredDf)
+    }
+    if (s10) skipped += "validation"
+
     (tripleDf, skipped.result())
   }
 }

@@ -62,6 +62,32 @@ class InferenceSpec extends AnyFunSuite {
     assert(rows("http://www.wikidata.org/entity/Q1410") == c)
   }
 
+  test("canonical edges: cluster members collapse onto the canonical id") {
+    val comp = Inference.sameAsComponents(base)
+    val edges = Inference.canonicalEdges(inferred, comp)
+    // Bulbasaur's dbpedia/wikidata IRIs inherit primaryAbility via I4; after
+    // canonicalization those edges collapse onto ONE canonical src
+    val c = comp.filter(col("iri") === (V.Base + "pokemon/0001"))
+      .collect()(0).getString(1)
+    val abilityEdges = edges.filter(col("pred") === V.PrimaryAbility
+      && col("dst") === (V.Base + "ability/overgrow")
+      && col("src") === c).count()
+    assert(abilityEdges == 1, "inherited duplicates must collapse to the canonical id")
+    // no sameAs edges survive canonicalization
+    assert(edges.filter(col("pred") === V.OwlSameAs).count() == 0)
+  }
+
+  test("canonical vertices: one row per cluster with member count") {
+    val comp = Inference.sameAsComponents(base)
+    val verts = Inference.canonicalVertices(base, comp)
+    val c = comp.filter(col("iri") === (V.Base + "pokemon/0001"))
+      .collect()(0).getString(1)
+    val row = verts.filter(col("canonId") === c).collect()(0)
+    // Bulbasaur cluster: pokemon + dbpedia + wikidata + bulbapedia + wikipedia
+    assert(row.getLong(1) >= 4)
+    assert(row.getString(2) == "Bulbasaur")
+  }
+
   test("validation: clean corpus has zero violations across all 11 rules") {
     val rep = Validation.report(inferred).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

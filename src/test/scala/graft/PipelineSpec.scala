@@ -51,7 +51,8 @@ class PipelineSpec extends AnyFunSuite {
     val (_, s1) = Pipeline.run(spark, pages, dir, "fp-A")
     assert(s1.isEmpty, "cold run must compute every stage")
     val (t2, s2) = Pipeline.run(spark, pages, dir, "fp-A")
-    assert(s2 == Seq("emitted", "triples", "metrics", "vertices", "edges"))
+    assert(s2 == Seq("emitted", "triples", "metrics", "vertices", "edges",
+      "inferred", "components", "canonical_vertices", "canonical_edges", "validation"))
     assert(t2.count() == 490)
     val (_, s3) = Pipeline.run(spark, pages, dir, "fp-B")
     assert(s3.isEmpty, "fingerprint change must recompute")
