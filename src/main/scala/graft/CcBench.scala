@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.functions._
+object CcBench {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","128")
+      .config("spark.local.dir","/dev/shm/graft-spark")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // graph A: 1M edges, 100k star clusters of 10 (diameter 2 — the sameAs
+    // cluster regime); graph B: A + a 1000-node chain (high diameter)
+    val stars = spark.range(0, 1000000).select((col("id") / 10).cast("long").as("a") * 10, col("id").as("b"))
+    val chain = spark.range(2000000, 2001000).select(col("id").as("a"), (col("id")+1).as("b"))
+    val graphA = stars.toDF("a","b").localCheckpoint()
+    val graphB = stars.toDF("a","b").unionByName(chain.toDF("a","b")).localCheckpoint()
+    def run(label: String, f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[ccbench] $label nodes=$n ${(System.nanoTime()-t0)/1e9}%.1f s")
+    }
+    run("df_starsOnly", graft.queries.Iterative.connectedComponents(graphA).count())
+    run("gx_starsOnly", graft.queries.Iterative.connectedComponentsGraphX(graphA).count())
+    run("df_withChain", graft.queries.Iterative.connectedComponents(graphB).count())
+    spark.stop()
+  }
+}

@@ -82,12 +82,28 @@ object Iterative {
     seen
   }
 
-  /** Connected components by iterative min-label propagation over an
-    * undirected edge list (a, b): every node ends with component = min node
-    * id reachable from it. Iterations ∝ graph diameter — the right regime
-    * for sameAs/dedup clusters (small diameter, possibly huge count).
-    * Per iteration: one eager checkpoint job for the new labels + one
-    * cheap aggregation job for the changed-count. */
+  /** GraphX alternative for long-id graphs (SURVEY §7.4: "GraphX or
+    * pure-DataFrame — decide by benchmark"; the spark-graphx jar ships with
+    * the runtime). Pregel-based, RDD-backed — the one sanctioned RDD use.
+    * The DataFrame version below remains the default: it works on string
+    * IRIs directly (GraphX needs a long-id mapping) and benchmarks at
+    * parity on the corpus graphs (see BENCH.md). */
+  def connectedComponentsGraphX(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = edges0.sparkSession
+    val edgeRdd = edges0.select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("node", "component")
+  }
+
+  /** Connected components by min-label propagation WITH pointer doubling:
+    * each round takes the min over (own label, neighbors' labels) and then
+    * shortcuts through the label table (component := label(component)), so
+    * convergence is O(log diameter) rounds instead of O(diameter) — a
+    * 1000-node chain closes in ~10 rounds, and the near-clique sameAs/dedup
+    * clusters of the KG close in 2-3. Per round: two checkpoint jobs (the
+    * propagated labels and the shortcut) + one changed-count job. */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val fwd = edges0.select(col("a"), col("b"))
     val undirected = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
@@ -101,14 +117,21 @@ object Iterative {
 
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    while (changed > 0 && iter < 64) {
       // candidate label for each node: min over its own and neighbors' labels
       val viaNeighbor = undirected.alias("e")
         .join(labels.alias("l"), col("e.b") === col("l.node"))
         .select(col("e.a").as("node"), col("l.component").as("cand"))
-      val next = labels.select(col("node"), col("component").as("cand"))
+      val propagated = labels.select(col("node"), col("component").as("cand"))
         .unionByName(viaNeighbor)
         .groupBy("node").agg(min(col("cand")).as("component"))
+        .localCheckpoint()
+      // pointer doubling: follow the label one more hop through the table
+      val next = propagated.alias("p")
+        .join(propagated.select(col("node").as("component"),
+          col("component").as("comp2")).alias("q"), Seq("component"), "left_outer")
+        .select(col("node"),
+          least(col("component"), coalesce(col("comp2"), col("component"))).as("component"))
         .localCheckpoint()
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))

@@ -41,4 +41,14 @@ class IterativeSpec extends AnyFunSuite {
     val cc = Iterative.connectedComponents(edges).collect()
     assert(cc.length == 21 && cc.forall(_.getLong(1) == 0L))
   }
+
+  test("DataFrame CC ≡ GraphX CC on a multi-component graph") {
+    val edges = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L)) ++
+      (30L until 40L).map(i => (i, i + 1))).toDF("a", "b")
+    val df = Iterative.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = Iterative.connectedComponentsGraphX(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+  }
 }
