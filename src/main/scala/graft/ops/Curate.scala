@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** End-to-end training-data curation: the composition a 100 TB text corpus
+  * actually runs — quality gate → exact dedup → near-dup removal — with a
+  * per-stage survivors report. Each stage is one of the already-verified
+  * operators; this wires them into one pipeline with auditable metrics.
+  *
+  * Scale shape: quality gating is a narrow filter; exact dedup one
+  * partial-agg shuffle keyed by fingerprint; near-dup removal reuses the
+  * MinHash-LSH candidate pairs (banded bucket join — never all-pairs) and
+  * drops the higher doc_id of each surviving pair via one anti-join.
+  */
+object Curate {
+
+  final case class Report(stage: String, docs: Long)
+
+  /** Returns (curated docs, per-stage report). */
+  def curate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
+             nearDupBp: Long = 8000): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val n0 = docs.count()
+
+    val quality = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .drop("n_tokens")
+      .localCheckpoint()
+    val n1 = quality.count()
+
+    // exact dedup: keep the min doc_id per fingerprint
+    val keepers = quality.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = quality.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+    val n2 = exact.count()
+
+    // near-dup removal: of each LSH-confirmed pair, drop the higher id
+    val dropIds = Dedup.minhashLshPairs(exact, minEstBp = nearDupBp)
+      .select(col("b").as("doc_id")).distinct()
+    val curated = exact.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val n3 = curated.count()
+
+    val report = Seq(
+      Report("input", n0), Report("quality_gate", n1),
+      Report("exact_dedup", n2), Report("near_dup_removal", n3)).toDF()
+    (curated, report)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // rows-only: the report is deterministic; stage logic is oracle-verified
+    // piecewise (t2 quality, d1 exact groups) and MinHash via OpsSpec
+    QueryDef("t6_curate_report",
+      (s, d) => curate(t(s, d, "documents"))._2,
+      None)
+  )
+}

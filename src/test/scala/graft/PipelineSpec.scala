@@ -58,6 +58,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(s3.isEmpty, "fingerprint change must recompute")
   }
 
+  test("kill/rerun: a stage dir without a committed manifest is recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("kg-crash").toString
+    val pages = Fixtures.pages(spark)
+    // simulate a run killed mid-stage: parquet bytes on disk, no manifest
+    val partial = Pipeline.emit(spark, pages).limit(3)
+    partial.write.mode("overwrite").parquet(s"$dir/emitted")
+    val (t, skipped) = Pipeline.run(spark, pages, dir, "fp-A")
+    assert(!skipped.contains("emitted"), "unmanifested stage must recompute")
+    assert(t.count() == 490, "recomputed pipeline yields the full golden output")
+  }
+
+  test("SQL view surface: spark.sql corpus query matches the DataFrame plan") {
+    val triples = Pipeline.triples(spark, Fixtures.pages(spark))
+    graft.kg.Views.register(spark, triples)
+    val sql = graft.kg.Views.overview(spark).collect().map(_.toString).sorted
+    val df = graft.kg.KgQueries.overview(triples)
+      .select("subj", "identifier", "name", "height", "weight")
+      .collect().map(_.toString).sorted
+    assert(sql.sameElements(df))
+  }
+
+  test("curation pipeline: stage report is monotone and deterministic") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, if (i % 10 == 0) "short"
+      else s"doc${i % 20} " + Seq.fill(30)("tok").zipWithIndex.map(p => s"${p._1}${(i % 20 + p._2) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (curated, report) = graft.ops.Curate.curate(docs, minTokens = 5)
+    val r = report.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("input") == 50)
+    assert(r("quality_gate") < r("input"))   // the 5 short docs gated
+    assert(r("exact_dedup") < r("quality_gate")) // i%20 duplicates collapse
+    assert(r("near_dup_removal") <= r("exact_dedup"))
+    assert(curated.count() == r("near_dup_removal"))
+  }
+
   test("partition metrics cover every emitted row") {
     val emitted = Pipeline.emit(spark, Fixtures.pages(spark))
     val m = Pipeline.partitionMetrics(emitted, "emit")
