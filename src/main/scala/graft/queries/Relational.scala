@@ -243,6 +243,52 @@ object Relational {
                      regexp_extract(p_brand, '(\d+)', 1) AS brand_num
               FROM part""")),
 
+    // E3: set operations (engine completeness beyond the reference's union)
+    QueryDef("e3_set_ops",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val click = e.filter(col("event_type") === "click").select("user_id").distinct()
+        val buy = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+        val both = click.intersect(buy).withColumn("relation", lit("both"))
+        val clickOnly = click.except(buy).withColumn("relation", lit("click_only"))
+        both.unionByName(clickOnly)
+      },
+      Some("""SELECT user_id, 'both' AS relation FROM
+                (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+              UNION ALL
+              SELECT user_id, 'click_only' AS relation FROM
+                (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                 EXCEPT
+                 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""")),
+
+    // K2: date/time functions — per-day event counts as strings (timestamp
+    // rendering kept out of the hash by formatting in both engines)
+    QueryDef("k2_date_funcs",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          dayofweek(col("ts")).cast("int").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 0),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2""")),
+
+    // G6: ROLLUP grouping sets (subtotals + grand total)
+    QueryDef("g6_rollup",
+      (s, d) => t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                     coalesce(o_orderpriority, 'ALL') AS priority,
+                     count(*) AS n
+              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
     // A8: JSON attribute decode + banded histogram
     QueryDef("a8_json_extract",
       (s, d) => t(s, d, "events")
