@@ -263,10 +263,27 @@ object Pipeline {
     import spark.implicits._
     val skipped = Seq.newBuilder[String]
 
+    // observe(): metrics ride the stage's own action — no second pass over
+    // the data (SURVEY §4 "per-partition metrics via Dataset.observe")
+    val emitObs = org.apache.spark.sql.Observation("emit_obs")
     val (emittedDf, s1) = TableIO.stage(spark, s"$outDir/emitted", fingerprint) {
-      emit(spark, pages)
+      emit(spark, pages).observe(emitObs,
+        count(lit(1)).as("rows"),
+        approx_count_distinct(col("srcSha256")).as("approxSrcPages"),
+        // exact DISTINCT aggs are disallowed in observe(); approx is fine
+        approx_count_distinct(col("pred")).as("nPredicates"))
     }
     if (s1) skipped += "emitted"
+    else {
+      // persist the observed metrics next to the stage (computed runs only;
+      // a resumed run keeps the previous run's observation)
+      val m = emitObs.get
+      import spark.implicits._
+      Seq((fingerprint, m("rows").toString.toLong,
+          m("approxSrcPages").toString.toLong, m("nPredicates").toString.toLong))
+        .toDF("fingerprint", "rows", "approxSrcPages", "nPredicates")
+        .write.mode("overwrite").parquet(s"$outDir/observed")
+    }
 
     val (tripleDf, s2) = TableIO.stage(spark, s"$outDir/triples", fingerprint) {
       dedup(emittedDf)

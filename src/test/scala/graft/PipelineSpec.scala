@@ -93,6 +93,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.count() == r("near_dup_removal"))
   }
 
+  test("observed metrics persisted by the run match the emitted stage") {
+    val dir = java.nio.file.Files.createTempDirectory("kg-obs").toString
+    Pipeline.run(spark, Fixtures.pages(spark), dir, "fp-obs")
+    val obs = spark.read.parquet(s"$dir/observed").collect()(0)
+    val emitted = spark.read.parquet(s"$dir/emitted")
+    assert(obs.getAs[Long]("rows") == emitted.count())
+    val exact = emitted.select("pred").distinct().count()
+    assert(math.abs(obs.getAs[Long]("nPredicates") - exact) <= exact / 10 + 2) // approx agg
+  }
+
   test("partition metrics cover every emitted row") {
     val emitted = Pipeline.emit(spark, Fixtures.pages(spark))
     val m = Pipeline.partitionMetrics(emitted, "emit")
