@@ -78,10 +78,15 @@ object Bench {
 
     // --- per-query timings at full parallelism ---
     val spark = session(32)
+    // a query that throws is recorded as -1, never as a plausible wall time
+    // (a silent catch would let a regression hide inside normal-looking numbers)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     spark.stop()
 

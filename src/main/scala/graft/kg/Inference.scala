@@ -32,29 +32,45 @@ object Inference {
       col("objLex"), col("objDtype"), col("objLang")) ++ lineageCols: _*)
 
   /** I1 static heads + I5 subPropertyOf registrations
-    * (reference: InferenceHandler.java:110-121, :18-34). */
+    * (reference: InferenceHandler.java:110-121, :18-34). The reference's
+    * second pass also adds (Type/X, primaryType, "X") for ALL 18 type classes
+    * unconditionally (InferenceHandler.java:138-144 — the add is outside the
+    * per-instance iterator), so those back-links are static facts, not
+    * derived from observed instances. */
   def staticTriples(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val typeRows = V.AllTypes.map(t =>
       (V.typeClass(t), V.RdfsSubClassOf, true, V.PokemonClass, "", ""))
+    val typeBackLinks = V.AllTypes.map(t =>
+      (V.typeClass(t), V.PrimaryType, false, t, "", ""))
     val propRows = V.CharacteristicProps.map(p =>
       (p, V.RdfsSubPropertyOf, true, V.Characteristic, "", ""))
-    asTriples((typeRows ++ propRows)
+    asTriples((typeRows ++ typeBackLinks ++ propRows)
       .toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang"))
   }
 
-  /** I1 derived: each (s primaryType t) materializes class membership and the
-    * type-class back-link (reference: InferenceHandler.java:122-167). */
+  /** I1 derived: each (s primaryType t) materializes class membership; the
+    * per-instance "specific type" IRI (the shared malformed `/type` — SURVEY
+    * §1) also receives subClassOf + primaryType per observed type, matching
+    * the reference's second pass exactly (InferenceHandler.java:145-161:
+    * specificType subClassOf typeClass; pokemon type specificType;
+    * specificType primaryType type). The 18 unconditional (Type/X,
+    * primaryType, X) back-links live in staticTriples. */
   def typeHierarchy(triples: DataFrame): DataFrame = {
     val typed = triples
       .filter(col("pred") === V.PrimaryType && !col("objIsIri"))
       .select(col("subj").as("s"), col("objLex").as("t"))
+      // only instance subjects feed the per-instance rules — the (Type/X,
+      // primaryType, X) back-links and the malformed /type's own primaryType
+      // rows are class-level facts, not instances of the type
+      .filter(!col("s").startsWith(V.Base + "Type/")
+        && col("s") =!= V.MalformedEntityType)
     val rows =
       typed.select(col("s").as("subj"), lit(V.RdfType).as("pred"), lit(true).as("objIsIri"),
           concat(lit(V.Base + "Type/"), col("t")).as("objLex"), lit("").as("objDtype"), lit("").as("objLang"))
         .unionByName(typed.select(col("s").as("subj"), lit(V.RdfType).as("pred"), lit(true).as("objIsIri"),
           lit(V.PokemonClass).as("objLex"), lit("").as("objDtype"), lit("").as("objLang")))
-        .unionByName(typed.select(concat(lit(V.Base + "Type/"), col("t")).as("subj"),
+        .unionByName(typed.select(lit(V.MalformedEntityType).as("subj"),
           lit(V.PrimaryType).as("pred"), lit(false).as("objIsIri"),
           col("t").as("objLex"), lit("").as("objDtype"), lit("").as("objLang")))
     asTriples(rows.distinct())
@@ -121,14 +137,16 @@ object Inference {
     asTriples(copied)
   }
 
-  /** I4 property inheritance: every non-sameAs statement of s is copied to
-    * each o with s sameAs o (reference: InferenceHandler.java:238-278).
+  /** I4 property inheritance: every statement of s except owl:sameAs itself
+    * is copied to each o with s sameAs o (reference:
+    * InferenceHandler.java:238-278 — the exclusion is owl:sameAs ONLY;
+    * schema:sameAs statements ARE copied across pairs, so e.g. a dbpedia IRI
+    * acquires the bulbapedia schema:sameAs link of its pokemon twin).
     * pairs ⋈ triples on subj — the skewed sort-merge self-join of the
     * north_star. */
   def propertyInheritance(triples: DataFrame): DataFrame = {
     val pairs = symmetricPairs(triples)
-    val inheritable = triples.filter(
-      col("pred") =!= V.OwlSameAs && col("pred") =!= V.SchemaSameAs)
+    val inheritable = triples.filter(col("pred") =!= V.OwlSameAs)
     val copied = pairs.alias("p")
       .join(inheritable.alias("t"), col("p.a") === col("t.subj"))
       .select(col("p.b").as("subj"), col("t.pred").as("pred"),

@@ -23,17 +23,28 @@ object KgQueries {
   // re-run parse/emit (verify executes queries one at a time)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // per-session key: a UUID assigned on first sight through a weak-keyed map
+  // (SparkSession.sessionUUID is private[sql]); unlike an identity hash this
+  // can never collide with a later session, so a cached DataFrame bound to a
+  // dead session's block manager is never returned for a new session
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sid(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
   // localCheckpoint (eager) both materializes the result and truncates the
   // logical plan — downstream corpus queries and the 11 validation
   // aggregations then re-analyze a one-node scan instead of the full
   // parse→emit→closure union tree (Catalyst re-analysis of that tree per
-  // aggregation cost ~20 s each before this)
-  private def triples(spark: SparkSession): DataFrame =
-    cache.computeIfAbsent("triples:" + spark.hashCode(), _ =>
+  // aggregation cost ~20 s each before this). Keyed by sessionUUID (never
+  // collides, unlike identity hash); entries for stopped sessions are a
+  // bounded leak (one DataFrame per verify/test session in the JVM).
+  private[kg] def triples(spark: SparkSession): DataFrame =
+    cache.computeIfAbsent("triples:" + sid(spark), _ =>
       Pipeline.triples(spark, Fixtures.scaled(spark, VerifyK)).localCheckpoint())
 
-  private def inferred(spark: SparkSession): DataFrame =
-    cache.computeIfAbsent("inferred:" + spark.hashCode(), _ =>
+  private[kg] def inferred(spark: SparkSession): DataFrame =
+    cache.computeIfAbsent("inferred:" + sid(spark), _ =>
       Inference.infer(spark, triples(spark)).localCheckpoint())
 
   private def slice(t: DataFrame, pred: String, as: String, lexAs: String): DataFrame =

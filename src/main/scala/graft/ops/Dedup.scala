@@ -83,9 +83,14 @@ object Dedup {
     perBit.select(col("doc_id"), expr(sigExpr).as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: four 16-bit bands bucket the join
-    * (hamming ≤ 3 guarantees a shared band); exact hamming verifies. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 16): DataFrame = {
+  /** SimHash near-dup candidate pairs: four 16-bit bands bucket the join;
+    * exact hamming verifies. The banding is COMPLETE only for hamming ≤ 3
+    * (pigeonhole: 4 bands, ≤3 differing bits ⇒ some band is untouched), so
+    * the default threshold matches that guarantee — the result is then
+    * exactly {pairs : hamming ≤ 3}, independent of banding. Pairs at larger
+    * requested distances are best-effort candidates (returned only when they
+    * coincidentally share a band); OpsSpec pins the ≤3 completeness bound. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b*16)) & 65535)")))

@@ -27,6 +27,32 @@ class InferenceSpec extends AnyFunSuite {
     assert(n == 18)
   }
 
+  test("all 18 type classes carry the unconditional primaryType back-link") {
+    // reference InferenceHandler.java:138-144 adds (Type/X, primaryType, X)
+    // for every type class, observed on an instance or not
+    val n = inferred.filter(col("pred") === V.PrimaryType
+      && col("subj").startsWith(V.Base + "Type/")
+      && col("objLex") === regexp_extract(col("subj"), "/Type/(.*)$", 1)).count()
+    assert(n == 18)
+  }
+
+  test("shared malformed /type receives subClassOf + primaryType per observed type") {
+    // reference InferenceHandler.java:145-161 second pass (specificType rows)
+    val prim = inferred.filter(col("subj") === V.MalformedEntityType
+      && col("pred") === V.PrimaryType).select("objLex").collect().map(_.getString(0)).toSet
+    assert(prim == Set("Grass", "Fire", "Water", "Dragon"))
+  }
+
+  test("property inheritance copies schema:sameAs across owl:sameAs pairs") {
+    // reference InferenceHandler.java:252,264 excludes ONLY owl:sameAs — the
+    // dbpedia twin of Bulbasaur must acquire its schema:sameAs bulbapedia link
+    val db = "http://dbpedia.org/resource/Bulbasaur"
+    val bp = "https://bulbapedia.bulbagarden.net/wiki/Bulbasaur_(Pokémon)"
+    val n = inferred.filter(col("subj") === db && col("pred") === V.SchemaSameAs
+      && col("objLex") === bp).count()
+    assert(n == 1)
+  }
+
   test("sameAs is symmetric after inference") {
     val pairs = inferred.filter(col("pred") === V.OwlSameAs)
       .select("subj", "objLex").collect()
