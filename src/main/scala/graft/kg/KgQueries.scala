@@ -39,11 +39,11 @@ object KgQueries {
   // aggregation cost ~20 s each before this). Keyed by sessionUUID (never
   // collides, unlike identity hash); entries for stopped sessions are a
   // bounded leak (one DataFrame per verify/test session in the JVM).
-  private[kg] def triples(spark: SparkSession): DataFrame =
+  private[graft] def triples(spark: SparkSession): DataFrame =
     cache.computeIfAbsent("triples:" + sid(spark), _ =>
       Pipeline.triples(spark, Fixtures.scaled(spark, VerifyK)).localCheckpoint())
 
-  private[kg] def inferred(spark: SparkSession): DataFrame =
+  private[graft] def inferred(spark: SparkSession): DataFrame =
     cache.computeIfAbsent("inferred:" + sid(spark), _ =>
       Inference.infer(spark, triples(spark)).localCheckpoint())
 
@@ -120,6 +120,135 @@ object KgQueries {
     graft.queries.Iterative.closure(edges)
       .groupBy("src").agg(count(lit(1)).as("n_ancestors"))
       .orderBy("src")
+  }
+
+  /** Corpus query 2: per-Pokemon category + primary ability's label — the IRI
+    * hop to the ability entity (reference: pokemon_queries.sparql:23-31).
+    * All four patterns are equi-joins on subj; the ability-label join hops
+    * through the object IRI. */
+  def abilities(t: DataFrame): DataFrame = {
+    val pok = t.filter(col("pred") === V.RdfType && col("objLex") === V.PokemonClass)
+      .select(col("subj")).distinct()
+    val nm = slice(t, V.SchemaName, "subj", "pokemonName")
+    val cat = slice(t, V.Category, "subj", "category")
+    val ab = t.filter(col("pred") === V.PrimaryAbility && col("objIsIri"))
+      .select(col("subj"), col("objLex").as("ability"))
+    val lbl = t.filter(col("pred") === V.RdfsLabel)
+      .select(col("subj").as("ability"), col("objLex").as("abilityName"))
+    pok.join(nm, "subj").join(cat, "subj").join(ab, "subj")
+      .join(lbl, "ability")
+      .select("pokemonName", "category", "abilityName")
+      .orderBy("pokemonName", "category", "abilityName")
+  }
+
+  /** Corpus query 5: external dbpedia + wikidata links with CONTAINS(STR(..))
+    * source filters (reference: pokemon_queries.sparql:103-110). The two
+    * sameAs patterns become two filtered slices joined on subj. */
+  def externalLinks(t: DataFrame): DataFrame = {
+    val nm = slice(t, V.SchemaName, "subj", "name")
+    val sameAs = t.filter(col("pred") === V.OwlSameAs && col("objIsIri"))
+      .select(col("subj"), col("objLex"))
+    val db = sameAs.filter(col("objLex").contains("dbpedia.org"))
+      .withColumnRenamed("objLex", "dbpedia")
+    val wd = sameAs.filter(col("objLex").contains("wikidata.org"))
+      .withColumnRenamed("objLex", "wikidata")
+    nm.join(db, "subj").join(wd, "subj")
+      .select("name", "dbpedia", "wikidata")
+      .orderBy("name", "dbpedia", "wikidata")
+  }
+
+  /** Corpus query 12: the OPTIONAL variant of the external-link check
+    * (reference: pokemon_queries.sparql:196-204) — the CONTAINS filter sits
+    * INSIDE each OPTIONAL, so it is part of the left-join condition, not a
+    * post-filter. */
+  def externalLinksOptional(t: DataFrame): DataFrame = {
+    val nm = slice(t, V.SchemaName, "subj", "name")
+    val sameAs = t.filter(col("pred") === V.OwlSameAs && col("objIsIri"))
+      .select(col("subj"), col("objLex"))
+    val db = sameAs.filter(col("objLex").contains("dbpedia.org"))
+      .withColumnRenamed("objLex", "dbpedia")
+    val wd = sameAs.filter(col("objLex").contains("wikidata.org"))
+      .withColumnRenamed("objLex", "wikidata")
+    nm.join(db, Seq("subj"), "left_outer").join(wd, Seq("subj"), "left_outer")
+      .select("name", "dbpedia", "wikidata")
+      .orderBy("name", "dbpedia", "wikidata")
+  }
+
+  /** Corpus query 7: types inherited through the subClassOf closure
+    * (reference: pokemon_queries.sparql:128-136). The literal SPARQL pattern
+    * (`?pokemon rdfs:subClassOf* ?parent` with the ≠ filter) is vacuously
+    * EMPTY on the reference's own graph — instance subjects carry no
+    * subClassOf edges, and the zero-length path binds ?parent = ?pokemon,
+    * which the FILTER removes (CorpusQueriesSpec pins that emptiness). This
+    * implements the query's documented intent — "types including inferred
+    * ones from subclass relationships" — by making the entity→class hop
+    * explicit: entity --rdf:type--> class --subClassOf*--> parent, parent's
+    * primaryType ≠ the entity's own. The per-entity malformed `/type` class
+    * (SURVEY §1) is what gives this real solutions. */
+  def inferredTypes(t: DataFrame): DataFrame = {
+    val nm = slice(t, V.SchemaName, "subj", "name")
+    val base = t.filter(col("pred") === V.PrimaryType && !col("objIsIri"))
+      .select(col("subj"), col("objLex").as("baseType"))
+    val cls = t.filter(col("pred") === V.RdfType && col("objIsIri"))
+      .select(col("subj"), col("objLex").as("cls"))
+    val sub = t.filter(col("pred") === V.RdfsSubClassOf && col("objIsIri"))
+      .select(col("subj").as("src"), col("objLex").as("dst"))
+    // subClassOf* from the entity's class: zero-length ∪ transitive closure
+    val clsStar = cls.select(col("subj"), col("cls").as("parent"))
+      .unionByName(cls.join(graft.queries.Iterative.closure(sub),
+        col("cls") === col("src")).select(col("subj"), col("dst").as("parent")))
+      .distinct()
+    val parentType = t.filter(col("pred") === V.PrimaryType && !col("objIsIri"))
+      .select(col("subj").as("parent"), col("objLex").as("inheritedType"))
+    nm.join(base, "subj").join(clsStar, "subj").join(parentType, "parent")
+      .filter(col("baseType") =!= col("inheritedType"))
+      .select("name", "baseType", "inheritedType")
+      .distinct()
+      .orderBy("name", "baseType", "inheritedType")
+  }
+
+  /** Corpus query 8: equivalent entities across sources via owl:sameAs* with
+    * BIND(IF(CONTAINS...)) source classification and REPLACE(...) last-path-
+    * segment id extraction (reference: pokemon_queries.sparql:141-151).
+    * sameAs* = zero-length (the entity itself, source "Other") ∪ the
+    * transitive closure; SPARQL path evaluation is endpoint-distinct. */
+  def equivalents(t: DataFrame): DataFrame = {
+    val nm = slice(t, V.SchemaName, "subj", "pokemonName")
+    val sa = t.filter(col("pred") === V.OwlSameAs && col("objIsIri"))
+      .select(col("subj").as("src"), col("objLex").as("dst"))
+    val star = nm.select(col("subj"), col("subj").as("external"))
+      .unionByName(nm.select(col("subj"))
+        .join(graft.queries.Iterative.closure(sa), col("subj") === col("src"))
+        .select(col("subj"), col("dst").as("external")))
+      .distinct()
+    nm.join(star, "subj")
+      .select(col("pokemonName"),
+        when(col("external").contains("dbpedia"), "DBpedia")
+          .when(col("external").contains("wikidata"), "Wikidata")
+          .otherwise("Other").as("source"),
+        regexp_extract(col("external"), "^.*/([^/]*)$", 1).as("externalId"))
+      .orderBy("pokemonName", "source", "externalId")
+  }
+
+  /** Corpus query 9: evolution chains (evolvesFrom+) where base and evolved
+    * share the same primaryType (reference: pokemon_queries.sparql:156-164).
+    * The + path runs on the semi-naive closure kernel; the shared-type
+    * constraint is the final equi-filter. */
+  def inheritedEvolution(t: DataFrame): DataFrame = {
+    val nm = slice(t, V.SchemaName, "s", "n")
+    val ty = t.filter(col("pred") === V.PrimaryType && !col("objIsIri"))
+      .select(col("subj").as("s"), col("objLex").as("ty"))
+    val evo = t.filter(col("pred") === V.EvolvesFrom && col("objIsIri"))
+      .select(col("subj").as("src"), col("objLex").as("dst"))
+    graft.queries.Iterative.closure(evo)
+      .join(nm.select(col("s").as("dst"), col("n").as("baseName")), "dst")
+      .join(ty.select(col("s").as("dst"), col("ty").as("commonType")), "dst")
+      .join(nm.select(col("s").as("src"), col("n").as("evolvedName")), "src")
+      .join(ty.select(col("s").as("src"), col("ty").as("evolvedType")), "src")
+      .filter(col("commonType") === col("evolvedType"))
+      .select("baseName", "evolvedName", "commonType")
+      .distinct()
+      .orderBy("baseName", "evolvedName", "commonType")
   }
 
   /** Completeness checks (reference: pokemon_queries.sparql:182-238 — G1 +
@@ -222,6 +351,17 @@ object KgQueries {
       Inference.canonicalEdges(inferred(s), Inference.sameAsComponents(triples(s))), None),
     QueryDef("kg_canonical_vertices", (s, _) =>
       Inference.canonicalVertices(inferred(s), Inference.sameAsComponents(triples(s))), None),
+    // the five reference corpus queries missing in round 1 (VERDICT item 1);
+    // all run over the inference-enriched graph like the reference's served
+    // dataset (server loads the model through InferenceHandler first)
+    QueryDef("kg_q_abilities", (s, _) => abilities(inferred(s)), None),
+    QueryDef("kg_q_external_links", (s, _) => externalLinks(inferred(s)), None),
+    QueryDef("kg_q_external_links_opt",
+      (s, _) => externalLinksOptional(inferred(s)), None),
+    QueryDef("kg_q_inferred_types", (s, _) => inferredTypes(inferred(s)), None),
+    QueryDef("kg_q_equivalents", (s, _) => equivalents(inferred(s)), None),
+    QueryDef("kg_q_inherited_evolution",
+      (s, _) => inheritedEvolution(inferred(s)), None),
     QueryDef("kg_q_label_coverage", (s, _) => labelCoverage(triples(s)), None),
     QueryDef("kg_q_shared_characteristics",
       (s, _) => sharedCharacteristicPairs(s, inferred(s)), None),

@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kg.KgQueries
+import graft.model.{Vocab => V}
+
+/** The five reference corpus queries added in round 2 (Q2, Q5/Q12, Q7, Q8,
+  * Q9 — reference: src/main/resources/queries/pokemon_queries.sparql), each
+  * equated to an independent spark.sql formulation over the inferred triple
+  * view, plus the literal-Q7 emptiness pin. Multiset row equality (order
+  * ignored — both sides are ORDER-BY-stable anyway).
+  */
+class CorpusQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private lazy val inf: DataFrame = {
+    val df = KgQueries.inferred(spark)
+    df.createOrReplaceTempView("inf")
+    df
+  }
+
+  private def multiset(df: DataFrame): Map[Seq[String], Int] =
+    df.collect().toSeq.map(_.toSeq.map(String.valueOf)).groupBy(identity).map { case (k, v) => k -> v.size }
+
+  private def assertSameRows(actual: DataFrame, sql: String): Unit = {
+    val a = multiset(actual)
+    val b = multiset(spark.sql(sql))
+    assert(a == b, s"DataFrame plan and SQL form disagree (${a.size} vs ${b.size} distinct rows)")
+    assert(a.nonEmpty, "corpus query must produce rows on the fixture graph")
+  }
+
+  test("Q2 abilities: category + ability label via the IRI hop") {
+    inf
+    assertSameRows(KgQueries.abilities(inf),
+      s"""SELECT nm.objLex AS pokemonName, cat.objLex AS category, lbl.objLex AS abilityName
+          FROM (SELECT DISTINCT subj FROM inf
+                WHERE pred = '${V.RdfType}' AND objLex = '${V.PokemonClass}') pok
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm ON nm.subj = pok.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.Category}') cat ON cat.subj = pok.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.PrimaryAbility}' AND objIsIri) ab ON ab.subj = pok.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.RdfsLabel}') lbl ON lbl.subj = ab.objLex""")
+  }
+
+  test("Q5 external links: dbpedia x wikidata CONTAINS joins") {
+    inf
+    assertSameRows(KgQueries.externalLinks(inf),
+      s"""SELECT nm.objLex AS name, db.objLex AS dbpedia, wd.objLex AS wikidata
+          FROM (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'dbpedia.org')) db ON db.subj = nm.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'wikidata.org')) wd ON wd.subj = nm.subj""")
+  }
+
+  test("Q12 external links OPTIONAL: filters live inside the left joins") {
+    inf
+    assertSameRows(KgQueries.externalLinksOptional(inf),
+      s"""SELECT nm.objLex AS name, db.objLex AS dbpedia, wd.objLex AS wikidata
+          FROM (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm
+          LEFT JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'dbpedia.org')) db ON db.subj = nm.subj
+          LEFT JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'wikidata.org')) wd ON wd.subj = nm.subj""")
+    // and: every named subject appears even with no external links
+    val names = inf.filter(col("pred") === V.SchemaName).select("objLex").distinct().count()
+    assert(KgQueries.externalLinksOptional(inf).select("name").distinct().count() == names)
+  }
+
+  test("Q7 literal form is vacuously empty on the reference's own graph") {
+    // ?pokemon rdfs:subClassOf* ?parent with FILTER(base != inherited):
+    // instance subjects carry no subClassOf edges, so only the zero-length
+    // path binds, and the != filter removes it — pinning reference behavior.
+    val named = inf.filter(col("pred") === V.SchemaName).select(col("subj"))
+    val base = inf.filter(col("pred") === V.PrimaryType && !col("objIsIri"))
+      .select(col("subj"), col("objLex").as("baseType"))
+    val sub = inf.filter(col("pred") === V.RdfsSubClassOf && col("objIsIri"))
+      .select(col("subj").as("src"), col("objLex").as("dst"))
+    val star = named.select(col("subj"), col("subj").as("parent"))
+      .unionByName(named.join(graft.queries.Iterative.closure(sub), col("subj") === col("src"))
+        .select(col("subj"), col("dst").as("parent")))
+      .distinct()
+    val parentType = inf.filter(col("pred") === V.PrimaryType && !col("objIsIri"))
+      .select(col("subj").as("parent"), col("objLex").as("inheritedType"))
+    val literal = named.join(base, "subj").join(star, "subj").join(parentType, "parent")
+      .filter(col("baseType") =!= col("inheritedType"))
+    assert(literal.count() == 0)
+  }
+
+  test("Q7 inferred types: entity -> class -> subClassOf* -> parent primaryType") {
+    inf
+    assertSameRows(KgQueries.inferredTypes(inf),
+      s"""WITH RECURSIVE closure(src, dst) AS (
+            SELECT DISTINCT subj, objLex FROM inf WHERE pred = '${V.RdfsSubClassOf}' AND objIsIri
+            UNION ALL
+            SELECT c.src, e.objLex FROM closure c
+            JOIN inf e ON e.pred = '${V.RdfsSubClassOf}' AND e.objIsIri AND e.subj = c.dst
+          ),
+          cls AS (SELECT subj, objLex AS cls FROM inf WHERE pred = '${V.RdfType}' AND objIsIri),
+          star AS (
+            SELECT subj, cls AS parent FROM cls
+            UNION
+            SELECT cls.subj, c.dst AS parent FROM cls JOIN closure c ON cls.cls = c.src
+          ),
+          pt AS (SELECT subj, objLex FROM inf WHERE pred = '${V.PrimaryType}' AND NOT objIsIri)
+          SELECT DISTINCT nm.objLex AS name, base.objLex AS baseType, pt.objLex AS inheritedType
+          FROM (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm
+          JOIN pt base ON base.subj = nm.subj
+          JOIN star ON star.subj = nm.subj
+          JOIN pt ON pt.subj = star.parent
+          WHERE base.objLex <> pt.objLex""")
+  }
+
+  test("Q8 equivalents: sameAs* with source classification and id extraction") {
+    inf
+    // chained-fixpoint closure (sameAs has cycles after symmetric inference,
+    // so UNION ALL recursion would not terminate): 3 doubling rounds give
+    // path length up to 8; the fixpoint assertion below proves that is the
+    // full closure on this graph.
+    val sql =
+      s"""WITH e AS (SELECT DISTINCT subj AS src, objLex AS dst FROM inf
+                     WHERE pred = '${V.OwlSameAs}' AND objIsIri),
+          c1 AS (SELECT src, dst FROM e UNION
+                 SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+          c2 AS (SELECT src, dst FROM c1 UNION
+                 SELECT a.src, b.dst FROM c1 a JOIN c1 b ON a.dst = b.src),
+          c3 AS (SELECT src, dst FROM c2 UNION
+                 SELECT a.src, b.dst FROM c2 a JOIN c2 b ON a.dst = b.src),
+          nm AS (SELECT subj, objLex AS pokemonName FROM inf WHERE pred = '${V.SchemaName}'),
+          star AS (SELECT subj, subj AS external FROM nm UNION
+                   SELECT nm.subj, c3.dst AS external FROM nm JOIN c3 ON nm.subj = c3.src)
+          SELECT nm.pokemonName,
+                 CASE WHEN contains(external, 'dbpedia') THEN 'DBpedia'
+                      WHEN contains(external, 'wikidata') THEN 'Wikidata'
+                      ELSE 'Other' END AS source,
+                 regexp_extract(external, '^.*/([^/]*)$$', 1) AS externalId
+          FROM nm JOIN star ON star.subj = nm.subj"""
+    assertSameRows(KgQueries.equivalents(inf), sql)
+    // fixpoint proof: one more doubling round adds nothing
+    val c3 = spark.sql(
+      s"""WITH e AS (SELECT DISTINCT subj AS src, objLex AS dst FROM inf
+                     WHERE pred = '${V.OwlSameAs}' AND objIsIri),
+          c1 AS (SELECT src, dst FROM e UNION
+                 SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+          c2 AS (SELECT src, dst FROM c1 UNION
+                 SELECT a.src, b.dst FROM c1 a JOIN c1 b ON a.dst = b.src),
+          c3 AS (SELECT src, dst FROM c2 UNION
+                 SELECT a.src, b.dst FROM c2 a JOIN c2 b ON a.dst = b.src)
+          SELECT count(*) FROM (
+            SELECT src, dst FROM c3 UNION
+            SELECT a.src, b.dst FROM c3 a JOIN c3 b ON a.dst = b.src
+          )""").collect()(0).getLong(0)
+    val c3n = spark.sql(
+      s"""WITH e AS (SELECT DISTINCT subj AS src, objLex AS dst FROM inf
+                     WHERE pred = '${V.OwlSameAs}' AND objIsIri),
+          c1 AS (SELECT src, dst FROM e UNION
+                 SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+          c2 AS (SELECT src, dst FROM c1 UNION
+                 SELECT a.src, b.dst FROM c1 a JOIN c1 b ON a.dst = b.src),
+          c3 AS (SELECT src, dst FROM c2 UNION
+                 SELECT a.src, b.dst FROM c2 a JOIN c2 b ON a.dst = b.src)
+          SELECT count(*) FROM c3""").collect()(0).getLong(0)
+    assert(c3 == c3n, "sameAs closure must be a fixpoint at 3 doubling rounds")
+  }
+
+  test("Q9 inherited evolution: evolvesFrom+ with shared primaryType") {
+    inf
+    assertSameRows(KgQueries.inheritedEvolution(inf),
+      s"""WITH RECURSIVE closure(src, dst) AS (
+            SELECT DISTINCT subj, objLex FROM inf WHERE pred = '${V.EvolvesFrom}' AND objIsIri
+            UNION ALL
+            SELECT c.src, e.objLex FROM closure c
+            JOIN inf e ON e.pred = '${V.EvolvesFrom}' AND e.objIsIri AND e.subj = c.dst
+          ),
+          nm AS (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}'),
+          ty AS (SELECT subj, objLex FROM inf WHERE pred = '${V.PrimaryType}' AND NOT objIsIri)
+          SELECT DISTINCT bn.objLex AS baseName, en.objLex AS evolvedName, bt.objLex AS commonType
+          FROM (SELECT DISTINCT src, dst FROM closure) c
+          JOIN nm bn ON bn.subj = c.dst
+          JOIN ty bt ON bt.subj = c.dst
+          JOIN nm en ON en.subj = c.src
+          JOIN ty et ON et.subj = c.src
+          WHERE bt.objLex = et.objLex""")
+  }
+}
