@@ -17,7 +17,7 @@ object KgQueries {
 
   /** Fixture corpus scale for verify runs: small but non-degenerate (enough
     * rows that joins/dedup actually exercise multiple partitions). */
-  private val VerifyK = 4
+  private[graft] val VerifyK = 4
 
   // memoize the constructed graph per session so each corpus query doesn't
   // re-run parse/emit (verify executes queries one at a time)
@@ -91,14 +91,18 @@ object KgQueries {
         concat(col("objLex"), lit("@"), col("objLang"))))).as("labels"))
       .orderBy("subj")
 
-  /** Per-type stats (reference: test-queries.txt:90-103 — G3). */
+  /** Per-type stats (reference: test-queries.txt:90-103 — G3). Heights are
+    * quantized to integer centimetres BEFORE the mean (integer sums are
+    * order-independent, so the result is bit-identical across engines and
+    * partitionings; a double avg's last-ulp error can flip the floor). */
   def typeStats(t: DataFrame): DataFrame = {
     val ty = slice(t, V.PrimaryType, "subj", "ptype")
     val ht = slice(t, V.SchemaHeight, "subj", "h")
     ty.join(ht, Seq("subj"), "left_outer")
+      .withColumn("hc", floor(col("h").cast("double") * 100.0).cast("long"))
       .groupBy("ptype")
       .agg(count(lit(1)).as("n"),
-        floor(lit(100.0) * avg(col("h").cast("double"))).cast("long").as("avg_height_cm"))
+        floor(sum(col("hc")).cast("double") / count(col("hc"))).cast("long").as("avg_height_cm"))
       .orderBy(desc("n"), asc("ptype"))
   }
 

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.KgQueries
+import graft.model.{Vocab => V}
+
+/** Independent-engine oracle for kg_inferred: the ENTIRE inference pass
+  * (static heads → type hierarchy → subClassOf closure → sameAs symmetry →
+  * name propagation → property inheritance → min-lineage dedup) re-derived
+  * from the BASE triple parquet in DuckDB SQL, then compared row-for-row
+  * against Inference.infer's output. Recursive CTE carries the closure; the
+  * min-lineage survivor is a row_number window ordered by the 4 lineage
+  * columns (equivalent to Spark's min(struct(...)) — lexicographic,
+  * field-by-field, binary string order in both engines).
+  */
+class InferenceOracleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val dir = "target/duck-oracle-inf"
+
+  test("kg_inferred: full inference pass re-derived in DuckDB matches exactly") {
+    KgQueries.triples(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/base")
+
+    val lin = "'_inference' AS srcRepo, '' AS srcPath, '' AS srcCommit, '' AS srcSha256"
+    val staticRows = (
+      V.AllTypes.map(t => s"('${V.typeClass(t)}', '${V.RdfsSubClassOf}', TRUE, '${V.PokemonClass}', '', '')") ++
+      V.AllTypes.map(t => s"('${V.typeClass(t)}', '${V.PrimaryType}', FALSE, '$t', '', '')") ++
+      V.CharacteristicProps.map(p => s"('$p', '${V.RdfsSubPropertyOf}', TRUE, '${V.Characteristic}', '', '')")
+    ).mkString(",\n        ")
+
+    val sql =
+      s"""WITH RECURSIVE
+        base AS (SELECT subj, pred, objIsIri, objLex, objDtype, objLang,
+                        srcRepo, srcPath, srcCommit, srcSha256 FROM t),
+        statics AS (SELECT subj, pred, objIsIri, objLex, objDtype, objLang, $lin
+                    FROM (VALUES
+        $staticRows
+                    ) AS s(subj, pred, objIsIri, objLex, objDtype, objLang)),
+        typed AS (SELECT subj AS s, objLex AS tt FROM base
+                  WHERE pred = '${V.PrimaryType}' AND NOT objIsIri
+                    AND NOT starts_with(subj, '${V.Base}Type/')
+                    AND subj <> '${V.MalformedEntityType}'),
+        typehier AS (SELECT DISTINCT subj, pred, objIsIri, objLex, objDtype, objLang FROM (
+            SELECT s AS subj, '${V.RdfType}' AS pred, TRUE AS objIsIri,
+                   '${V.Base}Type/' || tt AS objLex, '' AS objDtype, '' AS objLang FROM typed
+            UNION ALL
+            SELECT s, '${V.RdfType}', TRUE, '${V.PokemonClass}', '', '' FROM typed
+            UNION ALL
+            SELECT '${V.MalformedEntityType}', '${V.PrimaryType}', FALSE, tt, '', '' FROM typed)),
+        t1 AS (SELECT * FROM base
+               UNION ALL SELECT * FROM statics
+               UNION ALL SELECT *, $lin FROM typehier),
+        scedges AS (SELECT DISTINCT subj AS src, objLex AS dst FROM t1
+                    WHERE pred = '${V.RdfsSubClassOf}' AND objIsIri),
+        sc(src, dst) AS (SELECT src, dst FROM scedges
+                         UNION
+                         SELECT c.src, e.dst FROM sc c JOIN scedges e ON c.dst = e.src),
+        closuretriples AS (SELECT src AS subj, '${V.RdfsSubClassOf}' AS pred, TRUE AS objIsIri,
+                                  dst AS objLex, '' AS objDtype, '' AS objLang FROM sc),
+        membership AS (SELECT DISTINCT m.subj, '${V.RdfType}' AS pred, TRUE AS objIsIri,
+                              c.dst AS objLex, '' AS objDtype, '' AS objLang
+                       FROM (SELECT subj, objLex FROM t1
+                             WHERE pred = '${V.RdfType}' AND objIsIri) m
+                       JOIN sc c ON m.objLex = c.src),
+        t2 AS (SELECT * FROM t1
+               UNION ALL SELECT *, $lin FROM closuretriples
+               UNION ALL SELECT *, $lin FROM membership),
+        sym AS (SELECT objLex AS subj, '${V.OwlSameAs}' AS pred, TRUE AS objIsIri,
+                       subj AS objLex, '' AS objDtype, '' AS objLang
+                FROM t2 WHERE pred = '${V.OwlSameAs}' AND objIsIri),
+        withsame AS (SELECT * FROM t2 UNION ALL SELECT *, $lin FROM sym),
+        pairs AS (SELECT DISTINCT a, b FROM (
+            SELECT subj AS a, objLex AS b FROM withsame
+            WHERE pred = '${V.OwlSameAs}' AND objIsIri
+            UNION ALL
+            SELECT objLex AS a, subj AS b FROM withsame
+            WHERE pred = '${V.OwlSameAs}' AND objIsIri)),
+        nameprop AS (SELECT DISTINCT p.b AS subj, '${V.SchemaName}' AS pred, FALSE AS objIsIri,
+                            n.nm AS objLex, '' AS objDtype, '' AS objLang
+                     FROM pairs p JOIN (SELECT subj AS a, objLex AS nm FROM withsame
+                                        WHERE pred = '${V.SchemaName}' AND NOT objIsIri) n
+                       ON n.a = p.a),
+        propinh AS (SELECT DISTINCT p.b AS subj, w.pred, w.objIsIri, w.objLex, w.objDtype, w.objLang
+                    FROM pairs p JOIN (SELECT * FROM withsame
+                                       WHERE pred <> '${V.OwlSameAs}') w
+                      ON w.subj = p.a),
+        t3 AS (SELECT * FROM withsame
+               UNION ALL SELECT *, $lin FROM nameprop
+               UNION ALL SELECT *, $lin FROM propinh)
+        SELECT subj, pred, objIsIri, objLex, objDtype, objLang,
+               srcRepo, srcPath, srcCommit, srcSha256
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY subj, pred, objIsIri, objLex, objDtype, objLang
+                ORDER BY srcRepo, srcPath, srcCommit, srcSha256) AS rn
+              FROM t3)
+        WHERE rn = 1"""
+
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c, s"CREATE VIEW t AS SELECT * FROM read_parquet('$dir/base/*.parquet')")
+      DuckOracle.assertMatches(c, KgQueries.inferred(spark), sql, "kg_inferred")
+    }
+  }
+}

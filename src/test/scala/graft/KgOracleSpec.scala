@@ -1,0 +1,411 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Connection
+import org.apache.spark.sql.functions._
+import graft.kg.{Enrich, Fixtures, Inference, KgQueries, Linking, Pipeline}
+import graft.model.{Vocab => V}
+
+/** Independent-engine (DuckDB) oracles for the KG query corpus — the entries
+  * the driver can only check rows-only because their input is the fixture
+  * corpus, not the sfDir tables (VERDICT r01 item 2). The fixture graph is
+  * dumped to parquet once; every corpus query is re-expressed in DuckDB SQL
+  * (recursive CTEs for closures / connected components) and row-multisets
+  * must match exactly. kg_triples itself is covered by GoldenReplaySpec
+  * (P=R=1.0 vs the reference fixture) and kg_metrics is partition-dependent
+  * by design — those two stay out of scope here.
+  */
+class KgOracleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val dir = "target/duck-oracle"
+
+  // one-time parquet dumps of the fixture graph + auxiliary inputs
+  private lazy val setup: Unit = {
+    KgQueries.triples(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/base")
+    KgQueries.inferred(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/inf")
+    Fixtures.scaled(spark, KgQueries.VerifyK).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pages")
+    Enrich.syntheticDict(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/dict")
+    Linking.dictionary(spark, Fixtures.scaled(spark, KgQueries.VerifyK))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ldict")
+  }
+
+  private def check(name: String, df: org.apache.spark.sql.DataFrame, sql: String): Unit = {
+    setup
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c, s"CREATE VIEW t AS SELECT * FROM read_parquet('$dir/base/*.parquet')")
+      DuckOracle.exec(c, s"CREATE VIEW inf AS SELECT * FROM read_parquet('$dir/inf/*.parquet')")
+      DuckOracle.exec(c, s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c, s"CREATE VIEW dict AS SELECT * FROM read_parquet('$dir/dict/*.parquet')")
+      DuckOracle.exec(c, s"CREATE VIEW ldict AS SELECT * FROM read_parquet('$dir/ldict/*.parquet')")
+      DuckOracle.assertMatches(c, df, sql, name)
+    }
+  }
+
+  private def tri(s: String) = KgQueries.triples(spark)
+  private lazy val base = KgQueries.triples(spark)
+  private lazy val inf = KgQueries.inferred(spark)
+
+  // reusable SQL fragments
+  private def comp(src: String): String =
+    s"""und AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT subj AS a, objLex AS b FROM $src WHERE pred = '${V.OwlSameAs}' AND objIsIri
+            UNION ALL
+            SELECT objLex AS a, subj AS b FROM $src WHERE pred = '${V.OwlSameAs}' AND objIsIri)),
+        reach(n, m) AS (
+          SELECT a, a FROM und
+          UNION
+          SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m),
+        comp AS (SELECT n AS iri, min(m) AS canonId FROM reach GROUP BY n)"""
+
+  test("kg_q_overview vs DuckDB") {
+    check("kg_q_overview", KgQueries.overview(base),
+      s"""SELECT id.subj, id.objLex AS identifier, nm.objLex AS name,
+                 ht.objLex AS height, wt.objLex AS weight
+          FROM (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaIdentifier}') id
+          JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaName}') nm ON nm.subj = id.subj
+          LEFT JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaHeight}') ht ON ht.subj = id.subj
+          LEFT JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaWeight}') wt ON wt.subj = id.subj""")
+  }
+
+  test("kg_q_evolution_chains vs DuckDB") {
+    check("kg_q_evolution_chains", KgQueries.evolutionChains(base),
+      s"""WITH evo AS (SELECT subj AS child, objLex AS parent FROM t WHERE pred = '${V.EvolvesFrom}'),
+               nm AS (SELECT subj AS s, objLex AS n FROM t WHERE pred = '${V.SchemaName}')
+          SELECT DISTINCT n1.n AS name1, n2.n AS name2, n3.n AS name3
+          FROM evo e1 JOIN evo e2 ON e1.child = e2.parent
+          JOIN nm n1 ON n1.s = e1.parent
+          JOIN nm n2 ON n2.s = e1.child
+          JOIN nm n3 ON n3.s = e2.child""")
+  }
+
+  test("kg_q_label_concat vs DuckDB") {
+    check("kg_q_label_concat", KgQueries.labelConcat(base),
+      s"""SELECT subj, string_agg(v, '|' ORDER BY v) AS labels
+          FROM (SELECT DISTINCT subj, objLex || '@' || objLang AS v
+                FROM t WHERE pred = '${V.RdfsLabel}')
+          GROUP BY subj""")
+  }
+
+  test("kg_q_type_stats vs DuckDB") {
+    check("kg_q_type_stats", KgQueries.typeStats(base),
+      s"""SELECT ptype, CAST(count(*) AS BIGINT) AS n,
+                 CAST(floor(CAST(sum(hc) AS DOUBLE) / count(hc)) AS BIGINT) AS avg_height_cm
+          FROM (SELECT ty.objLex AS ptype,
+                       CAST(floor(CAST(ht.objLex AS DOUBLE) * 100.0) AS BIGINT) AS hc
+                FROM (SELECT subj, objLex FROM t WHERE pred = '${V.PrimaryType}') ty
+                LEFT JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaHeight}') ht
+                  ON ht.subj = ty.subj)
+          GROUP BY ptype""")
+  }
+
+  test("kg_q_same_type_pairs vs DuckDB") {
+    check("kg_q_same_type_pairs", KgQueries.sameTypePairs(base),
+      s"""WITH ty AS (SELECT subj AS s, objLex AS ptype FROM t WHERE pred = '${V.PrimaryType}')
+          SELECT a.ptype, CAST(count(*) AS BIGINT) AS pairs
+          FROM ty a JOIN ty b ON a.ptype = b.ptype AND a.s < b.s
+          GROUP BY a.ptype""")
+  }
+
+  test("kg_q_evolution_ancestry vs DuckDB (recursive)") {
+    check("kg_q_evolution_ancestry", KgQueries.evolutionAncestry(base),
+      s"""WITH RECURSIVE c(src, dst) AS (
+            SELECT DISTINCT subj, objLex FROM t WHERE pred = '${V.EvolvesFrom}'
+            UNION
+            SELECT c.src, e.objLex FROM c JOIN t e
+              ON e.pred = '${V.EvolvesFrom}' AND e.subj = c.dst)
+          SELECT src, CAST(count(*) AS BIGINT) AS n_ancestors FROM c GROUP BY src""")
+  }
+
+  test("kg_q_completeness vs DuckDB") {
+    check("kg_q_completeness", KgQueries.completeness(base),
+      s"""SELECT CAST(count(DISTINCT CASE WHEN pred = '${V.SchemaIdentifier}' THEN subj END) AS BIGINT) AS n_entities,
+                 CAST(count(DISTINCT CASE WHEN pred = '${V.OwlSameAs}' THEN objLex END) AS BIGINT) AS n_external,
+                 CAST(count(CASE WHEN pred = '${V.RdfsLabel}' THEN 1 END) AS BIGINT) AS n_labels,
+                 CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+                 CAST(count(*) AS BIGINT) AS n_triples
+          FROM t""")
+  }
+
+  test("kg_q_label_coverage vs DuckDB") {
+    check("kg_q_label_coverage", KgQueries.labelCoverage(base),
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                 CAST(count(l.subj) AS BIGINT) AS n_labeled
+          FROM (SELECT DISTINCT subj FROM t) s
+          LEFT JOIN (SELECT DISTINCT subj FROM t WHERE pred = '${V.RdfsLabel}') l USING (subj)""")
+  }
+
+  test("kg_q_distinct_labels vs DuckDB") {
+    check("kg_q_distinct_labels", KgQueries.distinctLabelConcat(base),
+      s"""SELECT objLang AS lang, CAST(count(*) AS BIGINT) AS n_distinct,
+                 string_agg(objLex, '|' ORDER BY objLex) AS labels
+          FROM (SELECT DISTINCT objLang, objLex FROM t WHERE pred = '${V.RdfsLabel}')
+          GROUP BY objLang""")
+  }
+
+  test("kg_q_point_lookup + kg_q_ask vs DuckDB") {
+    val uri = V.Base + "pokemon/0001"
+    check("kg_q_point_lookup",
+      base.filter(col("subj") === uri)
+        .select("pred", "objIsIri", "objLex", "objDtype", "objLang")
+        .orderBy("pred", "objLex"),
+      s"SELECT pred, objIsIri, objLex, objDtype, objLang FROM t WHERE subj = '$uri'")
+    import spark.implicits._
+    val exists = base.filter(col("subj") === uri).limit(1).count() == 1
+    check("kg_q_ask", Seq(exists).toDF("ask_result"),
+      s"SELECT count(*) >= 1 AS ask_result FROM t WHERE subj = '$uri'")
+  }
+
+  test("kg_q_sameas_clusters + kg_sameas_components vs DuckDB (recursive CC)") {
+    check("kg_sameas_components", Inference.sameAsComponents(base),
+      s"WITH RECURSIVE ${comp("t")} SELECT iri, canonId FROM comp")
+    check("kg_q_sameas_clusters", KgQueries.sameAsClusters(base),
+      s"""WITH RECURSIVE ${comp("t")}
+          SELECT canonId, CAST(count(*) AS BIGINT) AS cluster_size,
+                 string_agg(iri, '|' ORDER BY iri) AS members
+          FROM comp GROUP BY canonId""")
+  }
+
+  test("kg_vertices + kg_edges vs DuckDB") {
+    check("kg_edges", Pipeline.edges(base),
+      s"SELECT subj AS src, pred, objLex AS dst FROM t WHERE objIsIri")
+    check("kg_vertices", Pipeline.vertices(base),
+      s"""WITH ids AS (SELECT DISTINCT id FROM (
+                SELECT subj AS id FROM t
+                UNION ALL SELECT objLex AS id FROM t WHERE objIsIri)),
+              names AS (SELECT subj AS id, min(objLex) AS label
+                        FROM t WHERE pred = '${V.SchemaName}' AND NOT objIsIri GROUP BY subj)
+          SELECT ids.id, names.label,
+                 CASE WHEN starts_with(ids.id, '${V.Base}pokemon/') THEN 'pokemon'
+                      WHEN starts_with(ids.id, '${V.Base}Type/') THEN 'type'
+                      WHEN starts_with(ids.id, '${V.Base}ability/') THEN 'ability'
+                      WHEN contains(ids.id, 'dbpedia.org') THEN 'dbpedia'
+                      WHEN contains(ids.id, 'wikidata.org') THEN 'wikidata'
+                      WHEN contains(ids.id, 'bulbapedia') THEN 'bulbapedia'
+                      WHEN contains(ids.id, 'wikipedia.org') THEN 'wikipedia'
+                      ELSE 'other' END AS kind
+          FROM ids LEFT JOIN names ON names.id = ids.id""")
+  }
+
+  test("kg_canonical_edges + kg_canonical_vertices vs DuckDB") {
+    val components = Inference.sameAsComponents(base)
+    check("kg_canonical_edges", Inference.canonicalEdges(inf, components),
+      s"""WITH RECURSIVE ${comp("t")}
+          SELECT DISTINCT coalesce(cs.canonId, e.subj) AS src, e.pred,
+                          coalesce(cd.canonId, e.dst) AS dst
+          FROM (SELECT subj, pred, objLex AS dst FROM inf
+                WHERE objIsIri AND pred <> '${V.OwlSameAs}') e
+          LEFT JOIN comp cs ON cs.iri = e.subj
+          LEFT JOIN comp cd ON cd.iri = e.dst""")
+    check("kg_canonical_vertices", Inference.canonicalVertices(inf, components),
+      s"""WITH RECURSIVE ${comp("t")},
+          iris AS (SELECT DISTINCT iri FROM (
+                SELECT subj AS iri FROM inf
+                UNION ALL SELECT objLex AS iri FROM inf WHERE objIsIri)),
+          canon AS (SELECT iris.iri, coalesce(comp.canonId, iris.iri) AS canonId
+                    FROM iris LEFT JOIN comp ON comp.iri = iris.iri),
+          names AS (SELECT subj AS iri, objLex AS label FROM inf
+                    WHERE pred = '${V.SchemaName}' AND NOT objIsIri)
+          SELECT canonId, CAST(count(*) AS BIGINT) AS n_members, min(label) AS label
+          FROM canon LEFT JOIN names ON names.iri = canon.iri
+          GROUP BY canonId""")
+  }
+
+  test("kg_q_shared_characteristics vs DuckDB") {
+    val list = V.CharacteristicProps.map(p => s"'$p'").mkString(", ")
+    check("kg_q_shared_characteristics",
+      KgQueries.sharedCharacteristicPairs(spark, inf),
+      s"""WITH chars AS (SELECT subj AS s, pred, objLex AS v FROM inf
+                         WHERE pred IN ($list) AND NOT objIsIri)
+          SELECT a.pred AS characteristic, CAST(count(*) AS BIGINT) AS pairs
+          FROM chars a JOIN chars b
+            ON a.pred = b.pred AND a.v = b.v AND a.s < b.s
+          GROUP BY a.pred""")
+  }
+
+  test("kg_tsv_labels vs DuckDB") {
+    check("kg_tsv_labels", Enrich.labelTriples(base, Enrich.syntheticDict(spark)),
+      s"""SELECT DISTINCT ids.subj, '${V.RdfsLabel}' AS pred, FALSE AS objIsIri,
+                 d.label AS objLex, '' AS objDtype, d.language AS objLang,
+                 ids.srcRepo, ids.srcPath, ids.srcCommit, ids.srcSha256
+          FROM (SELECT subj, objLex AS ident, srcRepo, srcPath, srcCommit, srcSha256
+                FROM t WHERE pred = '${V.SchemaIdentifier}' AND NOT objIsIri) ids
+          JOIN (SELECT label, language,
+                       CASE WHEN regexp_matches(id, '^[0-9]+$$')
+                            THEN printf('%04d', CAST(id AS INTEGER)) ELSE id END AS idPad
+                FROM dict WHERE type = 'pokemon') d
+            ON ids.ident = d.idPad""")
+  }
+
+  test("kg_mentions vs DuckDB (regex extraction)") {
+    check("kg_mentions", Linking.mentions(Fixtures.scaled(spark, KgQueries.VerifyK)),
+      """SELECT repo, path, commit, target, CAST(count(*) AS BIGINT) AS n_mentions
+         FROM (SELECT repo, path, commit,
+                      unnest(regexp_extract_all(content, '\[\[([^\]|]+)(?:\|[^\]]*)?\]\]', 1)) AS target
+               FROM pages WHERE lang = 'wikitext' AND contains(content, '[['))
+         WHERE NOT starts_with(target, 'Category:')
+         GROUP BY repo, path, commit, target""")
+  }
+
+  test("kg_linked_mentions vs DuckDB (scoring + window)") {
+    check("kg_linked_mentions",
+      Linking.linkedMentions(spark, Fixtures.scaled(spark, KgQueries.VerifyK)),
+      """WITH m AS (
+           SELECT repo, path, commit, target, CAST(count(*) AS BIGINT) AS n_mentions
+           FROM (SELECT repo, path, commit,
+                        unnest(regexp_extract_all(content, '\[\[([^\]|]+)(?:\|[^\]]*)?\]\]', 1)) AS target
+                 FROM pages WHERE lang = 'wikitext' AND contains(content, '[['))
+           WHERE NOT starts_with(target, 'Category:')
+           GROUP BY repo, path, commit, target),
+         cand AS (
+           SELECT m.*, d.label, d.iri,
+                  CAST(CASE WHEN m.target = d.label THEN 1.0
+                            WHEN lower(m.target) = lower(d.label) THEN 0.9
+                            ELSE 0.8 END AS DOUBLE) AS score
+           FROM (SELECT *, lower(replace(target, '_', ' ')) AS targetNorm FROM m) m
+           JOIN (SELECT *, lower(replace(label, '_', ' ')) AS labelNorm FROM ldict) d
+             ON m.targetNorm = d.labelNorm)
+         SELECT repo, path, commit, target, n_mentions, iri, score
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY repo, path, commit, target
+                 ORDER BY score DESC, iri) AS rn FROM cand)
+         WHERE rn = 1""")
+  }
+
+  test("kg_validation: all 11 rules vs DuckDB") {
+    val types = V.AllTypes.map(t => s"'$t'").mkString(", ")
+    def one(rule: String, countSql: String) =
+      s"SELECT '$rule' AS rule, CAST(($countSql) AS BIGINT) AS violations"
+    def missing(pred: String) =
+      s"""SELECT count(*) FROM (
+            SELECT DISTINCT subj FROM inf
+            WHERE pred = '${V.RdfType}' AND objLex = '${V.PokemonClass}') p
+          WHERE p.subj NOT IN (SELECT DISTINCT subj FROM inf WHERE pred = '$pred')"""
+    val sql = Seq(
+      one("minCount_name", missing(V.SchemaName)),
+      one("minCount_identifier", missing(V.SchemaIdentifier)),
+      one("minCount_primaryType", missing(V.PrimaryType)),
+      one("pattern_identifier",
+        s"""SELECT count(*) FROM inf WHERE pred = '${V.SchemaIdentifier}'
+            AND NOT regexp_matches(objLex, '^[0-9]{4}$$')"""),
+      one("in_typeWhitelist",
+        s"""SELECT count(*) FROM inf WHERE pred = '${V.PrimaryType}'
+            AND objLex NOT IN ($types)"""),
+      one("range_height",
+        s"""SELECT count(*) FROM (SELECT TRY_CAST(objLex AS DOUBLE) AS v FROM inf
+            WHERE pred = '${V.SchemaHeight}')
+            WHERE v IS NULL OR NOT (v BETWEEN 0.1 AND 25.0)"""),
+      one("range_weight",
+        s"""SELECT count(*) FROM (SELECT TRY_CAST(objLex AS DOUBLE) AS v FROM inf
+            WHERE pred = '${V.SchemaWeight}')
+            WHERE v IS NULL OR NOT (v BETWEEN 0.1 AND 1000.0)"""),
+      one("range_evolutionStage",
+        s"""SELECT count(*) FROM (SELECT TRY_CAST(objLex AS INTEGER) AS v FROM inf
+            WHERE pred = '${V.EvolutionStage}')
+            WHERE v IS NULL OR NOT (v BETWEEN 1 AND 3)"""),
+      one("languageIn_label",
+        s"""SELECT count(*) FROM inf WHERE pred = '${V.RdfsLabel}'
+            AND objLang <> '' AND objLang NOT IN ('en', 'ja', 'ja-Latn')"""),
+      one("uniqueLang_label",
+        s"""SELECT count(*) FROM (
+              SELECT subj, objLang FROM inf WHERE pred = '${V.RdfsLabel}' AND objLang <> ''
+              GROUP BY subj, objLang HAVING count(*) > 1)"""),
+      one("minCount_abilityLabel",
+        s"""SELECT count(*) FROM (
+              SELECT DISTINCT objLex AS subj FROM inf
+              WHERE objIsIri AND pred = '${V.PrimaryAbility}') a
+            WHERE a.subj NOT IN (SELECT DISTINCT subj FROM inf WHERE pred = '${V.RdfsLabel}')""")
+    ).mkString(" UNION ALL ")
+    check("kg_validation", graft.kg.Validation.report(inf), sql)
+  }
+
+  test("corpus queries Q2/Q5/Q12/Q7/Q8/Q9 vs DuckDB") {
+    check("kg_q_abilities", KgQueries.abilities(inf),
+      s"""SELECT nm.objLex AS pokemonName, cat.objLex AS category, lbl.objLex AS abilityName
+          FROM (SELECT DISTINCT subj FROM inf
+                WHERE pred = '${V.RdfType}' AND objLex = '${V.PokemonClass}') pok
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm ON nm.subj = pok.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.Category}') cat ON cat.subj = pok.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.PrimaryAbility}' AND objIsIri) ab ON ab.subj = pok.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.RdfsLabel}') lbl ON lbl.subj = ab.objLex""")
+    check("kg_q_external_links", KgQueries.externalLinks(inf),
+      s"""SELECT nm.objLex AS name, db.objLex AS dbpedia, wd.objLex AS wikidata
+          FROM (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'dbpedia.org')) db ON db.subj = nm.subj
+          JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'wikidata.org')) wd ON wd.subj = nm.subj""")
+    check("kg_q_external_links_opt", KgQueries.externalLinksOptional(inf),
+      s"""SELECT nm.objLex AS name, db.objLex AS dbpedia, wd.objLex AS wikidata
+          FROM (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm
+          LEFT JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'dbpedia.org')) db ON db.subj = nm.subj
+          LEFT JOIN (SELECT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+                AND contains(objLex, 'wikidata.org')) wd ON wd.subj = nm.subj""")
+    check("kg_q_inferred_types", KgQueries.inferredTypes(inf),
+      s"""WITH RECURSIVE closure(src, dst) AS (
+            SELECT DISTINCT subj, objLex FROM inf WHERE pred = '${V.RdfsSubClassOf}' AND objIsIri
+            UNION
+            SELECT c.src, e.objLex FROM closure c
+            JOIN inf e ON e.pred = '${V.RdfsSubClassOf}' AND e.objIsIri AND e.subj = c.dst),
+          cls AS (SELECT subj, objLex AS cls FROM inf WHERE pred = '${V.RdfType}' AND objIsIri),
+          star AS (SELECT DISTINCT subj, parent FROM (
+                     SELECT subj, cls AS parent FROM cls
+                     UNION ALL
+                     SELECT cls.subj, c.dst AS parent FROM cls JOIN closure c ON cls.cls = c.src)),
+          pt AS (SELECT subj, objLex FROM inf WHERE pred = '${V.PrimaryType}' AND NOT objIsIri)
+          SELECT DISTINCT nm.objLex AS name, base.objLex AS baseType, pt.objLex AS inheritedType
+          FROM (SELECT subj, objLex FROM inf WHERE pred = '${V.SchemaName}') nm
+          JOIN pt base ON base.subj = nm.subj
+          JOIN star ON star.subj = nm.subj
+          JOIN pt ON pt.subj = star.parent
+          WHERE base.objLex <> pt.objLex""")
+    check("kg_q_equivalents", KgQueries.equivalents(inf),
+      s"""WITH RECURSIVE closure(src, dst) AS (
+            SELECT DISTINCT subj, objLex FROM inf WHERE pred = '${V.OwlSameAs}' AND objIsIri
+            UNION
+            SELECT c.src, e.objLex FROM closure c
+            JOIN inf e ON e.pred = '${V.OwlSameAs}' AND e.objIsIri AND e.subj = c.dst),
+          nm AS (SELECT subj, objLex AS pokemonName FROM inf WHERE pred = '${V.SchemaName}'),
+          -- explicit DISTINCT: in DuckDB 1.0 a plain UNION in a CTE that is a
+          -- sibling of a RECURSIVE one does not dedup reliably
+          star AS (SELECT DISTINCT subj, external FROM (
+                     SELECT subj, subj AS external FROM nm
+                     UNION ALL
+                     SELECT nm.subj, c.dst AS external FROM nm JOIN closure c ON nm.subj = c.src))
+          SELECT nm.pokemonName,
+                 CASE WHEN contains(external, 'dbpedia') THEN 'DBpedia'
+                      WHEN contains(external, 'wikidata') THEN 'Wikidata'
+                      ELSE 'Other' END AS source,
+                 regexp_extract(external, '^.*/([^/]*)$$', 1) AS externalId
+          FROM nm JOIN star ON star.subj = nm.subj""")
+    check("kg_q_inherited_evolution", KgQueries.inheritedEvolution(inf),
+      s"""WITH RECURSIVE closure(src, dst) AS (
+            SELECT DISTINCT subj, objLex FROM inf WHERE pred = '${V.EvolvesFrom}' AND objIsIri
+            UNION
+            SELECT c.src, e.objLex FROM closure c
+            JOIN inf e ON e.pred = '${V.EvolvesFrom}' AND e.objIsIri AND e.subj = c.dst),
+          nm AS (SELECT subj AS s, objLex AS n FROM inf WHERE pred = '${V.SchemaName}'),
+          ty AS (SELECT subj AS s, objLex AS ty FROM inf WHERE pred = '${V.PrimaryType}' AND NOT objIsIri)
+          SELECT DISTINCT bn.n AS baseName, en.n AS evolvedName, bt.ty AS commonType
+          FROM closure c
+          JOIN nm bn ON bn.s = c.dst
+          JOIN ty bt ON bt.s = c.dst
+          JOIN nm en ON en.s = c.src
+          JOIN ty et ON et.s = c.src
+          WHERE bt.ty = et.ty""")
+  }
+
+  test("kg_q_sql_overview vs DuckDB") {
+    graft.kg.Views.register(spark, base)
+    check("kg_q_sql_overview", graft.kg.Views.overview(spark),
+      s"""SELECT id.subj, id.objLex AS identifier, nm.objLex AS name,
+                 ht.objLex AS height, wt.objLex AS weight
+          FROM (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaIdentifier}') id
+          JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaName}') nm ON nm.subj = id.subj
+          LEFT JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaHeight}') ht ON ht.subj = id.subj
+          LEFT JOIN (SELECT subj, objLex FROM t WHERE pred = '${V.SchemaWeight}') wt ON wt.subj = id.subj""")
+  }
+}
