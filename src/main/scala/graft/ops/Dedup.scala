@@ -10,48 +10,66 @@ import graft.queries.QueryDef.t
   *
   *  1. exact       — hash-groupBy on a content fingerprint (one shuffle,
   *                    map-side combinable);
-  *  2. MinHash+LSH — shingle → 64-slot minhash signature → banded bucket
-  *                    join; only same-band candidates are compared, so the
-  *                    all-pairs O(n²) never materializes;
-  *  3. SimHash     — 64-bit weighted-bit sketch; near-dup candidates share
-  *                    one of four 16-bit bands (pigeonhole: hamming ≤ 3 ⇒
+  *  2. MinHash+LSH — hash-sampled shingles → 64-slot minhash signature →
+  *                    banded bucket join; only same-band candidates are
+  *                    compared, so the all-pairs O(n²) never materializes;
+  *  3. SimHash     — 60-bit weighted-bit sketch; near-dup candidates share
+  *                    one of four 15-bit bands (pigeonhole: hamming ≤ 3 ⇒
   *                    some band equal), verified by bit_count(xor).
   *
-  * Everything is built-in expressions (xxhash64, bit ops, higher-order array
-  * functions) — codegen'd end-to-end, no UDF, no driver-side loops. Hash
-  * seeds are fixed, so results are deterministic across runs and executors.
+  * Everything is built-in expressions — codegen'd end-to-end, no UDF, no
+  * driver-side loops. All hashing is the portable h60 (Text.h60: md5-prefix
+  * integer) plus universal-hash permutations mod a Mersenne prime, so the
+  * ENTIRE minhash/simhash computation is reproducible in DuckDB and d2/d3
+  * carry exact driver oracles — while the Spark plans stay banded/bucketed
+  * (the oracles verify semantics with an O(n²) join the engine never runs).
   */
 object Dedup {
 
   val MinhashPerms = 64
   val Bands = 16 // 16 bands × 4 rows
+  val SimhashBits = 60 // h60 carries 60 meaningful bits
+  val SimhashBands = 4 // 4 × 15-bit bands ⇒ complete for hamming ≤ 3
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. a·h'+b stays < 2^62. */
+  val HashPrime = 2147483647L
+
+  /** Deterministic (a, b) pairs for the 64 minhash permutations. */
+  val Perms: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(MinhashPerms)((1L + r.nextInt(Int.MaxValue - 1), r.nextInt(Int.MaxValue).toLong))
+  }
 
   /** Exact dedup groups: fingerprint → keeper (min doc_id) + group size. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signature per doc: explode 3-gram shingles once, then 64
-    * parallel min-aggregations of seeded xxhash64 values (partial agg =>
+  /** MinHash signature per doc: explode the sampled shingles once, then 64
+    * parallel min-aggregations of universal-hash permutations (partial agg ⇒
     * the shuffle carries one 64-long row per doc, not the shingles). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = Text.shingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val mins = (0 until MinhashPerms).map(i =>
-      min(xxhash64(concat(lit(s"p$i:"), col("s")))).as(s"h$i"))
+      .withColumn("hp", Text.h60(col("s")) % HashPrime)
+    val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hp") * a + b) % HashPrime).as(s"h$i")
+    }
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: band the signature, bucket-join per band, then
-    * estimate Jaccard as the fraction of matching minhash slots. */
+    * estimate Jaccard as the fraction of matching minhash slots. The band
+    * key is the slot values themselves (a short string) — no second hash,
+    * so the banding is engine-portable. */
   def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
     val sigs = minhashSignatures(docs)
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(expr(
-          s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand))))")))
+          s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -67,33 +85,34 @@ object Dedup {
       .filter(col("est_jaccard_bp") >= minEstBp)
   }
 
-  /** 64-bit SimHash of the token stream: per-bit weighted sum of token-hash
-    * bits, sign → bit. Aggregation is 64 sums over the exploded tokens
+  /** 60-bit SimHash of the token stream: per-bit weighted sum of token-hash
+    * bits, sign → bit. Aggregation is 60 sums over the exploded tokens
     * (map-side combinable). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", Text.h60(col("tok")))
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
     val perBit = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = (0 until 64)
+    val sigExpr = (0 until SimhashBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${java.lang.Long.toString(1L << j)}L ELSE 0L END)")
       .mkString(" + ")
     perBit.select(col("doc_id"), expr(sigExpr).as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: four 16-bit bands bucket the join;
+  /** SimHash near-dup candidate pairs: four 15-bit bands bucket the join;
     * exact hamming verifies. The banding is COMPLETE only for hamming ≤ 3
     * (pigeonhole: 4 bands, ≤3 differing bits ⇒ some band is untouched), so
     * the default threshold matches that guarantee — the result is then
-    * exactly {pairs : hamming ≤ 3}, independent of banding. Pairs at larger
-    * requested distances are best-effort candidates (returned only when they
-    * coincidentally share a band); OpsSpec pins the ≤3 completeness bound. */
+    * exactly {pairs : hamming ≤ 3}, independent of banding (which is why the
+    * d3 oracle can verify it with a plain theta join). Pairs at larger
+    * requested distances are best-effort candidates; OpsSpec pins the ≤3
+    * completeness bound. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b*16)) & 65535)")))
+        posexplode(expr(s"transform(sequence(0, ${SimhashBands - 1}), b -> (simhash >> (b*15)) & 32767)")))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -106,20 +125,89 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  // ---- DuckDB oracle SQL (generated; mirrors the arithmetic exactly) ------
+
+  /** Shared sampled-shingle CTE prefix (same sampling as Text.shingles). */
+  private val sampledShinglesSql =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       raw AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         FROM toks),
+       samp AS (
+         SELECT doc_id, s, h
+         FROM (SELECT doc_id, s,
+                      CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h
+               FROM raw)
+         WHERE h % 4 = 0
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= 512)"""
+
+  private def minhashOracleSql(minEstBp: Long): String = {
+    val minExprs = Perms.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((hp * $a + $b) % $HashPrime) AS BIGINT) AS s$i"
+    }.mkString(",\n                ")
+    val rowsPerBand = MinhashPerms / Bands
+    val bandSelects = (0 until Bands).map { bnd =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(s${bnd * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+    }.mkString("\n                UNION ALL ")
+    val matching = (0 until MinhashPerms)
+      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $sampledShinglesSql,
+        sig AS (SELECT doc_id,
+                $minExprs
+                FROM (SELECT doc_id, h % $HashPrime AS hp FROM samp)
+                GROUP BY doc_id),
+        banded AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        SELECT a, b, est_jaccard_bp FROM (
+          SELECT c.a, c.b,
+                 CAST(floor(10000.0 * ($matching) / 64.0) AS BIGINT) AS est_jaccard_bp
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b)
+        WHERE est_jaccard_bp >= $minEstBp"""
+  }
+
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val sums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n                ")
+    val sig = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${java.lang.Long.toString(1L << j)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS h FROM tk),
+        bits AS (SELECT doc_id,
+                $sums
+                FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM bits)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= $maxHamming"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_dedup_groups",
       (s, d) => exactGroups(t(s, d, "documents")),
       Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_docs
               FROM documents GROUP BY md5(text)""")),
 
-    // rows-only: xxhash64 seeding is engine-specific; estimate quality vs
-    // true Jaccard is asserted in DedupSpec
     QueryDef("d2_minhash_lsh",
       (s, d) => minhashLshPairs(t(s, d, "documents"), minEstBp = 1500),
-      None),
+      Some(minhashOracleSql(minEstBp = 1500))),
 
+    // the oracle verifies {hamming <= 3} with a plain theta join; the Spark
+    // plan produces the same set through the banded bucket join (pigeonhole)
     QueryDef("d3_simhash",
-      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 16),
-      None)
+      (s, d) => simhashPairs(t(s, d, "documents")),
+      Some(simhashOracleSql(maxHamming = 3)))
   )
 }

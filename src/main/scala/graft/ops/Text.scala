@@ -73,13 +73,44 @@ object Text {
         count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
   }
 
-  /** Shingle (3-gram) sets per doc, capped to the first `cap` tokens. */
-  def shingles(docs: DataFrame, cap: Int = 30): DataFrame =
+  /** Portable 60-bit content hash: the first 15 hex digits of md5, parsed as
+    * an integer. Bit-identical in any engine with md5 (DuckDB:
+    * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`), which is what
+    * lets the shingle/minhash/simhash pipeline carry exact DuckDB oracles.
+    * One md5 per token/shingle — constant-factor heavier than xxhash64 but
+    * the same O(n) shape. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** h60 as SQL text (for use inside `expr` lambdas). */
+  def h60Sql(v: String): String =
+    s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Shingle (3-gram) sets per doc over the WHOLE document:
+    *  - every 3-gram is hash-sampled (keep iff h60 % mod == 0) — unlike a
+    *    token-prefix cap this has no prefix bias, and because the decision is
+    *    content-deterministic, two near-duplicate docs sample the SAME
+    *    surviving shingles;
+    *  - fan-out is then bounded by keeping the `cap` smallest surviving
+    *    shingles by hash (a bottom-k sketch), so a million-token document
+    *    contributes at most `cap` rows downstream.
+    * Everything runs inside whole-stage codegen on the shingle ARRAY — no
+    * explode, no window, no shuffle. */
+  def shingles(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
     docs
-      .withColumn("toks", slice(split(col("text"), " "), 1, cap))
-      .withColumn("sh", array_distinct(expr(
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("allsh", array_distinct(expr(
         """transform(sequence(1, greatest(size(toks)-2, 0)),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))""".stripMargin)))
+      .withColumn("sh", expr(
+        s"""transform(
+           |  slice(
+           |    array_sort(
+           |      filter(
+           |        transform(allsh, s -> struct(${h60Sql("s")} AS h, s AS s)),
+           |        x -> x.h % $mod = 0)),
+           |    1, $cap),
+           |  x -> x.s)""".stripMargin))
       .select(col("doc_id"), col("sh"))
 
   /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
@@ -154,17 +185,25 @@ object Text {
 
     QueryDef("t5_ngram_jaccard",
       (s, d) => ngramJaccardPairs(t(s, d, "documents")),
-      Some("""WITH sh AS (
+      // mirrors the hash-sampled bottom-capped shingling exactly (h60 =
+      // first 15 hex digits of md5 as an integer in both engines)
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+              raw AS (
                 SELECT doc_id,
-                       list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-                FROM (SELECT doc_id, string_split(text,' ')[1:30] AS toks FROM documents)
-              ),
-              ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-              sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+                       unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+                FROM toks),
+              samp AS (
+                SELECT doc_id, s
+                FROM (SELECT doc_id, s,
+                             CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h
+                      FROM raw)
+                WHERE h % 4 = 0
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= 512),
+              sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM samp GROUP BY doc_id),
               common AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-                FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+                SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+                FROM samp x JOIN samp y ON x.s = y.s AND x.doc_id < y.doc_id
                 GROUP BY x.doc_id, y.doc_id
               )
               SELECT a, b, common,

@@ -11,7 +11,9 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
   import spark.implicits._
 
-  /** 40 base docs + 10 near-duplicates (one token changed) + 5 exact dups. */
+  /** 40 base docs + 10 near-duplicates (one token changed) + 5 exact dups.
+    * 120 tokens per doc so the 1-in-4 hash-sampled shingling still leaves
+    * ~30 shingles per document. */
   private lazy val docs = {
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
       "theta", "iota", "kappa", "lambda", "mu")
@@ -20,11 +22,11 @@ class OpsSpec extends AnyFunSuite {
       // % 12 scheme cycles after 4 tokens → degenerate 5-shingle sets), plus
       // a seed-unique lead token so base docs never collide with each other
       val r = new scala.util.Random(seed)
-      (s"doc$seed" +: (0 until 40).map(_ => words(r.nextInt(words.length)))).mkString(" ")
+      (s"doc$seed" +: (0 until 120).map(_ => words(r.nextInt(words.length)))).mkString(" ")
     }
     val base = (0 until 40).map(i => (i.toLong, text(i)))
     val nearDups = (0 until 10).map { i =>
-      val t = text(i).split(" "); t(20) = "CHANGED"
+      val t = text(i).split(" "); t(60) = "CHANGED"
       (100L + i, t.mkString(" "))
     }
     val exactDups = (0 until 5).map(i => (200L + i, text(i)))
@@ -51,6 +53,43 @@ class OpsSpec extends AnyFunSuite {
       pairs.exists(p => p._1 == i.toLong && p._2 == 100L + i && p._3 >= 7000L)
     }
     assert(nearHits >= 8, s"only $nearHits/10 near-dups found")
+  }
+
+  test("shingling sees edits beyond token 30 (the round-1 prefix cap provably failed here)") {
+    // two docs sharing ONLY their first 30 tokens: a token-prefix-30 shingle
+    // set (the old scheme) is IDENTICAL for both — jaccard 1.0, a false
+    // near-duplicate. Whole-document hash-sampled shingles must tell them apart.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def tokens(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed); (0 until n).map(_ => words(r.nextInt(words.length)))
+    }
+    val shared = tokens(7, 30)
+    val a = (shared ++ tokens(8, 90).map(_ + "_a")).mkString(" ")
+    val b = (shared ++ tokens(9, 90).map(_ + "_b")).mkString(" ")
+    // the old scheme's view: prefix-30 shingle sets are equal
+    def prefixShingles(s: String) =
+      s.split(" ").take(30).sliding(3).map(_.mkString(" ")).toSet
+    assert(prefixShingles(a) == prefixShingles(b), "old cap-30 view must be blind here")
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Text.ngramJaccardPairs(d, minBp = 0).collect()
+    assert(pairs.length == 1)
+    val bp = pairs.head.getAs[Long]("jaccard_bp")
+    assert(bp < 5000, s"sampled whole-doc jaccard must be low, got $bp bp")
+    assert(bp > 0, "the shared prefix must still register as partial overlap")
+    // minhash estimate agrees: nowhere near an exact-dup score
+    val est = Dedup.minhashLshPairs(d, minEstBp = 0).collect()
+    est.foreach(r => assert(r.getAs[Long]("est_jaccard_bp") < 7000))
+  }
+
+  test("simhash banded pairs are EXACTLY the hamming<=3 set (pigeonhole completeness)") {
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val brute = (for {
+      (ida, ha) <- sig; (idb, hb) <- sig if ida < idb
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
   }
 
   test("simhash: near-dups within small hamming distance, unrelated docs far") {
