@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Vocab => V}
+
+/** Skew harness: property inheritance (I4's pairs ⋈ triples self-join)
+  * driven through a synthetic hub-shaped sameAs cluster — the worst case
+  * the north_star's "salted repartitioning / AQE skew-join" tooling exists
+  * for. One entity is owl:sameAs-linked to `members` others (a 10⁶-member
+  * hub by default), so ONE join key carries 10⁶ pair rows while every
+  * other key carries ~2.
+  *
+  * Three plans over the same input:
+  *  - aqe_off  — the naive shuffle join, no runtime skew handling;
+  *  - aqe      — AQE skewJoin enabled (splits the oversized partition);
+  *  - salted   — Skew.saltedJoin via Inference.propertyInheritanceSalted
+  *               (pairs salted on the copy target, triples replicated ×k).
+  *
+  * Prints one JSON line with wall times and row counts (counts must agree
+  * — the salted plan is result-identical by construction, and
+  * InferenceSpec pins that on the golden graph). Numbers land in BENCH.md.
+  */
+object SkewBench {
+
+  private def session(skewJoin: Boolean): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .appName(s"graft-skew-$skewJoin")
+      .config("spark.sql.shuffle.partitions", 128)
+      .config("spark.sql.adaptive.enabled", skewJoin)
+      .config("spark.sql.adaptive.skewJoin.enabled", skewJoin)
+      .config("spark.sql.autoBroadcastJoinThreshold", -1) // force the shuffle join under test
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Synthetic graph: `members` entities sameAs-linked to one hub (the hub
+    * carries `hubProps` inheritable triples, so the skewed key fans out
+    * members × hubProps rows) + `background` ordinary entities with 3
+    * triples and one sameAs partner each. */
+  def synthTriples(spark: SparkSession, members: Int, hubProps: Int,
+                   background: Int): DataFrame = {
+    val hub = s"${V.Base}hub"
+    val lin = Seq(lit("_synth").as("srcRepo"), lit("").as("srcPath"),
+      lit("").as("srcCommit"), lit("").as("srcSha256"))
+    def t(subj: org.apache.spark.sql.Column, pred: String, isIri: Boolean,
+          obj: org.apache.spark.sql.Column) =
+      Seq(subj.as("subj"), lit(pred).as("pred"), lit(isIri).as("objIsIri"),
+        obj.as("objLex"), lit("").as("objDtype"), lit("").as("objLang")) ++ lin
+    val mem = spark.range(members.toLong)
+    val hubSameAs = mem.select(t(lit(hub), V.OwlSameAs, isIri = true,
+      concat(lit(s"${V.Base}m/"), col("id"))): _*)
+    val hubProperties = spark.range(hubProps.toLong)
+      .select(t(lit(hub), V.Characteristic, isIri = false,
+        concat(lit("hubval"), col("id"))): _*)
+    val bg = spark.range(background.toLong)
+    val bgTriples = Seq(
+      bg.select(t(concat(lit(s"${V.Base}bg/"), col("id")), V.SchemaName, isIri = false,
+        concat(lit("name"), col("id"))): _*),
+      bg.select(t(concat(lit(s"${V.Base}bg/"), col("id")), V.Characteristic, isIri = false,
+        concat(lit("v"), col("id"))): _*),
+      bg.select(t(concat(lit(s"${V.Base}bg/"), col("id")), V.OwlSameAs, isIri = true,
+        concat(lit("http://dbpedia.org/resource/bg"), col("id"))): _*)
+    ).reduce(_ unionByName _)
+    hubSameAs.unionByName(hubProperties).unionByName(bgTriples)
+      .repartition(128)
+  }
+
+  private def timed(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = f
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val members = sys.env.getOrElse("SPARK_GRAFT_SKEW_MEMBERS", "1000000").toInt
+    val hubProps = sys.env.getOrElse("SPARK_GRAFT_SKEW_PROPS", "10").toInt
+    val background = sys.env.getOrElse("SPARK_GRAFT_SKEW_BG", "200000").toInt
+    val saltK = sys.env.getOrElse("SPARK_GRAFT_SKEW_K", "32").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROUNDS", "2").toInt
+
+    // (label, aqe?, plan)
+    val variants: Seq[(String, Boolean, SparkSession => DataFrame)] = Seq(
+      ("aqe_off", false, s => graft.kg.Inference.propertyInheritance(
+        synthTriples(s, members, hubProps, background))),
+      ("aqe", true, s => graft.kg.Inference.propertyInheritance(
+        synthTriples(s, members, hubProps, background))),
+      ("salted", false, s => graft.kg.Inference.propertyInheritanceSalted(
+        synthTriples(s, members, hubProps, background), saltK)),
+      ("salted_aqe", true, s => graft.kg.Inference.propertyInheritanceSalted(
+        synthTriples(s, members, hubProps, background), saltK)))
+
+    // interleave rounds; keep best-of per variant (same de-noising as Bench)
+    val results = collection.mutable.Map.empty[String, (Long, Double)]
+    for (_ <- 1 to rounds; (name, aqe, plan) <- variants) {
+      val s = session(aqe)
+      try {
+        val (n, sec) = timed(plan(s).count())
+        val best = results.get(name).map(_._2).getOrElse(Double.MaxValue)
+        if (sec < best) results(name) = (n, sec)
+      } finally s.stop()
+    }
+    val counts = results.values.map(_._1).toSet
+    val body = variants.map(_._1).map { n =>
+      val (rows, sec) = results(n)
+      s""""$n":{"rows":$rows,"sec":${f"$sec%.2f"}}"""
+    }.mkString(",")
+    println(s"""{"bench":"skew_property_inheritance","members":$members,""" +
+      s""""hub_props":$hubProps,"background":$background,"salt_k":$saltK,""" +
+      s""""counts_agree":${counts.size == 1},$body}""")
+  }
+}

@@ -156,6 +156,24 @@ object Inference {
     asTriples(copied)
   }
 
+  /** I4 with explicit hub-key salting (Skew.saltedJoin): the sameAs pair
+    * side is salted on its copy target, the (small) inheritable-triple side
+    * replicated ×k, so a hub entity's M pair rows spread over k reducers
+    * instead of one. Result-identical to propertyInheritance
+    * (InferenceSpec); SkewBench measures both on a 10⁶-member hub to decide
+    * when the salt beats AQE's skew-join splitting. */
+  def propertyInheritanceSalted(triples: DataFrame, k: Int = 16): DataFrame = {
+    val pairs = symmetricPairs(triples).withColumnRenamed("a", "subj")
+    val inheritable = triples.filter(col("pred") =!= V.OwlSameAs)
+      .select(col("subj"), col("pred"), col("objIsIri"), col("objLex"),
+        col("objDtype"), col("objLang"))
+    val copied = graft.ops.Skew.saltedJoin(pairs, inheritable, "subj", col("b"), k)
+      .select(col("b").as("subj"), col("pred"), col("objIsIri"), col("objLex"),
+        col("objDtype"), col("objLang"))
+      .distinct()
+    asTriples(copied)
+  }
+
   /** Canonicalized edge table: every IRI endpoint rewritten to its sameAs
     * component's canonical id — the "connected-components-style sameAs
     * merging ... into a materialized graph" of the north_star. Left joins so

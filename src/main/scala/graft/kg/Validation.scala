@@ -27,7 +27,107 @@ object Validation {
     pokemonSubjects(triples)
       .join(predValues(triples, pred).select("subj").distinct(), Seq("subj"), "left_anti")
 
+  /** The 11-rule report from ONE scan of the triple table.
+    *
+    * Every triple contributes a flag row keyed by the entity it describes —
+    * its subject, plus (for IRI-valued primaryAbility triples) the target
+    * ability entity — via an exploded conditional array, so the whole
+    * report is: one projection → one groupBy(entity) (partial-aggregable
+    * flags) → one global aggregation → stack to rows. The unfused form
+    * (`reportUnfused`, kept as the executable per-rule spec) re-scans the
+    * table once per rule: 11 aggregations and, at 100 TB, 11 reads.
+    * ValidationFusedSpec pins row-identical output on clean AND corrupted
+    * graphs; the kg_validation DuckDB oracle covers this form. */
   def report(triples: DataFrame): DataFrame = {
+    val contrib = {
+      val isLabel = col("pred") === V.RdfsLabel
+      val subjSide = struct(
+        col("subj").as("entity"),
+        (col("pred") === V.RdfType && col("objLex") === V.PokemonClass).as("is_pokemon"),
+        (col("pred") === V.SchemaName).as("has_name"),
+        (col("pred") === V.SchemaIdentifier).as("has_id"),
+        (col("pred") === V.PrimaryType).as("has_ptype"),
+        isLabel.as("has_label"),
+        lit(false).as("is_ability_target"),
+        when(col("pred") === V.SchemaIdentifier && !col("objLex").rlike("^[0-9]{4}$"), 1L)
+          .otherwise(0L).as("bad_id"),
+        when(col("pred") === V.PrimaryType && !col("objLex").isin(V.AllTypes: _*), 1L)
+          .otherwise(0L).as("bad_ptype"),
+        when(col("pred") === V.SchemaHeight &&
+          (expr("try_cast(objLex AS DOUBLE)").isNull
+            || !expr("try_cast(objLex AS DOUBLE)").between(0.1, 25.0)), 1L)
+          .otherwise(0L).as("bad_height"),
+        when(col("pred") === V.SchemaWeight &&
+          (expr("try_cast(objLex AS DOUBLE)").isNull
+            || !expr("try_cast(objLex AS DOUBLE)").between(0.1, 1000.0)), 1L)
+          .otherwise(0L).as("bad_weight"),
+        when(col("pred") === V.EvolutionStage &&
+          (expr("try_cast(objLex AS INT)").isNull
+            || !expr("try_cast(objLex AS INT)").between(1, 3)), 1L)
+          .otherwise(0L).as("bad_stage"),
+        when(isLabel && col("objLang") =!= "" && !col("objLang").isin("en", "ja", "ja-Latn"), 1L)
+          .otherwise(0L).as("bad_lang"),
+        when(isLabel && col("objLang") =!= "", col("objLang")).as("label_lang"))
+      // the AbilityShape flag rides the SAME scan: an extra contribution row
+      // keyed by the ability target, dropped when the triple isn't one
+      val abilitySide = struct(
+        when(col("objIsIri") && col("pred") === V.PrimaryAbility, col("objLex")).as("entity"),
+        lit(false).as("is_pokemon"), lit(false).as("has_name"), lit(false).as("has_id"),
+        lit(false).as("has_ptype"), lit(false).as("has_label"),
+        lit(true).as("is_ability_target"),
+        lit(0L).as("bad_id"), lit(0L).as("bad_ptype"), lit(0L).as("bad_height"),
+        lit(0L).as("bad_weight"), lit(0L).as("bad_stage"), lit(0L).as("bad_lang"),
+        lit(null).cast("string").as("label_lang"))
+      triples.select(explode(filter(array(subjSide, abilitySide),
+        x => x.getField("entity").isNotNull)).as("c"))
+        .select(col("c.*"))
+    }
+
+    val perEntity = contrib.groupBy("entity").agg(
+      max("is_pokemon").as("is_pokemon"), max("has_name").as("has_name"),
+      max("has_id").as("has_id"), max("has_ptype").as("has_ptype"),
+      max("has_label").as("has_label"),
+      max("is_ability_target").as("is_ability_target"),
+      sum("bad_id").as("bad_id"), sum("bad_ptype").as("bad_ptype"),
+      sum("bad_height").as("bad_height"), sum("bad_weight").as("bad_weight"),
+      sum("bad_stage").as("bad_stage"), sum("bad_lang").as("bad_lang"),
+      sort_array(collect_list(col("label_lang"))).as("langs"))
+
+    // langs with >1 tagged label for this entity: adjacent-dup langs in the
+    // sorted list, counted once each
+    val dupLangs = when(size(col("langs")) >= 2,
+      size(array_distinct(filter(
+        transform(sequence(lit(2), size(col("langs"))), i =>
+          when(element_at(col("langs"), i) === element_at(col("langs"), i - 1),
+            element_at(col("langs"), i))),
+        x => x.isNotNull)))).otherwise(0).cast("long")
+
+    def cnt(c: org.apache.spark.sql.Column) = coalesce(sum(when(c, 1L)), lit(0L))
+    def tot(name: String) = coalesce(sum(col(name)), lit(0L))
+
+    perEntity
+      .withColumn("dup_langs", dupLangs)
+      .agg(
+        cnt(col("is_pokemon") && !col("has_name")).as("v1"),
+        cnt(col("is_pokemon") && !col("has_id")).as("v2"),
+        cnt(col("is_pokemon") && !col("has_ptype")).as("v3"),
+        tot("bad_id").as("v4"), tot("bad_ptype").as("v5"),
+        tot("bad_height").as("v6"), tot("bad_weight").as("v7"),
+        tot("bad_stage").as("v8"), tot("bad_lang").as("v9"),
+        tot("dup_langs").as("v10"),
+        cnt(col("is_ability_target") && !col("has_label")).as("v11"))
+      .select(expr(
+        """stack(11,
+          |  'minCount_name', v1, 'minCount_identifier', v2, 'minCount_primaryType', v3,
+          |  'pattern_identifier', v4, 'in_typeWhitelist', v5,
+          |  'range_height', v6, 'range_weight', v7, 'range_evolutionStage', v8,
+          |  'languageIn_label', v9, 'uniqueLang_label', v10, 'minCount_abilityLabel', v11)
+          |AS (rule, violations)""".stripMargin))
+  }
+
+  /** The per-rule formulation (11 aggregations, one per shape) — kept as
+    * the executable spec `report` is equated against. */
+  def reportUnfused(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
 
     def one(rule: String, df: DataFrame): DataFrame =

@@ -1,61 +1,112 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
 import graft.queries.QueryDef.t
+import graft.store.TableIO
 
 /** End-to-end training-data curation: the composition a 100 TB text corpus
   * actually runs — quality gate → exact dedup → near-dup removal — with a
-  * per-stage survivors report. Each stage is one of the already-verified
-  * operators; this wires them into one pipeline with auditable metrics.
+  * per-stage survivors report.
   *
-  * Scale shape: quality gating is a narrow filter; exact dedup one
-  * partial-agg shuffle keyed by fingerprint; near-dup removal reuses the
-  * MinHash-LSH candidate pairs (banded bucket join — never all-pairs) and
-  * drops the higher doc_id of each surviving pair via one anti-join.
+  * Scale shape: the whole pipeline is ONE lazy DAG over a flag table
+  * (doc columns + q_ok/exact_ok/near_ok) — no driver-side count()
+  * barriers, no executor-local localCheckpoint (which a lost executor
+  * invalidates). The quality gate is a narrow map; exact dedup is a window
+  * min over the content fingerprint (one shuffle, same key as a
+  * groupBy+semi-join but one op); near-dup removal reuses the MinHash-LSH
+  * candidate pairs (banded bucket join — never all-pairs) and anti-flags
+  * the higher doc_id of each surviving pair. The report is one aggregation
+  * of the flags; curated output is one filter.
+  *
+  * `curateStaged` persists the flag table once through TableIO.stage
+  * (manifest-committed parquet → kill/rerun resumes, CurateResumeSpec),
+  * with the stage counts riding the write via Dataset.observe — the same
+  * resume + observed-metrics discipline as the KG pipeline (Pipeline.run).
   */
 object Curate {
 
-  final case class Report(stage: String, docs: Long)
+  /** Lazy flag table: every input doc with its per-stage survival flags.
+    * Nothing is materialized here — callers aggregate/filter/persist it. */
+  def flags(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
+            nearDupBp: Long = 8000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
 
-  /** Returns (curated docs, per-stage report). */
+    val q = docs.withColumn("q_ok",
+      size(split(col("text"), " ")).between(minTokens, maxTokens))
+
+    // exact dedup: survivor = min doc_id among quality docs per fingerprint
+    val w = Window.partitionBy(md5(col("text")))
+    val e = q.withColumn("exact_ok",
+      col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w))
+
+    // near-dup removal: of each LSH-confirmed pair among exact survivors,
+    // anti-flag the higher id
+    val drops = Dedup.minhashLshPairs(
+        e.filter(col("exact_ok")).select("doc_id", "text"), minEstBp = nearDupBp)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("_nd_drop", lit(true))
+    e.join(drops, Seq("doc_id"), "left_outer")
+      .withColumn("near_ok", col("exact_ok") && col("_nd_drop").isNull)
+      .drop("_nd_drop")
+  }
+
+  private val flagCols = Seq("q_ok", "exact_ok", "near_ok")
+
+  /** Per-stage survivor report: ONE aggregation over the flag table. */
+  def reportOf(flags: DataFrame): DataFrame =
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("exact_ok"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("near_ok"), 1L).otherwise(0L)).as("n3"))
+      .select(expr(
+        """stack(4, 'input', n0, 'quality_gate', n1,
+          |         'exact_dedup', n2, 'near_dup_removal', n3)
+          |  AS (stage, docs)""".stripMargin))
+
+  private def curatedOf(flags: DataFrame): DataFrame =
+    flags.filter(col("near_ok")).drop(flagCols: _*)
+
+  /** Returns (curated docs, per-stage report) — both lazy views over the
+    * same flag DAG; materializing either is one job with no barriers. */
   def curate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
              nearDupBp: Long = 8000): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val f = flags(docs, minTokens, maxTokens, nearDupBp)
+    (curatedOf(f), reportOf(f))
+  }
 
-    val n0 = docs.count()
-
-    val quality = docs
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .filter(col("n_tokens").between(minTokens, maxTokens))
-      .drop("n_tokens")
-      .localCheckpoint()
-    val n1 = quality.count()
-
-    // exact dedup: keep the min doc_id per fingerprint
-    val keepers = quality.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exact = quality.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
-    val n2 = exact.count()
-
-    // near-dup removal: of each LSH-confirmed pair, drop the higher id
-    val dropIds = Dedup.minhashLshPairs(exact, minEstBp = nearDupBp)
-      .select(col("b").as("doc_id")).distinct()
-    val curated = exact.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
-    val n3 = curated.count()
-
-    val report = Seq(
-      Report("input", n0), Report("quality_gate", n1),
-      Report("exact_dedup", n2), Report("near_dup_removal", n3)).toDF()
-    (curated, report)
+  /** Resumable variant: the flag table persists under `dir` keyed by
+    * `fingerprint`; a re-run with the same fingerprint skips the compute
+    * and both outputs read the staged parquet. Stage counts ride the write
+    * via observe() and persist next to it (computed runs only).
+    * Returns (curated, report, skipped). */
+  def curateStaged(spark: SparkSession, docs: DataFrame, dir: String,
+                   fingerprint: String, minTokens: Int = 10,
+                   maxTokens: Int = 100000, nearDupBp: Long = 8000)
+      : (DataFrame, DataFrame, Boolean) = {
+    val obs = org.apache.spark.sql.Observation()
+    val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags", fingerprint) {
+      flags(docs, minTokens, maxTokens, nearDupBp).observe(obs,
+        count(lit(1)).as("input"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality_gate"),
+        sum(when(col("near_ok"), 1L).otherwise(0L)).as("curated"))
+    }
+    if (!skipped) {
+      import spark.implicits._
+      val m = obs.get
+      Seq((m("input").toString.toLong, m("quality_gate").toString.toLong,
+          m("curated").toString.toLong))
+        .toDF("input", "quality_gate", "curated")
+        .write.mode("overwrite").parquet(s"$dir/curate_observed")
+    }
+    (curatedOf(staged), reportOf(staged), skipped)
   }
 
   val defs: Seq[QueryDef] = Seq(
     // rows-only: the report is deterministic; stage logic is oracle-verified
-    // piecewise (t2 quality, d1 exact groups) and MinHash via OpsSpec
+    // piecewise (t2 quality, d1 exact groups, d2 minhash-LSH)
     QueryDef("t6_curate_report",
       (s, d) => curate(t(s, d, "documents"))._2,
       None)

@@ -10,11 +10,23 @@ import graft.queries.QueryDef.t
   *  - Brute-force cosine top-k: the correctness baseline. One broadcast of
   *    the query vector, one narrow map, one top-k sort — no shuffle except
   *    the final k-row ordering (TakeOrderedAndProject).
-  *  - LSH-bucketed ANN (random hyperplanes): the scale path. Vectors are
-  *    sketched to a b-bit signature; candidates share a signature bucket, so
-  *    the quadratic all-pairs compare becomes per-bucket joins. Deterministic
-  *    pseudo-random hyperplanes are derived from a hash of (plane, dim) —
-  *    no RNG state, identical across runs/executors.
+  *  - Banded random-hyperplane LSH: the scale path. Vectors are sketched to
+  *    `bands` independent sub-signatures of `bitsPerBand` bits each;
+  *    candidates share ANY (band, bucket) — the same OR-of-bands recall
+  *    amplification as MinHash LSH, so recall does not collapse as n grows
+  *    the way a single full-signature bucket does. The candidate join is
+  *    keyed by (band, bucket): one shuffle, never all-pairs.
+  *  - IVF: a deterministic seeded k-means codebook (sampled init, Lloyd
+  *    iterations over a hash-sample, centroids collected and re-broadcast —
+  *    the codebook is k×dim doubles, driver-sized by construction), cell
+  *    assignment via an argmax FOLD over the codebook literal (no k×
+  *    crossJoin row blowup, no window shuffle), probes search the query's
+  *    `nprobe` nearest cells.
+  *
+  * All signature math is an array fold over a plane-matrix LITERAL
+  * (`aggregate(zip_with(...))`), not an inlined dim×bits scalar expression —
+  * at dim 768–1536 the inline form used to blow past codegen limits; the
+  * fold keeps the expression tree O(1) in dim.
   *
   * Quantization discipline for the oracle-paired variant: per-element
   * products are floored to 1e-6 grid before the sum, so the reduction is an
@@ -28,18 +40,18 @@ object Similarity {
 
   private def normQ(a: String): Column = dotQ(a, a)
 
+  /** Exact quantized cosine of two embedding columns, rounded to 6 dp. */
+  private def cosQ(a: String, b: String): Column =
+    round(dotQ(a, b).cast("double") /
+      (sqrt(normQ(a).cast("double")) * sqrt(normQ(b).cast("double"))), 6)
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"))
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("dot_q", dotQ("embedding", "qv"))
-      .withColumn("n1_q", normQ("embedding"))
-      .withColumn("n2_q", normQ("qv"))
-      .select(col("vec_id"),
-        round(col("dot_q").cast("double") /
-          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .select(col("vec_id"), cosQ("embedding", "qv").as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -52,90 +64,172 @@ object Similarity {
     (h % 100000) / 100000.0
   }
 
-  /** b-bit random-hyperplane signature of the embedding column. */
-  def lshSignature(dim: Int, bits: Int): Column = {
-    val bitExprs = (0 until bits).map { p =>
-      val terms = (0 until dim)
-        .map(i => s"(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * ${planeComponent(p, i)})")
-        .mkString(" + ")
-      s"(CASE WHEN ($terms) >= 0 THEN ${1L << p}L ELSE 0L END)"
-    }
-    expr(bitExprs.mkString(" + ")).as("sig")
+  /** Hyperplane matrix as ONE literal column (array<array<double>>): a
+    * single Literal node regardless of dim×planes, so codegen never sees
+    * the individual coefficients. */
+  private def planeMatrix(dim: Int, nPlanes: Int): Column =
+    typedLit((0 until nPlanes).map(p => (0 until dim).map(i => planeComponent(p, i))))
+
+  /** Banded signature of the embedding column: array of `bands` longs, each
+    * a big-endian `bitsPerBand`-bit hyperplane sketch. Nested folds: the
+    * bit fold multiplies-and-adds (ordered, so no shift builtin needed);
+    * each bit is the sign of an array-fold dot product against one row of
+    * the plane matrix. */
+  def bandedSignature(dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    val planes = planeMatrix(dim, bands * bitsPerBand)
+    transform(sequence(lit(0), lit(bands - 1)), bd =>
+      aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, p) => {
+        val plane = element_at(planes, (bd * bitsPerBand + p + 1).cast("int"))
+        val dot = aggregate(
+          zip_with(col("embedding"), plane, (x, w) => x.cast("double") * w),
+          lit(0.0d), (a, v) => a + v)
+        acc * 2 + when(dot >= 0, 1L).otherwise(0L)
+      }))
   }
 
-  /** ANN: candidate pairs within the same LSH bucket, scored by exact
-    * quantized cosine, top-k per query vector. Buckets bound the join:
-    * shuffle key = signature, per-bucket cross-compare replaces the global
-    * quadratic one. Bucket skew → AQE skew-join; signature width trades
-    * recall vs bucket size. */
-  def annLsh(embeddings: DataFrame, dim: Int = 64, bits: Int = 12, k: Int = 5): DataFrame = {
+  /** (vec_id, embedding, band, bucket) rows — one per (vector, band). The
+    * downstream candidate join is an equi-join on (band, bucket): one
+    * shuffle whose key spreads each vector over `bands` partitions. */
+  private def bandedBuckets(embeddings: DataFrame, dim: Int, bands: Int,
+                            bitsPerBand: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bandedSignature(dim, bands, bitsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** ANN: candidate pairs sharing ANY (band, bucket), deduped across bands,
+    * scored by exact quantized cosine, top-k per query vector. Banding =
+    * OR-amplified recall (1-(1-p^b)^L); bucket skew → AQE skew-join. */
+  def annLsh(embeddings: DataFrame, dim: Int = 64, bands: Int = 4,
+             bitsPerBand: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = embeddings.select(col("vec_id"), col("embedding"), lshSignature(dim, bits))
-    val pairs = sig.alias("x").join(sig.alias("y"),
-        col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+    val b = bandedBuckets(embeddings, dim, bands, bitsPerBand)
+    val pairs = b.alias("x").join(b.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .withColumn("dot_q", dotQ("ea", "eb"))
-      .withColumn("n1_q", normQ("ea"))
-      .withColumn("n2_q", normQ("eb"))
-      .select(col("vec_id"), col("nbr"),
-        round(col("dot_q").cast("double") /
-          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .distinct()
+      .select(col("vec_id"), col("nbr"), cosQ("ea", "eb").as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("vec_id"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate pairs
-    * (a<b, deduped across bands) with exact quantized cosine ≥ threshold —
-    * the embedding-space analogue of MinHash dedup. */
-  def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64, bits: Int = 12,
+  /** Embedding-cosine near-duplicate pairs: banded LSH candidates (a<b,
+    * deduped across bands) with exact quantized cosine ≥ threshold — the
+    * embedding-space analogue of MinHash dedup. Defaults size the buckets
+    * for corpus-scale inputs: 4 bands × 16 bits keeps the random-collision
+    * rate at ~4/65536 while OR-banding keeps near-dup recall high. */
+  def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64,
+                            bands: Int = 4, bitsPerBand: Int = 16,
                             minCos: Double = 0.9): DataFrame = {
-    val sig = embeddings.select(col("vec_id"), col("embedding"), lshSignature(dim, bits))
-    sig.alias("x").join(sig.alias("y"),
-        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+    val b = bandedBuckets(embeddings, dim, bands, bitsPerBand)
+    b.alias("x").join(b.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
       .distinct()
-      .withColumn("dot_q", dotQ("ea", "eb"))
-      .withColumn("n1_q", normQ("ea"))
-      .withColumn("n2_q", normQ("eb"))
-      .select(col("a"), col("b"),
-        round(col("dot_q").cast("double") /
-          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .select(col("a"), col("b"), cosQ("ea", "eb").as("cos"))
       .filter(col("cos") >= minCos)
   }
 
-  /** IVF-style ANN: deterministic coarse centroids (the first `nCentroids`
-    * vectors by id — a stand-in for a k-means codebook, which at cluster
-    * scale would be trained offline and broadcast), every vector assigned to its
-    * nearest centroid, probes search only the query's cell. The cell
-    * assignment join is a broadcast of the centroid table; the search is a
-    * per-cell join instead of all-pairs. */
-  def annIvf(embeddings: DataFrame, queryId: Long, k: Int = 5,
-             nCentroids: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(embeddings
-      .orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    def assigned(df: DataFrame): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("cdot", dotQ("embedding", "cv"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("cdot"), asc("cid"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(df.columns.map(col) :+ col("cid"): _*)
+  // ---- IVF ------------------------------------------------------------------
+
+  /** Cosine of the embedding against every codebook cell, as an array
+    * column (index c+1 = cell c). One fold per cell over the plane rows —
+    * no crossJoin blowup, no window. */
+  private def cellScores(cmat: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), c => {
+      val cv = element_at(cmat, (c + 1).cast("int"))
+      val dot = aggregate(zip_with(col("embedding"), cv, (x, w) => x.cast("double") * w),
+        lit(0.0d), (a, v) => a + v)
+      val cn = aggregate(transform(cv, w => w * w), lit(0.0d), (a, v) => a + v)
+      dot / sqrt(cn)
+    })
+
+  /** Argmax over a scores array as an integer fold (scalar accumulator —
+    * struct accumulators don't survive lambda analysis), skipping cells in
+    * `excl`. Ties keep the lowest cid (strict `>`). */
+  private def argmaxCell(scores: Column, k: Int, excl: Seq[Column] = Nil): Column =
+    aggregate(sequence(lit(0), lit(k - 1)), lit(-1), (best, c) => {
+      val notExcl = excl.foldLeft(lit(true))((acc, e) => acc && c.cast("long") =!= e)
+      val bestScore = when(best === -1, lit(Double.MinValue))
+        .otherwise(element_at(scores, best + 1))
+      when(notExcl && element_at(scores, c + 1) > bestScore, c).otherwise(best)
+    }).cast("long")
+
+  /** df + `cid` = nearest codebook cell by cosine (narrow map, no shuffle). */
+  private def withNearestCell(df: DataFrame, cmat: Column, k: Int): DataFrame =
+    df.withColumn("_cs", cellScores(cmat, k))
+      .withColumn("cid", argmaxCell(col("_cs"), k))
+      .drop("_cs")
+
+  /** The `nprobe` best cells for this row's embedding, best first:
+    * successive excluded argmaxes (nprobe is small). */
+  private def probeCells(cmat: Column, k: Int, nprobe: Int): Column = {
+    val scores = cellScores(cmat, k)
+    val picks = (1 to nprobe).foldLeft(Seq.empty[Column]) { (acc, _) =>
+      acc :+ argmaxCell(scores, k, acc)
     }
-    val all = assigned(embeddings)
-    val q = all.filter(col("vec_id") === queryId)
-      .select(col("cid").as("qcid"), col("embedding").as("qv"))
-    all.join(broadcast(q), col("cid") === col("qcid"))
+    array(picks: _*)
+  }
+
+  /** Deterministic seeded k-means codebook.
+    *
+    * Init: the k sample vectors with the smallest xxhash64(vec_id) — a
+    * content-independent deterministic sample (NOT first-k-by-id, which
+    * inherits whatever ordering bias the id space carries). Then `iters`
+    * Lloyd rounds over a hash-sample of the data; each round assigns via
+    * the fold (narrow map), recomputes means with ONE partial-aggregable
+    * shuffle (explode → groupBy(cid, pos) avg), and collects the k×dim
+    * codebook to the driver for re-broadcast — the standard
+    * train-small/broadcast pattern; the full data is never k×-replicated.
+    * Empty cells keep their previous centroid. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 2,
+                      sampleMod: Int = 1): Array[Array[Double]] = {
+    val sample = if (sampleMod <= 1) embeddings
+      else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    var cents: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val cmat = typedLit(cents.map(_.toSeq).toSeq)
+      val moved = withNearestCell(sample, cmat, cents.length)
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), x => x.getField("v")).as("cv"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.indices.map(c => moved.getOrElse(c, cents(c))).toArray
+    }
+    cents
+  }
+
+  /** IVF ANN: assign every vector to its nearest codebook cell (narrow
+    * fold, no shuffle), then search only the query's `nprobe` nearest cells
+    * with exact quantized cosine. The cell filter is the IVF win: the scan
+    * reads nprobe/k of the data (cell-partitioned storage would prune at
+    * the source). */
+  def annIvf(embeddings: DataFrame, queryId: Long, k: Int = 5,
+             nCentroids: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCentroids, iters)
+    val cmat = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = withNearestCell(
+      embeddings.select(col("vec_id"), col("embedding")), cmat, cents.length)
+    val probes = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"),
+        probeCells(cmat, cents.length, nprobe).as("probe_cids"))
+    assigned.join(broadcast(probes), array_contains(col("probe_cids"), col("cid")))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("dot_q", dotQ("embedding", "qv"))
-      .withColumn("n1_q", normQ("embedding"))
-      .withColumn("n2_q", normQ("qv"))
-      .select(col("vec_id"),
-        round(col("dot_q").cast("double") /
-          (sqrt(col("n1_q").cast("double")) * sqrt(col("n2_q").cast("double"))), 6).as("cos"))
+      .select(col("vec_id"), cosQ("embedding", "qv").as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -157,7 +251,7 @@ object Similarity {
               FROM scored ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     // rows-only check (LSH bucketing not ANSI-SQL-expressible portably);
-    // recall vs brute force is asserted in SimilaritySpec
+    // recall vs brute force is asserted in OpsSpec/AnnScaleSpec
     QueryDef("s2_ann_lsh",
       (s, d) => annLsh(t(s, d, "embeddings")),
       None),
@@ -167,7 +261,8 @@ object Similarity {
       None),
 
     QueryDef("d4_embedding_neardup",
-      (s, d) => embeddingNearDupPairs(t(s, d, "embeddings"), bits = 10, minCos = 0.15),
+      (s, d) => embeddingNearDupPairs(t(s, d, "embeddings"),
+        bands = 4, bitsPerBand = 8, minCos = 0.15),
       None)
   )
 }

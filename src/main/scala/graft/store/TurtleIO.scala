@@ -1,0 +1,121 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Turtle exchange format — the reference's output format (reference:
+  * rdf/PokemonRDFConverter.java:191-214 saveModel with read-merge-write,
+  * server/LinkedDataServer.java:148-165 CONSTRUCT-describe responses).
+  *
+  * Serialization is the full-IRI one-triple-per-line subset of Turtle
+  * (N-Triples is valid Turtle), which makes part files independently valid
+  * and concatenable — a prefix-grouped pretty form would force a global
+  * subject sort into ONE file; this form lets every partition serialize
+  * its slice in parallel and any RDF tool read the directory.
+  *
+  * All escaping/formatting is Spark built-in expressions (codegen'd), the
+  * write is `df.write.text` — no driver-side serialization. Determinism:
+  * `write` sorts by (subj, pred, objLex, ...) so equal graphs produce
+  * byte-identical output (modulo partition splits; `parse` round-trips
+  * regardless).
+  */
+object TurtleIO {
+
+  /** Turtle string-literal escaping: backslash first, then quote, then the
+    * control characters (the standard \-escape set). */
+  private def escape(c: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  private def unescape(c: Column): Column = {
+    // sequential replace can't decode overlapping escapes (in "\\t" the
+    // backslash-escape must win over the tab-escape), so \\ goes through a
+    // placeholder first. U+0000 cannot appear in a Turtle document, so the
+    // placeholder is collision-free for any input `write` produced.
+    val ph = "\u0000"
+    val steps: Seq[(String, String)] = Seq(
+      "\\\\" -> ph, "\\t" -> "\t", "\\r" -> "\r", "\\n" -> "\n", "\\\"" -> "\"", ph -> "\\")
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** One Turtle line per triple: `<s> <p> <o> .` / `<s> <p> "lit" .` /
+    * `"lit"@lang` / `"lit"^^<dtype>`. */
+  def line: Column = {
+    val obj = when(col("objIsIri"), concat(lit("<"), col("objLex"), lit(">")))
+      .otherwise(concat(
+        lit("\""), escape(col("objLex")), lit("\""),
+        when(col("objLang") =!= "", concat(lit("@"), col("objLang")))
+          .when(col("objDtype") =!= "", concat(lit("^^<"), col("objDtype"), lit(">")))
+          .otherwise(lit(""))))
+    concat(lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "), obj, lit(" ."))
+  }
+
+  /** Serialized triple lines, deterministically ordered. */
+  def lines(triples: DataFrame): DataFrame =
+    triples
+      .select(col("subj"), col("pred"), col("objIsIri"),
+        col("objLex"), col("objDtype"), col("objLang"))
+      .distinct()
+      .orderBy("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      .select(line.as("value"))
+
+  /** Write the graph as a Turtle directory (part files are each valid
+    * Turtle; the directory concatenates to the full graph). */
+  def write(triples: DataFrame, dir: String): Unit =
+    lines(triples).write.mode("overwrite").text(dir)
+
+  private val lineRe =
+    """^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?) \.$"""
+
+  /** Parse a Turtle directory written by `write` (the N-Triples subset)
+    * back into the triple schema. */
+  def parse(spark: SparkSession, dir: String): DataFrame = {
+    // a merge swap reuses the same path; drop any cached file listing so the
+    // read lists the current snapshot, not the pre-swap part files
+    spark.catalog.refreshByPath(dir)
+    spark.read.text(dir)
+      .select(regexp_extract(col("value"), lineRe, 1).as("subj"),
+        regexp_extract(col("value"), lineRe, 2).as("pred"),
+        regexp_extract(col("value"), lineRe, 3).as("iri"),
+        regexp_extract(col("value"), lineRe, 4).as("lex"),
+        regexp_extract(col("value"), lineRe, 5).as("lang"),
+        regexp_extract(col("value"), lineRe, 6).as("dtype"))
+      .filter(col("subj") =!= "")
+      .select(col("subj"), col("pred"),
+        (col("iri") =!= "").as("objIsIri"),
+        when(col("iri") =!= "", col("iri")).otherwise(unescape(col("lex"))).as("objLex"),
+        col("dtype").as("objDtype"), col("lang").as("objLang"))
+  }
+
+  /** Merge-write mirroring the reference's saveModel: if `dir` already
+    * holds a graph, the new triples are unioned in (set semantics) and the
+    * snapshot is atomically swapped — a crash before the swap leaves the
+    * old snapshot intact. */
+  def mergeWrite(spark: SparkSession, triples: DataFrame, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(dir)
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val fresh = triples.select(cols.map(col): _*)
+    if (Files.exists(path)) {
+      val merged = parse(spark, dir).select(cols.map(col): _*)
+        .unionByName(fresh).distinct()
+      val tmp = dir + ".tmp"
+      write(merged, tmp)
+      val old = dir + ".old"
+      Files.move(path, Paths.get(old))
+      Files.move(Paths.get(tmp), path)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+      spark.catalog.refreshByPath(dir)
+    } else write(fresh, dir)
+  }
+
+  /** CONSTRUCT-describe of one subject (reference:
+    * LinkedDataServer.java:148-165 `CONSTRUCT { <s> ?p ?o }`): the
+    * subject's triples as Turtle text. Bounded by the subject's degree, so
+    * the collect is a point lookup, not a table scan result. */
+  def describe(triples: DataFrame, iri: String): String =
+    lines(triples.filter(col("subj") === iri))
+      .collect().map(_.getString(0)).mkString("\n")
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Banded-LSH recall at scale: 10⁵ vectors with 1 000 planted near-duplicate
+  * pairs. The round-1 single-band signature (bucket = the full signature)
+  * loses recall as n grows because the only fix for bucket size is more
+  * bits, which kills recall; OR-banding (candidates share ANY band) keeps
+  * recall ≥ 0.9 while 16-bit bands keep random collisions ~4/65536.
+  *
+  * Vectors are generated distributed (no driver-side array building):
+  * deterministic hash-derived components, so the test is reproducible and
+  * the planted pairs have cosine ≈ 0.999 by construction (|noise|/|base| =
+  * 0.05 ⇒ angle ≈ 0.05 rad) — far above the 0.95 gate, while the recall
+  * math is exercised at real bucket occupancy.
+  */
+class AnnScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val Dim = 8
+  private val NBase = 99000L
+  private val NPlanted = 1000
+
+  /** Deterministic component in [-1, 1] from (seed id, dim index). */
+  private def comp(id: Column, j: Column): Column =
+    (pmod(xxhash64(id * 16 + j), lit(2001)) - 1000).cast("double") / 1000.0
+
+  /** 99 000 base vectors (ids 0..98999) + 1 000 planted near-dups: id
+    * 99000+i is vector i plus 5% noise. */
+  private lazy val vectors = {
+    val baseId = when(col("id") < NBase, col("id")).otherwise(col("id") - NBase)
+    val noise = when(col("id") < NBase, lit(0.0d)).otherwise(lit(0.05d))
+    spark.range(NBase + NPlanted).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(Dim)), j =>
+        comp(baseId, j) + noise * comp(col("id") + 10000000L, j))
+        .cast("array<float>").as("embedding"))
+  }
+
+  test("banded near-dup recall >= 0.9 on 100k vectors; candidate join keyed by (band, bucket)") {
+    val pairs = Similarity.embeddingNearDupPairs(vectors,
+      dim = Dim, bands = 4, bitsPerBand = 16, minCos = 0.95)
+    // the join that replaces all-pairs must be keyed by (band, bucket) —
+    // hash-shuffled at scale, broadcast when the planner sizes one side small
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(band") || plan.contains("Join [band"),
+      s"candidate join must be keyed by (band, bucket); plan:\n${plan.take(2000)}")
+    val found = pairs
+      .filter(col("a") < NBase && col("b") >= NBase)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = (0 until NPlanted).count(i => found.contains((i.toLong, NBase + i)))
+    assert(recalled >= 900, s"banded LSH recall too low at scale: $recalled/$NPlanted")
+  }
+}

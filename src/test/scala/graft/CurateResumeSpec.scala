@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Curate
+
+/** Curation is a checkpointed, resumable stage like the KG pipeline:
+  * manifest-committed flag parquet, observe()-counted write, kill/rerun
+  * recompute — mirroring PipelineSpec's resume tests. */
+class CurateResumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private lazy val docs = (0 until 50).map(i => (i.toLong, if (i % 10 == 0) "short"
+    else s"doc${i % 20} " + Seq.fill(30)("tok").zipWithIndex.map(p => s"${p._1}${(i % 20 + p._2) % 7}").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("staged curation: second run with same fingerprint skips; outputs identical") {
+    val dir = java.nio.file.Files.createTempDirectory("curate-resume").toString
+    val (c1, r1, sk1) = Curate.curateStaged(spark, docs, dir, "fp-1", minTokens = 5)
+    assert(!sk1)
+    val report1 = r1.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val curated1 = c1.collect().map(_.getLong(0)).sorted.toSeq
+
+    val (c2, r2, sk2) = Curate.curateStaged(spark, docs, dir, "fp-1", minTokens = 5)
+    assert(sk2, "same fingerprint must skip the recompute")
+    assert(r2.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq == report1)
+    assert(c2.collect().map(_.getLong(0)).sorted.toSeq == curated1)
+
+    // observed counts (ridden on the stage write) agree with the report
+    val obs = spark.read.parquet(s"$dir/curate_observed").collect()(0)
+    val rm = report1.toMap
+    assert(obs.getAs[Long]("input") == rm("input"))
+    assert(obs.getAs[Long]("quality_gate") == rm("quality_gate"))
+    assert(obs.getAs[Long]("curated") == rm("near_dup_removal"))
+  }
+
+  test("kill/rerun: a flag dir without a committed manifest is recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("curate-crash").toString
+    // simulate a run killed mid-stage: parquet bytes on disk, no manifest
+    Curate.flags(docs, minTokens = 5).limit(3)
+      .write.mode("overwrite").parquet(s"$dir/curate_flags")
+    val (c, r, sk) = Curate.curateStaged(spark, docs, dir, "fp-A", minTokens = 5)
+    assert(!sk, "unmanifested stage must recompute")
+    val rm = r.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rm("input") == 50)
+    assert(c.count() == rm("near_dup_removal"))
+  }
+
+  test("staged and unstaged curation agree row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("curate-eq").toString
+    val (cu, ru) = Curate.curate(docs, minTokens = 5)
+    val (cs, rs, _) = Curate.curateStaged(spark, docs, dir, "fp-eq", minTokens = 5)
+    assert(ru.collect().map(_.toString).sorted.sameElements(rs.collect().map(_.toString).sorted))
+    assert(cu.collect().map(_.toString).sorted.sameElements(cs.collect().map(_.toString).sorted))
+  }
+}

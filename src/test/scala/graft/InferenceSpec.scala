@@ -114,6 +114,15 @@ class InferenceSpec extends AnyFunSuite {
     assert(row.getString(2) == "Bulbasaur")
   }
 
+  test("salted property inheritance ≡ plain (hub-skew variant is result-identical)") {
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val plain = Inference.propertyInheritance(base)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val salted = Inference.propertyInheritanceSalted(base, k = 8)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(plain.sameElements(salted))
+  }
+
   test("validation: clean corpus has zero violations across all 11 rules") {
     val rep = Validation.report(inferred).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

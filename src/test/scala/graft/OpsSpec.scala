@@ -127,13 +127,64 @@ class OpsSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) > 0.9)
   }
 
-  test("LSH ANN: recall of planted nearest neighbors >= 0.7 vs brute force") {
-    val ann = Similarity.annLsh(embeddings, dim = 64, bits = 8, k = 3)
+  test("LSH ANN (banded): recall of planted nearest neighbors >= 0.9 vs brute force") {
+    val ann = Similarity.annLsh(embeddings, dim = 64, bands = 4, bitsPerBand = 8, k = 3)
       .filter(col("rk") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // for the 10 planted pairs, the true NN of i is 100+i and vice versa
+    // for the 10 planted pairs, the true NN of i is 100+i and vice versa;
+    // OR-banding (4×8 bits) must find essentially all of them — the round-1
+    // single-band signature only managed ~0.7 here
     val recalled = (0 until 10).count(i => ann.get(i.toLong).contains(100L + i))
-    assert(recalled >= 7, s"LSH recall too low: $recalled/10")
+    assert(recalled >= 9, s"banded LSH recall too low: $recalled/10")
+  }
+
+  /** 8 well-separated clusters of 25 vectors each: cluster centers are
+    * orthogonal-ish random gaussians, members = center + small noise. */
+  private lazy val clustered = {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    (0 until 8).flatMap { c =>
+      val center = vec(5000 + c)
+      (0 until 25).map { m =>
+        val r = new scala.util.Random(c * 1000 + m)
+        (c * 25L + m, center.map(x => x + 0.2f * r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF ANN: k-means codebook recovers clusters; top-k recall >= 0.8 vs brute force") {
+    val queryId = 3L // a member of cluster 0
+    val brute = Similarity.cosineTopK(clustered, queryId, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.annIvf(clustered, queryId, k = 5, nCentroids = 8, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.forall(_ < 25), "sanity: true neighbors are in-cluster")
+    val recall = (brute intersect ivf).size / 5.0
+    assert(recall >= 0.8, s"IVF recall too low: $recall (ivf=$ivf brute=$brute)")
+  }
+
+  test("IVF codebook: centroids are trained means, not first-N-by-id stubs") {
+    val cents = Similarity.kmeansCentroids(clustered, k = 8, iters = 2)
+    assert(cents.length == 8)
+    val raw = clustered.orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // a trained centroid is an average — it must not equal any raw vector,
+    // let alone the first 8 by id (the round-1 stub)
+    assert(!cents.zip(raw).exists { case (c, r) => c.sameElements(r) })
+    // and distinct centroids must land near distinct cluster centers:
+    // every one of the 8 clusters is some centroid's nearest cluster
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val centers = (0 until 8).map { c =>
+      val r = new scala.util.Random(5000 + c)
+      Array.fill(64)(r.nextGaussian().toDouble)
+    }
+    val covered = cents.map(cv => centers.indices.maxBy(i => cos(cv, centers(i)))).toSet
+    assert(covered.size >= 7, s"centroids collapse: only ${covered.size}/8 clusters covered")
   }
 
   test("language ID picks the language with most marker hits") {

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Fixtures, Pipeline}
+import graft.model.{Vocab => V}
+import graft.store.TurtleIO
+
+/** Turtle sink round-trip: the reference's exchange format (saveModel /
+  * CONSTRUCT-describe) re-expressed as a distributed text sink. Emit →
+  * TTL → parse must reproduce the exact triple set. */
+class TurtleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+  private lazy val triples = Pipeline.triples(spark, Fixtures.pages(spark))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
+
+  test("round-trip: golden emit → TTL → parse → identical triple set") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl").toString + "/graph.ttl"
+    TurtleIO.write(triples, dir)
+    val back = TurtleIO.parse(spark, dir)
+    assert(asSet(back) == asSet(triples))
+  }
+
+  test("escaping round-trips adversarial literals (quotes, backslashes, controls)") {
+    val nasty = Seq(
+      ("s1", V.SchemaName, false, "line1\nline2\ttabbed", "", ""),
+      ("s1", V.SchemaName, false, """back\slash and "quote"""", "", ""),
+      ("s1", V.SchemaName, false, """literal \t not a tab \\n""", "", "en"),
+      ("s1", V.SchemaName, false, "0.7", V.XsdDecimal, ""),
+      ("s1", V.SchemaName, false, "", "", ""),
+      ("s1", V.OwlSameAs, true, "http://example.org/x?a=1&b=2", "", ""))
+      .toDF(cols: _*)
+    val dir = java.nio.file.Files.createTempDirectory("ttl-esc").toString + "/g.ttl"
+    TurtleIO.write(nasty, dir)
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(nasty))
+  }
+
+  test("mergeWrite: idempotent append + distinct (reference saveModel semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl-merge").toString + "/g.ttl"
+    val half1 = triples.filter(col("pred") === V.SchemaName)
+    val half2 = triples.filter(col("pred") === V.SchemaName || col("pred") === V.PrimaryType)
+    TurtleIO.mergeWrite(spark, half1, dir)
+    TurtleIO.mergeWrite(spark, half2, dir) // overlaps half1 — set union, no dups
+    val merged = asSet(TurtleIO.parse(spark, dir)) // materialize before the next swap
+    assert(merged == asSet(half1.unionByName(half2)))
+    TurtleIO.mergeWrite(spark, half2, dir) // idempotent
+    assert(asSet(TurtleIO.parse(spark, dir)) == merged)
+  }
+
+  test("describe returns exactly the subject's triples as Turtle") {
+    val s = V.pokemonIri("0001")
+    val ttl = TurtleIO.describe(triples, s)
+    val expected = triples.filter(col("subj") === s)
+      .select(cols.map(col): _*).distinct().count()
+    val lines = ttl.split("\n")
+    assert(lines.length == expected)
+    assert(lines.forall(_.startsWith(s"<$s> ")))
+    assert(lines.exists(_.contains(V.SchemaName)))
+  }
+}

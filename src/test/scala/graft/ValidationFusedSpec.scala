@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Fixtures, Inference, Pipeline, Validation}
+import graft.model.{Vocab => V}
+
+/** The fused one-scan validation report must be row-identical to the
+  * per-rule formulation on clean AND corrupted graphs — including the
+  * rules the fusion restructures most (uniqueLang's nested grouping and
+  * AbilityShape's entity-retargeted contribution). */
+class ValidationFusedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  // localCheckpoint: truncate the parse→emit→closure union tree so the 12
+  // aggregations here re-analyze a one-node scan (same trick as KgQueries)
+  private lazy val inferred =
+    Inference.infer(spark, Pipeline.triples(spark, Fixtures.pages(spark))).localCheckpoint()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  test("fused == per-rule on the clean golden graph (same rows, same order)") {
+    assert(rows(Validation.report(inferred)) == rows(Validation.reportUnfused(inferred)))
+  }
+
+  test("fused == per-rule on a graph violating every rule") {
+    val bad = Seq(
+      (V.Base + "pokemon/9990", V.RdfType, true, V.PokemonClass, "", ""),          // minCount ×3
+      (V.Base + "pokemon/0001", V.SchemaIdentifier, false, "1", "", ""),           // pattern
+      (V.Base + "pokemon/0001", V.PrimaryType, false, "Shadow", "", ""),           // whitelist
+      (V.Base + "pokemon/0001", V.SchemaHeight, false, "99.9", V.XsdDecimal, ""),  // range
+      (V.Base + "pokemon/0001", V.SchemaWeight, false, "junk", V.XsdDecimal, ""),  // try_cast null
+      (V.Base + "pokemon/0001", V.EvolutionStage, false, "7", V.XsdInt, ""),       // range
+      (V.Base + "pokemon/0001", V.RdfsLabel, false, "Bulbizarre", "", "fr"),       // languageIn
+      (V.Base + "pokemon/0002", V.RdfsLabel, false, "IvyA", "", "en"),             // uniqueLang (en dup
+      (V.Base + "pokemon/0002", V.RdfsLabel, false, "IvyB", "", "en"),             //  with golden label)
+      (V.Base + "pokemon/0003", V.PrimaryAbility, true, V.abilityIri("ghost grip"), "", "")
+    ).toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      .withColumn("srcRepo", lit("x")).withColumn("srcPath", lit("x"))
+      .withColumn("srcCommit", lit("x")).withColumn("srcSha256", lit("x"))
+    val dirty = inferred.unionByName(bad)
+    val fused = rows(Validation.report(dirty))
+    assert(fused == rows(Validation.reportUnfused(dirty)))
+    val m = fused.toMap
+    // every rule fires at least once on this graph
+    assert(m.values.forall(_ >= 1), s"some rule never fired: $m")
+  }
+
+  test("fused report is ONE scan: a single groupBy(entity) exchange feeds the global agg") {
+    val plan = Validation.report(inferred).queryExecution.optimizedPlan.toString
+    // the per-rule form is a Union of 11 aggregate subtrees (22+ Aggregates);
+    // the fused form is entity-agg → global-agg over one scan
+    assert(!plan.contains("Union"), s"fused plan still unions per-rule scans:\n${plan.take(1500)}")
+    val nAggs = "(?m)^\\s*\\+?-?\\s*Aggregate".r.findAllIn(plan).size
+    assert(nAggs <= 2, s"fused plan has $nAggs Aggregate nodes:\n${plan.take(1500)}")
+  }
+}
