@@ -104,11 +104,27 @@ object Curate {
     (curatedOf(staged), reportOf(staged), skipped)
   }
 
+  /** DuckDB replay of the whole curation pipeline: quality gate → window
+    * exact-dedup → the shared minhash-LSH CTE chain over the survivors →
+    * the same four-stage report. */
+  private def curateOracleSql(minTokens: Int, maxTokens: Int, nearDupBp: Long): String =
+    s"""WITH q AS (SELECT doc_id, text FROM documents
+                   WHERE len(string_split(text,' ')) BETWEEN $minTokens AND $maxTokens),
+        ex AS (SELECT doc_id, text FROM (
+                 SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                 FROM q)
+               WHERE doc_id = keeper),
+        ${Dedup.minhashPairsCtes(nearDupBp, "ex")},
+        survivors AS (SELECT doc_id FROM ex
+                      WHERE doc_id NOT IN (SELECT DISTINCT b FROM mh_pairs))
+        SELECT 'input' AS stage, (SELECT count(*) FROM documents) AS docs
+        UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM q)
+        UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM ex)
+        UNION ALL SELECT 'near_dup_removal', (SELECT count(*) FROM survivors)"""
+
   val defs: Seq[QueryDef] = Seq(
-    // rows-only: the report is deterministic; stage logic is oracle-verified
-    // piecewise (t2 quality, d1 exact groups, d2 minhash-LSH)
     QueryDef("t6_curate_report",
       (s, d) => curate(t(s, d, "documents"))._2,
-      None)
+      Some(curateOracleSql(minTokens = 10, maxTokens = 100000, nearDupBp = 8000)))
   )
 }

@@ -127,9 +127,10 @@ object Dedup {
 
   // ---- DuckDB oracle SQL (generated; mirrors the arithmetic exactly) ------
 
-  /** Shared sampled-shingle CTE prefix (same sampling as Text.shingles). */
-  private val sampledShinglesSql =
-    """toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+  /** Shared sampled-shingle CTE prefix (same sampling as Text.shingles)
+    * over any relation exposing (doc_id, text). */
+  private def sampledShinglesSql(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM $src),
        raw AS (
          SELECT doc_id,
                 unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
@@ -143,7 +144,10 @@ object Dedup {
          WHERE h % 4 = 0
          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= 512)"""
 
-  private def minhashOracleSql(minEstBp: Long): String = {
+  /** CTE chain (no WITH keyword) replaying minhashLshPairs over `src`;
+    * the final CTE is `mh_pairs(a, b, est_jaccard_bp)`. Composable so the
+    * curation oracle can run it over its own exact-dedup survivors. */
+  private[ops] def minhashPairsCtes(minEstBp: Long, src: String): String = {
     val minExprs = Perms.zipWithIndex.map { case ((a, b), i) =>
       s"CAST(min((hp * $a + $b) % $HashPrime) AS BIGINT) AS s$i"
     }.mkString(",\n                ")
@@ -157,7 +161,7 @@ object Dedup {
     val matching = (0 until MinhashPerms)
       .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $sampledShinglesSql,
+    s"""${sampledShinglesSql(src)},
         sig AS (SELECT doc_id,
                 $minExprs
                 FROM (SELECT doc_id, h % $HashPrime AS hp FROM samp)
@@ -165,15 +169,20 @@ object Dedup {
         banded AS ($bandSelects),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                  FROM banded x JOIN banded y
-                   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-        SELECT a, b, est_jaccard_bp FROM (
-          SELECT c.a, c.b,
-                 CAST(floor(10000.0 * ($matching) / 64.0) AS BIGINT) AS est_jaccard_bp
-          FROM cand c
-          JOIN sig sa ON sa.doc_id = c.a
-          JOIN sig sb ON sb.doc_id = c.b)
-        WHERE est_jaccard_bp >= $minEstBp"""
+                   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        mh_pairs AS (
+          SELECT a, b, est_jaccard_bp FROM (
+            SELECT c.a, c.b,
+                   CAST(floor(10000.0 * ($matching) / 64.0) AS BIGINT) AS est_jaccard_bp
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b)
+          WHERE est_jaccard_bp >= $minEstBp)"""
   }
+
+  private def minhashOracleSql(minEstBp: Long): String =
+    s"""WITH ${minhashPairsCtes(minEstBp, "documents")}
+        SELECT a, b, est_jaccard_bp FROM mh_pairs"""
 
   private def simhashOracleSql(maxHamming: Int): String = {
     val sums = (0 until SimhashBits)

@@ -83,13 +83,20 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    // rows-only: binary payload plumbing + stubbed decode; feature values
-    // are asserted deterministic in MultimodalSpec
+    // exact oracle over everything engine-portable (the payload digest ran
+    // through the one mapPartitions in the codebase, so the oracle verifies
+    // that batch path end-to-end); histogram values are byte-level decode
+    // output the oracle can't see — asserted in SkewMultimodalSpec instead
     QueryDef("m2_decode_stub",
       (s, d) => extractFeatures(syntheticMedia(t(s, d, "documents")))
         .toDF()
         .select(col("doc_id"), col("kind"), col("nBytes"), col("sha256"),
-          col("decodeOk"), round(element_at(col("histogram"), 1), 6).as("hist0")),
-      None)
+          col("decodeOk")),
+      Some("""SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CAST(strlen(text) AS BIGINT) AS nBytes,
+                     sha256(text) AS sha256,
+                     strlen(text) > 0 AS decodeOk
+              FROM documents"""))
   )
 }

@@ -73,16 +73,20 @@ object Similarity {
   /** Banded signature of the embedding column: array of `bands` longs, each
     * a big-endian `bitsPerBand`-bit hyperplane sketch. Nested folds: the
     * bit fold multiplies-and-adds (ordered, so no shift builtin needed);
-    * each bit is the sign of an array-fold dot product against one row of
-    * the plane matrix. */
+    * each bit is the sign of a QUANTIZED dot product against one row of the
+    * plane matrix — per-element products floored to the 1e-6 grid make the
+    * sum an integer sum, so the sign (and therefore every bucket id) is
+    * bit-identical in any engine, which is what lets s2/d4 carry exact
+    * DuckDB oracles. */
   def bandedSignature(dim: Int, bands: Int, bitsPerBand: Int): Column = {
     val planes = planeMatrix(dim, bands * bitsPerBand)
     transform(sequence(lit(0), lit(bands - 1)), bd =>
       aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, p) => {
         val plane = element_at(planes, (bd * bitsPerBand + p + 1).cast("int"))
         val dot = aggregate(
-          zip_with(col("embedding"), plane, (x, w) => x.cast("double") * w),
-          lit(0.0d), (a, v) => a + v)
+          zip_with(col("embedding"), plane, (x, w) =>
+            floor(x.cast("double") * w * 1000000.0d).cast("long")),
+          lit(0L), (a, v) => a + v)
         acc * 2 + when(dot >= 0, 1L).otherwise(0L)
       }))
   }
@@ -234,6 +238,70 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- DuckDB oracle SQL (generated; mirrors the quantized arithmetic) ----
+
+  /** Per-band bucket expressions over `embedding` — the same quantized
+    * hyperplane signs as bandedSignature, as DuckDB SQL. */
+  private def bandSql(dim: Int, bands: Int, bitsPerBand: Int): Seq[String] =
+    (0 until bands).map { bd =>
+      (0 until bitsPerBand).map { p =>
+        val plane = (0 until dim).map(i => planeComponent(bd * bitsPerBand + p, i))
+        val dot = s"list_sum(list_transform(list_zip(embedding, ${plane.mkString("[", ", ", "]")}::DOUBLE[]), " +
+          "s -> CAST(floor(CAST(s[1] AS DOUBLE) * s[2] * 1000000.0) AS BIGINT)))"
+        s"(CASE WHEN $dot >= 0 THEN ${1L << (bitsPerBand - 1 - p)} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+
+  private def cosSqlDuck(a: String, b: String): String = {
+    def dq(x: String, y: String) =
+      s"CAST(list_sum(list_transform(list_zip($x, $y), " +
+        "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT)"
+    s"round(CAST(${dq(a, b)} AS DOUBLE) / (sqrt(CAST(${dq(a, a)} AS DOUBLE)) * sqrt(CAST(${dq(b, b)} AS DOUBLE))), 6)"
+  }
+
+  /** Shared banded-candidate CTE prefix (sig → banded → the per-band
+    * bucket join, deduped). `op` is the id comparison (`<` for pairs,
+    * `<>` for per-query neighbor lists). */
+  private def bandedCandSql(dim: Int, bands: Int, bitsPerBand: Int, op: String): String = {
+    val bandCols = bandSql(dim, bands, bitsPerBand).zipWithIndex
+      .map { case (e, i) => s"$e AS b$i" }.mkString(",\n                ")
+    val bandSelects = (0 until bands)
+      .map(i => s"SELECT vec_id, embedding, $i AS band, b$i AS bucket FROM sig")
+      .mkString("\n                UNION ALL ")
+    s"""sig AS (SELECT vec_id, embedding,
+                $bandCols
+                FROM embeddings),
+        banded AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id $op y.vec_id)"""
+  }
+
+  private def nearDupOracleSql(dim: Int, bands: Int, bitsPerBand: Int,
+                               minCos: Double): String =
+    s"""WITH ${bandedCandSql(dim, bands, bitsPerBand, "<")}
+        SELECT a, b, cos FROM (
+          SELECT c.ida AS a, c.idb AS b,
+                 ${cosSqlDuck("ea.embedding", "eb.embedding")} AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.ida
+          JOIN embeddings eb ON eb.vec_id = c.idb)
+        WHERE cos >= $minCos"""
+
+  private def annLshOracleSql(dim: Int, bands: Int, bitsPerBand: Int, k: Int): String =
+    s"""WITH ${bandedCandSql(dim, bands, bitsPerBand, "<>")},
+        scored AS (
+          SELECT c.ida AS vec_id, c.idb AS nbr,
+                 ${cosSqlDuck("ea.embedding", "eb.embedding")} AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.ida
+          JOIN embeddings eb ON eb.vec_id = c.idb)
+        SELECT vec_id, nbr, cos, rk FROM (
+          SELECT vec_id, nbr, cos,
+                 CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= $k"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk",
       (s, d) => cosineTopK(t(s, d, "embeddings"), queryId = 0L, k = 10),
@@ -250,12 +318,17 @@ object Similarity {
               SELECT vec_id, round(CAST(dot_q AS DOUBLE)/(sqrt(CAST(n1_q AS DOUBLE))*sqrt(CAST(n2_q AS DOUBLE))), 6) AS cos
               FROM scored ORDER BY cos DESC, vec_id LIMIT 10""")),
 
-    // rows-only check (LSH bucketing not ANSI-SQL-expressible portably);
-    // recall vs brute force is asserted in OpsSpec/AnnScaleSpec
+    // exact oracle: the quantized signature makes every bucket id (and so
+    // the candidate set, not just the scores) engine-portable; the oracle
+    // replays the same banding in DuckDB. Recall vs brute force is asserted
+    // in OpsSpec/AnnScaleSpec.
     QueryDef("s2_ann_lsh",
       (s, d) => annLsh(t(s, d, "embeddings")),
-      None),
+      Some(annLshOracleSql(dim = 64, bands = 4, bitsPerBand = 8, k = 5))),
 
+    // rows-only: the k-means codebook is trained iteratively (driver-side
+    // re-broadcast per Lloyd round) — not expressible as one SQL query;
+    // recall vs brute force is asserted in OpsSpec
     QueryDef("s3_ann_ivf",
       (s, d) => annIvf(t(s, d, "embeddings"), queryId = 0L, k = 10),
       None),
@@ -263,6 +336,6 @@ object Similarity {
     QueryDef("d4_embedding_neardup",
       (s, d) => embeddingNearDupPairs(t(s, d, "embeddings"),
         bands = 4, bitsPerBand = 8, minCos = 0.15),
-      None)
+      Some(nearDupOracleSql(dim = 64, bands = 4, bitsPerBand = 8, minCos = 0.15)))
   )
 }
