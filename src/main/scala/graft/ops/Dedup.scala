@@ -45,13 +45,15 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signature per doc: explode the sampled shingles once, then 64
-    * parallel min-aggregations of universal-hash permutations (partial agg ⇒
-    * the shuffle carries one 64-long row per doc, not the shingles). */
+  /** MinHash signature per doc: explode the sampled shingle HASHES once
+    * (the h60 was already computed during sampling — no second md5 pass),
+    * then 64 parallel min-aggregations of universal-hash permutations
+    * (partial agg ⇒ the shuffle carries one 64-long row per doc, not the
+    * shingles). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = Text.shingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("hp", Text.h60(col("s")) % HashPrime)
+    val sh = Text.shingleHashes(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .withColumn("hp", col("h") % HashPrime)
     val mins = Perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("hp") * a + b) % HashPrime).as(s"h$i")
     }

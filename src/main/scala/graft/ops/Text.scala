@@ -96,22 +96,34 @@ object Text {
     *    contributes at most `cap` rows downstream.
     * Everything runs inside whole-stage codegen on the shingle ARRAY — no
     * explode, no window, no shuffle. */
-  def shingles(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+  private def sampledShingleStructs(docs: DataFrame, mod: Int, cap: Int): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("allsh", array_distinct(expr(
         """transform(sequence(1, greatest(size(toks)-2, 0)),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))""".stripMargin)))
-      .withColumn("sh", expr(
-        s"""transform(
-           |  slice(
-           |    array_sort(
-           |      filter(
-           |        transform(allsh, s -> struct(${h60Sql("s")} AS h, s AS s)),
-           |        x -> x.h % $mod = 0)),
-           |    1, $cap),
-           |  x -> x.s)""".stripMargin))
-      .select(col("doc_id"), col("sh"))
+      .withColumn("shs", expr(
+        s"""slice(
+           |  array_sort(
+           |    filter(
+           |      transform(allsh, s -> struct(${h60Sql("s")} AS h, s AS s)),
+           |      x -> x.h % $mod = 0)),
+           |  1, $cap)""".stripMargin))
+
+  def shingles(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+    sampledShingleStructs(docs, mod, cap)
+      .select(col("doc_id"), expr("transform(shs, x -> x.s)").as("sh"))
+
+  /** The sampled shingles as their 60-bit HASHES (same sampling/order/cap as
+    * `shingles`, projecting x.h instead of x.s): downstream joins and
+    * minhash permutations key on the long — one md5 per shingle total, a
+    * fixed-width shuffle key, and identical values in DuckDB (the oracles'
+    * `samp` CTE already carries h). Hash equality stands in for shingle
+    * equality; at 2^-60 collision odds the pair estimates are unchanged and
+    * both engines see the same collisions if one ever occurs. */
+  def shingleHashes(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+    sampledShingleStructs(docs, mod, cap)
+      .select(col("doc_id"), expr("transform(shs, x -> x.h)").as("sh"))
 
   /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
     * self-join on shingle (the LSH-free exact variant), score
@@ -120,7 +132,7 @@ object Text {
     * by content n-grams; hot shingles are the skew risk — AQE skew-join
     * handles it, and `cap` bounds per-doc fan-out by construction. */
   def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingleHashes(docs)
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = ex.alias("x")
@@ -194,7 +206,7 @@ object Text {
                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
                 FROM toks),
               samp AS (
-                SELECT doc_id, s
+                SELECT doc_id, s, h
                 FROM (SELECT doc_id, s,
                              CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h
                       FROM raw)
@@ -203,7 +215,7 @@ object Text {
               sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM samp GROUP BY doc_id),
               common AS (
                 SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
-                FROM samp x JOIN samp y ON x.s = y.s AND x.doc_id < y.doc_id
+                FROM samp x JOIN samp y ON x.h = y.h AND x.doc_id < y.doc_id
                 GROUP BY x.doc_id, y.doc_id
               )
               SELECT a, b, common,
