@@ -47,6 +47,12 @@ object KgQueries {
     cache.computeIfAbsent("inferred:" + sid(spark), _ =>
       Inference.infer(spark, triples(spark)).localCheckpoint())
 
+  // the sameAs component table is an iterative CC kernel — memoized so the
+  // three canonical-graph queries don't each re-run it
+  private[graft] def components(spark: SparkSession): DataFrame =
+    cache.computeIfAbsent("components:" + sid(spark), _ =>
+      Inference.sameAsComponents(triples(spark)).localCheckpoint())
+
   private def slice(t: DataFrame, pred: String, as: String, lexAs: String): DataFrame =
     t.filter(col("pred") === pred).select(col("subj").as(as), col("objLex").as(lexAs))
 
@@ -297,7 +303,12 @@ object KgQueries {
   /** sameAs cluster roll-up through the canonical component table
     * (reference property path owl:sameAs* — pokemon_queries.sparql:124-136). */
   def sameAsClusters(t: DataFrame): DataFrame =
-    Inference.sameAsComponents(t)
+    sameAsClustersFromComponents(Inference.sameAsComponents(t))
+
+  /** Same roll-up over an already-materialized component table (the memoized
+    * path — skips re-running the CC kernel). */
+  def sameAsClustersFromComponents(comp: DataFrame): DataFrame =
+    comp
       .groupBy("canonId")
       .agg(count(lit(1)).as("cluster_size"),
         concat_ws("|", array_sort(collect_set(col("iri")))).as("members"))
@@ -316,7 +327,7 @@ object KgQueries {
     QueryDef("kg_vertices", (s, _) => Pipeline.vertices(triples(s)), None),
     QueryDef("kg_edges", (s, _) => Pipeline.edges(triples(s)), None),
     QueryDef("kg_inferred", (s, _) => inferred(s), None),
-    QueryDef("kg_sameas_components", (s, _) => Inference.sameAsComponents(triples(s)), None),
+    QueryDef("kg_sameas_components", (s, _) => components(s), None),
     QueryDef("kg_validation", (s, _) => Validation.report(inferred(s)), None),
     QueryDef("kg_metrics", (s, _) => {
       import org.apache.spark.sql.Encoders
@@ -352,9 +363,9 @@ object KgQueries {
       Seq(exists).toDF("ask_result")
     }, None),
     QueryDef("kg_canonical_edges", (s, _) =>
-      Inference.canonicalEdges(inferred(s), Inference.sameAsComponents(triples(s))), None),
+      Inference.canonicalEdges(inferred(s), components(s)), None),
     QueryDef("kg_canonical_vertices", (s, _) =>
-      Inference.canonicalVertices(inferred(s), Inference.sameAsComponents(triples(s))), None),
+      Inference.canonicalVertices(inferred(s), components(s)), None),
     // the five reference corpus queries missing in round 1 (VERDICT item 1);
     // all run over the inference-enriched graph like the reference's served
     // dataset (server loads the model through InferenceHandler first)
@@ -369,7 +380,7 @@ object KgQueries {
     QueryDef("kg_q_label_coverage", (s, _) => labelCoverage(triples(s)), None),
     QueryDef("kg_q_shared_characteristics",
       (s, _) => sharedCharacteristicPairs(s, inferred(s)), None),
-    QueryDef("kg_q_sameas_clusters", (s, _) => sameAsClusters(triples(s)), None),
+    QueryDef("kg_q_sameas_clusters", (s, _) => sameAsClustersFromComponents(components(s)), None),
     QueryDef("kg_q_distinct_labels", (s, _) => distinctLabelConcat(triples(s)), None),
     // SQL surface: corpus query 1 via spark.sql over registered views
     QueryDef("kg_q_sql_overview", (s, _) => {

@@ -17,6 +17,21 @@ object TableIO {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Bucketed+sorted catalog table: the storage layout for join keys that
+    * are hit repeatedly at scale (the triple table's `subj`). A join of two
+    * tables bucketed the same way on the join key needs NO exchange and NO
+    * sort — the scan's output partitioning/ordering already satisfies the
+    * sort-merge join (BucketingSpec pins the exchange-free plan). This is
+    * the parquet-catalog stand-in for the Iceberg bucket-partitioned tables
+    * a cluster deployment would use. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   private def manifestPath(dir: String) = Paths.get(dir, "_STAGE_MANIFEST")
 
   /** Run `compute` and persist its result under `dir` unless a previous run

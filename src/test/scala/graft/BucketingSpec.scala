@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Fixtures, Pipeline}
+import graft.store.TableIO
+
+/** Bucketed co-located joins: two tables bucketed+sorted on the join key
+  * must sort-merge-join with NO exchange and NO sort — the scan layout
+  * satisfies the join's distribution/ordering requirements. At 100 TB this
+  * is the difference between re-shuffling the triple table on every
+  * subject join and never shuffling it at all. */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("join of two subj-bucketed triple tables has no Exchange and no Sort") {
+    Seq("trip_a", "trip_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val triples = Pipeline.triples(spark, Fixtures.pages(spark))
+    TableIO.writeBucketed(triples, "trip_a", "subj", 8)
+    TableIO.writeBucketed(
+      triples.filter(col("pred") === graft.model.Vocab.SchemaName), "trip_b", "subj", 8)
+
+    val a = spark.table("trip_a").select(col("subj"), col("pred").as("pa"))
+    val b = spark.table("trip_b").select(col("subj"), col("pred").as("pb"))
+    // merge hint: at fixture scale the planner would broadcast the small
+    // side; the scenario under test is the big-big join where SMJ is the
+    // only option and the bucket layout must carry it shuffle-free
+    val joined = a.join(b.hint("merge"), "subj")
+
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n${plan.take(1200)}")
+    assert(!plan.contains("ENSURE_REQUIREMENTS), Sort"),
+      s"bucket sort order should satisfy the SMJ:\n${plan.take(1200)}")
+
+    // same join over plain parquet DOES shuffle — the layout is what saves it
+    val dir = java.nio.file.Files.createTempDirectory("unbucketed").toString
+    TableIO.write(triples, s"$dir/t")
+    val p = TableIO.read(spark, s"$dir/t").select(col("subj"), col("pred").as("pa"))
+    val q = p.join(p.withColumnRenamed("pa", "pb"), "subj")
+    assert(q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
