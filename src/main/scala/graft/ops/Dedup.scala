@@ -69,17 +69,23 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
     val sigs = minhashSignatures(docs)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // the hot (band, bucket) join carries ONLY (doc_id) per side — the
+    // 64-slot signatures re-join by doc_id AFTER the candidate pairs are
+    // deduped (pairs ≪ banded rows, and each sig crosses the wire once per
+    // surviving pair instead of riding all 16 band rows)
+    val banded = sigs.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    cand.select(col("a"), col("b"),
+    cand
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .select(col("a"), col("b"),
         expr(s"aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
           .as("matching"))
       .select(col("a"), col("b"),

@@ -91,16 +91,34 @@ object Similarity {
       }))
   }
 
-  /** (vec_id, embedding, band, bucket) rows — one per (vector, band). The
-    * downstream candidate join is an equi-join on (band, bucket): one
-    * shuffle whose key spreads each vector over `bands` partitions. */
+  /** (vec_id, band, bucket) rows — one per (vector, band), and NOTHING
+    * else: the hot (band, bucket) join must not carry the embeddings (at
+    * dim 768+ that multiplies the shuffle by the vector width × bands);
+    * payloads re-join by vec_id after the pair dedup. */
   private def bandedBuckets(embeddings: DataFrame, dim: Int, bands: Int,
                             bitsPerBand: Int): DataFrame =
     embeddings
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(bandedSignature(dim, bands, bitsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+
+  /** Deduped candidate pairs sharing ANY (band, bucket), embeddings
+    * re-attached once per surviving pair. `op` is the id predicate. */
+  private def candidatePairs(embeddings: DataFrame, dim: Int, bands: Int,
+                             bitsPerBand: Int,
+                             op: (Column, Column) => Column): DataFrame = {
+    val b = bandedBuckets(embeddings, dim, bands, bitsPerBand)
+    val cand = b.alias("x").join(b.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && op(col("x.vec_id"), col("y.vec_id")))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+      .distinct()
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("ida"), col("embedding").as("ea")), "ida")
+      .join(emb.select(col("vec_id").as("idb"), col("embedding").as("eb")), "idb")
+  }
 
   /** ANN: candidate pairs sharing ANY (band, bucket), deduped across bands,
     * scored by exact quantized cosine, top-k per query vector. Banding =
@@ -108,14 +126,8 @@ object Similarity {
   def annLsh(embeddings: DataFrame, dim: Int = 64, bands: Int = 4,
              bitsPerBand: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = bandedBuckets(embeddings, dim, bands, bitsPerBand)
-    val pairs = b.alias("x").join(b.alias("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .distinct()
-      .select(col("vec_id"), col("nbr"), cosQ("ea", "eb").as("cos"))
+    val pairs = candidatePairs(embeddings, dim, bands, bitsPerBand, _ =!= _)
+      .select(col("ida").as("vec_id"), col("idb").as("nbr"), cosQ("ea", "eb").as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr"))
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("vec_id"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
@@ -128,17 +140,10 @@ object Similarity {
     * rate at ~4/65536 while OR-banding keeps near-dup recall high. */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int = 64,
                             bands: Int = 4, bitsPerBand: Int = 16,
-                            minCos: Double = 0.9): DataFrame = {
-    val b = bandedBuckets(embeddings, dim, bands, bitsPerBand)
-    b.alias("x").join(b.alias("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
-      .distinct()
-      .select(col("a"), col("b"), cosQ("ea", "eb").as("cos"))
+                            minCos: Double = 0.9): DataFrame =
+    candidatePairs(embeddings, dim, bands, bitsPerBand, _ < _)
+      .select(col("ida").as("a"), col("idb").as("b"), cosQ("ea", "eb").as("cos"))
       .filter(col("cos") >= minCos)
-  }
 
   // ---- IVF ------------------------------------------------------------------
 
