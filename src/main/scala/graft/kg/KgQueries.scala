@@ -329,6 +329,9 @@ object KgQueries {
     QueryDef("kg_inferred", (s, _) => inferred(s), None),
     QueryDef("kg_sameas_components", (s, _) => components(s), None),
     QueryDef("kg_validation", (s, _) => Validation.report(inferred(s)), None),
+    // the Turtle exchange surface (A6/A7): serialized triple lines; the
+    // escape/format logic carries an in-test DuckDB oracle (KgOracleSpec)
+    QueryDef("kg_turtle_lines", (s, _) => graft.store.TurtleIO.lines(triples(s)), None),
     QueryDef("kg_metrics", (s, _) => {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.product[graft.model.LineageTriple]

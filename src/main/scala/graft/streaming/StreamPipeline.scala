@@ -50,4 +50,21 @@ object StreamPipeline {
     pages
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("repo", "path", "commit")
+
+  /** Streaming curation: the stateless quality gate + watermark-bounded
+    * exact dedup on the content fingerprint — the streaming form of
+    * `ops.Curate`'s first two stages (state holds one 128-bit fingerprint
+    * per doc inside the watermark, not the text). Near-dup removal
+    * (MinHash-LSH) stays a periodic batch compaction over the curated
+    * sink: its banded join is a corpus-wide shuffle with no bounded-state
+    * streaming form. */
+  def curateStream(docs: DataFrame, minTokens: Int = 10,
+                   maxTokens: Int = 100000,
+                   watermark: String = "1 hour"): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")).between(minTokens, maxTokens))
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
 }

@@ -321,6 +321,20 @@ class KgOracleSpec extends AnyFunSuite {
     check("kg_validation", graft.kg.Validation.report(inf), sql)
   }
 
+  test("kg_turtle_lines: Turtle serialization (escaping + literal forms) vs DuckDB") {
+    val esc = """replace(replace(replace(replace(replace(objLex,
+                   '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')"""
+    check("kg_turtle_lines", graft.store.TurtleIO.lines(base),
+      s"""SELECT '<' || subj || '> <' || pred || '> ' ||
+              CASE WHEN objIsIri THEN '<' || objLex || '>'
+                   ELSE '"' || $esc || '"' ||
+                     CASE WHEN objLang <> '' THEN '@' || objLang
+                          WHEN objDtype <> '' THEN '^^<' || objDtype || '>'
+                          ELSE '' END
+              END || ' .' AS value
+          FROM (SELECT DISTINCT subj, pred, objIsIri, objLex, objDtype, objLang FROM t)""")
+  }
+
   test("corpus queries Q2/Q5/Q12/Q7/Q8/Q9 vs DuckDB") {
     check("kg_q_abilities", KgQueries.abilities(inf),
       s"""SELECT nm.objLex AS pokemonName, cat.objLex AS category, lbl.objLex AS abilityName

@@ -70,4 +70,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dedup_sink").count() == 2)
     } finally q.stop()
   }
+
+  test("streaming curation: quality gate + fingerprint dedup within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamPipeline.curateStream(docs, minTokens = 3)
+    val q = out.writeStream.format("memory").queryName("curate_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val good = "one two three four five"
+      input.addData(
+        (t0, 1L, good),            // survives
+        (t0, 2L, good),            // exact dup of 1 → dropped
+        (t0, 3L, "too short"),     // quality-gated
+        (t0, 4L, "a b c d e f"))   // survives
+      q.processAllAvailable()
+      val ids = spark.table("curate_sink").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 4L), s"got $ids")
+    } finally q.stop()
+  }
 }
