@@ -149,14 +149,21 @@ object Similarity {
 
   /** Cosine of the embedding against every codebook cell, as an array
     * column (index c+1 = cell c). One fold per cell over the plane rows —
-    * no crossJoin blowup, no window. */
+    * no crossJoin blowup, no window. Quantized like every other score in
+    * this file (integer sums, then one division) so cell assignment is
+    * bit-identical across engines — AnnIvfOracleSpec replays it in DuckDB
+    * with the trained codebook as literals. */
   private def cellScores(cmat: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), c => {
       val cv = element_at(cmat, (c + 1).cast("int"))
-      val dot = aggregate(zip_with(col("embedding"), cv, (x, w) => x.cast("double") * w),
-        lit(0.0d), (a, v) => a + v)
-      val cn = aggregate(transform(cv, w => w * w), lit(0.0d), (a, v) => a + v)
-      dot / sqrt(cn)
+      val dot = aggregate(
+        zip_with(col("embedding"), cv, (x, w) =>
+          floor(x.cast("double") * w * 1000000.0d).cast("long")),
+        lit(0L), (a, v) => a + v)
+      val cn = aggregate(
+        transform(cv, w => floor(w * w * 1000000.0d).cast("long")),
+        lit(0L), (a, v) => a + v)
+      dot.cast("double") / sqrt(cn.cast("double"))
     })
 
   /** Argmax over a scores array as an integer fold (scalar accumulator —

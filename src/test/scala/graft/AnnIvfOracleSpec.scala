@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+import graft.queries.QueryDef
+
+/** Independent-engine check for the one remaining rows-only driver entry:
+  * the IVF codebook is trained iteratively (not one SQL query), but given
+  * the trained centroids as literals, cell assignment, probe selection and
+  * scoring are all quantized arithmetic — so DuckDB can replay the entire
+  * s3 search and must produce the identical top-k. */
+class AnnIvfOracleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("s3_ann_ivf: assignment + nprobe + scoring vs DuckDB given the trained codebook") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val ivf = Similarity.annIvf(emb, queryId = 0L, k = 10, nCentroids = 8,
+      nprobe = 2, iters = 2)
+    // identical deterministic training → identical codebook
+    val cents = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val centVals = cents.zipWithIndex
+      .map { case (cv, i) => s"($i, ${cv.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n            ")
+
+    def dq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+        "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT)"
+    val cellScore = "CAST(dq AS DOUBLE)/sqrt(CAST(cq AS DOUBLE))"
+    val sql =
+      s"""WITH cents(cid, cv) AS (SELECT * FROM (VALUES
+            $centVals) v(cid, cv)),
+          sc AS (SELECT e.vec_id, c.cid,
+                   ${dq("e.embedding", "c.cv")} AS dq,
+                   CAST(list_sum(list_transform(c.cv, x -> CAST(floor(x*x*1000000.0) AS BIGINT))) AS BIGINT) AS cq
+                 FROM embeddings e CROSS JOIN cents c),
+          assigned AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY $cellScore DESC, cid) AS rn FROM sc)
+               WHERE rn = 1),
+          probes AS (SELECT cid FROM (
+                 SELECT cid, row_number() OVER (ORDER BY $cellScore DESC, cid) AS rn
+                 FROM sc WHERE vec_id = 0)
+               WHERE rn <= 2),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cand AS (SELECT a.vec_id FROM assigned a
+                   WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0)
+          SELECT e.vec_id,
+                 round(CAST(${dq("e.embedding", "q.qv")} AS DOUBLE) /
+                   (sqrt(CAST(${dq("e.embedding", "e.embedding")} AS DOUBLE)) *
+                    sqrt(CAST(${dq("q.qv", "q.qv")} AS DOUBLE))), 6) AS cos
+          FROM embeddings e JOIN cand USING(vec_id) CROSS JOIN q
+          ORDER BY cos DESC, e.vec_id LIMIT 10"""
+
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW embeddings AS SELECT * FROM read_parquet('$sfDir/embeddings.parquet')")
+      DuckOracle.assertMatches(c, ivf, sql, "s3_ann_ivf")
+    }
+  }
+}
