@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftExpressionBridge
+
+/** Quantized dot product of two numeric arrays as a native Catalyst
+  * expression: Σ floor(aᵢ·bᵢ·10⁶) over the common prefix, as a long.
+  *
+  * Semantically identical to the HOF formulation
+  * `aggregate(zip_with(a, b, (x, y) -> CAST(floor(x*y*1e6) AS BIGINT)), 0L, +)`
+  * (QuantizedDotSpec pins the equivalence), but higher-order functions are
+  * CodegenFallback in Spark — every element evaluation goes through the
+  * interpreted expression tree. This is THE hot inner loop of the
+  * similarity operators (cosine scoring runs it 3× per candidate pair), so
+  * it earns the custom-Expression treatment: `doGenCode` emits a tight
+  * primitive Java loop that whole-stage codegen inlines.
+  *
+  * Nulls: null if either array is null or any element in the common prefix
+  * is null (mirroring how a null product poisons the HOF sum). Unequal
+  * lengths: the common prefix — callers guarantee equal dims; the HOF form
+  * would return null via zip_with's null padding, a difference the specs
+  * never exercise and the operators never produce.
+  */
+final case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def elem(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (elem(left) && elem(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quantized_dot needs array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += math.floor(xv * yv * 1000000.0d).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += (long) java.lang.Math.floor(
+         |    ((double) $a.$lGet($i)) * ((double) $b.$rGet($i)) * 1000000.0D);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+  /** Column API: quantized dot of two array columns. */
+  def apply(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(QuantizedDot(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

@@ -34,9 +34,11 @@ import graft.queries.QueryDef.t
   */
 object Similarity {
 
-  /** Quantized dot product of two array<float> columns as a long. */
+  /** Quantized dot product of two array<float> columns as a long — the
+    * native codegen'd expression (higher-order functions are
+    * CodegenFallback; this is the hot inner loop of every scoring path). */
   private def dotQ(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000.0) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+    graft.functions.QuantizedDot(col(a), col(b))
 
   private def normQ(a: String): Column = dotQ(a, a)
 
@@ -83,10 +85,7 @@ object Similarity {
     transform(sequence(lit(0), lit(bands - 1)), bd =>
       aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, p) => {
         val plane = element_at(planes, (bd * bitsPerBand + p + 1).cast("int"))
-        val dot = aggregate(
-          zip_with(col("embedding"), plane, (x, w) =>
-            floor(x.cast("double") * w * 1000000.0d).cast("long")),
-          lit(0L), (a, v) => a + v)
+        val dot = graft.functions.QuantizedDot(col("embedding"), plane)
         acc * 2 + when(dot >= 0, 1L).otherwise(0L)
       }))
   }
@@ -156,13 +155,8 @@ object Similarity {
   private def cellScores(cmat: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), c => {
       val cv = element_at(cmat, (c + 1).cast("int"))
-      val dot = aggregate(
-        zip_with(col("embedding"), cv, (x, w) =>
-          floor(x.cast("double") * w * 1000000.0d).cast("long")),
-        lit(0L), (a, v) => a + v)
-      val cn = aggregate(
-        transform(cv, w => floor(w * w * 1000000.0d).cast("long")),
-        lit(0L), (a, v) => a + v)
+      val dot = graft.functions.QuantizedDot(col("embedding"), cv)
+      val cn = graft.functions.QuantizedDot(cv, cv)
       dot.cast("double") / sqrt(cn.cast("double"))
     })
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  * Spark 4's Column no longer wraps an Expression publicly (the Connect
+  * refactor); the classic converter (`classic.ExpressionUtils`) is
+  * private[sql], so this one-file shim re-exports it — the conventional
+  * pattern for libraries that ship custom expressions without going
+  * through a session-bound FunctionRegistry. */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.QuantizedDot
+
+/** The native codegen'd quantized dot must be value-identical to the HOF
+  * formulation it replaces (aggregate ∘ zip_with ∘ floor-quantize) — the
+  * formulation the DuckDB oracles still mirror. */
+class QuantizedDotSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def hof(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000.0) AS BIGINT)), 0L, (acc, v) -> acc + v)")
+
+  test("native ≡ HOF on random float arrays (incl. negatives and zeros)") {
+    val r = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)((r.nextGaussian() * 3).toFloat),
+        Array.fill(64)((r.nextGaussian() * 3).toFloat))
+    }.toDF("id", "a", "b")
+    val out = rows.select(
+      QuantizedDot(col("a"), col("b")).as("native"),
+      hof("a", "b").as("hofv"),
+      QuantizedDot(col("a"), col("a")).as("native_n"),
+      hof("a", "a").as("hof_n")).collect()
+    out.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1))
+      assert(row.getLong(2) == row.getLong(3))
+    }
+  }
+
+  test("float × double-literal array (the plane-matrix case) ≡ HOF") {
+    val planes = typedLit(Seq(Seq(0.5d, -0.25d, 0.125d)))
+    val d = Seq((1L, Array(1.5f, -2.0f, 4.0f))).toDF("id", "a")
+    val got = d.select(
+      QuantizedDot(col("a"), element_at(planes, 1)).as("v")).collect()(0).getLong(0)
+    // floor(1.5*0.5*1e6) + floor(-2*-0.25*1e6) + floor(4*0.125*1e6)
+    assert(got == 750000L + 500000L + 500000L)
+  }
+
+  test("null array → null; null element → null (HOF poisoning semantics)") {
+    val d = Seq(
+      (1L, Array(1.0f, 2.0f), Some(Array(1.0f, 2.0f))),
+      (2L, Array(1.0f, 2.0f), None)
+    ).toDF("id", "a", "b")
+    val rows = d.select(col("id"), QuantizedDot(col("a"), col("b")).as("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L).contains(5000000L))
+    assert(rows(2L).isEmpty)
+  }
+
+  test("the expression participates in whole-stage codegen (no fallback in the scoring projection)") {
+    // range → computed arrays so the projection can't constant-fold into a
+    // LocalTableScan; the QuantizedDot projection must sit INSIDE a
+    // WholeStageCodegen span (a CodegenFallback expression would split it)
+    val d = spark.range(100).select(col("id"),
+      transform(sequence(lit(1), lit(8)), j => (col("id") + j).cast("float")).as("a"))
+    val q = d.select(QuantizedDot(col("a"), col("a")).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    // '*(n)' prefixes nodes inside a WholeStageCodegen span; the HOF
+    // array-builder projection below it shows unstarred (CodegenFallback)
+    assert("""\*\(\d+\) Project \[quantizeddot""".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+    val vals = q.collect().map(_.getLong(0))
+    // row id=0: a = [1..8]; dot = sum(j^2)*1e6 for j in 1..8
+    assert(vals(0) == (1 to 8).map(j => j * j).sum * 1000000L)
+  }
+}
