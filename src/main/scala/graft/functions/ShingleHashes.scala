@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-document hash-sampled shingling as one native kernel.
+  *
+  * Semantics are EXACTLY `Text.shingleHashes`'s HOF pipeline (tokenize on
+  * single spaces keeping empties → distinct 3-grams → h60 = first 15 md5
+  * hex digits as a long → keep h % mod == 0 → sort by (h, shingle) → first
+  * `cap` → project h), pinned by ShingleKernelSpec against the HOF
+  * formulation and unchanged vs the DuckDB oracles. The HOF chain
+  * (transform∘array_sort∘filter∘transform + one md5 expression per
+  * shingle) is CodegenFallback and allocates an expression-tree evaluation
+  * per element; this kernel is one JVM method per row with a reused
+  * per-thread MessageDigest — the dedup family's hot loop.
+  */
+final case class ShingleHashes(child: Expression, mod: Int, cap: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], mod, cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.compute($c, $mod, $cap);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(text: Column, mod: Int, cap: Int): Column =
+    GraftExpressionBridge.column(
+      ShingleHashes(GraftExpressionBridge.expression(text), mod, cap))
+}
+
+object ShingleKernel {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** h60: first 15 hex digits of md5 as a long (== Spark
+    * `conv(substring(md5(s),1,15),16,10)`). 15 hex digits = 60 bits, never
+    * overflows. */
+  private def h60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + the high nibble of the 8th
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def compute(text: UTF8String, mod: Int, cap: Int): ArrayData = {
+    // split on single spaces keeping empties — Spark's split(text, ' ')
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[String]()
+    val kept = new java.util.ArrayList[(Long, String)]()
+    var i = 0
+    while (i <= n - 3) {
+      val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      if (seen.add(sh)) {
+        val h = h60(sh)
+        if (h % mod == 0) kept.add((h, sh))
+      }
+      i += 1
+    }
+    val arr = kept.toArray(new Array[(Long, String)](kept.size()))
+    java.util.Arrays.sort(arr, new java.util.Comparator[(Long, String)] {
+      override def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    })
+    val out = new Array[Long](math.min(cap, arr.length))
+    var j = 0
+    while (j < out.length) { out(j) = arr(j)._1; j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -99,9 +99,14 @@ object Text {
   private def sampledShingleStructs(docs: DataFrame, mod: Int, cap: Int): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("allsh", array_distinct(expr(
-        """transform(sequence(1, greatest(size(toks)-2, 0)),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))""".stripMargin)))
+      // the <3-token guard matters: sequence(1, size-2) DESCENDS to [1, 0]
+      // when size < 3 and element_at(toks, 0) then throws under ANSI — a
+      // latent crash for degenerate docs reaching shingling unfiltered
+      // (found by ShingleKernelSpec; the native kernel returns [] there)
+      .withColumn("allsh", when(size(col("toks")) < 3, array().cast("array<string>"))
+        .otherwise(array_distinct(expr(
+          """transform(sequence(1, size(toks)-2),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))""".stripMargin))))
       .withColumn("shs", expr(
         s"""slice(
            |  array_sort(
@@ -120,8 +125,16 @@ object Text {
     * fixed-width shuffle key, and identical values in DuckDB (the oracles'
     * `samp` CTE already carries h). Hash equality stands in for shingle
     * equality; at 2^-60 collision odds the pair estimates are unchanged and
-    * both engines see the same collisions if one ever occurs. */
+    * both engines see the same collisions if one ever occurs.
+    *
+    * Runs as the native `functions.ShingleHashes` kernel (one JVM call per
+    * row); `shingleHashesHof` is the HOF formulation it must equal
+    * (ShingleKernelSpec), kept as the executable spec. */
   def shingleHashes(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(col("text"), mod, cap).as("sh"))
+
+  private[graft] def shingleHashesHof(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
     sampledShingleStructs(docs, mod, cap)
       .select(col("doc_id"), expr("transform(shs, x -> x.h)").as("sh"))
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+
+/** The native shingle kernel must reproduce the HOF formulation (which the
+  * DuckDB oracles mirror) element-for-element, including ordering, the
+  * sampling filter, the cap, and degenerate inputs. */
+class ShingleKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def both(df: org.apache.spark.sql.DataFrame, mod: Int = 4, cap: Int = 512) = {
+    val native = Text.shingleHashes(df, mod, cap).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val hof = Text.shingleHashesHof(df, mod, cap).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    (native, hof)
+  }
+
+  test("native ≡ HOF on varied random documents (order, sampling, cap)") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "éta", "θ")
+    val docs = (0 until 60).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, (0 until 20 + r.nextInt(300)).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (native, hof) = both(docs)
+    assert(native == hof)
+    assert(native.values.exists(_.nonEmpty))
+  }
+
+  test("native ≡ HOF with a tight cap (bottom-k cut is identical)") {
+    val r = new scala.util.Random(9)
+    val docs = Seq((1L, (0 until 2000).map(_ => r.nextInt(50).toString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (native, hof) = both(docs, mod = 2, cap = 16)
+    assert(native == hof)
+    assert(native(1L).length == 16)
+  }
+
+  test("native ≡ HOF on degenerate documents (empty, 1-token, 2-token, repeated)") {
+    val docs = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "a a a a a a"), (5L, "x y z"), (6L, "  double  spaces ")
+    ).toDF("doc_id", "text")
+    val (native, hof) = both(docs, mod = 1, cap = 512)
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native(5L).length == 1) // exactly one 3-gram, mod 1 keeps it
+  }
+
+  test("native values match the documented h60 (md5-prefix) definition") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val h = Text.shingleHashes(docs, mod = 1).collect()(0).getSeq[Long](1).head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("x y z".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == java.lang.Long.parseLong(hex.take(15), 16))
+  }
+}
