@@ -62,19 +62,29 @@ object Bench {
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "20000").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
-    // interleave the levels across rounds (this VM's throughput drifts on
-    // the scale of minutes; interleaving + min-per-level de-noises the ratio)
-    val runs: Seq[(Int, (Long, Double))] =
-      (1 to rounds).flatMap(_ => Seq(2, 8, 32).map(c => c -> probe(c, k)))
-    def best(c: Int): (Long, Double) = runs.filter(_._1 == c).map(_._2).minBy(_._2)
-    val (n2, t2) = best(2)
-    val (_, t8) = best(8)
-    val (_, t32) = best(32)
+    // interleave the levels across rounds: this VM's throughput drifts on
+    // the scale of minutes (host steal), so scaling efficiency is computed
+    // PER ROUND from adjacent same-window measurements (drift cancels
+    // inside a round) and the median round is reported — best-of-per-level
+    // pairing could combine a fast-host local[2] with a slow-host local[8]
+    // and report spurious sub-linear (or super-linear) scaling
+    val runs: Seq[Seq[(Long, Double)]] =
+      (1 to rounds).map(_ => Seq(2, 8, 32).map(c => probe(c, k)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val n2 = runs.head.head._1
+    val perRoundEff28 = runs.map(r => (r(0)._2 / r(1)._2) / 4.0)
+    val perRoundEff832 = runs.map(r => (r(1)._2 / r(2)._2) / 4.0)
+    val eff28 = median(perRoundEff28)
+    val eff832 = median(perRoundEff832)
+    // wall times / throughputs: best-of per level (peak capability)
+    val t2 = runs.map(_(0)._2).min
+    val t8 = runs.map(_(1)._2).min
+    val t32 = runs.map(_(2)._2).min
     val tps2 = n2 / t2
     val tps8 = n2 / t8
     val tps32 = n2 / t32
-    val eff28 = (tps8 / tps2) / 4.0
-    val eff832 = (tps32 / tps8) / 4.0
 
     // --- per-query timings at full parallelism ---
     val spark = session(32)
@@ -98,7 +108,8 @@ object Bench {
         s""""scaling":{"k":$k,"triples":$n2,"pages":${21 * k},""" +
         s""""n_cores":2,"n4_cores":8,"sec_n":${f"$t2%.2f"},"sec_4n":${f"$t8%.2f"},"sec_32":${f"$t32%.2f"},""" +
         s""""tps_n":${f"$tps2%.1f"},"tps_4n":${f"$tps8%.1f"},"tps_32":${f"$tps32%.1f"},""" +
-        s""""efficiency_n_4n":${f"$eff28%.3f"},"efficiency_8_32":${f"$eff832%.3f"}},""" +
+        s""""efficiency_n_4n":${f"$eff28%.3f"},"efficiency_8_32":${f"$eff832%.3f"},""" +
+        s""""per_round_eff_n_4n":[${perRoundEff28.map(e => f"$e%.3f").mkString(",")}]},""" +
         s""""total_query_sec":${f"${results.map(_._2).sum}%.1f"}}""")
   }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{GraftExpressionBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Native Catalyst expressions (codegen'd hot loops) + their SQL-surface
+  * registration: after `functions.register(spark)`, `spark.sql` resolves
+  * `quantized_dot(a, b)` and `shingle_hashes(text, mod, cap)` to the same
+  * expressions the Column API uses (FunctionsSqlSpec pins the parity). */
+package object functions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    GraftExpressionBridge.registerFunction(spark, "quantized_dot", {
+      case Seq(a, b) => QuantizedDot(a, b)
+      case args => throw new IllegalArgumentException(
+        s"quantized_dot(arrayA, arrayB) takes 2 arguments, got ${args.length}")
+    })
+    GraftExpressionBridge.registerFunction(spark, "shingle_hashes", {
+      case Seq(text, mod, cap) =>
+        ShingleHashes(text, intLit(mod, "mod"), intLit(cap, "cap"))
+      case args => throw new IllegalArgumentException(
+        s"shingle_hashes(text, mod, cap) takes 3 arguments, got ${args.length}")
+    })
+  }
+}

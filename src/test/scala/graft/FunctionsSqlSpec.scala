@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{QuantizedDot, ShingleHashes}
+
+/** The SQL surface must resolve the native expressions identically to the
+  * Column API after registration. */
+class FunctionsSqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  test("spark.sql quantized_dot / shingle_hashes ≡ Column API") {
+    graft.functions.register(spark)
+    val r = new scala.util.Random(11)
+    val df = (0 until 30).map { i =>
+      (i.toLong,
+        Array.fill(16)(r.nextGaussian().toFloat),
+        Array.fill(16)(r.nextGaussian().toFloat),
+        (0 until 50).map(_ => r.nextInt(9).toString).mkString(" "))
+    }.toDF("id", "a", "b", "text")
+    df.createOrReplaceTempView("fx")
+
+    val viaSql = spark.sql(
+      """SELECT id, quantized_dot(a, b) AS d, shingle_hashes(text, 2, 8) AS sh
+        |FROM fx""".stripMargin)
+      .collect().map(_.toString).sorted
+    val viaCol = df.select(col("id"),
+        QuantizedDot(col("a"), col("b")).as("d"),
+        ShingleHashes(col("text"), 2, 8).as("sh"))
+      .collect().map(_.toString).sorted
+    assert(viaSql.sameElements(viaCol))
+  }
+
+  test("bad arity / non-literal config is rejected at analysis") {
+    graft.functions.register(spark)
+    spark.range(1).selectExpr("CAST(id AS STRING) AS s").createOrReplaceTempView("fy")
+    val e = intercept[Exception](spark.sql("SELECT quantized_dot(s) FROM fy").collect())
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.toLowerCase.contains("error"))
+  }
+}
