@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** 64-slot MinHash signature from a shingle-hash array, one pass, native.
+  *
+  * Semantics exactly match the explode + 64-min-aggregation formulation
+  * (and the DuckDB d2 oracle): slot i = min over shingles of
+  * ((h % P) · aᵢ + bᵢ) % P with P = 2³¹−1 and the seeded (aᵢ, bᵢ) pairs in
+  * [[MinHashKernel.Perms]]. The agg formulation is codegen'd but pays an
+  * explode (one row per shingle) and 64 aggregate expression updates per
+  * row; this kernel is one tight loop per document row — no explode, no
+  * per-shingle rows at all. Null/empty input → null (the exploded form
+  * simply produced no row; callers filter). MinHashKernelSpec pins the
+  * equivalence.
+  */
+final case class MinHashSignature(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature needs array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def apply(shingleHashes: Column): Column =
+    GraftExpressionBridge.column(
+      MinHashSignature(GraftExpressionBridge.expression(shingleHashes)))
+}
+
+object MinHashKernel {
+  val NumPerms = 64
+
+  /** Mersenne prime 2³¹−1: universal-hash modulus. a·h'+b stays < 2⁶². */
+  val HashPrime = 2147483647L
+
+  /** Deterministic (a, b) pairs — THE source of truth for the permutations
+    * (Dedup and its generated oracle SQL read these). */
+  val Perms: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(NumPerms)((1L + r.nextInt(Int.MaxValue - 1), r.nextInt(Int.MaxValue).toLong))
+  }
+
+  private val as: Array[Long] = Perms.map(_._1).toArray
+  private val bs: Array[Long] = Perms.map(_._2).toArray
+
+  /** null for an empty array — matching the exploded-agg form, which emits
+    * no signature row for a shingle-less document. */
+  def compute(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](NumPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = sh.getLong(i) % HashPrime
+      var p = 0
+      while (p < NumPerms) {
+        val v = (hp * as(p) + bs(p)) % HashPrime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -26,31 +26,35 @@ import graft.queries.QueryDef.t
   */
 object Dedup {
 
-  val MinhashPerms = 64
+  val MinhashPerms: Int = graft.functions.MinHashKernel.NumPerms
   val Bands = 16 // 16 bands × 4 rows
   val SimhashBits = 60 // h60 carries 60 meaningful bits
   val SimhashBands = 4 // 4 × 15-bit bands ⇒ complete for hamming ≤ 3
 
   /** Mersenne prime 2^31-1: universal-hash modulus. a·h'+b stays < 2^62. */
-  val HashPrime = 2147483647L
+  val HashPrime: Long = graft.functions.MinHashKernel.HashPrime
 
-  /** Deterministic (a, b) pairs for the 64 minhash permutations. */
-  val Perms: Seq[(Long, Long)] = {
-    val r = new scala.util.Random(42)
-    Seq.fill(MinhashPerms)((1L + r.nextInt(Int.MaxValue - 1), r.nextInt(Int.MaxValue).toLong))
-  }
+  /** Deterministic (a, b) pairs for the 64 minhash permutations (source of
+    * truth lives beside the native kernel; the oracle SQL is generated from
+    * the same values). */
+  val Perms: Seq[(Long, Long)] = graft.functions.MinHashKernel.Perms
 
   /** Exact dedup groups: fingerprint → keeper (min doc_id) + group size. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signature per doc: explode the sampled shingle HASHES once
-    * (the h60 was already computed during sampling — no second md5 pass),
-    * then 64 parallel min-aggregations of universal-hash permutations
-    * (partial agg ⇒ the shuffle carries one 64-long row per doc, not the
-    * shingles). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** MinHash signature per doc: the native one-pass kernel over the sampled
+    * shingle-hash array — no explode, no per-shingle rows, no shuffle
+    * (`functions.MinHashSignature`; `minhashSignaturesAgg` is the
+    * explode + 64-min-aggregation formulation it must equal, kept as the
+    * executable spec). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    Text.shingleHashes(docs)
+      .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  private[graft] def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val sh = Text.shingleHashes(docs)
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .withColumn("hp", col("h") % HashPrime)

@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** The native one-pass MinHash signature must equal the explode +
+  * 64-min-aggregation formulation (which the DuckDB d2 oracle mirrors),
+  * including which documents get a signature at all. */
+class MinHashKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  test("native ≡ agg formulation, including shingle-less doc exclusion") {
+    val words = Seq("a", "bb", "ccc", "dddd", "ee", "fff")
+    val docs = ((0 until 40).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, (0 until 10 + r.nextInt(200)).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    } :+ (100L, "just two")).toDF("doc_id", "text") // <3 tokens → no shingles → no signature
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val native = rows(Dedup.minhashSignatures(docs))
+    val agg = rows(Dedup.minhashSignaturesAgg(docs))
+    assert(native == agg)
+    assert(!native.contains(100L), "shingle-less docs must emit no signature")
+    assert(native.values.forall(_.length == Dedup.MinhashPerms))
+  }
+}
