@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 60-bit SimHash of a space-tokenized document, one native pass.
+  *
+  * Semantics exactly match the exploded formulation (split → one h60 per
+  * token occurrence → per-bit ±1 sums → sign bits; the generated d3 oracle
+  * mirrors the same arithmetic): every token occurrence counts, including
+  * the single empty token of an empty document. The exploded form pays one
+  * row + 60 aggregation updates per token; this kernel is one loop with a
+  * reused digest and a per-document memo for repeated tokens (same values,
+  * md5 computed once per distinct token). SimHashKernelSpec pins the
+  * equivalence.
+  */
+final case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashKernel.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(text: Column): Column =
+    GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(text)))
+}
+
+object SimHashKernel {
+  val Bits = 60
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def h60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val memo = new java.util.HashMap[String, java.lang.Long]()
+    val sums = new Array[Int](Bits)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = memo.get(t)
+      if (h == null) { h = java.lang.Long.valueOf(h60(t)); memo.put(t, h) }
+      val hv = h.longValue()
+      var j = 0
+      while (j < Bits) {
+        if (((hv >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}

@@ -97,10 +97,14 @@ object Dedup {
       .filter(col("est_jaccard_bp") >= minEstBp)
   }
 
-  /** 60-bit SimHash of the token stream: per-bit weighted sum of token-hash
-    * bits, sign → bit. Aggregation is 60 sums over the exploded tokens
-    * (map-side combinable). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** 60-bit SimHash of the token stream: the native one-pass kernel
+    * (`functions.SimHash64` — no token explode, per-doc token memo;
+    * `simhashAgg` is the exploded ±1-sum formulation it must equal, kept
+    * as the executable spec the d3 oracle mirrors). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.SimHash64(col("text")).as("simhash"))
+
+  private[graft] def simhashAgg(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", Text.h60(col("tok")))

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** The native one-pass SimHash must equal the exploded ±1-sum formulation
+  * (which the generated d3 oracle mirrors), including repeated-token
+  * weighting and degenerate documents. */
+class SimHashKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  test("native ≡ agg formulation on varied and degenerate docs") {
+    val words = Seq("red", "green", "blue", "cyan", "magenta")
+    val docs = ((0 until 40).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, (0 until 5 + r.nextInt(150)).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    } ++ Seq(
+      (100L, ""),                       // empty doc = one empty token
+      (101L, "solo"),
+      (102L, "dup dup dup dup"),        // repetition weights the sums
+      (103L, "a  b")                    // double space = empty middle token
+    )).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = rows(Dedup.simhash(docs))
+    val agg = rows(Dedup.simhashAgg(docs))
+    assert(native == agg)
+    assert(native.size == 44)
+  }
+}
