@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Reports, on one JSON line:
+/** Benchmark main. Reports, on JSON lines (the LAST line printed is always
+  * the most complete result — a partial line is emitted after every probe
+  * and every query block, so a timeout at ANY point still leaves the
+  * headline metric both on stdout and in the progress file).
   *
   *  - the north-rule headline: KG-construction throughput (triples/sec
   *    end-to-end: corpus synth → parse → emit → link-join → dedup → count)
@@ -16,16 +19,53 @@ import org.apache.spark.sql.SparkSession
   *    pair measures single-box memory contention, not the engine; a real
   *    4× executor group brings 4× DRAM). Both pairs are reported.
   *  - per-query wall times of every SparkEntry query at
-  *    SPARK_GRAFT_SF_DIR (default sf0.1), local[32].
+  *    SPARK_GRAFT_SF_DIR (default sf0.1), local[32]. -1 = query threw;
+  *    -2 = skipped because the wall-clock budget ran out (never silently
+  *    recorded as a plausible time).
   *
-  * Methodology: fixed input partitioning (128) and fixed
-  * spark.sql.shuffle.partitions (128) across levels; per level one warm-up
-  * run (JIT/codegen) then best-of-2 measured runs; shuffle dirs on tmpfs so
-  * the measurement is engine-bound, not /tmp-disk-bound.
+  * Methodology (documented in BENCH.md "Acceptance procedure"):
+  *  - Fixed input partitioning (128) and fixed spark.sql.shuffle.partitions
+  *    (128) across levels; per level one warm-up run (JIT/codegen) then the
+  *    measured run; shuffle dirs on tmpfs.
+  *  - Parallelism levels are INTERLEAVED per round (32, 2, 8 within a
+  *    round) and efficiency is computed per round from adjacent same-window
+  *    measurements — host-steal drift on this VM is minute-scale, so drift
+  *    cancels inside a round but not across best-of-level pairing.
+  *  - Contended-round rejection: a round whose local[2] OR local[8]
+  *    throughput is more than 2× below the best observed at that level is a
+  *    host artifact (observed: identical code, 31 min vs 2 min for the same
+  *    probe in different hours) and is excluded from the efficiency median;
+  *    every per-round value and its accepted/rejected status is in the JSON
+  *    so the rejection is auditable.
+  *  - Budget defense: SPARK_GRAFT_BENCH_BUDGET_S (default 1500 s) bounds
+  *    the whole run. A calibration probe sizes per-probe watchdog timeouts;
+  *    a probe that overruns its timeout is cancelled (cancelAllJobs) and
+  *    the corpus degrades k 10× (degraded runs are labeled in the JSON —
+  *    triples/sec stays comparable, absolute wall does not). The round loop
+  *    stops adding rounds when the next round would not fit in its budget
+  *    share; the query phase skips (not truncates) once the budget is gone.
+  *  - Cross-evidence against host steal: per-probe executor CPU time
+  *    (executorCpuTime, which stolen cycles do NOT inflate) is reported.
+  *    cpu_sec flat across levels ⇒ the engine does the same work at N and
+  *    4N (no parallelism-induced inflation) ⇒ a sub-0.8 WALL ratio in a
+  *    rejected round is host scheduling, not engine serialization.
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  // ---------- spark plumbing ----------
+
+  private final class CpuMeter extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val runMs = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null) {
+        cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+        runMs.addAndGet(e.taskMetrics.executorRunTime)
+      }
+    def reset(): Unit = { cpuNs.set(0); runMs.set(0) }
+  }
+
+  private def session(cores: Int): (SparkSession, CpuMeter) = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -37,79 +77,213 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    val m = new CpuMeter
+    s.sparkContext.addSparkListener(m)
+    (s, m)
   }
 
-  /** One end-to-end KG pipeline run; returns (triples, seconds). */
-  private def kgRun(spark: SparkSession, k: Int): (Long, Double) = {
+  /** Run `f`; if it is still running after `seconds`, cancel all Spark jobs
+    * (the probe then fails fast instead of eating the driver's timeout).
+    * Returns None on cancellation or any failure. */
+  private def withTimeout[T](spark: SparkSession, seconds: Double)(f: => T): Option[T] = {
+    @volatile var done = false
+    val watcher = new Thread(() => {
+      val deadline = System.nanoTime() + (seconds * 1e9).toLong
+      while (!done && System.nanoTime() < deadline) Thread.sleep(200)
+      if (!done) {
+        System.err.println(f"[bench] watchdog: cancelling jobs after $seconds%.0f s")
+        spark.sparkContext.cancelAllJobs()
+      }
+    })
+    watcher.setDaemon(true)
+    watcher.start()
+    try { val r = f; done = true; Some(r) }
+    catch { case e: Throwable => done = true; System.err.println(s"[bench] probe failed: ${e.getMessage}"); None }
+    finally done = true
+  }
+
+  /** One end-to-end KG pipeline run; returns (triples, wallSec, cpuSec). */
+  private def kgRun(spark: SparkSession, meter: CpuMeter, k: Int): (Long, Double, Double) = {
+    meter.reset()
     val t0 = System.nanoTime()
     val pages = graft.kg.Fixtures.scaled(spark, k, numParts = 128)
     val n = graft.kg.Pipeline.triples(spark, pages).count()
-    (n, (System.nanoTime() - t0) / 1e9)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(150) // listener drain
+    (n, wall, meter.cpuNs.get / 1e9)
   }
 
-  /** Warm-up + one measured run at a core count. */
-  private def probe(cores: Int, k: Int): (Long, Double) = {
-    val s = session(cores)
-    try {
-      kgRun(s, math.max(k / 10, 1)) // warm-up: JIT + codegen
-      kgRun(s, k)
+  private case class Probe(cores: Int, k: Int, triples: Long, wall: Double, cpuSec: Double) {
+    def tps: Double = triples / wall
+  }
+
+  /** Warm-up + one measured watchdogged run at a core count. */
+  private def probe(cores: Int, k: Int, timeoutS: Double): Option[Probe] = {
+    val (s, m) = session(cores)
+    try withTimeout(s, timeoutS) {
+      kgRun(s, m, math.max(k / 10, 1)) // warm-up: JIT + codegen
+      val (n, w, c) = kgRun(s, m, k)
+      Probe(cores, k, n, w, c)
     } finally s.stop()
   }
 
+  // ---------- incremental JSON emission ----------
+
+  private def jNum(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.3f"
+
+  private val progressPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "bench_progress.json")
+
+  /** Print the current best-known full result line AND persist it to the
+    * progress file. Called after every probe and every query block, so the
+    * last stdout line (and the file) always carry the headline. */
+  private def emit(json: String): Unit = {
+    println(json)
+    System.out.flush()
+    try {
+      val p = java.nio.file.Paths.get(progressPath)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+  }
+
+  // ---------- main ----------
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "20000").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    var k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "20000").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    def remaining: Double = budgetS - elapsed
+    var degraded = false
 
-    // interleave the levels across rounds: this VM's throughput drifts on
-    // the scale of minutes (host steal), so scaling efficiency is computed
-    // PER ROUND from adjacent same-window measurements (drift cancels
-    // inside a round) and the median round is reported — best-of-per-level
-    // pairing could combine a fast-host local[2] with a slow-host local[8]
-    // and report spurious sub-linear (or super-linear) scaling
-    val runs: Seq[Seq[(Long, Double)]] =
-      (1 to rounds).map(_ => Seq(2, 8, 32).map(c => probe(c, k)))
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s((s.length - 1) / 2)
-    }
-    val n2 = runs.head.head._1
-    val perRoundEff28 = runs.map(r => (r(0)._2 / r(1)._2) / 4.0)
-    val perRoundEff832 = runs.map(r => (r(1)._2 / r(2)._2) / 4.0)
-    val eff28 = median(perRoundEff28)
-    val eff832 = median(perRoundEff832)
-    // wall times / throughputs: best-of per level (peak capability)
-    val t2 = runs.map(_(0)._2).min
-    val t8 = runs.map(_(1)._2).min
-    val t32 = runs.map(_(2)._2).min
-    val tps2 = n2 / t2
-    val tps8 = n2 / t8
-    val tps32 = n2 / t32
+    // mutable best-known state, serialized by render()
+    val rounds = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Probe]]()
+    val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var phase = "calibrate"
 
-    // --- per-query timings at full parallelism ---
-    val spark = session(32)
-    // a query that throws is recorded as -1, never as a plausible wall time
-    // (a silent catch would let a regression hide inside normal-looking numbers)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+    def render(): String = {
+      val all: Seq[Probe] = rounds.flatten.toSeq
+      def bestTps(c: Int): Double = all.filter(_.cores == c).map(_.tps).foldLeft(0.0)(math.max)
+      // a round is usable for efficiency only if all 3 probes finished at one k;
+      // re-key by cores so a mid-round failure can't shift positions
+      case class Round(p32: Probe, p2: Probe, p8: Probe)
+      val complete: Seq[Round] = rounds.toSeq.flatMap { r =>
+        for {
+          p32 <- r.find(_.cores == 32); p2 <- r.find(_.cores == 2); p8 <- r.find(_.cores == 8)
+          if Seq(p32, p2, p8).map(_.k).distinct.length == 1
+        } yield Round(p32, p2, p8)
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // contended-round rejection: either low-core level >2x below its best
+      val accepted = complete.filter { r =>
+        r.p2.tps * 2 >= bestTps(2) && r.p8.tps * 2 >= bestTps(8)
+      }
+      def median(xs: Seq[Double]): Double =
+        if (xs.isEmpty) Double.NaN else { val s = xs.sorted; s((s.length - 1) / 2) }
+      val effs28 = accepted.map(r => (r.p2.wall / r.p8.wall) / 4.0)
+      val effs832 = accepted.map(r => (r.p8.wall / r.p32.wall) / 4.0)
+      val allEffs28 = complete.map(r => (r.p2.wall / r.p8.wall) / 4.0)
+      val eff28 = median(effs28)
+      val eff28best = effs28.foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
+      val cpu2 = median(accepted.map(_.p2.cpuSec))
+      val cpu8 = median(accepted.map(_.p8.cpuSec))
+      val inflation = if (accepted.nonEmpty) cpu8 / cpu2 else Double.NaN
+      val triples = all.headOption.map(_.triples).getOrElse(0L)
+      val tps32 = bestTps(32)
+      val tps2 = bestTps(2)
+      val tps8 = bestTps(8)
+      val headline = if (tps32 > 0) tps32 else math.max(tps8, tps2)
+      val qs = queryTimes.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val qSum = queryTimes.values.filter(_ >= 0).sum
+      val perRound = complete.map { r =>
+        val acc = accepted.contains(r)
+        s"""{"eff_n_4n":${jNum((r.p2.wall / r.p8.wall) / 4.0)},"accepted":$acc,""" +
+          s""""sec_32":${jNum(r.p32.wall)},"sec_n":${jNum(r.p2.wall)},"sec_4n":${jNum(r.p8.wall)},""" +
+          s""""cpu_32":${jNum(r.p32.cpuSec)},"cpu_n":${jNum(r.p2.cpuSec)},"cpu_4n":${jNum(r.p8.cpuSec)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"metric":"kg_triples_per_sec","value":${jNum(headline)},"unit":"triples/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","phase":"$phase","elapsed_sec":${jNum(elapsed)},""" +
+        s""""degraded":$degraded,""" +
+        s""""scaling":{"k":$k,"triples":$triples,"pages":${21L * k},""" +
+        s""""rounds_run":${complete.length},"rounds_accepted":${accepted.length},""" +
+        s""""n_cores":2,"n4_cores":8,""" +
+        s""""sec_n":${jNum(all.filter(_.cores == 2).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
+        s""""sec_4n":${jNum(all.filter(_.cores == 8).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
+        s""""sec_32":${jNum(all.filter(_.cores == 32).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
+        s""""tps_n":${jNum(tps2)},"tps_4n":${jNum(tps8)},"tps_32":${jNum(tps32)},""" +
+        s""""efficiency_n_4n":${jNum(eff28)},"efficiency_n_4n_best":${jNum(eff28best)},""" +
+        s""""efficiency_8_32":${jNum(median(effs832))},""" +
+        s""""cpu_work_inflation_n_4n":${jNum(inflation)},""" +
+        s""""per_round_eff_n_4n_all":[${allEffs28.map(jNum).mkString(",")}],""" +
+        s""""per_round":$perRound},""" +
+        s""""total_query_sec":${jNum(qSum)}}"""
+    }
+
+    // --- phase 0: calibration (local[32], k/10) — sizes watchdog timeouts
+    // and detects a pathologically slow host window up front ---
+    val calK = math.max(k / 10, 100)
+    val cal = probe(32, calK, math.max(120.0, budgetS / 8))
+    val calWall = cal.map(_.wall).getOrElse(Double.NaN)
+    // expected local[2] full-k wall ≈ cal wall × (k/calK) × (32-core/2-core tps ratio ~8)
+    // (baseline: 60.5 s at local[2] vs 7.5 s at local[32], k=20k)
+    if (cal.isEmpty || calWall > math.max(60.0, budgetS / 25)) {
+      // slow window (≥~10× baseline): shrink the corpus 10× before the
+      // expensive low-core probes rather than overrunning the driver
+      k = math.max(k / 10, 1000)
+      degraded = true
+      System.err.println(f"[bench] slow host window (cal=$calWall%.1f s) → degrading k to $k")
+    }
+    emit(render())
+
+    // --- phase 1: interleaved scaling rounds (32, 2, 8 per round) ---
+    phase = "scaling"
+    val scalingBudget = budgetS * 0.62 // reserve the rest for the query phase
+    var lastRoundCost = 0.0
+    var r = 0
+    while (r < maxRounds && (r < 2 || elapsed + lastRoundCost * 1.15 < scalingBudget)) {
+      val rStart = elapsed
+      val scale = k.toDouble / calK
+      // generous per-probe watchdogs from the calibration (slow-but-not-
+      // pathological windows finish; a 31-min-probe window gets cancelled)
+      val to32 = math.max(150.0, calWall * scale * 6)
+      val to2 = math.max(300.0, calWall * scale * 8.1 * 4)
+      val to8 = math.max(200.0, calWall * scale * 2.3 * 5)
+      val round = scala.collection.mutable.ArrayBuffer[Probe]()
+      rounds += round
+      Seq((32, to32), (2, to2), (8, to8)).foreach { case (c, to) =>
+        // a single probe may not drain more than half the remaining budget
+        // (geometric decay ⇒ the query phase always gets a slice)
+        val p = probe(c, k, math.min(to, math.max(remaining * 0.5, 60.0)))
+        p.foreach(round += _)
+        if (p.isEmpty && !degraded) { // timed out → degrade and keep going
+          k = math.max(k / 10, 1000); degraded = true
+          System.err.println(s"[bench] probe local[$c] overran → degrading k to $k")
+        }
+        emit(render())
+      }
+      lastRoundCost = elapsed - rStart
+      r += 1
+      emit(render())
+    }
+
+    // --- phase 2: per-query timings at full parallelism ---
+    phase = "queries"
+    val (spark, _) = session(32)
+    // a query that throws is recorded as -1; one skipped for budget as -2 —
+    // never as a plausible wall time (a silent catch would let a regression
+    // hide inside normal-looking numbers)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    names.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (remaining < 30) queryTimes(name) = -2.0
+      else {
+        val qt0 = System.nanoTime()
+        val ok = withTimeout(spark, math.max(remaining, 30.0)) { fn(spark, sfDir).count() }
+        queryTimes(name) = if (ok.isDefined) (System.nanoTime() - qt0) / 1e9 else -1.0
+      }
+      if ((i + 1) % 10 == 0) emit(render())
     }
     spark.stop()
-
-    val qs = results.map { case (kk, v) => "\"" + kk + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"kg_triples_per_sec","value":${f"$tps32%.1f"},"unit":"triples/sec",""" +
-        s""""queries":$qs,"sf":"$sfDir",""" +
-        s""""scaling":{"k":$k,"triples":$n2,"pages":${21 * k},""" +
-        s""""n_cores":2,"n4_cores":8,"sec_n":${f"$t2%.2f"},"sec_4n":${f"$t8%.2f"},"sec_32":${f"$t32%.2f"},""" +
-        s""""tps_n":${f"$tps2%.1f"},"tps_4n":${f"$tps8%.1f"},"tps_32":${f"$tps32%.1f"},""" +
-        s""""efficiency_n_4n":${f"$eff28%.3f"},"efficiency_8_32":${f"$eff832%.3f"},""" +
-        s""""per_round_eff_n_4n":[${perRoundEff28.map(e => f"$e%.3f").mkString(",")}]},""" +
-        s""""total_query_sec":${f"${results.map(_._2).sum}%.1f"}}""")
+    phase = "done"
+    emit(render())
   }
 }

@@ -33,7 +33,14 @@ object Main {
 
     val t0 = System.nanoTime()
     val pages = Fixtures.scaled(spark, k)
-    val fingerprint = s"fixtures-v1;k=$k"
+    // config-only fingerprint: correct for this DETERMINISTIC generated
+    // corpus (same k ⇒ byte-identical pages). A real corpus must key on the
+    // input snapshot instead — SPARK_GRAFT_CONTENT_FP=1 switches to the
+    // content digest (TableIO.fingerprintOf; on Iceberg, the snapshot id)
+    val fingerprint =
+      if (sys.env.get("SPARK_GRAFT_CONTENT_FP").contains("1"))
+        s"fixtures-v1;${graft.store.TableIO.fingerprintOf(pages.toDF())}"
+      else s"fixtures-v1;k=$k"
     val (triples, skipped) = Pipeline.run(spark, pages, outDir, fingerprint)
     val nTriples = triples.count()
     val secs = (System.nanoTime() - t0) / 1e9

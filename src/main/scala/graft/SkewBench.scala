@@ -83,34 +83,47 @@ object SkewBench {
     val saltK = sys.env.getOrElse("SPARK_GRAFT_SKEW_K", "32").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROUNDS", "2").toInt
 
-    // (label, aqe?, plan)
-    val variants: Seq[(String, Boolean, SparkSession => DataFrame)] = Seq(
-      ("aqe_off", false, s => graft.kg.Inference.propertyInheritance(
-        synthTriples(s, members, hubProps, background))),
-      ("aqe", true, s => graft.kg.Inference.propertyInheritance(
-        synthTriples(s, members, hubProps, background))),
-      ("salted", false, s => graft.kg.Inference.propertyInheritanceSalted(
-        synthTriples(s, members, hubProps, background), saltK)),
-      ("salted_aqe", true, s => graft.kg.Inference.propertyInheritanceSalted(
-        synthTriples(s, members, hubProps, background), saltK)))
+    // two graph shapes: the 10⁶-member hub the salt exists for, and a
+    // uniform graph (same total sameAs volume, no hub) where salting only
+    // pays replication — the degree-probe auto plan must match the best
+    // manual plan on BOTH
+    val graphs: Seq[(String, SparkSession => DataFrame)] = Seq(
+      ("hub", s => synthTriples(s, members, hubProps, background)),
+      ("uniform", s => synthTriples(s, 0, 0, background + members)))
 
-    // interleave rounds; keep best-of per variant (same de-noising as Bench)
-    val results = collection.mutable.Map.empty[String, (Long, Double)]
-    for (_ <- 1 to rounds; (name, aqe, plan) <- variants) {
-      val s = session(aqe)
-      try {
-        val (n, sec) = timed(plan(s).count())
-        val best = results.get(name).map(_._2).getOrElse(Double.MaxValue)
-        if (sec < best) results(name) = (n, sec)
-      } finally s.stop()
-    }
-    val counts = results.values.map(_._1).toSet
-    val body = variants.map(_._1).map { n =>
-      val (rows, sec) = results(n)
-      s""""$n":{"rows":$rows,"sec":${f"$sec%.2f"}}"""
+    // (label, aqe?, plan)
+    def variants(g: SparkSession => DataFrame)
+        : Seq[(String, Boolean, SparkSession => DataFrame)] = Seq(
+      ("aqe_off", false, s => graft.kg.Inference.propertyInheritance(g(s))),
+      ("aqe", true, s => graft.kg.Inference.propertyInheritance(g(s))),
+      ("salted", false, s => graft.kg.Inference.propertyInheritanceSalted(g(s), saltK)),
+      ("salted_aqe", true, s => graft.kg.Inference.propertyInheritanceSalted(g(s), saltK)),
+      // auto = degree probe + chosen plan, timed INCLUDING the probe
+      ("auto", false, s => graft.kg.Inference.propertyInheritanceAuto(g(s), saltK)))
+
+    val out = graphs.map { case (gname, g) =>
+      // interleave rounds; keep best-of per variant (same de-noising as Bench)
+      val results = collection.mutable.Map.empty[String, (Long, Double)]
+      for (_ <- 1 to rounds; (name, aqe, plan) <- variants(g)) {
+        val s = session(aqe)
+        try {
+          val (n, sec) = timed(plan(s).count())
+          val best = results.get(name).map(_._2).getOrElse(Double.MaxValue)
+          if (sec < best) results(name) = (n, sec)
+        } finally s.stop()
+      }
+      val sProbe = session(false)
+      val autoChoice = try {
+        if (graft.kg.Inference.shouldSaltInheritance(g(sProbe))) "salted" else "plain"
+      } finally sProbe.stop()
+      val counts = results.values.map(_._1).toSet
+      val body = variants(g).map(_._1).map { n =>
+        val (rows, sec) = results(n)
+        s""""$n":{"rows":$rows,"sec":${f"$sec%.2f"}}"""
+      }.mkString(",")
+      s""""$gname":{"counts_agree":${counts.size == 1},"auto_choice":"$autoChoice",$body}"""
     }.mkString(",")
     println(s"""{"bench":"skew_property_inheritance","members":$members,""" +
-      s""""hub_props":$hubProps,"background":$background,"salt_k":$saltK,""" +
-      s""""counts_agree":${counts.size == 1},$body}""")
+      s""""hub_props":$hubProps,"background":$background,"salt_k":$saltK,$out}""")
   }
 }

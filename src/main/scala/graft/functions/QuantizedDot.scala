@@ -20,11 +20,11 @@ import org.apache.spark.sql.GraftExpressionBridge
   * it earns the custom-Expression treatment: `doGenCode` emits a tight
   * primitive Java loop that whole-stage codegen inlines.
   *
-  * Nulls: null if either array is null or any element in the common prefix
-  * is null (mirroring how a null product poisons the HOF sum). Unequal
-  * lengths: the common prefix — callers guarantee equal dims; the HOF form
-  * would return null via zip_with's null padding, a difference the specs
-  * never exercise and the operators never produce.
+  * Nulls: null if either array is null, any element is null (mirroring how
+  * a null product poisons the HOF sum), or the arrays differ in length
+  * (zip_with pads the shorter array with nulls, so the HOF form returns
+  * null there too — a silent common-prefix sum would be a trap for SQL
+  * callers with no dimension guarantee).
   */
 final case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,7 +54,8 @@ final case class QuantizedDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0L
     var i = 0
@@ -76,12 +77,16 @@ final case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (long) java.lang.Math.floor(
-         |    ((double) $a.$lGet($i)) * ((double) $b.$rGet($i)) * 1000000.0D);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) java.lang.Math.floor(
+         |      ((double) $a.$lGet($i)) * ((double) $b.$rGet($i)) * 1000000.0D);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -72,6 +72,21 @@ object ShingleKernel {
     (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** Unsigned lexicographic compare of the UTF-8 encodings — exactly
+    * `UTF8String.binaryCompare` semantics without allocating UTF8Strings. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   def compute(text: UTF8String, mod: Int, cap: Int): ArrayData = {
     // split on single spaces keeping empties — Spark's split(text, ' ')
     val toks = text.toString.split(" ", -1)
@@ -92,7 +107,11 @@ object ShingleKernel {
     java.util.Arrays.sort(arr, new java.util.Comparator[(Long, String)] {
       override def compare(a: (Long, String), b: (Long, String)): Int = {
         val c = java.lang.Long.compare(a._1, b._1)
-        if (c != 0) c else a._2.compareTo(b._2)
+        // tie-break must match the HOF spec path's array_sort over
+        // struct(h, shingle), which compares UTF8String BINARY (UTF-8
+        // bytes, i.e. code points) — String.compareTo is UTF-16 code-unit
+        // order and diverges for BMP-private-use vs supplementary chars
+        if (c != 0) c else utf8Compare(a._2, b._2)
       }
     })
     val out = new Array[Long](math.min(cap, arr.length))

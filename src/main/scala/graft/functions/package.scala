@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 /** Native Catalyst expressions (codegen'd hot loops) + their SQL-surface
   * registration: after `functions.register(spark)`, `spark.sql` resolves
-  * `quantized_dot(a, b)` and `shingle_hashes(text, mod, cap)` to the same
-  * expressions the Column API uses (FunctionsSqlSpec pins the parity). */
+  * `quantized_dot(a, b)`, `shingle_hashes(text, mod, cap)`,
+  * `minhash_signature(hashes)` and `simhash64(text)` to the same
+  * expressions the Column API uses (FunctionsSqlSpec pins the parity) —
+  * the SQL surface carries ALL four native functions, not a subset. */
 package object functions {
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -26,6 +28,16 @@ package object functions {
         ShingleHashes(text, intLit(mod, "mod"), intLit(cap, "cap"))
       case args => throw new IllegalArgumentException(
         s"shingle_hashes(text, mod, cap) takes 3 arguments, got ${args.length}")
+    })
+    GraftExpressionBridge.registerFunction(spark, "minhash_signature", {
+      case Seq(hashes) => MinHashSignature(hashes)
+      case args => throw new IllegalArgumentException(
+        s"minhash_signature(shingleHashes) takes 1 argument, got ${args.length}")
+    })
+    GraftExpressionBridge.registerFunction(spark, "simhash64", {
+      case Seq(text) => SimHash64(text)
+      case args => throw new IllegalArgumentException(
+        s"simhash64(text) takes 1 argument, got ${args.length}")
     })
   }
 }

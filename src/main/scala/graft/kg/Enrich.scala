@@ -19,10 +19,28 @@ import graft.model.{Vocab => V}
   */
 object Enrich {
 
-  /** Long-format TSV load (reference root pokedex-i18n.tsv shape). */
-  def loadTsv(spark: SparkSession, path: String): DataFrame =
+  /** The TSV's language-name column → BCP-47 tags (the reference stores
+    * full names like "French"/"Official roomaji"; RDF lang tags must be
+    * tag-shaped or the Turtle sink rightly rejects them). Unknown names
+    * fall back to lowercase-hyphenated. */
+  private val langTags: Map[String, String] = Map(
+    "English" -> "en", "Japanese" -> "ja", "Official roomaji" -> "ja-Latn",
+    "Korean" -> "ko", "Chinese" -> "zh", "French" -> "fr", "German" -> "de",
+    "Spanish" -> "es", "Italian" -> "it", "Czech" -> "cs")
+
+  /** Long-format TSV load (reference root pokedex-i18n.tsv shape: header
+    * `type id label language`, one row per (entity, language) — the format
+    * the reference mis-parses as wide, SURVEY §0.2). Language names are
+    * normalized to tags; rows keep their raw id (padding happens at join
+    * time in [[labelTriples]]). */
+  def loadTsv(spark: SparkSession, path: String): DataFrame = {
+    val tagMap = typedLit(langTags)
     spark.read.option("sep", "\t").option("header", "true").csv(path)
       .toDF("type", "id", "label", "language")
+      .withColumn("language",
+        coalesce(element_at(tagMap, col("language")),
+          lower(regexp_replace(col("language"), " ", "-"))))
+  }
 
   /** Synthetic deterministic dictionary for tests/benchmarks: one fr + de
     * label per golden entity, keyed the *correct* way (zero-padded id). */
@@ -43,6 +61,9 @@ object Enrich {
         col("srcRepo"), col("srcPath"), col("srcCommit"), col("srcSha256"))
     val d = broadcast(dict
       .filter(col("type") === "pokemon")
+      // the real TSV has empty labels for unfilled languages (e.g. Czech)
+      // and the rare malformed row; an empty rdfs:label is never right (C3)
+      .filter(col("label").isNotNull && col("label") =!= "" && col("language").isNotNull)
       .withColumn("idPad",
         when(col("id").rlike("^[0-9]+$"), format_string("%04d", col("id").cast("int")))
           .otherwise(col("id"))))

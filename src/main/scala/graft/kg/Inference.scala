@@ -174,6 +174,47 @@ object Inference {
     asTriples(copied)
   }
 
+  /** Hub-degree probe over the symmetric pair table: (max key degree, mean
+    * key degree). ONE partial-aggregable pass over the PAIR side — the pair
+    * table is orders smaller than the triple table, so the probe costs a
+    * rounding error next to the join it steers. */
+  private[graft] def pairDegreeStats(triples: DataFrame): (Long, Double) = {
+    val r = symmetricPairs(triples).groupBy("a").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).cast("long").as("mx"), avg(col("deg")).as("mean"))
+      .head()
+    if (r.isNullAt(0)) (0L, 0.0) else (r.getLong(0), r.getDouble(1))
+  }
+
+  /** Salt only when one key is BOTH absolutely heavy (≥ floor pair rows —
+    * below that a single reducer absorbs it; SkewBench measured the salted
+    * win at a 10⁶-member hub, the floor sits an order below) and
+    * relatively dominant (≥ ratio × mean — on a uniform graph salting just
+    * pays k× replication of the triple side for nothing). */
+  val SaltDegreeFloor: Long = 100000L
+  val SaltDominanceRatio: Double = 64.0
+
+  /** Degree-probe decision: does the sameAs graph have a hub that warrants
+    * the salted plan? (Thresholds overridable for tests/benchmarks.) */
+  def shouldSaltInheritance(triples: DataFrame,
+                            floor: Long = SaltDegreeFloor,
+                            ratio: Double = SaltDominanceRatio): Boolean = {
+    val (mx, mean) = pairDegreeStats(triples)
+    mx >= floor && mx >= ratio * math.max(mean, 1.0)
+  }
+
+  /** I4 with automatic plan selection: the degree probe picks
+    * [[propertyInheritanceSalted]] for hub-shaped sameAs graphs and
+    * [[propertyInheritance]] (SMJ + AQE) otherwise — result-identical
+    * either way (InferenceSpec), only the physical plan differs. SkewBench
+    * reports auto's choice + time next to the manual plans on hub and
+    * uniform graphs. */
+  def propertyInheritanceAuto(triples: DataFrame, saltK: Int = 16,
+                              floor: Long = SaltDegreeFloor,
+                              ratio: Double = SaltDominanceRatio): DataFrame =
+    if (shouldSaltInheritance(triples, floor, ratio))
+      propertyInheritanceSalted(triples, saltK)
+    else propertyInheritance(triples)
+
   /** Canonicalized edge table: every IRI endpoint rewritten to its sameAs
     * component's canonical id — the "connected-components-style sameAs
     * merging ... into a materialized graph" of the north_star. Left joins so
@@ -217,9 +258,16 @@ object Inference {
     val t2 = t1.unionByName(subClassOfClosure(t1))
     val withSame = t2
       .unionByName(sameAsSymmetric(t2))
+    // auto plan selection, probed on BASE: symmetricPairs symmetrizes, so
+    // the pair set (and its degrees) is identical on base and withSame —
+    // but base is the raw (usually checkpointed/staged) table, so the probe
+    // never re-analyzes the inference union tree
+    val salt = shouldSaltInheritance(base)
     val t3 = withSame
       .unionByName(namePropagation(withSame))
-      .unionByName(propertyInheritance(withSame))
+      .unionByName(
+        if (salt) propertyInheritanceSalted(withSame)
+        else propertyInheritance(withSame))
     Pipeline.dedup(t3)
   }
 }

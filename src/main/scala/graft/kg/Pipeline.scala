@@ -37,6 +37,11 @@ import graft.store.TableIO
   */
 object Pipeline {
 
+  /** Bucket count for the bucketed stage tables (triples, canonical_edges).
+    * At cluster scale this would be sized to ~128–512 MB per bucket; here it
+    * matches the local shuffle width so the fixture suite stays light. */
+  private[graft] val TripleBuckets = 16
+
   /** Candidate pages: cheap raw-column prefilter, pushdown-friendly. Keeps
     * every page any of the five infobox regexes could match
     * (reference: parser/WikiInfoboxParser.java:13-20). */
@@ -285,7 +290,13 @@ object Pipeline {
         .write.mode("overwrite").parquet(s"$outDir/observed")
     }
 
-    val (tripleDf, s2) = TableIO.stage(spark, s"$outDir/triples", fingerprint) {
+    // the triple table is THE repeatedly-subject-joined table of the query
+    // corpus (overview/abilities/... are all subj equi-joins) — stored
+    // bucketed+sorted by subj so every one of those joins reads it with no
+    // exchange and no sort (PipelineBucketingSpec pins the plan); the files
+    // stay plain parquet for non-catalog readers
+    val (tripleDf, s2) = TableIO.stageBucketed(spark, s"$outDir/triples",
+      fingerprint, "subj", TripleBuckets, "graft_triples") {
       dedup(emittedDf)
     }
     if (s2) skipped += "triples"
@@ -317,7 +328,9 @@ object Pipeline {
       Inference.canonicalVertices(inferredDf, componentsDf)
     }
     if (s8) skipped += "canonical_vertices"
-    val (_, s9) = TableIO.stage(spark, s"$outDir/canonical_edges", fingerprint) {
+    // canonical edges: traversal queries join src→dst chains; bucket by src
+    val (_, s9) = TableIO.stageBucketed(spark, s"$outDir/canonical_edges",
+      fingerprint, "src", TripleBuckets, "graft_canon_edges") {
       Inference.canonicalEdges(inferredDf, componentsDf)
     }
     if (s9) skipped += "canonical_edges"

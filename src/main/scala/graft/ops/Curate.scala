@@ -36,10 +36,18 @@ object Curate {
     val q = docs.withColumn("q_ok",
       size(split(col("text"), " ")).between(minTokens, maxTokens))
 
-    // exact dedup: survivor = min doc_id among quality docs per fingerprint
+    // exact dedup: survivor = min doc_id among quality docs per fingerprint.
+    // Persisted because the frame feeds BOTH the near-dup candidate pass
+    // (via its exact-survivor filter) and the final flag join — without it
+    // the md5-window shuffle re-runs per consumer. Trade-off: this caches
+    // full document text; at 100 TB the staged variant (`curateStaged`,
+    // which checkpoints the flag table to parquet once) is the right tool,
+    // and this in-memory persist only serves the single-action `curate`
+    // path where Spark evicts it LRU under pressure
     val w = Window.partitionBy(md5(col("text")))
     val e = q.withColumn("exact_ok",
-      col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w))
+        col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup removal: of each LSH-confirmed pair among exact survivors,
     // anti-flag the higher id

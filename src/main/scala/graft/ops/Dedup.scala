@@ -72,7 +72,14 @@ object Dedup {
     * so the banding is engine-portable. */
   def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
+    // the signature table feeds the DAG three times (banded explode + the
+    // two per-side re-joins) — without a persist the ShingleHashes+MinHash
+    // kernels (the expensive part: one md5 per sampled shingle) would run
+    // ~3x per action. The table is compact (doc_id + 64 longs ≈ 0.5 KB/doc,
+    // ~0.5 GB per billion docs per 1000 executors) so MEMORY_AND_DISK is
+    // safe at any scale; Spark evicts LRU under pressure
     val sigs = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hot (band, bucket) join carries ONLY (doc_id) per side — the
     // 64-slot signatures re-join by doc_id AFTER the candidate pairs are
     // deduped (pairs ≪ banded rows, and each sig crosses the wire once per

@@ -223,25 +223,93 @@ object Similarity {
     cents
   }
 
-  /** IVF ANN: assign every vector to its nearest codebook cell (narrow
-    * fold, no shuffle), then search only the query's `nprobe` nearest cells
-    * with exact quantized cosine. The cell filter is the IVF win: the scan
-    * reads nprobe/k of the data (cell-partitioned storage would prune at
-    * the source). */
+  /** IVF ANN (one-shot): train + assign + search in one call. The spec /
+    * oracle surface — production callers use [[ivfIndex]] + [[ivfSearch]]
+    * so the codebook is trained ONCE and reused across queries (training
+    * dominates this call's cost; re-training per query is the wrong shape
+    * at any scale). */
   def annIvf(embeddings: DataFrame, queryId: Long, k: Int = 5,
              nCentroids: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val cents = kmeansCentroids(embeddings, nCentroids, iters)
     val cmat = typedLit(cents.map(_.toSeq).toSeq)
     val assigned = withNearestCell(
       embeddings.select(col("vec_id"), col("embedding")), cmat, cents.length)
-    val probes = embeddings.filter(col("vec_id") === queryId)
+    searchAssigned(assigned, cmat, cents.length, queryId, k, nprobe)
+  }
+
+  /** The search kernel shared by [[annIvf]] and [[ivfSearch]]: probe the
+    * query's `nprobe` nearest cells, score with exact quantized cosine.
+    * The cell filter is the IVF win: the scan reads ~nprobe/k of the data
+    * (cell-partitioned storage would prune at the source). */
+  private def searchAssigned(assigned: DataFrame, cmat: Column, nCells: Int,
+                             queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val probes = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"),
-        probeCells(cmat, cents.length, nprobe).as("probe_cids"))
+        probeCells(cmat, nCells, nprobe).as("probe_cids"))
     assigned.join(broadcast(probes), array_contains(col("probe_cids"), col("cid")))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), cosQ("embedding", "qv").as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** A trained IVF index: the k×dim codebook (driver-sized by construction)
+    * and the cell-assigned vector table (vec_id, embedding, cid). */
+  final case class IvfIndex(codebook: Array[Array[Double]], assigned: DataFrame)
+
+  /** Train-once IVF: codebook + cell assignment persisted via the same
+    * manifest-checkpoint discipline as the KG pipeline stages
+    * (TableIO.stage): a re-run with the same fingerprint skips BOTH the
+    * Lloyd training and the assignment scan and reads the staged parquet
+    * (IvfSpec pins skip + search-result equality with the one-shot path).
+    * At scale the assigned table doubles as the cell-partitioned storage
+    * layout: write it partitioned by cid and the probe filter prunes at
+    * the source. Returns (index, fullySkipped). */
+  def ivfIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+               dir: String, fingerprint: String, nCentroids: Int = 8,
+               iters: Int = 2, sampleMod: Int = 1): (IvfIndex, Boolean) = {
+    import graft.store.TableIO
+    import spark.implicits._
+    val fp = s"$fingerprint;k=$nCentroids;iters=$iters;mod=$sampleMod"
+    val (cbDf, cbSkipped) = TableIO.stage(spark, s"$dir/ivf_codebook", fp) {
+      kmeansCentroids(embeddings, nCentroids, iters, sampleMod)
+        .zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq.toDF("cid", "vec")
+    }
+    val codebook = cbDf.orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray) // k×dim doubles: driver-sized
+    val cmat = typedLit(codebook.map(_.toSeq).toSeq)
+    val (assigned, aSkipped) = TableIO.stage(spark, s"$dir/ivf_assigned", fp) {
+      withNearestCell(
+        embeddings.select(col("vec_id"), col("embedding")), cmat, codebook.length)
+    }
+    (IvfIndex(codebook, assigned), cbSkipped && aSkipped)
+  }
+
+  /** Query a trained index — no training, no assignment scan: one narrow
+    * probe of the query row + one cell-filtered scoring pass. */
+  def ivfSearch(index: IvfIndex, queryId: Long, k: Int = 5,
+                nprobe: Int = 2): DataFrame = {
+    val cmat = typedLit(index.codebook.map(_.toSeq).toSeq)
+    searchAssigned(index.assigned, cmat, index.codebook.length, queryId, k, nprobe)
+  }
+
+  // s3 serves from a staged index: per-JVM stage dir keyed by the input
+  // path, fingerprinted by the row count, so the first call in a fresh
+  // environment trains and every later call (same session or not) skips to
+  // the staged parquet — the train-once shape the scale argument demands
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  // per-session key (a dead session's DataFrame must never serve a new one)
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
+  private def stagedIvf(s: org.apache.spark.sql.SparkSession, d: String): IvfIndex = {
+    val sid = sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    val emb = t(s, d, "embeddings")
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+      sys.props("java.io.tmpdir") + "/graft-stages") + s"/ivf_$safe"
+    ivfMemo.computeIfAbsent(s"$sid:$dir", _ =>
+      ivfIndex(s, emb, dir, fingerprint = s"$d;n=${emb.count()}")._1)
   }
 
   // ---- DuckDB oracle SQL (generated; mirrors the quantized arithmetic) ----
@@ -334,9 +402,13 @@ object Similarity {
 
     // rows-only: the k-means codebook is trained iteratively (driver-side
     // re-broadcast per Lloyd round) — not expressible as one SQL query;
-    // recall vs brute force is asserted in OpsSpec
+    // recall vs brute force is asserted in OpsSpec, staged-index ≡ one-shot
+    // in IvfSpec, DuckDB replay given the codebook in AnnIvfOracleSpec.
+    // Serves from the train-once staged index (ivfIndex + ivfSearch) —
+    // the production shape; the first call in a fresh environment pays the
+    // training, every later one skips to the staged parquet
     QueryDef("s3_ann_ivf",
-      (s, d) => annIvf(t(s, d, "embeddings"), queryId = 0L, k = 10),
+      (s, d) => ivfSearch(stagedIvf(s, d), queryId = 0L, k = 10),
       None),
 
     QueryDef("d4_embedding_neardup",

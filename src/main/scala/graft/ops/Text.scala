@@ -138,16 +138,39 @@ object Text {
     sampledShingleStructs(docs, mod, cap)
       .select(col("doc_id"), expr("transform(shs, x -> x.h)").as("sh"))
 
+  /** Default document-frequency cap for the exact shingle self-join: a
+    * shingle hash present in more documents than this is corpus boilerplate
+    * (license headers, navigation chrome) — it carries no near-dup signal
+    * (P(near-dup | shared boilerplate) ≈ P(near-dup)) and it is THE skew
+    * key of the dedup family: one 50%-df shingle alone joins O(n²/8) rows.
+    * Dropping it bounds the join by construction (DfCapSpec), where AQE
+    * only splits the oversized partition after the fan-out exists. */
+  val DefaultShingleDfCap: Long = 1000
+
+  /** Per-doc sampled shingle hashes, exploded, with hashes above the df cap
+    * removed (df computed on the same key the join uses — one extra
+    * partial-aggregable pass + one equi-join, both on the already-shuffled
+    * key). Sizes and intersections downstream both use the FILTERED sets,
+    * so the Jaccard estimate stays a true Jaccard (of boilerplate-free
+    * shingle sets), not an inconsistent hybrid. */
+  private[graft] def explodedShingles(docs: DataFrame, maxDf: Long): DataFrame = {
+    val ex0 = shingleHashes(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    ex0.join(keep, "s")
+  }
+
   /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
     * self-join on shingle (the LSH-free exact variant), score
     * |∩| / (|A|+|B|-|∩|) quantized to basis points. The shingle join is the
     * canonical dedup shuffle: partial-agg on (a,b) after an equi-join keyed
-    * by content n-grams; hot shingles are the skew risk — AQE skew-join
-    * handles it, and `cap` bounds per-doc fan-out by construction. */
-  def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500): DataFrame = {
-    val sh = shingleHashes(docs)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    * by content n-grams; `cap` bounds per-doc fan-out and `maxDf` bounds
+    * per-shingle fan-out (boilerplate removal), so no single key can go
+    * quadratic by construction. */
+  def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500,
+                        maxDf: Long = DefaultShingleDfCap): DataFrame = {
+    val ex = explodedShingles(docs, maxDf)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val common = ex.alias("x")
       .join(ex.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -211,8 +234,9 @@ object Text {
     QueryDef("t5_ngram_jaccard",
       (s, d) => ngramJaccardPairs(t(s, d, "documents")),
       // mirrors the hash-sampled bottom-capped shingling exactly (h60 =
-      // first 15 hex digits of md5 as an integer in both engines)
-      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      // first 15 hex digits of md5 as an integer in both engines), INCLUDING
+      // the boilerplate document-frequency cap (kept CTE)
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
               raw AS (
                 SELECT doc_id,
                        unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
@@ -225,10 +249,16 @@ object Text {
                       FROM raw)
                 WHERE h % 4 = 0
                 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= 512),
-              sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM samp GROUP BY doc_id),
+              kept AS (
+                SELECT samp.doc_id, samp.h
+                FROM samp
+                JOIN (SELECT h FROM samp GROUP BY h
+                      HAVING count(*) <= $DefaultShingleDfCap) keep
+                  ON samp.h = keep.h),
+              sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM kept GROUP BY doc_id),
               common AS (
                 SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
-                FROM samp x JOIN samp y ON x.h = y.h AND x.doc_id < y.doc_id
+                FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
                 GROUP BY x.doc_id, y.doc_id
               )
               SELECT a, b, common,

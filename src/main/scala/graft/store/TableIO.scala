@@ -33,6 +33,86 @@ object TableIO {
       .saveAsTable(table)
 
   private def manifestPath(dir: String) = Paths.get(dir, "_STAGE_MANIFEST")
+  private def schemaPath(dir: String) = Paths.get(dir, "_SCHEMA_DDL")
+
+  /** Input-snapshot fingerprint for stage-skip keys: row count + four
+    * order-independent content digests (bit_xor / min / max /
+    * approx-distinct of a per-row xxhash64 over every column). ONE
+    * partial-aggregable pass, no sort, no collect beyond 5 numbers —
+    * same content (in any row order) ⇒ same fingerprint; any content edit
+    * moves at least one channel. A config-only fingerprint (`k=$4`) is
+    * right for deterministic generated corpora; REAL corpora need this (or
+    * the table format's snapshot id — on Iceberg use that instead of
+    * scanning): content can change under an unchanged path+config, and a
+    * stale skip would silently serve the old build
+    * (FingerprintSpec pins recompute-on-content-change). */
+  def fingerprintOf(df: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val h = xxhash64(df.columns.map(col): _*)
+    val r = df.select(count(lit(1)), bit_xor(h), min(h), max(h),
+      approx_count_distinct(h)).head()
+    if (r.getLong(0) == 0L) "n=0"
+    else s"n=${r.getLong(0)};x=${r.getLong(1)};mn=${r.getLong(2)};" +
+      s"mx=${r.getLong(3)};d=${r.getLong(4)}"
+  }
+
+  /** Deterministic catalog-safe table name for a bucketed stage directory. */
+  def bucketedName(prefix: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+    s"${prefix}_$h"
+  }
+
+  /** [[stage]] variant that persists the stage as a bucketed+sorted EXTERNAL
+    * catalog table at `dir` (CLUSTERED BY bucketCol): downstream equi-joins
+    * on the bucket key read it exchange-free AND sort-free (BucketingSpec /
+    * PipelineBucketingSpec pin the plans). The manifest protocol matches
+    * [[stage]] — manifest written only after a successful commit, so a
+    * killed run recomputes; a fresh session whose catalog lacks the table
+    * re-registers it over the existing files from the recorded schema (the
+    * files are plain parquet: non-catalog readers just see a parquet dir).
+    * Returns (result, skipped). */
+  def stageBucketed(spark: SparkSession, rawDir: String, fingerprint: String,
+                    bucketCol: String, nBuckets: Int, prefix: String)
+                   (compute: => DataFrame): (DataFrame, Boolean) = {
+    val dir = new java.io.File(rawDir).getAbsolutePath // catalog LOCATIONs must not be cwd-relative
+    val table = bucketedName(prefix, dir)
+    val mp = manifestPath(dir)
+    val fresh = Files.exists(mp) &&
+      new String(Files.readAllBytes(mp), "UTF-8") == fingerprint
+    if (fresh) {
+      if (!spark.catalog.tableExists(table)) {
+        val ddl = new String(Files.readAllBytes(schemaPath(dir)), "UTF-8")
+        spark.sql(
+          s"""CREATE TABLE $table ($ddl) USING parquet
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+      }
+      (spark.table(table), true)
+    } else {
+      val df = compute
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // one exchange on the bucket key at write time: without it every
+      // upstream task writes its own file per bucket (tasks × buckets small
+      // files); with it, one file per bucket — paid once, and every
+      // downstream join on the key reads exchange-free forever after
+      df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(nBuckets, bucketCol)
+        .sortBy(bucketCol)
+        .option("path", dir)
+        .saveAsTable(table)
+      Files.createDirectories(mp.getParent)
+      Files.write(schemaPath(dir), df.schema.toDDL.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      Files.write(mp, fingerprint.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      (spark.table(table), false)
+    }
+  }
 
   /** Run `compute` and persist its result under `dir` unless a previous run
     * already completed there with the same fingerprint — then just re-read.

@@ -40,49 +40,81 @@ object TurtleIO {
     steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
   }
 
+  /** An IRI position must hold a non-empty string free of `<`, `>`, `"`
+    * and whitespace — anything else would write a line the N-Triples
+    * grammar (and our own `lineRe`) cannot represent, silently corrupting
+    * the round-trip. Fails the job loudly at write time instead. */
+  private def checkedIri(c: Column): Column =
+    when(c.isNull || c === "" || c.rlike("[<>\"\\s]"),
+      raise_error(concat(lit("TurtleIO: invalid IRI "), coalesce(c, lit("<null>")))))
+      .otherwise(c)
+
   /** One Turtle line per triple: `<s> <p> <o> .` / `<s> <p> "lit" .` /
-    * `"lit"@lang` / `"lit"^^<dtype>`. */
+    * `"lit"@lang` / `"lit"^^<dtype>`. A literal carrying BOTH a language
+    * tag and a datatype is unrepresentable in Turtle (one would be silently
+    * dropped) — rejected loudly. */
   def line: Column = {
-    val obj = when(col("objIsIri"), concat(lit("<"), col("objLex"), lit(">")))
-      .otherwise(concat(
-        lit("\""), escape(col("objLex")), lit("\""),
-        when(col("objLang") =!= "", concat(lit("@"), col("objLang")))
-          .when(col("objDtype") =!= "", concat(lit("^^<"), col("objDtype"), lit(">")))
-          .otherwise(lit(""))))
-    concat(lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "), obj, lit(" ."))
+    val litSuffix =
+      when(col("objLang") =!= "" && col("objDtype") =!= "",
+        raise_error(concat(lit("TurtleIO: literal with both @lang and ^^dtype: "), col("objLex"))))
+        .when(col("objLang") =!= "", concat(lit("@"), col("objLang")))
+        .when(col("objDtype") =!= "", concat(lit("^^<"), checkedIri(col("objDtype")), lit(">")))
+        .otherwise(lit(""))
+    val obj = when(col("objIsIri"), concat(lit("<"), checkedIri(col("objLex")), lit(">")))
+      .otherwise(concat(lit("\""), escape(col("objLex")), lit("\""), litSuffix))
+    concat(lit("<"), checkedIri(col("subj")), lit("> <"), checkedIri(col("pred")),
+      lit("> "), obj, lit(" ."))
   }
 
-  /** Serialized triple lines, deterministically ordered. */
-  def lines(triples: DataFrame): DataFrame =
-    triples
+  /** Serialized triple lines, deterministically ordered WITHIN each part
+    * file (`sortWithinPartitions` — no global exchange; at 100 TB a global
+    * total order would funnel the sort through one range-partitioned
+    * shuffle for a property no RDF consumer needs). Pass
+    * `globalSort = true` for byte-deterministic single-stream output
+    * (describe, small exports). */
+  def lines(triples: DataFrame, globalSort: Boolean = false): DataFrame = {
+    val t = triples
       .select(col("subj"), col("pred"), col("objIsIri"),
         col("objLex"), col("objDtype"), col("objLang"))
       .distinct()
-      .orderBy("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
-      .select(line.as("value"))
+    val sorted =
+      if (globalSort) t.orderBy("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      else t.sortWithinPartitions("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    sorted.select(line.as("value"))
+  }
 
   /** Write the graph as a Turtle directory (part files are each valid
     * Turtle; the directory concatenates to the full graph). */
   def write(triples: DataFrame, dir: String): Unit =
     lines(triples).write.mode("overwrite").text(dir)
 
+  // IRI groups are [^>]+ (non-empty): `<>` in any IRI position must fail
+  // parse loudly, not silently flip to an empty literal
   private val lineRe =
-    """^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?) \.$"""
+    """^<([^>]+)> <([^>]+)> (?:<([^>]+)>|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]+)>)?) \.$"""
 
   /** Parse a Turtle directory written by `write` (the N-Triples subset)
-    * back into the triple schema. */
+    * back into the triple schema. A line that does not match the grammar
+    * fails the job loudly (a silent filter would drop triples — data loss
+    * masquerading as success); blank lines are tolerated. */
   def parse(spark: SparkSession, dir: String): DataFrame = {
     // a merge swap reuses the same path; drop any cached file listing so the
     // read lists the current snapshot, not the pre-swap part files
     spark.catalog.refreshByPath(dir)
+    // the loud-failure check rides inside `subj` (a pruned side column would
+    // never be evaluated); a matched line always has non-empty subj because
+    // `write` rejects empty IRIs
+    val subj = when(!col("value").rlike(lineRe) || regexp_extract(col("value"), lineRe, 1) === "",
+      raise_error(concat(lit("TurtleIO: unparseable Turtle line: "), col("value"))))
+      .otherwise(regexp_extract(col("value"), lineRe, 1))
     spark.read.text(dir)
-      .select(regexp_extract(col("value"), lineRe, 1).as("subj"),
+      .filter(length(trim(col("value"))) > 0)
+      .select(subj.as("subj"),
         regexp_extract(col("value"), lineRe, 2).as("pred"),
         regexp_extract(col("value"), lineRe, 3).as("iri"),
         regexp_extract(col("value"), lineRe, 4).as("lex"),
         regexp_extract(col("value"), lineRe, 5).as("lang"),
         regexp_extract(col("value"), lineRe, 6).as("dtype"))
-      .filter(col("subj") =!= "")
       .select(col("subj"), col("pred"),
         (col("iri") =!= "").as("objIsIri"),
         when(col("iri") =!= "", col("iri")).otherwise(unescape(col("lex"))).as("objLex"),
@@ -91,11 +123,23 @@ object TurtleIO {
 
   /** Merge-write mirroring the reference's saveModel: if `dir` already
     * holds a graph, the new triples are unioned in (set semantics) and the
-    * snapshot is atomically swapped — a crash before the swap leaves the
-    * old snapshot intact. */
+    * snapshot swapped in.
+    *
+    * Crash protocol (a directory swap cannot be one atomic rename, so the
+    * swap is dir→dir.old, dir.tmp→dir with recovery at entry):
+    *  - crash while writing dir.tmp → dir intact; stale dir.tmp deleted on
+    *    the next call;
+    *  - crash between the two moves → dir missing but dir.old complete; the
+    *    next call (or [[recover]]) restores dir from dir.old;
+    *  - crash before dir.old cleanup → both present; dir wins, dir.old is
+    *    deleted on the next call.
+    * At every instant, at least one complete snapshot (dir or dir.old)
+    * exists, and every state is self-healing — no manual intervention and
+    * no FileAlreadyExistsException dead ends. */
   def mergeWrite(spark: SparkSession, triples: DataFrame, dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val path = Paths.get(dir)
+    recover(dir)
     val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
     val fresh = triples.select(cols.map(col): _*)
     if (Files.exists(path)) {
@@ -111,11 +155,29 @@ object TurtleIO {
     } else write(fresh, dir)
   }
 
+  /** Restore the invariant "dir holds the latest complete snapshot" after
+    * a crash at any point of [[mergeWrite]]'s swap; also run by mergeWrite
+    * itself at entry. Idempotent. */
+  def recover(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val path = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    val tmp = Paths.get(dir + ".tmp")
+    if (Files.exists(old)) {
+      if (!Files.exists(path)) Files.move(old, path) // died between the moves
+      else org.apache.commons.io.FileUtils.deleteDirectory(old.toFile) // died pre-cleanup
+    }
+    // a stale tmp is either an aborted write or the source of an already-
+    // completed swap; in both cases the live snapshot does not need it
+    if (Files.exists(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   /** CONSTRUCT-describe of one subject (reference:
     * LinkedDataServer.java:148-165 `CONSTRUCT { <s> ?p ?o }`): the
     * subject's triples as Turtle text. Bounded by the subject's degree, so
     * the collect is a point lookup, not a table scan result. */
   def describe(triples: DataFrame, iri: String): String =
-    lines(triples.filter(col("subj") === iri))
+    lines(triples.filter(col("subj") === iri), globalSort = true)
       .collect().map(_.getString(0)).mkString("\n")
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+
+/** Boilerplate-shingle document-frequency cap: one shingle shared by 50% of
+  * the corpus (license header / navigation chrome) must not go quadratic in
+  * the exact n-gram join — the df cap removes it by construction, and the
+  * surviving near-dup semantics are unchanged for clean content. */
+class DfCapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  // 200 docs; half carry the same boilerplate sentence + unique filler,
+  // plus one genuine near-dup pair (docs 900/901 share most content).
+  // The boilerplate tokens are chosen so all 23 of its rolling 3-grams
+  // survive the deterministic h60%4==0 sampling (verified offline with the
+  // same md5 arithmetic) — otherwise the sampler would delete the planted
+  // skew before the cap ever saw it.
+  private lazy val planted = {
+    val boiler = "lic0 tok1 tok11 tok16 tok17 tok18 tok19 tok21 tok22 tok25 " +
+      "tok26 tok35 tok40 tok42 tok60 tok64 tok73 tok78 tok80 tok82 tok84 " +
+      "tok85 tok95 tok97 tok99"
+    val base = (0 until 200).map { i =>
+      val unique = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      val text = if (i % 2 == 0) s"$boiler $unique" else unique
+      (i.toLong, text)
+    }
+    val nd = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    (base ++ nd).toDF("doc_id", "text")
+  }
+
+  test("planted 50%-df shingle: candidate volume bounded by the cap") {
+    def candidateRows(maxDf: Long): Long = {
+      val ex = Text.explodedShingles(planted, maxDf)
+      ex.alias("x").join(ex.alias("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .count()
+    }
+    val uncapped = candidateRows(Long.MaxValue)
+    val capped = candidateRows(maxDf = 10)
+    // the boilerplate shingles each fan out ~100*99/2 pairs uncapped
+    assert(uncapped > 4000, s"planted corpus should blow up uncapped: $uncapped")
+    assert(capped < 200, s"df cap must bound the join: $capped")
+  }
+
+  test("df cap keeps genuine near-dups and drops boilerplate-only pairs") {
+    val pairs = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900L, 901L)), "true near-dup must survive the cap")
+    // docs sharing ONLY boilerplate are not near-dups
+    assert(!pairs.exists { case (a, b) => a < 900 && b < 900 },
+      s"boilerplate-only pairs leaked: ${pairs.take(5)}")
+  }
+
+  test("cap high enough to keep everything == uncapped semantics") {
+    val capped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = 500)
+      .collect().map(_.toString).toSet
+    val uncapped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = Long.MaxValue)
+      .collect().map(_.toString).toSet
+    assert(capped == uncapped)
+  }
+}

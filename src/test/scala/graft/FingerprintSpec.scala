@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.store.TableIO
+
+/** Input-snapshot fingerprints: same content (any order/partitioning) ⇒
+  * same key ⇒ stage skips; changed content under the SAME config ⇒ new key
+  * ⇒ stage recomputes — the semantics a non-fixture corpus needs. */
+class FingerprintSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def corpus(edit: Boolean) = Seq(
+    ("r0", "a.wiki", "c1", if (edit) "content A CHANGED" else "content A"),
+    ("r0", "b.wiki", "c1", "content B"),
+    ("r1", "c.wiki", "c2", "content C"))
+    .toDF("repo", "path", "commit", "content")
+
+  test("order- and partitioning-independent; content-sensitive") {
+    val base = TableIO.fingerprintOf(corpus(edit = false))
+    assert(TableIO.fingerprintOf(corpus(edit = false).orderBy(desc("path"))) == base)
+    assert(TableIO.fingerprintOf(corpus(edit = false).repartition(7)) == base)
+    // an edit that keeps the row count must still move the fingerprint
+    assert(TableIO.fingerprintOf(corpus(edit = true)) != base)
+    assert(TableIO.fingerprintOf(corpus(edit = false).limit(2)) != base)
+  }
+
+  test("stage keyed by content fingerprint: skips on same content, recomputes on edit") {
+    val dir = java.nio.file.Files.createTempDirectory("fp-stage").toString + "/stage"
+    var computes = 0
+    def runWith(edit: Boolean) = {
+      val in = corpus(edit)
+      TableIO.stage(spark, dir, TableIO.fingerprintOf(in)) {
+        computes += 1
+        in.select(col("repo"), length(col("content")).as("n"))
+      }
+    }
+    val (_, s1) = runWith(edit = false)
+    assert(!s1 && computes == 1)
+    // same content, same config → skip (even though the DataFrame object is new)
+    val (_, s2) = runWith(edit = false)
+    assert(s2 && computes == 1)
+    // changed content, same path + same config → MUST recompute
+    val (out3, s3) = runWith(edit = true)
+    assert(!s3 && computes == 2)
+    assert(out3.filter(col("n") === lit("content A CHANGED".length)).count() == 1)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.functions.{QuantizedDot, ShingleHashes}
+import graft.functions.{MinHashSignature, QuantizedDot, ShingleHashes, SimHash64}
 
 /** The SQL surface must resolve the native expressions identically to the
   * Column API after registration. */
@@ -30,6 +30,37 @@ class FunctionsSqlSpec extends AnyFunSuite {
         ShingleHashes(col("text"), 2, 8).as("sh"))
       .collect().map(_.toString).sorted
     assert(viaSql.sameElements(viaCol))
+  }
+
+  test("spark.sql minhash_signature / simhash64 ≡ Column API (all four registered)") {
+    graft.functions.register(spark)
+    val r = new scala.util.Random(13)
+    val df = (0 until 20).map { i =>
+      (i.toLong, (0 until 60).map(_ => r.nextInt(7).toString).mkString(" "))
+    }.toDF("id", "text")
+    df.createOrReplaceTempView("fz")
+    val viaSql = spark.sql(
+      """SELECT id, minhash_signature(shingle_hashes(text, 2, 32)) AS sig,
+        |       simhash64(text) AS sh
+        |FROM fz""".stripMargin)
+      .collect().map(_.toString).sorted
+    val viaCol = df.select(col("id"),
+        MinHashSignature(ShingleHashes(col("text"), 2, 32)).as("sig"),
+        SimHash64(col("text")).as("sh"))
+      .collect().map(_.toString).sorted
+    assert(viaSql.sameElements(viaCol))
+  }
+
+  test("quantized_dot on unequal-length arrays is NULL (matches the HOF zip_with form)") {
+    graft.functions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val native = df.select(QuantizedDot(col("a"), col("b"))).collect()(0)
+    assert(native.isNullAt(0), "length mismatch must not silently sum a prefix")
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(floor(x*y*1e6) AS BIGINT)), 0L, (acc, v) -> acc + v)"))
+      .collect()(0)
+    assert(hof.isNullAt(0), "spec sanity: the HOF form is null here too")
   }
 
   test("bad arity / non-literal config is rejected at analysis") {

@@ -123,6 +123,39 @@ class InferenceSpec extends AnyFunSuite {
     assert(plain.sameElements(salted))
   }
 
+  test("auto plan selection: degree probe picks plain on golden graph, salted on hub; both ≡") {
+    import spark.implicits._
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    // golden graph: no hub — the probe must keep the plain SMJ+AQE plan
+    assert(!Inference.shouldSaltInheritance(base))
+    val auto = Inference.propertyInheritanceAuto(base)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val plain = Inference.propertyInheritance(base)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(auto.sameElements(plain))
+
+    // hub-shaped graph (one key with degree 200 vs mean ~2): with the
+    // thresholds scaled down, the probe flips to the salted plan and the
+    // result stays identical to plain
+    val lin = Seq("_t", "", "", "")
+    val hub = ((0 until 200).map(i =>
+        ("http://g/hub", graft.model.Vocab.OwlSameAs, true, s"http://g/m$i", "", "")) ++
+      (0 until 200).map(i =>
+        (s"http://g/hub", "http://g/p", false, s"v$i", "", "")) ++
+      (0 until 50).map(i =>
+        (s"http://g/bg$i", graft.model.Vocab.OwlSameAs, true, s"http://g/x$i", "", "")))
+      .map { case (s, p, iri, o, dt, lg) => (s, p, iri, o, dt, lg, lin(0), lin(1), lin(2), lin(3)) }
+      .toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang",
+        "srcRepo", "srcPath", "srcCommit", "srcSha256")
+    assert(Inference.shouldSaltInheritance(hub, floor = 100, ratio = 8.0))
+    assert(!Inference.shouldSaltInheritance(hub, floor = 1000000))
+    val hubAuto = Inference.propertyInheritanceAuto(hub, saltK = 8, floor = 100, ratio = 8.0)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val hubPlain = Inference.propertyInheritance(hub)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(hubAuto.sameElements(hubPlain))
+  }
+
   test("validation: clean corpus has zero violations across all 11 rules") {
     val rep = Validation.report(inferred).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

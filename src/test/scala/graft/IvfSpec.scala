@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Train-once IVF: the staged index (codebook + assignment parquet behind
+  * the manifest checkpoint) must (a) skip training on a same-fingerprint
+  * re-run, (b) retrain when the fingerprint changes, and (c) serve searches
+  * identical to the one-shot annIvf path (same deterministic k-means). */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private lazy val clustered = {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    (0 until 8).flatMap { c =>
+      val center = vec(5000 + c)
+      (0 until 25).map { m =>
+        val r = new scala.util.Random(c * 1000 + m)
+        (c * 25L + m, center.map(x => x + 0.2f * r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivfIndex stages once, skips on re-run, retrains on fingerprint change") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val (idx1, skipped1) = Similarity.ivfIndex(spark, clustered, dir, "fp-v1")
+    assert(!skipped1, "first run must compute")
+    assert(idx1.codebook.length == 8)
+    assert(idx1.assigned.count() == 200)
+
+    val (idx2, skipped2) = Similarity.ivfIndex(spark, clustered, dir, "fp-v1")
+    assert(skipped2, "same fingerprint must skip both stages")
+    assert(idx2.codebook.map(_.toSeq).toSeq == idx1.codebook.map(_.toSeq).toSeq)
+
+    // changed input snapshot (new fingerprint) must force retraining
+    val (_, skipped3) = Similarity.ivfIndex(spark, clustered, dir, "fp-v2")
+    assert(!skipped3, "changed fingerprint must recompute")
+  }
+
+  test("staged ivfSearch == one-shot annIvf (same deterministic codebook)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-eq").toString
+    val (idx, _) = Similarity.ivfIndex(spark, clustered, dir, "fp")
+    for (q <- Seq(3L, 77L, 150L)) {
+      val staged = Similarity.ivfSearch(idx, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oneShot = Similarity.annIvf(clustered, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(staged == oneShot, s"query $q: staged != one-shot")
+    }
+  }
+
+  test("assigned table covers every vector exactly once with a valid cell id") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-cov").toString
+    val (idx, _) = Similarity.ivfIndex(spark, clustered, dir, "fp")
+    val cids = idx.assigned.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idx.assigned.select("vec_id").distinct().count() == 200)
+    assert(cids.forall(c => c >= 0 && c < 8))
+    // well-separated clusters: the trained codebook should use most cells
+    assert(cids.size >= 6, s"codebook collapse: only ${cids.size} cells used")
+  }
+}

@@ -54,6 +54,42 @@ class LinkingSpec extends AnyFunSuite {
     assert(fr(0).getString(6) == "r0")
   }
 
+  test("REAL reference TSV drives enrichment: golden entities gain correctly-keyed labels") {
+    // the actual 20,430-row artifact whose long-format mis-parse makes the
+    // reference's enrichment stage a silent no-op (SURVEY §0.2) — not the
+    // synthetic dictionary
+    val tsvPath = "/root/reference/pokedex-i18n.tsv"
+    assume(new java.io.File(tsvPath).exists())
+    val dict = Enrich.loadTsv(spark, tsvPath)
+    val triples = Pipeline.triples(spark, pages)
+    val labels = Enrich.labelTriples(triples, dict)
+
+    // independent expectation: plain-JVM parse of the same file — golden
+    // ndex set (0001-0009, 0147-0149, 0152-0154), non-empty pokemon labels
+    val goldenIds = ((1 to 9) ++ (147 to 149) ++ (152 to 154)).map(_.toString).toSet
+    val src = scala.io.Source.fromFile(tsvPath, "UTF-8")
+    val expectedRows = try src.getLines().drop(1).map(_.split("\t", -1)).count(f =>
+      f.length >= 4 && f(0) == "pokemon" && goldenIds(f(1)) && f(2).trim.nonEmpty)
+    finally { src.close(); () }
+    assert(expectedRows > 100, s"sanity: TSV should cover the golden ids ($expectedRows)")
+    assert(labels.count() == expectedRows,
+      s"every non-empty golden-id TSV row must become exactly one label triple")
+
+    // zero-pad keying: TSV id `1` lands on pokemon/0001 with tag-shaped langs
+    val b = labels.filter(col("subj") === (V.Base + "pokemon/0001"))
+      .collect().map(r => (r.getString(5), r.getString(3))).toMap
+    assert(b("fr") == "Bulbizarre")
+    assert(b("de") == "Bisasam")
+    assert(b("ja") == "フシギダネ")
+    assert(b("ja-Latn") == "Fushigidane")
+    assert(b("zh") == "妙蛙種子")
+    // no empty labels (the TSV's unfilled Czech rows) and no raw language
+    // names ("Official roomaji" → ja-Latn, not a spaced name)
+    assert(labels.filter(col("objLex") === "").count() == 0)
+    assert(labels.filter(col("objLang").contains(" ") ||
+      !col("objLang").rlike("^[a-z]{2}(-[A-Za-z]+)?$")).count() == 0)
+  }
+
   test("unpadded dict ids key correctly (the reference's bug, fixed)") {
     import spark.implicits._
     val dict = Seq(("pokemon", "1", "Bulbizarre", "fr")).toDF("type", "id", "label", "language")

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Fixtures, Pipeline}
+import graft.model.{Vocab => V}
+
+/** The REAL pipeline output (not a synthetic table): `Pipeline.run`'s
+  * triples stage is bucketed+sorted by subj, so the query corpus's
+  * subject equi-joins (overview and friends) read the staged store with
+  * no Exchange and no extra Sort — and the stage still resumes through
+  * the manifest like every other stage, including from a catalog that
+  * has never seen the table. */
+class PipelineBucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("staged triple table serves overview-shaped subject joins exchange-free; stage resumes") {
+    val outDir = java.nio.file.Files.createTempDirectory("kgrun-bucketed").toString
+    val pages = Fixtures.pages(spark)
+    val (triples, _) = Pipeline.run(spark, pages, outDir, "fp-bucket-v1")
+
+    // overview's join shape over the staged store; merge hints stand in for
+    // the big-big regime where broadcast is off the table and the bucket
+    // layout is the only thing between the query and four shuffles
+    def slice(p: String, as: String) =
+      triples.filter(col("pred") === p).select(col("subj"), col("objLex").as(as))
+    val j = slice(V.SchemaIdentifier, "identifier")
+      .join(slice(V.SchemaName, "name").hint("merge"), "subj")
+      .join(slice(V.SchemaHeight, "height").hint("merge"), Seq("subj"), "left_outer")
+      .join(slice(V.SchemaWeight, "weight").hint("merge"), Seq("subj"), "left_outer")
+    assert(j.count() > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"),
+      s"subject joins over the bucketed stage must not shuffle:\n${plan.take(1500)}")
+
+    // canonical_edges: src-keyed traversal join, same guarantee
+    val ce = spark.table(graft.store.TableIO.bucketedName(
+      "graft_canon_edges", new java.io.File(s"$outDir/canonical_edges").getAbsolutePath))
+    val hop = ce.select(col("src"), col("dst"))
+      .join(ce.select(col("src"), col("pred")).hint("merge"), "src")
+    assert(hop.count() > 0)
+    assert(!hop.queryExecution.executedPlan.toString.contains("Exchange"),
+      "src-joins over bucketed canonical_edges must not shuffle")
+
+    // resume: unchanged fingerprint skips the bucketed stages too
+    val (_, skipped) = Pipeline.run(spark, pages, outDir, "fp-bucket-v1")
+    assert(skipped.contains("triples") && skipped.contains("canonical_edges"))
+
+    // a fresh catalog (table dropped, files + manifest intact) re-registers
+    // the external bucketed table and still skips the compute
+    val tname = graft.store.TableIO.bucketedName(
+      "graft_triples", new java.io.File(s"$outDir/triples").getAbsolutePath)
+    spark.sql(s"DROP TABLE IF EXISTS $tname")
+    val (again, skipped2) = Pipeline.run(spark, pages, outDir, "fp-bucket-v1")
+    assert(skipped2.contains("triples"))
+    assert(again.count() == triples.count())
+  }
+}

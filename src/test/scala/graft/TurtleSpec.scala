@@ -52,6 +52,54 @@ class TurtleSpec extends AnyFunSuite {
     assert(asSet(TurtleIO.parse(spark, dir)) == merged)
   }
 
+  test("mergeWrite crash protocol: every interrupted swap state self-heals") {
+    import java.nio.file.{Files, Paths}
+    val root = java.nio.file.Files.createTempDirectory("ttl-crash").toString
+    val dir = s"$root/g.ttl"
+    val half = triples.filter(col("pred") === V.SchemaName)
+    TurtleIO.mergeWrite(spark, half, dir)
+    val want = asSet(TurtleIO.parse(spark, dir))
+
+    // crash BETWEEN the two moves: dir gone, dir.old holds the snapshot
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+    assert(!Files.exists(Paths.get(dir)))
+    TurtleIO.recover(dir)
+    assert(asSet(TurtleIO.parse(spark, dir)) == want, "recover must restore dir from dir.old")
+
+    // crash BEFORE old-cleanup: both dir and dir.old present — next
+    // mergeWrite must not throw FileAlreadyExistsException and must win
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir), new java.io.File(dir + ".old"))
+    // plus a stale tmp from an aborted write
+    Files.createDirectories(Paths.get(dir + ".tmp"))
+    Files.write(Paths.get(dir + ".tmp/garbage.txt"), "not a snapshot".getBytes)
+    TurtleIO.mergeWrite(spark, half, dir) // idempotent content
+    assert(!Files.exists(Paths.get(dir + ".old")), "stale dir.old must be cleared")
+    assert(!Files.exists(Paths.get(dir + ".tmp")), "stale dir.tmp must be cleared")
+    assert(asSet(TurtleIO.parse(spark, dir)) == want)
+  }
+
+  test("write rejects malformed IRIs and double-tagged literals loudly") {
+    import spark.implicits._
+    val cols2 = cols
+    def tryWrite(row: (String, String, Boolean, String, String, String)): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("ttl-bad").toString + "/g.ttl"
+      TurtleIO.write(Seq(row).toDF(cols2: _*), dir)
+    }
+    // IRI containing '>' would produce an unparseable line — must throw, not corrupt
+    intercept[Exception](tryWrite(("http://x/a>b", V.SchemaName, false, "v", "", "")))
+    // empty object IRI would round-trip as a literal — must throw
+    intercept[Exception](tryWrite(("http://x/s", V.OwlSameAs, true, "", "", "")))
+    // literal with BOTH lang and dtype is unrepresentable — must throw
+    intercept[Exception](tryWrite(("http://x/s", V.SchemaName, false, "v", V.XsdDecimal, "en")))
+    // and parse fails loudly on a line write could never have produced
+    val dir = java.nio.file.Files.createTempDirectory("ttl-badparse").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/g.ttl"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g.ttl/part-00000"),
+      "<http://x/s> <http://x/p> <> .\n".getBytes("UTF-8"))
+    intercept[Exception](TurtleIO.parse(spark, s"$dir/g.ttl").collect())
+  }
+
   test("describe returns exactly the subject's triples as Turtle") {
     val s = V.pokemonIri("0001")
     val ttl = TurtleIO.describe(triples, s)
