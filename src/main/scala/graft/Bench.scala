@@ -152,6 +152,12 @@ object Bench {
     var k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "20000").toInt
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    // the N of the N→4N pair (default local[2] vs local[8]). On a host
+    // window with heavy co-tenant load the unsaturated regime shrinks —
+    // SPARK_GRAFT_BENCH_N=1 measures the 1→4 pair, which stays
+    // engine-limited (flat task time) when even 2→8 picks up contention
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    val n4Cores = nCores * 4
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     def remaining: Double = budgetS - elapsed
@@ -170,18 +176,31 @@ object Bench {
       case class Round(p32: Probe, p2: Probe, p8: Probe)
       val complete: Seq[Round] = rounds.toSeq.flatMap { r =>
         for {
-          p32 <- r.find(_.cores == 32); p2 <- r.find(_.cores == 2); p8 <- r.find(_.cores == 8)
+          p32 <- r.find(_.cores == 32); p2 <- r.find(_.cores == nCores); p8 <- r.find(_.cores == n4Cores)
           if Seq(p32, p2, p8).map(_.k).distinct.length == 1
         } yield Round(p32, p2, p8)
       }
-      // contended-round rejection: either low-core level >2x below its best
-      val accepted = complete.filter { r =>
-        r.p2.tps * 2 >= bestTps(2) && r.p8.tps * 2 >= bestTps(8)
-      }
       def median(xs: Seq[Double]): Double =
         if (xs.isEmpty) Double.NaN else { val s = xs.sorted; s((s.length - 1) / 2) }
+      // contended-round rejection, two independent criteria:
+      //  (a) wall: a pair probe >2x below the best throughput at its level
+      //      is a host artifact (observed: 31 min vs 2 min, same code);
+      //  (b) CPU burn: the CPU work at a fixed (level, k) is deterministic
+      //      — a pair probe burning >1.3x the level-median executorCpuTime
+      //      absorbed measurable contention cycles (memory stalls from a
+      //      co-tenant count as CPU), so its wall ratio measures the
+      //      neighbor, not the engine (observed: cpu_4n 156 s → 220 s on
+      //      identical work while a co-tenant spiked).
+      val cpuMedN = median(complete.map(_.p2.cpuSec))
+      val cpuMedN4 = median(complete.map(_.p8.cpuSec))
+      val accepted = complete.filter { r =>
+        val wallOk = r.p2.tps * 2 >= bestTps(nCores) && r.p8.tps * 2 >= bestTps(n4Cores)
+        val cpuOk = (cpuMedN.isNaN || r.p2.cpuSec <= cpuMedN * 1.3) &&
+          (cpuMedN4.isNaN || r.p8.cpuSec <= cpuMedN4 * 1.3)
+        wallOk && cpuOk
+      }
       val effs28 = accepted.map(r => (r.p2.wall / r.p8.wall) / 4.0)
-      val effs832 = accepted.map(r => (r.p8.wall / r.p32.wall) / 4.0)
+      val effs832 = accepted.map(r => (r.p8.wall / r.p32.wall) / (32.0 / n4Cores))
       val allEffs28 = complete.map(r => (r.p2.wall / r.p8.wall) / 4.0)
       val eff28 = median(effs28)
       val eff28best = effs28.foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
@@ -190,8 +209,8 @@ object Bench {
       val inflation = if (accepted.nonEmpty) cpu8 / cpu2 else Double.NaN
       val triples = all.headOption.map(_.triples).getOrElse(0L)
       val tps32 = bestTps(32)
-      val tps2 = bestTps(2)
-      val tps8 = bestTps(8)
+      val tps2 = bestTps(nCores)
+      val tps8 = bestTps(n4Cores)
       val headline = if (tps32 > 0) tps32 else math.max(tps8, tps2)
       val qs = queryTimes.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val qSum = queryTimes.values.filter(_ >= 0).sum
@@ -206,9 +225,9 @@ object Bench {
         s""""degraded":$degraded,""" +
         s""""scaling":{"k":$k,"triples":$triples,"pages":${21L * k},""" +
         s""""rounds_run":${complete.length},"rounds_accepted":${accepted.length},""" +
-        s""""n_cores":2,"n4_cores":8,""" +
-        s""""sec_n":${jNum(all.filter(_.cores == 2).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
-        s""""sec_4n":${jNum(all.filter(_.cores == 8).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
+        s""""n_cores":$nCores,"n4_cores":$n4Cores,""" +
+        s""""sec_n":${jNum(all.filter(_.cores == nCores).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
+        s""""sec_4n":${jNum(all.filter(_.cores == n4Cores).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
         s""""sec_32":${jNum(all.filter(_.cores == 32).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
         s""""tps_n":${jNum(tps2)},"tps_4n":${jNum(tps8)},"tps_32":${jNum(tps32)},""" +
         s""""efficiency_n_4n":${jNum(eff28)},"efficiency_n_4n_best":${jNum(eff28best)},""" +
@@ -246,11 +265,14 @@ object Bench {
       // generous per-probe watchdogs from the calibration (slow-but-not-
       // pathological windows finish; a 31-min-probe window gets cancelled)
       val to32 = math.max(150.0, calWall * scale * 6)
-      val to2 = math.max(300.0, calWall * scale * 8.1 * 4)
-      val to8 = math.max(200.0, calWall * scale * 2.3 * 5)
+      // expected wall at c cores ≈ cal(32-core) × (32/c), then a 4-5×
+      // allowance — generous enough for a 2× slow window, tight enough to
+      // kill a 15× pathological probe
+      val to2 = math.max(300.0, calWall * scale * (32.0 / nCores) * 4)
+      val to8 = math.max(200.0, calWall * scale * (32.0 / n4Cores) * 5)
       val round = scala.collection.mutable.ArrayBuffer[Probe]()
       rounds += round
-      Seq((32, to32), (2, to2), (8, to8)).foreach { case (c, to) =>
+      Seq((32, to32), (nCores, to2), (n4Cores, to8)).foreach { case (c, to) =>
         // a single probe may not drain more than half the remaining budget
         // (geometric decay ⇒ the query phase always gets a slice)
         val p = probe(c, k, math.min(to, math.max(remaining * 0.5, 60.0)))
