@@ -66,11 +66,38 @@ object Dedup {
       .select(col("doc_id"), array((0 until MinhashPerms).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures over df-capped shingle sets: shingle hashes whose
+    * document frequency exceeds `maxDf` are removed BEFORE the minhash
+    * fold. A corpus-wide boilerplate shingle otherwise lands in everyone's
+    * sampled set and, when its permuted value wins a band's min slots,
+    * collapses many unrelated documents into one LSH bucket — bucket skew
+    * plus similarity inflation. Costs one explode + df-join + re-collect
+    * (unavoidable: df is a corpus property, not a row property), so it is
+    * OPT-IN for boilerplate-heavy corpora; the default one-pass
+    * [[minhashSignatures]] path stays explode-free. DfCapSpec bounds the
+    * planted-boilerplate bucket sizes and pins clean-corpus equality. */
+  def minhashSignaturesDfCapped(docs: DataFrame, maxDf: Long): DataFrame = {
+    val kept = Text.explodedShingles(docs, maxDf)
+    kept.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("s"))).as("sh"))
+      .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** [[minhashLshPairs]] over df-capped signatures — same banding, same
+    * scoring, boilerplate-immune candidate buckets. */
+  def minhashLshPairsDfCapped(docs: DataFrame, minEstBp: Long = 3000,
+                              maxDf: Long = Text.DefaultShingleDfCap): DataFrame =
+    lshPairsOf(minhashSignaturesDfCapped(docs, maxDf), minEstBp)
+
   /** LSH candidate pairs: band the signature, bucket-join per band, then
     * estimate Jaccard as the fraction of matching minhash slots. The band
     * key is the slot values themselves (a short string) — no second hash,
     * so the banding is engine-portable. */
-  def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame =
+    lshPairsOf(minhashSignatures(docs), minEstBp)
+
+  private def lshPairsOf(signatures: DataFrame, minEstBp: Long): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
     // the signature table feeds the DAG three times (banded explode + the
     // two per-side re-joins) — without a persist the ShingleHashes+MinHash
@@ -78,7 +105,7 @@ object Dedup {
     // ~3x per action. The table is compact (doc_id + 64 longs ≈ 0.5 KB/doc,
     // ~0.5 GB per billion docs per 1000 executors) so MEMORY_AND_DISK is
     // safe at any scale; Spark evicts LRU under pressure
-    val sigs = minhashSignatures(docs)
+    val sigs = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the hot (band, bucket) join carries ONLY (doc_id) per side — the
     // 64-slot signatures re-join by doc_id AFTER the candidate pairs are

@@ -56,6 +56,30 @@ class DfCapSpec extends AnyFunSuite {
       s"boilerplate-only pairs leaked: ${pairs.take(5)}")
   }
 
+  test("d2 path: df-capped MinHash keeps boilerplate out of the LSH buckets") {
+    import graft.ops.Dedup
+    // uncapped: the 23 shared boilerplate shingles dominate the minhash
+    // slots of 100 docs → band buckets collapse → ~C(100,2) false pairs
+    val uncapped = Dedup.minhashLshPairs(planted, minEstBp = 1500).count()
+    assert(uncapped > 3000, s"boilerplate should blow up uncapped LSH: $uncapped")
+    // capped: boilerplate shingles removed before the fold — only the true
+    // near-dup pair survives
+    val capped = Dedup.minhashLshPairsDfCapped(planted, minEstBp = 1500, maxDf = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((900L, 901L)), "true near-dup must survive")
+    assert(!capped.exists { case (a, b) => a < 900 && b < 900 },
+      s"boilerplate-only LSH pairs leaked: ${capped.take(5)}")
+  }
+
+  test("d2 path: cap above every df == the default one-pass signatures") {
+    import graft.ops.Dedup
+    val a = Dedup.minhashLshPairs(planted, minEstBp = 1500)
+      .collect().map(_.toString).toSet
+    val b = Dedup.minhashLshPairsDfCapped(planted, minEstBp = 1500, maxDf = 500)
+      .collect().map(_.toString).toSet
+    assert(a == b, "high cap must be a no-op vs the explode-free default path")
+  }
+
   test("cap high enough to keep everything == uncapped semantics") {
     val capped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = 500)
       .collect().map(_.toString).toSet
