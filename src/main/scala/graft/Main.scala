@@ -19,8 +19,12 @@ object Main {
     val outDir = if (args.nonEmpty) args(0) else "target/kg-out"
     val k = if (args.length > 1) args(1).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // north_rule: "run via spark-submit on a multi-executor cluster" — when
+    // spark-submit provides a master (or one is set in spark-defaults),
+    // respect it; the local[] default only applies to bare `runMain`
+    val builder0 = SparkSession.builder()
+    val spark = (if (sys.props.contains("spark.master")) builder0
+                 else builder0.master(s"local[$cpus]"))
       .appName("graft-kg")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

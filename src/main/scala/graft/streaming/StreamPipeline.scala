@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.kg.Pipeline
 import graft.model.PageRow
 
+/** A page revision on the ingestion stream (the input_hint row + event
+  * time). Top-level so the product encoder derives. */
+final case class PageRev(ts: java.sql.Timestamp, repo: String, path: String,
+                         commit: String, content: String)
+
+/** Custom state for [[StreamPipeline.changedPagesOnly]]: the last content
+  * sha seen for a (repo, path) plus its revision counter — 72 bytes per
+  * live key, expired by event-time timeout. */
+final case class RevState(lastSha: String, revisions: Long)
+
+/** One emitted changed revision: the page plus which revision number this
+  * content change is and whether the key was new to the state store. */
+final case class ChangedPage(repo: String, path: String, commit: String,
+                             content: String, revision: Long,
+                             firstSeen: Boolean)
+
 /** Structured Streaming surfaces. The reference is strictly batch (its only
   * streaming-ish behavior is rate-limited micro-batching of 50 pages —
   * reference: client/DataCollectionCoordinator.java:19-20,37-75, which a
@@ -16,7 +32,10 @@ import graft.model.PageRow
   *    a streaming plan) with a stream-static broadcast join for prevo
   *    resolution against the already-materialized dictionary;
   *  - watermarked windowed aggregation over an event stream;
-  *  - streaming dedup of pages within a watermark.
+  *  - streaming dedup of pages within a watermark;
+  *  - a flatMapGroupsWithState changed-content gate (custom keyed state
+  *    with event-time timeout) so an always-on ingestion pipeline only
+  *    re-parses pages whose content actually changed.
   */
 object StreamPipeline {
 
@@ -50,6 +69,54 @@ object StreamPipeline {
     pages
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("repo", "path", "commit")
+
+  /** Incremental re-extraction gate: of a stream of page revisions, pass
+    * through ONLY those whose content sha changed since the last revision
+    * of the same (repo, path) — the streaming analogue of the batch
+    * pipeline's content-fingerprint stage-skip. This is the
+    * `flatMapGroupsWithState` shape: per-key custom state (last sha +
+    * revision counter — fixed bytes per key, never the content) with an
+    * EVENT-TIME timeout, so keys idle past `stateTtl` beyond the watermark
+    * are dropped from the state store and the state size tracks the
+    * active-page working set, not the corpus. Downstream, the emitted
+    * changed pages feed the same stateless triple emit as batch. */
+  def changedPagesOnly(pages: Dataset[PageRev], watermark: String = "1 hour",
+                       stateTtlMs: Long = 3600L * 1000): Dataset[ChangedPage] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    pages
+      .withWatermark("ts", watermark)
+      .groupByKey(p => (p.repo, p.path))
+      .flatMapGroupsWithState[RevState, ChangedPage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[RevState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic last-wins inside a micro-batch: order by event
+            // time, then commit (micro-batch iterator order is not stable)
+            val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.commit))
+            var cur = state.getOption
+            val out = Seq.newBuilder[ChangedPage]
+            for (r <- sorted) {
+              val h = sha(r.content)
+              if (!cur.exists(_.lastSha == h)) {
+                val n = cur.map(_.revisions).getOrElse(0L) + 1
+                out += ChangedPage(r.repo, r.path, r.commit, r.content, n, cur.isEmpty)
+                cur = Some(RevState(h, n))
+              }
+            }
+            cur.foreach(state.update)
+            if (state.exists)
+              state.setTimeoutTimestamp(
+                sorted.map(_.ts.getTime).max + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Streaming curation: the stateless quality gate + watermark-bounded
     * exact dedup on the content fingerprint — the streaming form of

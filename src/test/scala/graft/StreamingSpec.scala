@@ -71,6 +71,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changed-content gate: flatMapGroupsWithState passes only real revisions; state times out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ChangedPage, PageRev}
+    val input = MemoryStream[PageRev]
+    val out = StreamPipeline.changedPagesOnly(
+      input.toDS(), watermark = "10 minutes", stateTtlMs = 60L * 1000)
+    val q = out.writeStream.format("memory").queryName("chg_sink")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: A@X (new), A@X dup (suppressed), A@Y (changed), B@Z (new)
+      input.addData(
+        PageRev(ts("2024-01-01 10:00:00"), "r", "A", "c1", "content X"),
+        PageRev(ts("2024-01-01 10:00:05"), "r", "A", "c2", "content X"),
+        PageRev(ts("2024-01-01 10:00:10"), "r", "A", "c3", "content Y"),
+        PageRev(ts("2024-01-01 10:00:10"), "r", "B", "c1", "content Z"))
+      q.processAllAvailable()
+      // batch 2: A@Y again (suppressed by carried state across batches)
+      input.addData(PageRev(ts("2024-01-01 10:00:20"), "r", "A", "c4", "content Y"))
+      q.processAllAvailable()
+      val got = spark.table("chg_sink").as[ChangedPage].collect()
+        .map(c => (c.path, c.commit, c.revision, c.firstSeen)).toSet
+      assert(got == Set(("A", "c1", 1L, true), ("A", "c3", 2L, false),
+        ("B", "c1", 1L, true)), s"got $got")
+
+      // advance the watermark far past A's ttl (a fresh key C, two batches
+      // so the new watermark is in force, then timeouts fire)
+      input.addData(PageRev(ts("2024-01-01 12:00:00"), "r", "C", "c1", "content C"))
+      q.processAllAvailable()
+      input.addData(PageRev(ts("2024-01-01 12:00:01"), "r", "C", "c2", "content C2"))
+      q.processAllAvailable()
+      // A's state expired → the SAME content X re-emits as a fresh key
+      input.addData(PageRev(ts("2024-01-01 12:00:30"), "r", "A", "c9", "content X"))
+      q.processAllAvailable()
+      val again = spark.table("chg_sink").as[ChangedPage].collect()
+        .filter(c => c.path == "A" && c.commit == "c9")
+      assert(again.length == 1 && again(0).revision == 1L && again(0).firstSeen,
+        s"state should have timed out and reset: ${again.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming curation: quality gate + fingerprint dedup within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
