@@ -58,6 +58,53 @@ class PlanSpec extends AnyFunSuite {
       s"content prefilter did not reach the scan:\n${p.take(2000)}")
   }
 
+  /** The `struct<...>` portion of a scan's ReadSchema line (the rest of
+    * the line carries paths like "documents.parquet" whose substrings
+    * would poison negative assertions). */
+  private def readSchemas(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("ReadSchema"))
+      .map(l => l.substring(l.indexOf("ReadSchema"))).toSeq
+
+  test("documents/embeddings operators prune their scans to the used columns") {
+    // t1 reads only (doc_id, text) of documents
+    val rs1 = readSchemas(plan(SparkEntry.queries("t1_token_stats")(spark, sf))).mkString
+    assert(rs1.contains("doc_id") && rs1.contains("text"), s"t1 schema: $rs1")
+    assert(!rs1.contains("lang") && !rs1.contains("ts:"), s"t1 over-reads: $rs1")
+    // s1 reads only (vec_id, embedding) of embeddings
+    val s1 = plan(SparkEntry.queries("s1_cosine_topk")(spark, sf))
+    val rs2 = readSchemas(s1).mkString
+    assert(rs2.contains("vec_id") && rs2.contains("embedding"), s"s1 schema: $rs2")
+    // s1's query-vector point lookup pushes the vec_id predicate
+    assert(s1.contains("EqualTo(vec_id,0)") || s1.contains("IsNotNull(vec_id)"),
+      s"s1 point filter not pushed:\n${s1.take(1200)}")
+    // and the top-k is TakeOrderedAndProject, not a global sort
+    assert(s1.contains("TakeOrderedAndProject"), "s1 top-k should not global-sort")
+  }
+
+  test("LSH candidate joins carry ids only through the bucket shuffle") {
+    // the banded exchange before the candidate self-join must not ship the
+    // 64-slot signatures — ids + band + bucket only; the signatures
+    // re-join AFTER the pair dedup. Broadcast off: at corpus scale both
+    // sides are big and the (band, bucket) SHUFFLE is the plan under test
+    // (at sf0.001 the planner would broadcast and no exchange exists)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val lines = try {
+      plan(SparkEntry.queries("d2_minhash_lsh")(spark, sf)).linesIterator.toIndexedSeq
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val bandedIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning")
+        && l.contains("band") && l.contains("bucket") => i
+    }
+    assert(bandedIdx.nonEmpty, s"no banded exchange found:\n${lines.mkString("\n").take(2000)}")
+    // the exchange's input (next tree line) is the projected row it ships
+    bandedIdx.foreach { i =>
+      val child = lines.drop(i + 1).find(_.contains("Project")).getOrElse("")
+      assert(!child.contains("sig#"),
+        s"signatures ride the bucket shuffle: $child")
+    }
+  }
+
   test("vertices/edges materialization prunes to the needed columns") {
     val dir = java.nio.file.Files.createTempDirectory("triples-pq").toString
     graft.kg.Pipeline.triples(spark, graft.kg.Fixtures.pages(spark))
