@@ -172,7 +172,12 @@ object Bench {
     var phase = "calibrate"
 
     def render(): String = {
-      val all: Seq[Probe] = rounds.flatten.toSeq
+      // absolute numbers (tps/sec/triples) come only from probes at the
+      // CURRENT k — after a mid-run degradation, mixing k=20000 and k=2000
+      // walls under one block would make the audit numbers inconsistent.
+      // Efficiency rounds are fine at any k (each round is single-k ratios)
+      // and each per_round entry reports its own k.
+      val all: Seq[Probe] = rounds.flatten.toSeq.filter(_.k == k)
       def bestTps(c: Int): Double = all.filter(_.cores == c).map(_.tps).foldLeft(0.0)(math.max)
       // a round is usable for efficiency only if all 3 probes finished at one k;
       // re-key by cores so a mid-round failure can't shift positions
@@ -194,12 +199,20 @@ object Bench {
       //      co-tenant count as CPU), so its wall ratio measures the
       //      neighbor, not the engine (observed: cpu_4n 156 s → 220 s on
       //      identical work while a co-tenant spiked).
-      val cpuMedN = median(complete.map(_.p2.cpuSec))
-      val cpuMedN4 = median(complete.map(_.p8.cpuSec))
+      // both criteria compare within the round's OWN k (absolute tps and
+      // CPU work both shift with corpus size, so cross-k comparisons would
+      // reject or admit rounds for the wrong reason after a degradation)
+      def bestTpsAt(c: Int, kk: Int): Double = rounds.flatten
+        .filter(p => p.cores == c && p.k == kk).map(_.tps).foldLeft(0.0)(math.max)
+      def cpuMedAt(sel: Round => Probe, kk: Int): Double =
+        median(complete.filter(_.p2.k == kk).map(r => sel(r).cpuSec))
       val accepted = complete.filter { r =>
-        val wallOk = r.p2.tps * 2 >= bestTps(nCores) && r.p8.tps * 2 >= bestTps(n4Cores)
-        val cpuOk = (cpuMedN.isNaN || r.p2.cpuSec <= cpuMedN * 1.3) &&
-          (cpuMedN4.isNaN || r.p8.cpuSec <= cpuMedN4 * 1.3)
+        val kk = r.p2.k
+        val wallOk = r.p2.tps * 2 >= bestTpsAt(nCores, kk) &&
+          r.p8.tps * 2 >= bestTpsAt(n4Cores, kk)
+        val mN = cpuMedAt(_.p2, kk); val mN4 = cpuMedAt(_.p8, kk)
+        val cpuOk = (mN.isNaN || r.p2.cpuSec <= mN * 1.3) &&
+          (mN4.isNaN || r.p8.cpuSec <= mN4 * 1.3)
         wallOk && cpuOk
       }
       val effs28 = accepted.map(r => (r.p2.wall / r.p8.wall) / 4.0)
@@ -219,7 +232,7 @@ object Bench {
       val qSum = queryTimes.values.filter(_ >= 0).sum
       val perRound = complete.map { r =>
         val acc = accepted.contains(r)
-        s"""{"eff_n_4n":${jNum((r.p2.wall / r.p8.wall) / 4.0)},"accepted":$acc,""" +
+        s"""{"eff_n_4n":${jNum((r.p2.wall / r.p8.wall) / 4.0)},"accepted":$acc,"k":${r.p2.k},""" +
           s""""sec_32":${jNum(r.p32.wall)},"sec_n":${jNum(r.p2.wall)},"sec_4n":${jNum(r.p8.wall)},""" +
           s""""cpu_32":${jNum(r.p32.cpuSec)},"cpu_n":${jNum(r.p2.cpuSec)},"cpu_4n":${jNum(r.p8.cpuSec)}}"""
       }.mkString("[", ",", "]")
@@ -245,7 +258,10 @@ object Bench {
     // and detects a pathologically slow host window up front ---
     val calK = math.max(k / 10, 100)
     val cal = probe(32, calK, math.max(120.0, budgetS / 8))
-    val calWall = cal.map(_.wall).getOrElse(Double.NaN)
+    // a failed calibration must yield a FINITE pessimistic estimate — NaN
+    // would poison every downstream timeout (max/min propagate NaN and
+    // NaN.toLong is 0, i.e. a watchdog that fires immediately or never)
+    val calWall = cal.map(_.wall).getOrElse(math.max(60.0, budgetS / 25))
     // expected local[2] full-k wall ≈ cal wall × (k/calK) × (32-core/2-core tps ratio ~8)
     // (baseline: 60.5 s at local[2] vs 7.5 s at local[32], k=20k)
     if (cal.isEmpty || calWall > math.max(60.0, budgetS / 25)) {

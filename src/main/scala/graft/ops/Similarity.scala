@@ -308,8 +308,17 @@ object Similarity {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
       sys.props("java.io.tmpdir") + "/graft-stages") + s"/ivf_$safe"
+    // bound the memo: entries pin DataFrames (and so their sessions); the
+    // staged parquet makes a post-clear rebuild a cheap skip-read, so a
+    // rare wholesale clear beats unbounded growth in long-lived JVMs
+    if (ivfMemo.size > 8) ivfMemo.clear()
+    // fingerprint on CONTENT (count + order-independent digests), not row
+    // count alone — the stage dir outlives the JVM, and regenerated
+    // embeddings with an unchanged count must retrain, not serve the old
+    // codebook (the stale-skip trap TableIO.fingerprintOf exists for)
     ivfMemo.computeIfAbsent(s"$sid:$dir", _ =>
-      ivfIndex(s, emb, dir, fingerprint = s"$d;n=${emb.count()}")._1)
+      ivfIndex(s, emb, dir,
+        fingerprint = s"$d;${graft.store.TableIO.fingerprintOf(emb)}")._1)
   }
 
   // ---- DuckDB oracle SQL (generated; mirrors the quantized arithmetic) ----

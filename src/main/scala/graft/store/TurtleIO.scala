@@ -101,15 +101,24 @@ object TurtleIO {
     // a merge swap reuses the same path; drop any cached file listing so the
     // read lists the current snapshot, not the pre-swap part files
     spark.catalog.refreshByPath(dir)
-    // the loud-failure check rides inside `subj` (a pruned side column would
-    // never be evaluated); a matched line always has non-empty subj because
-    // `write` rejects empty IRIs
-    val subj = when(!col("value").rlike(lineRe) || regexp_extract(col("value"), lineRe, 1) === "",
-      raise_error(concat(lit("TurtleIO: unparseable Turtle line: "), col("value"))))
-      .otherwise(regexp_extract(col("value"), lineRe, 1))
+    // the loud-failure check is a FILTER predicate, not a projected column:
+    // a guard riding inside a column (e.g. subj) would be silently removed
+    // by column pruning whenever a consumer doesn't read that column
+    // (parse(dir).count(), pred-only selects) — filters always evaluate on
+    // every row regardless of downstream projection. A matched line always
+    // has non-empty subj because `write` rejects empty IRIs.
+    // ONE predicate (blank-tolerance folded in rather than a second filter:
+    // CombineFilters joins stacked filters into one AND whose evaluation
+    // order is not a contract we want to depend on for error semantics):
+    // blank → drop, matched → keep, anything else → fail the job
+    val wellFormed =
+      when(length(trim(col("value"))) === 0, lit(false))
+        .when(col("value").rlike(lineRe) && regexp_extract(col("value"), lineRe, 1) =!= "",
+          lit(true))
+        .otherwise(raise_error(concat(lit("TurtleIO: unparseable Turtle line: "), col("value"))))
     spark.read.text(dir)
-      .filter(length(trim(col("value"))) > 0)
-      .select(subj.as("subj"),
+      .filter(wellFormed)
+      .select(regexp_extract(col("value"), lineRe, 1).as("subj"),
         regexp_extract(col("value"), lineRe, 2).as("pred"),
         regexp_extract(col("value"), lineRe, 3).as("iri"),
         regexp_extract(col("value"), lineRe, 4).as("lex"),

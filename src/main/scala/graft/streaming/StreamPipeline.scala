@@ -11,9 +11,12 @@ final case class PageRev(ts: java.sql.Timestamp, repo: String, path: String,
                          commit: String, content: String)
 
 /** Custom state for [[StreamPipeline.changedPagesOnly]]: the last content
-  * sha seen for a (repo, path) plus its revision counter — 72 bytes per
-  * live key, expired by event-time timeout. */
-final case class RevState(lastSha: String, revisions: Long)
+  * sha ACCEPTED for a (repo, path), its revision counter, and the event
+  * time it was accepted at (so a late out-of-order revision — above the
+  * watermark but chronologically superseded — cannot roll the gate back
+  * to stale content). ~80 bytes per live key, expired by event-time
+  * timeout. */
+final case class RevState(lastSha: String, revisions: Long, lastTsMs: Long)
 
 /** One emitted changed revision: the page plus which revision number this
   * content change is and whether the key was new to the state store. */
@@ -102,11 +105,20 @@ object StreamPipeline {
             var cur = state.getOption
             val out = Seq.newBuilder[ChangedPage]
             for (r <- sorted) {
+              val tsMs = r.ts.getTime
               val h = sha(r.content)
-              if (!cur.exists(_.lastSha == h)) {
-                val n = cur.map(_.revisions).getOrElse(0L) + 1
-                out += ChangedPage(r.repo, r.path, r.commit, r.content, n, cur.isEmpty)
-                cur = Some(RevState(h, n))
+              cur match {
+                case Some(s) if tsMs <= s.lastTsMs =>
+                  () // late arrival, chronologically superseded — a change
+                     // emit here would roll the gate back to stale content
+                case Some(s) if s.lastSha == h =>
+                  // same content, newer time: advance the clock (guards
+                  // against later-arriving rows older than THIS sighting)
+                  cur = Some(s.copy(lastTsMs = tsMs))
+                case other =>
+                  val n = other.map(_.revisions).getOrElse(0L) + 1
+                  out += ChangedPage(r.repo, r.path, r.commit, r.content, n, other.isEmpty)
+                  cur = Some(RevState(h, n, tsMs))
               }
             }
             cur.foreach(state.update)

@@ -97,6 +97,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set(("A", "c1", 1L, true), ("A", "c3", 2L, false),
         ("B", "c1", 1L, true)), s"got $got")
 
+      // a LATE row above the watermark but chronologically superseded
+      // (ts 10:00:07 < accepted 10:00:20) must NOT roll the gate back to
+      // stale content, even though its sha differs from the current state
+      input.addData(PageRev(ts("2024-01-01 10:00:07"), "r", "A", "c5", "content W"))
+      q.processAllAvailable()
+      assert(spark.table("chg_sink").as[ChangedPage].collect()
+        .count(_.path == "A") == 2,
+        "late superseded revision must be ignored, not emitted")
+
       // advance the watermark far past A's ttl (a fresh key C, two batches
       // so the new watermark is in force, then timeouts fire)
       input.addData(PageRev(ts("2024-01-01 12:00:00"), "r", "C", "c1", "content C"))
