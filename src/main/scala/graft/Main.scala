@@ -7,17 +7,46 @@ import graft.kg.{Fixtures, Pipeline}
   * of the reference's App.main — reference: src/main/java/org/example/App.java:21-107).
   *
   * Usage: runMain graft.Main <outDir> [k]
+  *        runMain graft.Main <outDir> --input <pagesParquetDir>
   *   outDir — checkpoint/output root (stages: emitted, triples, metrics,
   *            vertices, edges)
   *   k      — corpus scale factor (k fixture variants; default 1 = golden)
+  *   --input — run over a REAL corpus: a parquet directory of input_hint
+  *            rows (repo, path, commit, lang, content)
   *
-  * Re-running with the same outDir and k skips completed stages
+  * Re-running with the same outDir and corpus skips completed stages
   * (checkpointed resume).
   */
 object Main {
+
+  /** Stage-skip fingerprint policy. The fixture corpus is deterministic
+    * (same k ⇒ byte-identical pages), so a config-only key is exact and
+    * free. A REAL corpus (--input) defaults to the CONTENT digest
+    * (TableIO.fingerprintOf): its content can change under an unchanged
+    * path+config, and a config-only key would stale-skip and silently serve
+    * the old build. SPARK_GRAFT_CONTENT_FP overrides either default ("1"
+    * forces content digests on fixtures; "0" opts a real corpus out — only
+    * right when an external snapshot id, e.g. Iceberg's, is folded into
+    * `configKey` instead). */
+  private[graft] def fingerprintFor(pages: org.apache.spark.sql.DataFrame,
+                                    configKey: String, realInput: Boolean,
+                                    env: Option[String]): String = {
+    val content = env match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ => realInput
+    }
+    if (content) s"$configKey;${graft.store.TableIO.fingerprintOf(pages)}"
+    else configKey
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "target/kg-out"
-    val k = if (args.length > 1) args(1).toInt else 1
+    val inputDir = args.indexOf("--input") match {
+      case -1 => None
+      case i  => Some(args(i + 1))
+    }
+    val k = if (args.length > 1 && inputDir.isEmpty) args(1).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     // north_rule: "run via spark-submit on a multi-executor cluster" — when
     // spark-submit provides a master (or one is set in spark-defaults),
@@ -36,20 +65,23 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val pages = Fixtures.scaled(spark, k)
-    // config-only fingerprint: correct for this DETERMINISTIC generated
-    // corpus (same k ⇒ byte-identical pages). A real corpus must key on the
-    // input snapshot instead — SPARK_GRAFT_CONTENT_FP=1 switches to the
-    // content digest (TableIO.fingerprintOf; on Iceberg, the snapshot id)
-    val fingerprint =
-      if (sys.env.get("SPARK_GRAFT_CONTENT_FP").contains("1"))
-        s"fixtures-v1;${graft.store.TableIO.fingerprintOf(pages.toDF())}"
-      else s"fixtures-v1;k=$k"
+    import spark.implicits._
+    val env = sys.env.get("SPARK_GRAFT_CONTENT_FP")
+    val (pages, fingerprint, corpusDesc) = inputDir match {
+      case Some(in) =>
+        val p = spark.read.parquet(in).as[graft.model.PageRow]
+        (p, fingerprintFor(p.toDF(), s"input-v1;$in", realInput = true, env),
+          s"real corpus at $in")
+      case None =>
+        val p = Fixtures.scaled(spark, k)
+        (p, fingerprintFor(p.toDF(), s"fixtures-v1;k=$k", realInput = false, env),
+          s"${15 * k} entities (k=$k)")
+    }
     val (triples, skipped) = Pipeline.run(spark, pages, outDir, fingerprint)
     val nTriples = triples.count()
     val secs = (System.nanoTime() - t0) / 1e9
 
-    println(s"[graft] corpus: ${15 * k} entities (k=$k)")
+    println(s"[graft] corpus: $corpusDesc")
     println(s"[graft] triples: $nTriples distinct")
     println(s"[graft] stages skipped (checkpoint resume): " +
       (if (skipped.isEmpty) "none" else skipped.mkString(", ")))

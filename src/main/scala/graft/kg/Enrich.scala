@@ -35,11 +35,19 @@ object Enrich {
     * time in [[labelTriples]]). */
   def loadTsv(spark: SparkSession, path: String): DataFrame = {
     val tagMap = typedLit(langTags)
+    // the fallback must land in the lang-tag charset [A-Za-z0-9-]: a raw
+    // lowercase-hyphenate of e.g. "Portuguese (Brazil)" would yield
+    // "portuguese-(brazil)" — TurtleIO.line's checkedLang then rightly
+    // fails the write. Collapse every non-tag run to one hyphen and trim
+    // edge hyphens; a value with NO tag characters at all becomes "und"
     spark.read.option("sep", "\t").option("header", "true").csv(path)
       .toDF("type", "id", "label", "language")
       .withColumn("language",
         coalesce(element_at(tagMap, col("language")),
-          lower(regexp_replace(col("language"), " ", "-"))))
+          nullif(regexp_replace(
+            lower(regexp_replace(col("language"), "[^A-Za-z0-9-]+", "-")),
+            "^-+|-+$", ""), lit("")),
+          lit("und")))
   }
 
   /** Synthetic deterministic dictionary for tests/benchmarks: one fr + de

@@ -41,13 +41,12 @@ object Curate {
     // (via its exact-survivor filter) and the final flag join — without it
     // the md5-window shuffle re-runs per consumer. Trade-off: this caches
     // full document text; at 100 TB the staged variant (`curateStaged`,
-    // which checkpoints the flag table to parquet once) is the right tool,
-    // and this in-memory persist only serves the single-action `curate`
-    // path where Spark evicts it LRU under pressure
+    // which checkpoints the flag table to parquet once) is the right tool.
+    // Pinned via ManagedCache so callers can release the (text-bearing!)
+    // blocks after their action instead of leaking them for the session
     val w = Window.partitionBy(md5(col("text")))
-    val e = q.withColumn("exact_ok",
-        col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = ManagedCache.pin(q.withColumn("exact_ok",
+        col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w)))
 
     // near-dup removal: of each LSH-confirmed pair among exact survivors,
     // anti-flag the higher id

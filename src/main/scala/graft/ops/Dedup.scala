@@ -104,9 +104,10 @@ object Dedup {
     // kernels (the expensive part: one md5 per sampled shingle) would run
     // ~3x per action. The table is compact (doc_id + 64 longs ≈ 0.5 KB/doc,
     // ~0.5 GB per billion docs per 1000 executors) so MEMORY_AND_DISK is
-    // safe at any scale; Spark evicts LRU under pressure
-    val sigs = signatures
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // safe at any scale. Pinned via ManagedCache: disk-backed blocks are
+    // not LRU-evicted, so callers release after their action
+    // (ManagedCache.releaseAll — Verify/Bench do per query)
+    val sigs = ManagedCache.pin(signatures)
     // the hot (band, bucket) join carries ONLY (doc_id) per side — the
     // 64-slot signatures re-join by doc_id AFTER the candidate pairs are
     // deduped (pairs ≪ banded rows, and each sig crosses the wire once per
@@ -152,19 +153,35 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: four 15-bit bands bucket the join;
-    * exact hamming verifies. The banding is COMPLETE only for hamming ≤ 3
-    * (pigeonhole: 4 bands, ≤3 differing bits ⇒ some band is untouched), so
-    * the default threshold matches that guarantee — the result is then
-    * exactly {pairs : hamming ≤ 3}, independent of banding (which is why the
-    * d3 oracle can verify it with a plain theta join). Pairs at larger
-    * requested distances are best-effort candidates; OpsSpec pins the ≤3
-    * completeness bound. */
+    * exact hamming verifies, so the result is exactly
+    * {pairs : hamming ≤ maxHamming} independent of the banding (which is
+    * why the d3 oracle can verify it with a plain theta join).
+    *
+    * Completeness contract (OpsSpec pins both regimes, and >7 is rejected
+    * at call time rather than silently returning a best-effort subset):
+    *  - maxHamming ≤ 3: plain banding (pigeonhole: 4 bands, ≤3 differing
+    *    bits ⇒ some band untouched ⇒ its buckets collide);
+    *  - 4 ≤ maxHamming ≤ 7: MULTI-PROBE banding — the probe side emits
+    *    each band's bucket plus all 15 single-bit flips (⌈7/4⌉-1 = 1 bit:
+    *    some band differs in ≤1 bit, and flipping that bit on one side
+    *    lands in the other side's bucket). 16× probe-side rows, join still
+    *    keyed by (band, bucket) — never all-pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 2 * SimhashBands - 1,
+      s"simhashPairs is complete only to hamming ${2 * SimhashBands - 1} " +
+        s"(4 bands, single-bit multi-probe); got $maxHamming — band wider " +
+        "or verify with an exact pass instead of a silent candidate subset")
     val sig = simhash(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr(s"transform(sequence(0, ${SimhashBands - 1}), b -> (simhash >> (b*15)) & 32767)")))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
-    banded.alias("x").join(banded.alias("y"),
+    val probeSide =
+      if (maxHamming <= SimhashBands - 1) banded
+      else banded.select(col("doc_id"), col("simhash"), col("band"),
+        explode(expr(
+          "array_union(array(bucket), transform(sequence(0, 14), j -> bucket ^ CAST(shiftleft(1, j) AS BIGINT)))"))
+          .as("bucket"))
+    probeSide.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

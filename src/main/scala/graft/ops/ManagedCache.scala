@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle registry for the operators' internal persists (the LSH
+  * signature table, the curation flag frame, the exploded-shingle frame).
+  *
+  * These frames feed their DAG multiple times, so they must be persisted —
+  * but MEMORY_AND_DISK blocks that spill are NOT LRU-evicted, so a
+  * long-lived session running the dedup family repeatedly would accumulate
+  * cache/disk until shutdown. The operators cannot unpersist themselves
+  * (their results are lazy; the cache is only populated when the CALLER
+  * acts), so the contract is: callers own the lifecycle — run the action,
+  * then `releaseAll(spark)`. A released frame that is re-queried simply
+  * recomputes (correctness is unaffected); Verify and Bench release after
+  * every query. Sessions are weak keys: an abandoned session's entries
+  * become collectable with it.
+  */
+object ManagedCache {
+
+  private val reg = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]())
+
+  /** Persist `df` MEMORY_AND_DISK and register it for [[releaseAll]]. */
+  def pin(df: DataFrame): DataFrame = reg.synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    reg.computeIfAbsent(df.sparkSession, _ => new java.util.ArrayList[DataFrame])
+      .add(p)
+    p
+  }
+
+  /** Unpersist every frame pinned under `spark` (non-blocking). */
+  def releaseAll(spark: SparkSession): Unit = reg.synchronized {
+    val l = reg.remove(spark)
+    if (l != null) l.forEach(df => df.unpersist(blocking = false))
+  }
+
+  /** Number of currently-pinned frames for `spark` (test surface). */
+  def pinnedCount(spark: SparkSession): Int = reg.synchronized {
+    val l = reg.get(spark)
+    if (l == null) 0 else l.size
+  }
+}

@@ -278,19 +278,75 @@ object Similarity {
     val codebook = cbDf.orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray) // k×dim doubles: driver-sized
     val cmat = typedLit(codebook.map(_.toSeq).toSeq)
-    val (assigned, aSkipped) = TableIO.stage(spark, s"$dir/ivf_assigned", fp) {
+    // cid-PARTITIONED storage: the probe filter (`cid IN (...)`, see
+    // ivfSearch) prunes whole cell directories at the source, so a search
+    // reads ~nprobe/k of the files instead of scanning everything to keep
+    // a slice — the read-ratio claim IVF exists for (PlanSpec pins the
+    // PartitionFilters + file-count evidence)
+    val (assigned, aSkipped) = TableIO.stage(spark, s"$dir/ivf_assigned", fp,
+      partitionCols = Seq("cid")) {
       withNearestCell(
         embeddings.select(col("vec_id"), col("embedding")), cmat, codebook.length)
     }
     (IvfIndex(codebook, assigned), cbSkipped && aSkipped)
   }
 
-  /** Query a trained index — no training, no assignment scan: one narrow
-    * probe of the query row + one cell-filtered scoring pass. */
+  /** Probe-cell selection for a query vector, computed ON THE DRIVER
+    * against the (driver-resident, k×dim) codebook — byte-identical
+    * arithmetic to the distributed fold (cellScores quantized dots, double
+    * division, argmaxCell's strict `>` with lowest-cid ties, successive
+    * excluded argmaxes), pinned by IvfSpec's staged ≡ one-shot equality.
+    * Driver-side selection is what turns the probe into a STATIC
+    * `cid IN (...)` predicate: with the cid-partitioned staged layout the
+    * scan prunes cell directories at the source, where the broadcast-join
+    * formulation (`array_contains(probe_cids, cid)`) can only filter after
+    * listing and reading every file. */
+  private[ops] def probeCellsDriver(codebook: Array[Array[Double]],
+                                    q: Seq[Float], nprobe: Int): Seq[Long] = {
+    val scores = codebook.map { cv =>
+      var dot = 0L; var cn = 0L; var i = 0
+      while (i < cv.length) {
+        if (i < q.length) dot += math.floor(q(i).toDouble * cv(i) * 1000000.0d).toLong
+        cn += math.floor(cv(i) * cv(i) * 1000000.0d).toLong
+        i += 1
+      }
+      dot.toDouble / math.sqrt(cn.toDouble)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (_ <- 1 to nprobe) {
+      var best = -1
+      for (c <- scores.indices if !picked.contains(c)) {
+        val bestScore = if (best == -1) Double.MinValue else scores(best)
+        if (scores(c) > bestScore) best = c
+      }
+      if (best >= 0) picked += best
+    }
+    picked.map(_.toLong).toSeq
+  }
+
+  /** Query a trained index — no training, no assignment scan: one point
+    * lookup of the query row, driver-side probe selection against the
+    * resident codebook, then one scoring pass over ONLY the probed cells
+    * (source-pruned partitions on the staged cid layout). */
   def ivfSearch(index: IvfIndex, queryId: Long, k: Int = 5,
                 nprobe: Int = 2): DataFrame = {
-    val cmat = typedLit(index.codebook.map(_.toSeq).toSeq)
-    searchAssigned(index.assigned, cmat, index.codebook.length, queryId, k, nprobe)
+    val qRows = index.assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).limit(1).collect()
+    if (qRows.isEmpty)
+      return index.assigned.filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("cos"))
+    val q = qRows(0).getSeq[Float](0)
+    val probes = probeCellsDriver(index.codebook, q, nprobe)
+    val qv = typedLit(q)
+    index.assigned
+      .filter(col("cid").isin(probes: _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(graft.functions.QuantizedDot(col("embedding"), qv).cast("double") /
+          (sqrt(graft.functions.QuantizedDot(col("embedding"), col("embedding")).cast("double")) *
+            sqrt(graft.functions.QuantizedDot(qv, qv).cast("double"))), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
   }
 
   // s3 serves from a staged index: per-JVM stage dir keyed by the input
@@ -315,10 +371,15 @@ object Similarity {
     // fingerprint on CONTENT (count + order-independent digests), not row
     // count alone — the stage dir outlives the JVM, and regenerated
     // embeddings with an unchanged count must retrain, not serve the old
-    // codebook (the stale-skip trap TableIO.fingerprintOf exists for)
-    ivfMemo.computeIfAbsent(s"$sid:$dir", _ =>
-      ivfIndex(s, emb, dir,
-        fingerprint = s"$d;${graft.store.TableIO.fingerprintOf(emb)}")._1)
+    // codebook (the stale-skip trap TableIO.fingerprintOf exists for).
+    // Computed BEFORE the memo lookup and folded into the KEY: if the
+    // embeddings at this dir are regenerated within one session, the new
+    // fingerprint misses the memo and takes the stage-skip path (which
+    // itself retrains on the content change) instead of serving the stale
+    // in-memory codebook
+    val fp = s"$d;${graft.store.TableIO.fingerprintOf(emb)}"
+    ivfMemo.computeIfAbsent(s"$sid:$dir:$fp", _ =>
+      ivfIndex(s, emb, dir, fingerprint = fp)._1)
   }
 
   // ---- DuckDB oracle SQL (generated; mirrors the quantized arithmetic) ----

@@ -138,7 +138,7 @@ object Text {
     sampledShingleStructs(docs, mod, cap)
       .select(col("doc_id"), expr("transform(shs, x -> x.h)").as("sh"))
 
-  /** Default document-frequency cap for the exact shingle self-join: a
+  /** Default ABSOLUTE document-frequency cap (the opt-in MinHash path): a
     * shingle hash present in more documents than this is corpus boilerplate
     * (license headers, navigation chrome) — it carries no near-dup signal
     * (P(near-dup | shared boilerplate) ≈ P(near-dup)) and it is THE skew
@@ -147,29 +147,55 @@ object Text {
     * only splits the oversized partition after the fan-out exists. */
   val DefaultShingleDfCap: Long = 1000
 
+  /** Corpus-RELATIVE df cap parameters: effective cap =
+    * max(floor, ceil(nDocs / den)). An absolute cap can never trigger below
+    * its own size (at 500 docs a 1000-doc cap filters nothing while still
+    * paying the df pass), while a fraction of the corpus engages at every
+    * scale; the floor keeps tiny test corpora from over-filtering. Integer
+    * arithmetic only — a float fraction (0.1 × n) rounds differently in
+    * engines that parse 0.1 as DECIMAL (DuckDB) vs double (JVM), and the
+    * cap must be bit-identical for the t5 oracle. */
+  val DefaultShingleDfDen: Long = 10
+  val DefaultShingleDfFloor: Long = 20
+
+  /** The default corpus-relative cap for `nDocs` documents. */
+  def relativeDfCap(nDocs: Long, den: Long = DefaultShingleDfDen,
+                    floor: Long = DefaultShingleDfFloor): Long =
+    math.max(floor, (nDocs + den - 1) / den)
+
   /** Per-doc sampled shingle hashes, exploded, with hashes above the df cap
-    * removed (df computed on the same key the join uses — one extra
-    * partial-aggregable pass + one equi-join, both on the already-shuffled
-    * key). Sizes and intersections downstream both use the FILTERED sets,
-    * so the Jaccard estimate stays a true Jaccard (of boilerplate-free
-    * shingle sets), not an inconsistent hybrid. */
+    * removed. The REJECT set (df > maxDf) is tiny by definition — at most
+    * totalShingleRows / maxDf distinct hashes can exceed the cap (≤ ~5k at
+    * ANY corpus size under the relative default: 512·n / (n/10)) — so the
+    * filter is a broadcast ANTI join, not a second shuffle of the exploded
+    * rows. The exploded frame is pinned (ManagedCache): it feeds the df
+    * aggregation AND every downstream consumer (sizes + both self-join
+    * sides in t5), and without the persist the ShingleHashes kernel (one
+    * md5 per sampled shingle — the expensive part) would re-run per
+    * consumer; (doc_id, long) rows are compact, callers release via
+    * ManagedCache.releaseAll. Sizes and intersections downstream both use
+    * the FILTERED sets, so the Jaccard estimate stays a true Jaccard (of
+    * boilerplate-free shingle sets), not an inconsistent hybrid. */
   private[graft] def explodedShingles(docs: DataFrame, maxDf: Long): DataFrame = {
-    val ex0 = shingleHashes(docs).select(col("doc_id"), explode(col("sh")).as("s"))
-    val keep = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("s")
-    ex0.join(keep, "s")
+    val ex0 = ManagedCache.pin(
+      shingleHashes(docs).select(col("doc_id"), explode(col("sh")).as("s")))
+    val reject = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    ex0.join(broadcast(reject), Seq("s"), "left_anti")
   }
 
   /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
     * self-join on shingle (the LSH-free exact variant), score
     * |∩| / (|A|+|B|-|∩|) quantized to basis points. The shingle join is the
     * canonical dedup shuffle: partial-agg on (a,b) after an equi-join keyed
-    * by content n-grams; `cap` bounds per-doc fan-out and `maxDf` bounds
+    * by content n-grams; `cap` bounds per-doc fan-out and the df cap bounds
     * per-shingle fan-out (boilerplate removal), so no single key can go
-    * quadratic by construction. */
+    * quadratic by construction. `maxDf = None` (the default) resolves to
+    * the corpus-relative cap (one cheap count of `docs`). */
   def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500,
-                        maxDf: Long = DefaultShingleDfCap): DataFrame = {
-    val ex = explodedShingles(docs, maxDf)
+                        maxDf: Option[Long] = None): DataFrame = {
+    val cap = maxDf.getOrElse(relativeDfCap(docs.count()))
+    val ex = explodedShingles(docs, cap)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val common = ex.alias("x")
       .join(ex.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -235,7 +261,9 @@ object Text {
       (s, d) => ngramJaccardPairs(t(s, d, "documents")),
       // mirrors the hash-sampled bottom-capped shingling exactly (h60 =
       // first 15 hex digits of md5 as an integer in both engines), INCLUDING
-      // the boilerplate document-frequency cap (kept CTE)
+      // the boilerplate document-frequency cap (kept CTE) — corpus-relative
+      // like the Spark default, in pure integer arithmetic (// is DuckDB
+      // integer division; ceil-div both sides)
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
               raw AS (
                 SELECT doc_id,
@@ -253,7 +281,9 @@ object Text {
                 SELECT samp.doc_id, samp.h
                 FROM samp
                 JOIN (SELECT h FROM samp GROUP BY h
-                      HAVING count(*) <= $DefaultShingleDfCap) keep
+                      HAVING count(*) <= greatest($DefaultShingleDfFloor,
+                        (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
+                         FROM documents))) keep
                   ON samp.h = keep.h),
               sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM kept GROUP BY doc_id),
               common AS (

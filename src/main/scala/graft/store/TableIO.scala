@@ -78,7 +78,11 @@ object TableIO {
     val dir = new java.io.File(rawDir).getAbsolutePath // catalog LOCATIONs must not be cwd-relative
     val table = bucketedName(prefix, dir)
     val mp = manifestPath(dir)
-    val fresh = Files.exists(mp) &&
+    // the schema file must exist too: a dir previously written by plain
+    // stage() (same fingerprint, no _SCHEMA_DDL) would otherwise pass the
+    // manifest check and crash on the schema read below — a manifest with
+    // no recorded schema is stale for THIS layout and must recompute
+    val fresh = Files.exists(mp) && Files.exists(schemaPath(dir)) &&
       new String(Files.readAllBytes(mp), "UTF-8") == fingerprint
     if (fresh) {
       if (!spark.catalog.tableExists(table)) {
@@ -120,21 +124,48 @@ object TableIO {
     * caller-supplied strings, e.g. corpus path + row count + config hash).
     * The manifest is written only after a successful parquet commit, so a
     * killed run re-executes the stage (kill/rerun test in PipelineResumeSpec).
-    * Returns (result, skipped).
+    *
+    * `partitionCols` non-empty writes the stage Hive-partitioned on those
+    * columns — the storage layout for stages whose downstream reads filter
+    * on the column (the IVF cell assignment: a probe reads ~nprobe/k of the
+    * files via source-level partition pruning instead of scanning 100% to
+    * keep a slice). The schema is recorded and the read-back uses it
+    * explicitly, so partition-directory values keep their DECLARED types
+    * (inference would silently turn a bigint cid into int) and column order
+    * is stable. Returns (result, skipped).
     */
-  def stage(spark: SparkSession, dir: String, fingerprint: String)
+  def stage(spark: SparkSession, dir: String, fingerprint: String,
+            partitionCols: Seq[String] = Nil)
            (compute: => DataFrame): (DataFrame, Boolean) = {
     val mp = manifestPath(dir)
-    if (Files.exists(mp) && new String(Files.readAllBytes(mp), "UTF-8") == fingerprint) {
-      (read(spark, dir), true)
-    } else {
+    def readBack(): DataFrame =
+      if (partitionCols.isEmpty) read(spark, dir)
+      else spark.read
+        .schema(new String(Files.readAllBytes(schemaPath(dir)), "UTF-8"))
+        .parquet(dir)
+    // a partitioned stage needs the recorded schema too: a same-fingerprint
+    // dir written by the unpartitioned layout would otherwise crash the
+    // schema read instead of recomputing
+    val fresh = Files.exists(mp) &&
+      (partitionCols.isEmpty || Files.exists(schemaPath(dir))) &&
+      new String(Files.readAllBytes(mp), "UTF-8") == fingerprint
+    if (fresh) (readBack(), true)
+    else {
       val df = compute
-      write(df, dir)
+      if (partitionCols.isEmpty) write(df, dir)
+      else df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+      // an overwrite under a previously-read path must drop the session's
+      // cached file listing or the re-read lists the pre-overwrite files
+      spark.catalog.refreshByPath(dir)
       Files.createDirectories(mp.getParent)
+      if (partitionCols.nonEmpty)
+        Files.write(schemaPath(dir), df.schema.toDDL.getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE)
       Files.write(mp, fingerprint.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE)
-      (read(spark, dir), false)
+      (readBack(), false)
     }
   }
 }

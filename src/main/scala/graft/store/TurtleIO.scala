@@ -49,6 +49,14 @@ object TurtleIO {
       raise_error(concat(lit("TurtleIO: invalid IRI "), coalesce(c, lit("<null>")))))
       .otherwise(c)
 
+  /** A language tag must match `lineRe`'s @lang charset ([A-Za-z0-9-]+) or
+    * the written line cannot round-trip through `parse` — fail the WRITE
+    * loudly (symmetric to [[checkedIri]]) instead of producing a file the
+    * reader rejects later. */
+  private def checkedLang(c: Column): Column =
+    when(c.rlike("^[A-Za-z0-9-]+$"), c)
+      .otherwise(raise_error(concat(lit("TurtleIO: invalid language tag "), c)))
+
   /** One Turtle line per triple: `<s> <p> <o> .` / `<s> <p> "lit" .` /
     * `"lit"@lang` / `"lit"^^<dtype>`. A literal carrying BOTH a language
     * tag and a datatype is unrepresentable in Turtle (one would be silently
@@ -57,7 +65,7 @@ object TurtleIO {
     val litSuffix =
       when(col("objLang") =!= "" && col("objDtype") =!= "",
         raise_error(concat(lit("TurtleIO: literal with both @lang and ^^dtype: "), col("objLex"))))
-        .when(col("objLang") =!= "", concat(lit("@"), col("objLang")))
+        .when(col("objLang") =!= "", concat(lit("@"), checkedLang(col("objLang"))))
         .when(col("objDtype") =!= "", concat(lit("^^<"), checkedIri(col("objDtype")), lit(">")))
         .otherwise(lit(""))
     val obj = when(col("objIsIri"), concat(lit("<"), checkedIri(col("objLex")), lit(">")))
@@ -162,6 +170,35 @@ object TurtleIO {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
       spark.catalog.refreshByPath(dir)
     } else write(fresh, dir)
+  }
+
+  /** Scale-path merge: anti-join the fresh triples against the existing
+    * graph and APPEND only the delta as new part files — existing files are
+    * never rewritten. mergeWrite (above) is faithful to the reference's
+    * saveModel but re-serializes the WHOLE graph per merge; at 100 TB that
+    * makes every incremental load O(graph), where this path is
+    * O(graph-scan + delta-write). Part files are independently valid Turtle
+    * by design, so the directory stays a correct graph after every append.
+    *
+    * Crash safety: the append commits through Spark's _temporary staging +
+    * rename protocol — a crash mid-append leaves only _temporary dirs,
+    * which every reader (including [[parse]]) ignores, so the live
+    * snapshot is intact at every instant. Content-idempotent: re-appending
+    * already-present triples appends an empty delta. Periodic compaction
+    * (small-file buildup, physical dedup) is [[mergeWrite]] with its swap
+    * protocol — the two compose. */
+  def mergeAppend(spark: SparkSession, triples: DataFrame, dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    recover(dir)
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val fresh = triples.select(cols.map(col): _*)
+    if (!Files.exists(Paths.get(dir))) write(fresh, dir)
+    else {
+      val delta = fresh.join(parse(spark, dir).select(cols.map(col): _*),
+        cols, "left_anti")
+      lines(delta).write.mode("append").text(dir)
+      spark.catalog.refreshByPath(dir)
+    }
   }
 
   /** Restore the invariant "dir holds the latest complete snapshot" after

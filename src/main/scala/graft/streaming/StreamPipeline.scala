@@ -11,12 +11,14 @@ final case class PageRev(ts: java.sql.Timestamp, repo: String, path: String,
                          commit: String, content: String)
 
 /** Custom state for [[StreamPipeline.changedPagesOnly]]: the last content
-  * sha ACCEPTED for a (repo, path), its revision counter, and the event
-  * time it was accepted at (so a late out-of-order revision — above the
+  * sha ACCEPTED for a (repo, path), its revision counter, the event time
+  * it was accepted at (so a late out-of-order revision — above the
   * watermark but chronologically superseded — cannot roll the gate back
-  * to stale content). ~80 bytes per live key, expired by event-time
-  * timeout. */
-final case class RevState(lastSha: String, revisions: Long, lastTsMs: Long)
+  * to stale content), and the commit it came from (the deterministic
+  * tie-break when two revisions share an event time). ~120 bytes per live
+  * key, expired by event-time timeout. */
+final case class RevState(lastSha: String, revisions: Long, lastTsMs: Long,
+                          lastCommit: String)
 
 /** One emitted changed revision: the page plus which revision number this
   * content change is and whether the key was new to the state store. */
@@ -107,24 +109,37 @@ object StreamPipeline {
             for (r <- sorted) {
               val tsMs = r.ts.getTime
               val h = sha(r.content)
-              cur match {
-                case Some(s) if tsMs <= s.lastTsMs =>
-                  () // late arrival, chronologically superseded — a change
-                     // emit here would roll the gate back to stale content
+              // a row is superseded iff it sorts at-or-before the accepted
+              // revision in (ts, commit) order — the SAME order the in-batch
+              // sort uses, so acceptance is deterministic whether two
+              // equal-ts revisions arrive in one micro-batch or across
+              // batches (an unconditional ts <= guard would drop an
+              // equal-ts different-commit revision only in the cross-batch
+              // case — batching-dependent output)
+              val superseded = cur.exists(s =>
+                tsMs < s.lastTsMs ||
+                  (tsMs == s.lastTsMs && r.commit <= s.lastCommit))
+              if (!superseded) cur match {
                 case Some(s) if s.lastSha == h =>
-                  // same content, newer time: advance the clock (guards
-                  // against later-arriving rows older than THIS sighting)
-                  cur = Some(s.copy(lastTsMs = tsMs))
+                  // same content, newer (ts, commit): advance the clock so
+                  // later-arriving rows older than THIS sighting stay
+                  // superseded
+                  cur = Some(s.copy(lastTsMs = tsMs, lastCommit = r.commit))
                 case other =>
                   val n = other.map(_.revisions).getOrElse(0L) + 1
                   out += ChangedPage(r.repo, r.path, r.commit, r.content, n, other.isEmpty)
-                  cur = Some(RevState(h, n, tsMs))
+                  cur = Some(RevState(h, n, tsMs, r.commit))
               }
             }
             cur.foreach(state.update)
+            // TTL counts from the latest ACCEPTED revision, not the batch's
+            // max event time: a batch of only late, superseded rows must not
+            // rewind the timeout below lastTsMs + TTL (that would expire the
+            // key earlier than TTL past its last accepted revision)
             if (state.exists)
               state.setTimeoutTimestamp(
-                sorted.map(_.ts.getTime).max + stateTtlMs)
+                math.max(sorted.map(_.ts.getTime).max,
+                  cur.map(_.lastTsMs).getOrElse(0L)) + stateTtlMs)
             out.result().iterator
           }
       }

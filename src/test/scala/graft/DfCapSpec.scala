@@ -48,12 +48,26 @@ class DfCapSpec extends AnyFunSuite {
   }
 
   test("df cap keeps genuine near-dups and drops boilerplate-only pairs") {
-    val pairs = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = 10)
+    val pairs = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = Some(10))
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((900L, 901L)), "true near-dup must survive the cap")
     // docs sharing ONLY boilerplate are not near-dups
     assert(!pairs.exists { case (a, b) => a < 900 && b < 900 },
       s"boilerplate-only pairs leaked: ${pairs.take(5)}")
+  }
+
+  test("relative (default) cap engages at corpus scale: max(floor, ceil(n/den))") {
+    // 202 docs → cap = max(20, ceil(202/10)) = 21 < boilerplate df 101:
+    // the DEFAULT path (no explicit maxDf) must already drop the planted
+    // boilerplate — an absolute default larger than the corpus never could
+    assert(Text.relativeDfCap(202) == 21L)
+    assert(Text.relativeDfCap(5) == 20L, "floor guards tiny corpora")
+    assert(Text.relativeDfCap(1000000000L) == 100000000L)
+    val pairs = Text.ngramJaccardPairs(planted, minBp = 500)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900L, 901L)), "true near-dup must survive the default cap")
+    assert(!pairs.exists { case (a, b) => a < 900 && b < 900 },
+      s"boilerplate-only pairs leaked through the relative cap: ${pairs.take(5)}")
   }
 
   test("d2 path: df-capped MinHash keeps boilerplate out of the LSH buckets") {
@@ -81,9 +95,9 @@ class DfCapSpec extends AnyFunSuite {
   }
 
   test("cap high enough to keep everything == uncapped semantics") {
-    val capped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = 500)
+    val capped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = Some(500))
       .collect().map(_.toString).toSet
-    val uncapped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = Long.MaxValue)
+    val uncapped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = Some(Long.MaxValue))
       .collect().map(_.toString).toSet
     assert(capped == uncapped)
   }

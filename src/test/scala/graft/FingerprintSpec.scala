@@ -26,6 +26,24 @@ class FingerprintSpec extends AnyFunSuite {
     assert(TableIO.fingerprintOf(corpus(edit = false).limit(2)) != base)
   }
 
+  test("Main's policy: real --input corpora default to content fingerprints") {
+    val pages = corpus(edit = false)
+    // fixture corpus, no override → config-only (deterministic generator)
+    assert(Main.fingerprintFor(pages, "fixtures-v1;k=1", realInput = false, None)
+      == "fixtures-v1;k=1")
+    // REAL corpus, no override → content digest by DEFAULT: an edited
+    // corpus under the same path must move the key (no stale skip)
+    val real1 = Main.fingerprintFor(pages, "input-v1;/x", realInput = true, None)
+    val real2 = Main.fingerprintFor(corpus(edit = true), "input-v1;/x",
+      realInput = true, None)
+    assert(real1 != "input-v1;/x" && real1 != real2)
+    // explicit overrides win in both directions
+    assert(Main.fingerprintFor(pages, "fixtures-v1;k=1", realInput = false,
+      Some("1")).startsWith("fixtures-v1;k=1;n="))
+    assert(Main.fingerprintFor(pages, "input-v1;/x", realInput = true,
+      Some("0")) == "input-v1;/x")
+  }
+
   test("stage keyed by content fingerprint: skips on same content, recomputes on edit") {
     val dir = java.nio.file.Files.createTempDirectory("fp-stage").toString + "/stage"
     var computes = 0

@@ -105,6 +105,60 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("staged IVF search prunes cid partitions at the source") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // well-separated clusters so the codebook uses (nearly) all 8 cells
+    val emb = (0 until 8).flatMap { c =>
+      val ctr = { val r = new scala.util.Random(900 + c); Array.fill(16)(r.nextGaussian().toFloat) }
+      (0 until 20).map { m =>
+        val r = new scala.util.Random(c * 100 + m)
+        (c * 20L + m, ctr.map(x => x + 0.1f * r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-prune").toString
+    val (idx, _) = Similarity.ivfIndex(spark, emb, dir, "fp-prune")
+    val nCells = idx.assigned.select("cid").distinct().count()
+    assert(nCells >= 6, s"codebook collapse would make pruning trivial: $nCells")
+    val search = Similarity.ivfSearch(idx, queryId = 3L, k = 5, nprobe = 2)
+    // 1) the probe predicate is a PARTITION filter (applied when listing
+    // files), not a post-scan data filter
+    val p = plan(search)
+    // the assigned table is the only file source in this plan
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    val pf = scanLine.substring(math.max(scanLine.indexOf("PartitionFilters"), 0))
+      .takeWhile(_ != ']')
+    assert(pf.startsWith("PartitionFilters") && pf.contains("cid"),
+      s"probe filter is not a partition filter:\n$p")
+    // 2) executed evidence: the scan touched ~nprobe/nCells of the files
+    search.collect()
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    }
+    val scanned = scans(search.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    def filesUnder(cidDir: java.io.File): Int =
+      cidDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val cidDirs = new java.io.File(s"$dir/ivf_assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    val totalFiles = cidDirs.map(filesUnder).sum
+    // the probed cells (from the partition filter itself) account for ALL
+    // scanned files — the scan listed nothing outside them
+    val probed = "IN \\(([-0-9, ]+)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty[Long])
+    val probedFiles = cidDirs
+      .filter(d => probed.contains(d.getName.stripPrefix("cid=").toLong))
+      .map(filesUnder).sum
+    assert(probed.size == 2 && scanned > 0 && totalFiles > scanned,
+      s"no source pruning: scanned $scanned of $totalFiles files (probed $probed)")
+    assert(scanned == probedFiles,
+      s"scan read beyond the probed cells: $scanned files vs $probedFiles in $probed")
+  }
+
   test("vertices/edges materialization prunes to the needed columns") {
     val dir = java.nio.file.Files.createTempDirectory("triples-pq").toString
     graft.kg.Pipeline.triples(spark, graft.kg.Fixtures.pages(spark))

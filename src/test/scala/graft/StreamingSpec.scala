@@ -122,6 +122,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("changed-content gate: equal-timestamp revisions tie-break by commit across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ChangedPage, PageRev}
+    val input = MemoryStream[PageRev]
+    val out = StreamPipeline.changedPagesOnly(
+      input.toDS(), watermark = "10 minutes", stateTtlMs = 3600L * 1000)
+    val q = out.writeStream.format("memory").queryName("tie_sink")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val t = ts("2024-01-01 10:00:00")
+      input.addData(PageRev(t, "r", "P", "c1", "v1"))
+      q.processAllAvailable()
+      // SAME event time, higher commit, different content, LATER batch:
+      // accepted (an unconditional ts <= guard would drop it here while a
+      // single-batch arrival would accept it — batching-dependent output)
+      input.addData(PageRev(t, "r", "P", "c2", "v2"))
+      q.processAllAvailable()
+      // same event time, LOWER commit: superseded even though content
+      // differs — matches the deterministic in-batch (ts, commit) order
+      input.addData(PageRev(t, "r", "P", "c0", "v0"))
+      q.processAllAvailable()
+      val got = spark.table("tie_sink").as[ChangedPage].collect()
+        .map(c => (c.commit, c.revision)).toSet
+      assert(got == Set(("c1", 1L), ("c2", 2L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming curation: quality gate + fingerprint dedup within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -52,6 +52,31 @@ class TurtleSpec extends AnyFunSuite {
     assert(asSet(TurtleIO.parse(spark, dir)) == merged)
   }
 
+  test("mergeAppend: delta-only append — set semantics, idempotent, leaves existing files untouched") {
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("ttl-apnd").toString + "/g.ttl"
+    val half1 = triples.filter(col("pred") === V.SchemaName)
+    val half2 = triples.filter(col("pred") === V.SchemaName || col("pred") === V.PrimaryType)
+    TurtleIO.mergeAppend(spark, half1, dir)
+    def partFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = partFiles()
+    TurtleIO.mergeAppend(spark, half2, dir) // overlaps half1 — only the delta lands
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(half1.unionByName(half2)))
+    // the scale property: merge did NOT rewrite the existing snapshot
+    val after = partFiles()
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "existing part files must be untouched by a delta append")
+    assert(after.size > before.size, "the delta must land as NEW part files")
+    // idempotent: re-appending already-present triples appends an empty delta
+    TurtleIO.mergeAppend(spark, half2, dir)
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(half1.unionByName(half2)))
+    // composes with the compaction path (mergeWrite swap protocol)
+    TurtleIO.mergeWrite(spark, half1, dir)
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(half1.unionByName(half2)))
+  }
+
   test("mergeWrite crash protocol: every interrupted swap state self-heals") {
     import java.nio.file.{Files, Paths}
     val root = java.nio.file.Files.createTempDirectory("ttl-crash").toString
