@@ -28,9 +28,13 @@ import graft.store.TableIO
 object Curate {
 
   /** Lazy flag table: every input doc with its per-stage survival flags.
-    * Nothing is materialized here — callers aggregate/filter/persist it. */
+    * Nothing is materialized here — callers aggregate/filter/persist it.
+    * `nearDupDfCap` (opt-in, like d2's) strips shingles above the df cap
+    * BEFORE the MinHash fold, so corpus boilerplate (license headers)
+    * cannot collapse unrelated documents into one LSH bucket and
+    * mass-drop them as "near-dups" (DfCapSpec pins the behavior). */
   def flags(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
-            nearDupBp: Long = 8000): DataFrame = {
+            nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val q = docs.withColumn("q_ok",
@@ -50,8 +54,12 @@ object Curate {
 
     // near-dup removal: of each LSH-confirmed pair among exact survivors,
     // anti-flag the higher id
-    val drops = Dedup.minhashLshPairs(
-        e.filter(col("exact_ok")).select("doc_id", "text"), minEstBp = nearDupBp)
+    val survivors = e.filter(col("exact_ok")).select("doc_id", "text")
+    val pairs = nearDupDfCap match {
+      case Some(cap) => Dedup.minhashLshPairsDfCapped(survivors, minEstBp = nearDupBp, maxDf = cap)
+      case None      => Dedup.minhashLshPairs(survivors, minEstBp = nearDupBp)
+    }
+    val drops = pairs
       .select(col("b").as("doc_id")).distinct()
       .withColumn("_nd_drop", lit(true))
     e.join(drops, Seq("doc_id"), "left_outer")
@@ -79,8 +87,9 @@ object Curate {
   /** Returns (curated docs, per-stage report) — both lazy views over the
     * same flag DAG; materializing either is one job with no barriers. */
   def curate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
-             nearDupBp: Long = 8000): (DataFrame, DataFrame) = {
-    val f = flags(docs, minTokens, maxTokens, nearDupBp)
+             nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    val f = flags(docs, minTokens, maxTokens, nearDupBp, nearDupDfCap)
     (curatedOf(f), reportOf(f))
   }
 

@@ -94,6 +94,23 @@ class DfCapSpec extends AnyFunSuite {
     assert(a == b, "high cap must be a no-op vs the explode-free default path")
   }
 
+  test("curation with the df cap: boilerplate does not mass-drop unrelated docs") {
+    import graft.ops.Curate
+    def curatedIds(cap: Option[Long]): Set[Long] =
+      Curate.curate(planted, minTokens = 5, nearDupBp = 1500, nearDupDfCap = cap)
+        ._1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val uncapped = curatedIds(None)
+    val capped = curatedIds(Some(10))
+    // uncapped: the shared boilerplate makes ~half the corpus LSH-collide
+    // and the higher ids get dropped as fake near-dups
+    assert(uncapped.size < 150, s"boilerplate should mass-drop uncapped: ${uncapped.size}")
+    // capped: only the genuine near-dup (901, higher id of the true pair)
+    // is removed; every boilerplate-only doc survives
+    assert(capped.contains(900L) && !capped.contains(901L))
+    assert((0 until 200).forall(i => capped.contains(i.toLong)),
+      s"boilerplate-only docs were dropped: ${(0 until 200).filterNot(i => capped(i.toLong)).take(5)}")
+  }
+
   test("cap high enough to keep everything == uncapped semantics") {
     val capped = Text.ngramJaccardPairs(planted, minBp = 500, maxDf = Some(500))
       .collect().map(_.toString).toSet

@@ -90,6 +90,28 @@ class LinkingSpec extends AnyFunSuite {
       !col("objLang").rlike("^[a-z]{2}(-[A-Za-z]+)?$")).count() == 0)
   }
 
+  test("unknown TSV language names sanitize to the lang-tag charset and survive the Turtle sink") {
+    import graft.store.TurtleIO
+    // names outside the known map, incl. charset-hostile ones: a raw
+    // lowercase-hyphenate would emit "portuguese-(brazil)" — a tag the
+    // Turtle line grammar cannot represent (parse would reject the file)
+    val tsv = java.nio.file.Files.createTempFile("i18n", ".tsv")
+    java.nio.file.Files.writeString(tsv,
+      "type\tid\tlabel\tlanguage\n" +
+        "pokemon\t1\tBulbassauro\tPortuguese (Brazil)\n" +
+        "pokemon\t1\tBulbasaur!\tBrazilian/Portuguese\n" +
+        "pokemon\t1\tX\t***\n")
+    val dict = Enrich.loadTsv(spark, tsv.toString)
+    val tags = dict.select("language").collect().map(_.getString(0)).toSet
+    assert(tags == Set("portuguese-brazil", "brazilian-portuguese", "und"), s"got $tags")
+    // and the enriched triples serialize+parse cleanly (checkedLang holds)
+    val labels = Enrich.labelTriples(Pipeline.triples(spark, pages), dict)
+    assert(labels.count() == 3)
+    val dir = java.nio.file.Files.createTempDirectory("ttl-lang").toString + "/g.ttl"
+    TurtleIO.write(labels, dir)
+    assert(TurtleIO.parse(spark, dir).count() == 3)
+  }
+
   test("unpadded dict ids key correctly (the reference's bug, fixed)") {
     import spark.implicits._
     val dict = Seq(("pokemon", "1", "Bulbizarre", "fr")).toDF("type", "id", "label", "language")

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, ManagedCache}
+
+/** Operator-internal persists are caller-owned: running a dedup query pins
+  * frames; releaseAll unpins them all (disk-backed blocks are not
+  * LRU-evicted, so without this a long-lived session leaks cache/disk). */
+class ManagedCacheSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  test("pin registers per session; releaseAll unpersists the pinned blocks") {
+    ManagedCache.releaseAll(spark) // isolate from earlier suites
+    assert(ManagedCache.pinnedCount(spark) == 0)
+    // other suites legitimately hold persisted RDDs in the shared session
+    // (e.g. the KG fixture memo's localCheckpoint) — track only the DELTA
+    val baseIds = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"d$i " + (1 to 20).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.minhashLshPairs(docs).count() // pins the signature table
+    graft.ops.Text.ngramJaccardPairs(docs).count() // pins the exploded shingles
+    assert(ManagedCache.pinnedCount(spark) >= 2)
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- baseIds
+    assert(newIds.nonEmpty, "expected newly persisted RDDs while pinned")
+    ManagedCache.releaseAll(spark)
+    assert(ManagedCache.pinnedCount(spark) == 0)
+    // unpersist is async (blocking = false); poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet.intersect(newIds)
+    while (leftover.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leftover.isEmpty, s"blocks still cached after releaseAll: $leftover")
+  }
+}

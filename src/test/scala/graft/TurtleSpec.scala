@@ -117,6 +117,9 @@ class TurtleSpec extends AnyFunSuite {
     intercept[Exception](tryWrite(("http://x/s", V.OwlSameAs, true, "", "", "")))
     // literal with BOTH lang and dtype is unrepresentable — must throw
     intercept[Exception](tryWrite(("http://x/s", V.SchemaName, false, "v", V.XsdDecimal, "en")))
+    // language tag outside [A-Za-z0-9-] would write a line lineRe cannot
+    // parse back — must fail the WRITE, not the later read
+    intercept[Exception](tryWrite(("http://x/s", V.SchemaName, false, "v", "", "pt (br)")))
     // and parse fails loudly on a line write could never have produced
     val dir = java.nio.file.Files.createTempDirectory("ttl-badparse").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/g.ttl"))
