@@ -13,6 +13,11 @@ import graft.kg.{Fixtures, Pipeline}
   *   k      — corpus scale factor (k fixture variants; default 1 = golden)
   *   --input — run over a REAL corpus: a parquet directory of input_hint
   *            rows (repo, path, commit, lang, content)
+  *   --tsv   — opt-in multilingual label enrichment from a long-format TSV
+  *            dictionary (the reference's MultilingualDataHandler stage with
+  *            CORRECTED keying — Enrich.scala; off by default because the
+  *            reference's own stage is a silent no-op, so golden parity
+  *            means no TSV labels)
   *
   * Re-running with the same outDir and corpus skips completed stages
   * (checkpointed resume).
@@ -41,12 +46,19 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val outDir = if (args.nonEmpty) args(0) else "target/kg-out"
-    val inputDir = args.indexOf("--input") match {
+    def optArg(name: String): Option[String] = args.indexOf(name) match {
       case -1 => None
       case i  => Some(args(i + 1))
     }
-    val k = if (args.length > 1 && inputDir.isEmpty) args(1).toInt else 1
+    val inputDir = optArg("--input")
+    val tsvPath = optArg("--tsv")
+    val positional = {
+      val flagIdx = Seq("--input", "--tsv").flatMap(n =>
+        args.indexOf(n) match { case -1 => Nil; case i => Seq(i, i + 1) }).toSet
+      args.indices.filterNot(flagIdx).map(args)
+    }
+    val outDir = positional.headOption.getOrElse("target/kg-out")
+    val k = positional.lift(1).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     // north_rule: "run via spark-submit on a multi-executor cluster" — when
     // spark-submit provides a master (or one is set in spark-defaults),
@@ -77,11 +89,20 @@ object Main {
         (p, fingerprintFor(p.toDF(), s"fixtures-v1;k=$k", realInput = false, env),
           s"${15 * k} entities (k=$k)")
     }
-    val (triples, skipped) = Pipeline.run(spark, pages, outDir, fingerprint)
+    val (base, skipped) = Pipeline.run(spark, pages, outDir, fingerprint)
+    // opt-in enrichment: rdfs:label@lang triples from the TSV dictionary,
+    // set-unioned into the graph (broadcast dict join — Enrich.labelTriples)
+    val triples = tsvPath match {
+      case Some(p) =>
+        val labels = graft.kg.Enrich.labelTriples(base, graft.kg.Enrich.loadTsv(spark, p))
+        base.unionByName(labels).distinct()
+      case None => base
+    }
     val nTriples = triples.count()
     val secs = (System.nanoTime() - t0) / 1e9
 
     println(s"[graft] corpus: $corpusDesc")
+    tsvPath.foreach(p => println(s"[graft] enriched with TSV labels from $p"))
     println(s"[graft] triples: $nTriples distinct")
     println(s"[graft] stages skipped (checkpoint resume): " +
       (if (skipped.isEmpty) "none" else skipped.mkString(", ")))

@@ -32,10 +32,19 @@ object Text {
     expr(s"size(filter($toksCol, t -> t IN ($lst)))").cast("long")
   }
 
+  /** BPE-ish subword tokenization pattern: letter runs, single digits,
+    * single punctuation marks — the GPT-2-family pre-tokenizer shape minus
+    * its contraction special cases. Restricted to constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character classes
+    * and alternation only, no lookaround/backrefs — so the count carries an
+    * exact cross-engine oracle. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("n_bpeish"),
       length(col("text")).cast("long").as("n_chars_actual"),
       length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"))
 
@@ -72,6 +81,28 @@ object Text {
       .withColumn("group_size",
         count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
   }
+
+  /** Winnowed document fingerprints (the MOSS scheme): hash every token,
+    * slide a window of `w`, keep each window's MINIMUM hash, emit the
+    * distinct selected hashes as (doc_id, fp) rows. Guarantees of the
+    * scheme: any shared token run of length ≥ 2w-1 between two documents
+    * selects at least one common fingerprint, while only ~2/(w+1) of
+    * positions are kept — the rolling-hash fingerprint a plagiarism/dedup
+    * index stores instead of full shingle sets. All array ops (transform /
+    * slice / array_min / array_distinct) run inside one narrow projection —
+    * no explode until the final row emit, no shuffle at all. Documents
+    * shorter than `w` tokens emit nothing (winnowing is undefined there; the
+    * oracle mirrors that via greatest(n-w+1, 0)). */
+  def winnowedFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
+    docs
+      .withColumn("hs", expr(s"transform(split(text, ' '), t -> ${h60Sql("t")})"))
+      // the < w guard matters: Spark's sequence(1, n-w+1) DESCENDS when
+      // n < w (same trap as sampledShingleStructs) — short docs must yield
+      // an empty set, not a reversed-range crash
+      .withColumn("fps", when(size(col("hs")) < w, expr("CAST(array() AS array<bigint>)"))
+        .otherwise(expr(
+          s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), i -> array_min(slice(hs, i, $w))))")))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   /** Portable 60-bit content hash: the first 15 hex digits of md5, parsed as
     * an integer. Bit-identical in any engine with md5 (DuckDB:
@@ -215,8 +246,9 @@ object Text {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t1_token_stats",
       (s, d) => tokenStats(t(s, d, "documents")),
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
                      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpeish,
                      CAST(length(text) AS BIGINT) AS n_chars_actual,
                      CAST(length(replace(text,' ','')) AS BIGINT) AS n_nonspace
               FROM documents""")),
@@ -297,6 +329,22 @@ object Text {
               JOIN sizes sa ON sa.doc_id = a
               JOIN sizes sb ON sb.doc_id = b
               WHERE floor(10000.0*common/(sa.n_sh + sb.n_sh - common)) >= 500""")),
+
+    QueryDef("t7_winnow",
+      (s, d) => winnowedFingerprints(t(s, d, "documents")),
+      // the same winnowing in DuckDB: h60 token hashes, 4-windows via
+      // generate_series (greatest(...,0) mirrors the short-doc empty set),
+      // list_min per window, distinct, unnest
+      Some(s"""WITH hs AS (
+                SELECT doc_id,
+                       list_transform(string_split(text,' '),
+                         t -> CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS hs
+                FROM documents)
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 0)),
+                       i -> list_min(hs[i:i+3])))) AS fp
+              FROM hs""")),
 
     // Multimodal plumbing scalar layer: byte-level metadata over the text
     // treated as an opaque payload (the real binary path is ops.Multimodal)

@@ -132,6 +132,23 @@ class OpsSpec extends AnyFunSuite {
     assert(nearOk >= 8)
   }
 
+  test("winnowing: a shared run of 2w-1 tokens guarantees a common fingerprint; short docs emit none") {
+    val w = 4
+    val shared = (1 to 2 * w - 1).map(i => s"S$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2"),
+      (2L, s"c1 c2 $shared d1 d2 d3"),
+      (3L, "below the window"), // 3 tokens < w → winnowing undefined → empty
+      (4L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val by = Text.winnowedFingerprints(d, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!by.contains(3L), "short docs must emit no fingerprints")
+    assert(by(1L).intersect(by(2L)).nonEmpty,
+      "the winnowing guarantee: both docs select a fingerprint from the shared run")
+    assert(by(4L).nonEmpty && by(4L).size <= 2, s"5 tokens → 2 windows: ${by(4L)}")
+  }
+
   test("ngram jaccard pairs: exact dups at 10000 bp") {
     val pairs = Text.ngramJaccardPairs(docs, minBp = 9000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
