@@ -194,23 +194,30 @@ object Bench {
       //  (a) wall: a pair probe >2x below the best throughput at its level
       //      is a host artifact (observed: 31 min vs 2 min, same code);
       //  (b) CPU burn: the CPU work at a fixed (level, k) is deterministic
-      //      — a pair probe burning >1.3x the level-median executorCpuTime
+      //      — a pair probe burning >1.3x the level-MINIMUM executorCpuTime
       //      absorbed measurable contention cycles (memory stalls from a
       //      co-tenant count as CPU), so its wall ratio measures the
       //      neighbor, not the engine (observed: cpu_4n 156 s → 220 s on
-      //      identical work while a co-tenant spiked).
+      //      identical work while a co-tenant spiked). The reference is the
+      //      MINIMUM across rounds, not the median: executorCpuTime has a
+      //      hard floor at the true deterministic work, so the cleanest
+      //      round IS the work estimate and steal only pushes values up —
+      //      a median can be inflated by the very round under judgment when
+      //      only 2-3 rounds ran (observed: a 1.4x-inflated round accepted
+      //      because it dragged its own acceptance threshold along).
       // both criteria compare within the round's OWN k (absolute tps and
       // CPU work both shift with corpus size, so cross-k comparisons would
       // reject or admit rounds for the wrong reason after a degradation)
       def bestTpsAt(c: Int, kk: Int): Double = rounds.flatten
         .filter(p => p.cores == c && p.k == kk).map(_.tps).foldLeft(0.0)(math.max)
-      def cpuMedAt(sel: Round => Probe, kk: Int): Double =
-        median(complete.filter(_.p2.k == kk).map(r => sel(r).cpuSec))
+      def cpuMinAt(sel: Round => Probe, kk: Int): Double =
+        complete.filter(_.p2.k == kk).map(r => sel(r).cpuSec)
+          .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a)
       val accepted = complete.filter { r =>
         val kk = r.p2.k
         val wallOk = r.p2.tps * 2 >= bestTpsAt(nCores, kk) &&
           r.p8.tps * 2 >= bestTpsAt(n4Cores, kk)
-        val mN = cpuMedAt(_.p2, kk); val mN4 = cpuMedAt(_.p8, kk)
+        val mN = cpuMinAt(_.p2, kk); val mN4 = cpuMinAt(_.p8, kk)
         val cpuOk = (mN.isNaN || r.p2.cpuSec <= mN * 1.3) &&
           (mN4.isNaN || r.p8.cpuSec <= mN4 * 1.3)
         wallOk && cpuOk

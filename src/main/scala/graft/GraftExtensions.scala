@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Build-time injection of the native function layer:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit (or
+  * thriftserver) gives EVERY session the native expressions on the SQL
+  * surface with no driver code — the deployment path where
+  * `graft.functions.register(spark)` (the session-scoped API used by tests
+  * and notebooks) never runs. Both paths share the same builders, so SQL ≡
+  * Column parity (FunctionsSqlSpec) holds identically. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.builders.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getCanonicalName, name), builder))
+    }
+}

@@ -60,8 +60,8 @@ object ShingleKernel {
 
   /** h60: first 15 hex digits of md5 as a long (== Spark
     * `conv(substring(md5(s),1,15),16,10)`). 15 hex digits = 60 bits, never
-    * overflows. */
-  private def h60(s: String): Long = {
+    * overflows. Shared with [[WinnowKernel]]. */
+  private[functions] def h60(s: String): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

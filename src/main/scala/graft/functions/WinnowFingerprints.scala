@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowed document fingerprints as one native kernel: tokenize → h60 per
+  * token → sliding-window (size `w`) minima via a monotonic deque →
+  * first-occurrence-order distinct.
+  *
+  * Semantics are EXACTLY `Text.winnowedFingerprintsHof`'s pipeline
+  * (`array_distinct(transform(sequence(1, n-w+1), i -> array_min(slice(hs,
+  * i, w))))`), pinned by OpsSpec and unchanged vs the t7 DuckDB oracle —
+  * but the HOF form is CodegenFallback AND O(n·w) with a fresh w-element
+  * array allocated per window (`slice`); the deque is O(n) amortized with
+  * zero per-window allocation, one JVM call per row. Same treatment the
+  * shingle/minhash/simhash kernels got (47 s → sub-second at sf0.1).
+  */
+final case class WinnowFingerprints(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprints needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowKernel.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def apply(text: Column, w: Int): Column =
+    GraftExpressionBridge.column(
+      WinnowFingerprints(GraftExpressionBridge.expression(text), w))
+}
+
+object WinnowKernel {
+  def compute(text: UTF8String, w: Int): ArrayData = {
+    // split on single spaces keeping empties — Spark's split(text, ' ')
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = ShingleKernel.h60(toks(i)); i += 1 }
+    // monotonic deque of indices with increasing hash values: the head is
+    // always the window minimum. Popping on >= keeps the latest index for
+    // equal hashes — the VALUE of the minimum (all that array_min sees) is
+    // unaffected by the tie direction.
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // live slice: deque[head, tail)
+    // LinkedHashSet = distinct preserving first-occurrence order, matching
+    // array_distinct over the window-order minima
+    val mins = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) mins.add(hs(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](mins.size())
+    val it = mins.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** Native Catalyst expressions (codegen'd hot loops) + their SQL-surface
   * registration: after `functions.register(spark)`, `spark.sql` resolves
   * `quantized_dot(a, b)`, `shingle_hashes(text, mod, cap)`,
-  * `minhash_signature(hashes)` and `simhash64(text)` to the same
-  * expressions the Column API uses (FunctionsSqlSpec pins the parity) —
-  * the SQL surface carries ALL four native functions, not a subset. */
+  * `minhash_signature(hashes)`, `simhash64(text)` and
+  * `winnow_fingerprints(text, w)` to the same expressions the Column API
+  * uses (FunctionsSqlSpec pins the parity) — the SQL surface carries ALL
+  * the native functions, not a subset. */
 package object functions {
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -17,27 +18,39 @@ package object functions {
       s"$what must be an integer literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    GraftExpressionBridge.registerFunction(spark, "quantized_dot", {
+  /** The shared (name, expression class, builder) triples behind BOTH
+    * registration paths: session-scoped [[register]] and the build-time
+    * `spark.sql.extensions` injection ([[graft.GraftExtensions]]). */
+  private[graft] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("quantized_dot", classOf[QuantizedDot], {
       case Seq(a, b) => QuantizedDot(a, b)
       case args => throw new IllegalArgumentException(
         s"quantized_dot(arrayA, arrayB) takes 2 arguments, got ${args.length}")
-    })
-    GraftExpressionBridge.registerFunction(spark, "shingle_hashes", {
+    }: Seq[Expression] => Expression),
+    ("shingle_hashes", classOf[ShingleHashes], {
       case Seq(text, mod, cap) =>
         ShingleHashes(text, intLit(mod, "mod"), intLit(cap, "cap"))
       case args => throw new IllegalArgumentException(
         s"shingle_hashes(text, mod, cap) takes 3 arguments, got ${args.length}")
-    })
-    GraftExpressionBridge.registerFunction(spark, "minhash_signature", {
+    }: Seq[Expression] => Expression),
+    ("minhash_signature", classOf[MinHashSignature], {
       case Seq(hashes) => MinHashSignature(hashes)
       case args => throw new IllegalArgumentException(
         s"minhash_signature(shingleHashes) takes 1 argument, got ${args.length}")
-    })
-    GraftExpressionBridge.registerFunction(spark, "simhash64", {
+    }: Seq[Expression] => Expression),
+    ("simhash64", classOf[SimHash64], {
       case Seq(text) => SimHash64(text)
       case args => throw new IllegalArgumentException(
         s"simhash64(text) takes 1 argument, got ${args.length}")
-    })
-  }
+    }: Seq[Expression] => Expression),
+    ("winnow_fingerprints", classOf[WinnowFingerprints], {
+      case Seq(text, w) => WinnowFingerprints(text, intLit(w, "w"))
+      case args => throw new IllegalArgumentException(
+        s"winnow_fingerprints(text, w) takes 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      GraftExpressionBridge.registerFunction(spark, name, builder)
+    }
 }

@@ -376,7 +376,10 @@ object Similarity {
     // embeddings at this dir are regenerated within one session, the new
     // fingerprint misses the memo and takes the stage-skip path (which
     // itself retrains on the content change) instead of serving the stale
-    // in-memory codebook
+    // in-memory codebook. Cost: one partial-aggregable scan of the
+    // embeddings per query — the price of content revalidation on plain
+    // parquet. On Iceberg, substitute the table's snapshot id here
+    // (O(1) metadata) and keep the same key discipline.
     val fp = s"$d;${graft.store.TableIO.fingerprintOf(emb)}"
     ivfMemo.computeIfAbsent(s"$sid:$dir:$fp", _ =>
       ivfIndex(s, emb, dir, fingerprint = fp)._1)

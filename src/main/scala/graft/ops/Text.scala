@@ -92,8 +92,18 @@ object Text {
     * slice / array_min / array_distinct) run inside one narrow projection —
     * no explode until the final row emit, no shuffle at all. Documents
     * shorter than `w` tokens emit nothing (winnowing is undefined there; the
-    * oracle mirrors that via greatest(n-w+1, 0)). */
+    * oracle mirrors that via greatest(n-w+1, 0)).
+    *
+    * Runs as the native `functions.WinnowFingerprints` kernel (monotonic
+    * deque, O(n), one JVM call per row); [[winnowedFingerprintsHof]] is the
+    * HOF formulation it must equal (OpsSpec) — kept as the executable spec,
+    * but CodegenFallback and O(n·w) with a per-window slice allocation
+    * (measured 47 s vs sub-second at sf0.1). */
   def winnowedFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprints(col("text"), w)).as("fp"))
+
+  private[graft] def winnowedFingerprintsHof(docs: DataFrame, w: Int = 4): DataFrame =
     docs
       .withColumn("hs", expr(s"transform(split(text, ' '), t -> ${h60Sql("t")})"))
       // the < w guard matters: Spark's sequence(1, n-w+1) DESCENDS when

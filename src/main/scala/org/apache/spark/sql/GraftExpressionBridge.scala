@@ -18,4 +18,18 @@ object GraftExpressionBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Apply a SparkSessionExtensions function-injection body to a session's
+    * registry — what Spark itself does for `spark.sql.extensions` at
+    * session BUILD time (BaseSessionStateBuilder.functionRegistry →
+    * extensions.registerFunctions). That config is read only when the
+    * SparkContext is created, so a test sharing one context cannot
+    * exercise the config wiring; this applies the same injection step
+    * (registerFunctions is private[sql] — hence this bridge). */
+  def applyInjectedFunctions(spark: SparkSession,
+                             inject: SparkSessionExtensions => Unit): Unit = {
+    val ext = new SparkSessionExtensions
+    inject(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

@@ -51,6 +51,30 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(viaSql.sameElements(viaCol))
   }
 
+  test("GraftExtensions injects every native function via SparkSessionExtensions") {
+    import org.apache.spark.sql.GraftExpressionBridge
+    // a NEW session = fresh function registry: nothing from the harness
+    // session's functions.register leaks in (temp functions are
+    // session-scoped), so resolution below comes from the injection alone.
+    // spark.sql.extensions itself is read only at SparkContext creation —
+    // a shared-context test exercises the same injection step Spark's
+    // session builder runs (registerFunctions), via the sql-package bridge.
+    val s2 = spark.newSession()
+    val probe =
+      """SELECT quantized_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d,
+        |       simhash64('a b c') AS sh,
+        |       minhash_signature(shingle_hashes('a b c d e f g h i j', 1, 8)) AS sig,
+        |       winnow_fingerprints('a b c d e f', 4) AS wf""".stripMargin
+    intercept[Exception](s2.sql(probe).head()) // fresh registry: unresolved
+    GraftExpressionBridge.applyInjectedFunctions(s2, new GraftExtensions().apply(_))
+    val r = s2.sql(probe).head()
+    assert(r.getLong(0) == 3000000L)
+    assert(!r.isNullAt(1) && !r.isNullAt(2))
+    val wf = r.getSeq[Long](3)
+    assert(wf.nonEmpty && wf.length <= 3,
+      s"6 tokens, w=4 -> 3 windows, 1..3 distinct minima: $wf")
+  }
+
   test("quantized_dot on unequal-length arrays is NULL (matches the HOF zip_with form)") {
     graft.functions.register(spark)
     import spark.implicits._

@@ -132,6 +132,20 @@ class OpsSpec extends AnyFunSuite {
     assert(nearOk >= 8)
   }
 
+  test("winnow kernel ≡ HOF formulation (incl. degenerate docs)") {
+    val edge = Seq(
+      (50L, ""), (51L, "one"), (52L, "a b c"), // below w=4 → empty
+      (53L, "a b c d"),                        // exactly one window
+      (54L, "x x x x x x"),                    // all-equal hashes (tie path)
+      (55L, "p q r s t u v w p q r s"))        // repeats → distinct collapses
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(edge)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(Text.winnowedFingerprints(corpus)) ==
+      rows(Text.winnowedFingerprintsHof(corpus)))
+  }
+
   test("winnowing: a shared run of 2w-1 tokens guarantees a common fingerprint; short docs emit none") {
     val w = 4
     val shared = (1 to 2 * w - 1).map(i => s"S$i").mkString(" ")
