@@ -9,16 +9,19 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowed document fingerprints as one native kernel: tokenize → h60 per
-  * token → sliding-window (size `w`) minima via a monotonic deque →
+  * 3-gram shingle (k-GRAM hashes, the MOSS scheme — unigram hashes would
+  * make the fingerprint a token-identity set, degenerate on low-diversity
+  * vocabularies) → sliding-window (size `w`) minima via a monotonic deque →
   * first-occurrence-order distinct.
   *
   * Semantics are EXACTLY `Text.winnowedFingerprintsHof`'s pipeline
-  * (`array_distinct(transform(sequence(1, n-w+1), i -> array_min(slice(hs,
-  * i, w))))`), pinned by OpsSpec and unchanged vs the t7 DuckDB oracle —
-  * but the HOF form is CodegenFallback AND O(n·w) with a fresh w-element
-  * array allocated per window (`slice`); the deque is O(n) amortized with
-  * zero per-window allocation, one JVM call per row. Same treatment the
-  * shingle/minhash/simhash kernels got (47 s → sub-second at sf0.1).
+  * (shingle h60s, then `array_distinct(transform(sequence(1, n-w+1),
+  * i -> array_min(slice(hs, i, w))))`), pinned by OpsSpec and unchanged vs
+  * the t7 DuckDB oracle — but the HOF form is CodegenFallback AND O(n·w)
+  * with a fresh w-element array allocated per window (`slice`); the deque
+  * is O(n) amortized with zero per-window allocation, one JVM call per
+  * row. Same treatment the shingle/minhash/simhash kernels got
+  * (47 s → sub-second at sf0.1).
   */
 final case class WinnowFingerprints(child: Expression, w: Int)
     extends UnaryExpression {
@@ -56,11 +59,15 @@ object WinnowKernel {
   def compute(text: UTF8String, w: Int): ArrayData = {
     // split on single spaces keeping empties — Spark's split(text, ' ')
     val toks = text.toString.split(" ", -1)
-    val n = toks.length
+    // n = number of 3-gram shingles; winnowing needs >= w of them
+    val n = toks.length - 2
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = ShingleKernel.h60(toks(i)); i += 1 }
+    while (i < n) {
+      hs(i) = ShingleKernel.h60(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
     // monotonic deque of indices with increasing hash values: the head is
     // always the window minimum. Popping on >= keeps the latest index for
     // equal hashes — the VALUE of the minimum (all that array_min sees) is

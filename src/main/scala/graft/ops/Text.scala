@@ -82,17 +82,19 @@ object Text {
         count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
   }
 
-  /** Winnowed document fingerprints (the MOSS scheme): hash every token,
-    * slide a window of `w`, keep each window's MINIMUM hash, emit the
-    * distinct selected hashes as (doc_id, fp) rows. Guarantees of the
-    * scheme: any shared token run of length ≥ 2w-1 between two documents
-    * selects at least one common fingerprint, while only ~2/(w+1) of
-    * positions are kept — the rolling-hash fingerprint a plagiarism/dedup
-    * index stores instead of full shingle sets. All array ops (transform /
-    * slice / array_min / array_distinct) run inside one narrow projection —
+  /** Winnowed document fingerprints (the MOSS scheme): hash every 3-gram
+    * shingle (k-gram hashes — unigram hashes would collapse the fingerprint
+    * to a token-identity set, degenerate on low-diversity vocabularies),
+    * slide a window of `w` over the shingle hashes, keep each window's
+    * MINIMUM, emit the distinct selected hashes as (doc_id, fp) rows.
+    * Guarantees of the scheme: any shared token run of length ≥ w+k-1
+    * (= w+2 at k=3) between two documents selects at least one common
+    * fingerprint, while only ~2/(w+1) of positions are kept — the
+    * rolling-hash fingerprint a plagiarism/dedup index stores instead of
+    * full shingle sets. All array ops run inside one narrow projection —
     * no explode until the final row emit, no shuffle at all. Documents
-    * shorter than `w` tokens emit nothing (winnowing is undefined there; the
-    * oracle mirrors that via greatest(n-w+1, 0)).
+    * with fewer than `w` shingles (w+2 tokens) emit nothing (winnowing is
+    * undefined there; the oracle mirrors that via greatest(..., 0)).
     *
     * Runs as the native `functions.WinnowFingerprints` kernel (monotonic
     * deque, O(n), one JVM call per row); [[winnowedFingerprintsHof]] is the
@@ -103,9 +105,35 @@ object Text {
     docs.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints(col("text"), w)).as("fp"))
 
+  /** Near-duplicate candidate pairs over the WINNOWED fingerprint index:
+    * the downstream use the fingerprints exist for (a winnow index stores
+    * ~2/(w+1) of the shingle volume, and its selection guarantee — shared
+    * runs ≥ 2w-1 tokens always select a common fingerprint — carries over
+    * to the join). Same scale shape as the shingle join: ids-only
+    * equi-join on fp, map-side-combinable pair count, df cap (corpus-
+    * relative by default) bounding the one skew key by construction via
+    * the broadcast anti-joined reject set. */
+  def winnowNearDupPairs(docs: DataFrame, w: Int = 4, minShared: Long = 2,
+                         maxDf: Option[Long] = None): DataFrame = {
+    val cap = maxDf.getOrElse(relativeDfCap(docs.count()))
+    val fp0 = ManagedCache.pin(winnowedFingerprints(docs, w))
+    val reject = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("fp")
+    val fp = fp0.join(broadcast(reject), Seq("fp"), "left_anti")
+    fp.alias("x")
+      .join(fp.alias("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   private[graft] def winnowedFingerprintsHof(docs: DataFrame, w: Int = 4): DataFrame =
     docs
-      .withColumn("hs", expr(s"transform(split(text, ' '), t -> ${h60Sql("t")})"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", when(size(col("toks")) < 3, expr("CAST(array() AS array<bigint>)"))
+        .otherwise(expr(
+          s"""transform(sequence(1, size(toks) - 2),
+             |  i -> ${h60Sql("concat(element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2))")})""".stripMargin)))
       // the < w guard matters: Spark's sequence(1, n-w+1) DESCENDS when
       // n < w (same trap as sampledShingleStructs) — short docs must yield
       // an empty set, not a reversed-range crash
@@ -342,19 +370,49 @@ object Text {
 
     QueryDef("t7_winnow",
       (s, d) => winnowedFingerprints(t(s, d, "documents")),
-      // the same winnowing in DuckDB: h60 token hashes, 4-windows via
-      // generate_series (greatest(...,0) mirrors the short-doc empty set),
-      // list_min per window, distinct, unnest
-      Some(s"""WITH hs AS (
+      // the same winnowing in DuckDB: h60 3-gram shingle hashes, 4-windows
+      // via generate_series (greatest(...,0) mirrors the short-doc empty
+      // set), list_min per window, distinct, unnest
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+              hs AS (
                 SELECT doc_id,
-                       list_transform(string_split(text,' '),
-                         t -> CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS hs
-                FROM documents)
+                       list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                         i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+                FROM toks)
               SELECT doc_id,
                      unnest(list_distinct(list_transform(
                        generate_series(1, greatest(len(hs) - 3, 0)),
                        i -> list_min(hs[i:i+3])))) AS fp
               FROM hs""")),
+
+    QueryDef("t8_winnow_pairs",
+      (s, d) => winnowNearDupPairs(t(s, d, "documents")),
+      // the t7 winnowing replayed, then the df-capped (corpus-relative,
+      // integer arithmetic) fingerprint self-join with a shared-count gate
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+              hs AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                         i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+                FROM toks),
+              fps AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         generate_series(1, greatest(len(hs) - 3, 0)),
+                         i -> list_min(hs[i:i+3])))) AS fp
+                FROM hs),
+              kept AS (
+                SELECT fps.doc_id, fps.fp
+                FROM fps
+                JOIN (SELECT fp FROM fps GROUP BY fp
+                      HAVING count(*) <= greatest($DefaultShingleDfFloor,
+                        (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
+                         FROM documents))) keep
+                  ON fps.fp = keep.fp)
+              SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+              FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+              HAVING count(*) >= 2""")),
 
     // Multimodal plumbing scalar layer: byte-level metadata over the text
     // treated as an opaque payload (the real binary path is ops.Multimodal)

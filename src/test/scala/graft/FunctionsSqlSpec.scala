@@ -71,8 +71,7 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3000000L)
     assert(!r.isNullAt(1) && !r.isNullAt(2))
     val wf = r.getSeq[Long](3)
-    assert(wf.nonEmpty && wf.length <= 3,
-      s"6 tokens, w=4 -> 3 windows, 1..3 distinct minima: $wf")
+    assert(wf.length == 1, s"6 tokens -> 4 shingles, w=4 -> one window: $wf")
   }
 
   test("quantized_dot on unequal-length arrays is NULL (matches the HOF zip_with form)") {

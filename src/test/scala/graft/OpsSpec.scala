@@ -134,10 +134,10 @@ class OpsSpec extends AnyFunSuite {
 
   test("winnow kernel ≡ HOF formulation (incl. degenerate docs)") {
     val edge = Seq(
-      (50L, ""), (51L, "one"), (52L, "a b c"), // below w=4 → empty
-      (53L, "a b c d"),                        // exactly one window
-      (54L, "x x x x x x"),                    // all-equal hashes (tie path)
-      (55L, "p q r s t u v w p q r s"))        // repeats → distinct collapses
+      (50L, ""), (51L, "one"), (52L, "a b c d e"), // < w=4 shingles → empty
+      (53L, "a b c d e f"),                        // exactly one window
+      (54L, "x x x x x x x x"),                    // all-equal hashes (tie path)
+      (55L, "p q r s t u v w p q r s t u"))        // repeats → distinct collapses
       .toDF("doc_id", "text")
     val corpus = docs.select("doc_id", "text").unionByName(edge)
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -146,21 +146,32 @@ class OpsSpec extends AnyFunSuite {
       rows(Text.winnowedFingerprintsHof(corpus)))
   }
 
-  test("winnowing: a shared run of 2w-1 tokens guarantees a common fingerprint; short docs emit none") {
+  test("winnowing: a shared run of w+k-1 tokens guarantees a common fingerprint; short docs emit none") {
     val w = 4
-    val shared = (1 to 2 * w - 1).map(i => s"S$i").mkString(" ")
+    // shared token run of w+k-1 = 6 gives w consecutive shared shingles —
+    // one full window inside the run on both sides, hence a common min
+    val shared = (1 to w + 2).map(i => s"S$i").mkString(" ")
     val d = Seq(
       (1L, s"a1 a2 a3 $shared b1 b2"),
       (2L, s"c1 c2 $shared d1 d2 d3"),
-      (3L, "below the window"), // 3 tokens < w → winnowing undefined → empty
-      (4L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+      (3L, "below the window floor"), // 4 tokens = 2 shingles < w → empty
+      (4L, "x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
     val by = Text.winnowedFingerprints(d, w).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(!by.contains(3L), "short docs must emit no fingerprints")
     assert(by(1L).intersect(by(2L)).nonEmpty,
       "the winnowing guarantee: both docs select a fingerprint from the shared run")
-    assert(by(4L).nonEmpty && by(4L).size <= 2, s"5 tokens → 2 windows: ${by(4L)}")
+    assert(by(4L).nonEmpty && by(4L).size <= 2, s"7 tokens → 5 shingles → 2 windows: ${by(4L)}")
+  }
+
+  test("winnow near-dup pairs: planted exact and near duplicates surface through the fp index") {
+    val pairs = Text.winnowNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i =>
+      assert(pairs.contains((i.toLong, 200L + i)), s"exact dup pair ($i, ${200 + i}) missed"))
+    val nearHits = (0 until 10).count(i => pairs.contains((i.toLong, 100L + i)))
+    assert(nearHits >= 8, s"only $nearHits/10 near-dups found via winnow index")
   }
 
   test("ngram jaccard pairs: exact dups at 10000 bp") {
