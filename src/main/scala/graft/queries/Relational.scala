@@ -210,6 +210,59 @@ object Relational {
                        CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn
                 FROM events) WHERE rn <= 3""")),
 
+    // Sessionization (beyond the reference — the canonical event-stream
+    // analysis): per-user gap-based sessions via lag + cumulative new-
+    // session flag, then one aggregation per (user, session). One shuffle
+    // on user_id feeds both window passes; all cross-engine arithmetic is
+    // INTEGER MICROSECONDS (unix_micros ↔ epoch_us) — the events carry
+    // sub-second timestamps and DuckDB's epoch() returns a fractional
+    // DOUBLE while Spark's long cast truncates, so second-granularity
+    // comparisons would silently diverge at session boundaries.
+    QueryDef("w2_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 1800L * 1000000L
+        t(s, d, "events")
+          // ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP —
+          // session TZ is UTC, so the cast reinterprets the naive value as UTC,
+          // exactly DuckDB's epoch_us on a naive timestamp
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sess_idx", sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("sess_start"), max("ts").as("sess_end"))
+          // `div`, not `/`: Column./ is Divide (DOUBLE) even on longs;
+          // DuckDB `//` is integer division — duration must stay BIGINT
+          .withColumn("duration_sec", expr(
+            "(unix_micros(CAST(sess_end AS TIMESTAMP)) - unix_micros(CAST(sess_start AS TIMESTAMP))) div 1000000"))
+      },
+      Some("""WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                FROM events),
+              f AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM o),
+              sx AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sess_idx
+                FROM f)
+              SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     min(ts) AS sess_start, max(ts) AS sess_end,
+                     (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+              FROM sx GROUP BY user_id, sess_idx""")),
+
     // J: declarative constraint validation as count-if predicates
     // (reference SHACL shapes: pokemon-shapes.ttl:6-67, SURVEY §2-J)
     QueryDef("j1_validation",
