@@ -327,18 +327,25 @@ object Bench {
         val qt0 = System.nanoTime()
         val ok = withTimeout(spark, math.max(remaining, 30.0)) { fn(spark, sfDir).count() }
         val t1 = (System.nanoTime() - qt0) / 1e9
+        // the operators pin internal persists (ManagedCache, caller-owned
+        // lifecycle); released BETWEEN the two runs so the second run
+        // recomputes from scratch — with the pins live, Spark substitutes
+        // the cached InMemoryRelations into the canonically-equal second
+        // plan and the "min" would measure cached scans, not the query
+        graft.ops.ManagedCache.releaseAll(spark)
         // min-of-2 when budget allows: the first run carries warm-up
         // (codegen + JIT + stage builds) — re-running and keeping the min
         // strips one-time costs and window noise from the per-query numbers
         // the judge compares across rounds. Skipped when budget is tight.
+        // The re-run's watchdog is scaled to the FIRST run (3×t1), not the
+        // remaining budget: one pathological re-run must not drain the
+        // whole query phase.
         val t = if (ok.isDefined && remaining > 60 && t1 < remaining * 0.25) {
           val qt1 = System.nanoTime()
-          val ok2 = withTimeout(spark, math.max(remaining, 30.0)) { fn(spark, sfDir).count() }
+          val ok2 = withTimeout(spark, math.max(t1 * 3, 30.0)) { fn(spark, sfDir).count() }
           if (ok2.isDefined) math.min(t1, (System.nanoTime() - qt1) / 1e9) else t1
         } else t1
         queryTimes(name) = if (ok.isDefined) t else -1.0
-        // release operator-pinned persists between queries (caller-owned
-        // lifecycle — see ManagedCache)
         graft.ops.ManagedCache.releaseAll(spark)
       }
       if ((i + 1) % 10 == 0) emit(render())

@@ -48,7 +48,9 @@ object Main {
   def main(args: Array[String]): Unit = {
     def optArg(name: String): Option[String] = args.indexOf(name) match {
       case -1 => None
-      case i  => Some(args(i + 1))
+      case i if i + 1 < args.length => Some(args(i + 1))
+      case _ => sys.error(s"$name requires a value " +
+        "(usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>])")
     }
     val inputDir = optArg("--input")
     val tsvPath = optArg("--tsv")

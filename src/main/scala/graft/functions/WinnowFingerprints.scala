@@ -26,6 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class WinnowFingerprints(child: Expression, w: Int)
     extends UnaryExpression {
 
+  // w < 1 would walk the deque past its live slice (crash or garbage
+  // fingerprints); the expression is on the public SQL surface, so reject
+  // at construction, not mid-task
+  require(w >= 1, s"winnow_fingerprints window must be >= 1, got $w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()

@@ -14,13 +14,19 @@ import org.apache.spark.storage.StorageLevel
   * acts), so the contract is: callers own the lifecycle — run the action,
   * then `releaseAll(spark)`. A released frame that is re-queried simply
   * recomputes (correctness is unaffected); Verify and Bench release after
-  * every query. Sessions are weak keys: an abandoned session's entries
-  * become collectable with it.
+  * every query.
+  *
+  * The lifecycle is EXPLICIT-RELEASE-ONLY, deliberately: unpersisting
+  * requires the DataFrame, a DataFrame strongly references its
+  * SparkSession, and the cached blocks live in the shared CacheManager
+  * regardless — so no weak-reference scheme can make abandoned-session
+  * cleanup automatic without also losing the handle needed to release the
+  * blocks. Entries are therefore held strongly and bounded by the
+  * caller's release discipline, not by GC.
   */
 object ManagedCache {
 
-  private val reg = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]())
+  private val reg = new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
   /** Persist `df` MEMORY_AND_DISK and register it for [[releaseAll]]. */
   def pin(df: DataFrame): DataFrame = reg.synchronized {

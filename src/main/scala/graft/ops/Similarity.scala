@@ -317,7 +317,11 @@ object Similarity {
       var best = -1
       for (c <- scores.indices if !picked.contains(c)) {
         val bestScore = if (best == -1) Double.MinValue else scores(best)
-        if (scores(c) > bestScore) best = c
+        // Double.compare, not `>`: Spark SQL's comparison treats NaN as
+        // GREATER than any value (a zero-norm centroid scores 0/0 = NaN),
+        // while Java's `>` is false for NaN — the driver selection must
+        // order exactly like the distributed fold or staged ≠ one-shot
+        if (java.lang.Double.compare(scores(c), bestScore) > 0) best = c
       }
       if (best >= 0) picked += best
     }

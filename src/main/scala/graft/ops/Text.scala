@@ -37,8 +37,10 @@ object Text {
     * its contraction special cases. Restricted to constructs with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): character classes
     * and alternation only, no lookaround/backrefs — so the count carries an
-    * exact cross-engine oracle. */
-  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    * exact cross-engine oracle. The whitespace class is spelled out rather
+    * than \\s: Java's \\s includes vertical tab (U+000B), RE2's does not,
+    * so \\s would diverge on documents containing one. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
@@ -115,11 +117,19 @@ object Text {
     * the broadcast anti-joined reject set. */
   def winnowNearDupPairs(docs: DataFrame, w: Int = 4, minShared: Long = 2,
                          maxDf: Option[Long] = None): DataFrame = {
-    val cap = maxDf.getOrElse(relativeDfCap(docs.count()))
+    val n = docs.count()
+    val cap = maxDf.getOrElse(defaultDfCap(n))
     val fp0 = ManagedCache.pin(winnowedFingerprints(docs, w))
-    val reject = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("fp")
-    val fp = fp0.join(broadcast(reject), Seq("fp"), "left_anti")
+    val dfAgg = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+    // same adaptive filter strategy as explodedShingles (winnowing keeps
+    // ~2/(w+1) of ~n·tokens positions; the broadcast path needs the
+    // reject bound driver-small)
+    val fp =
+      if (512.0 * n / math.max(cap, 1L) <= 4e6)
+        fp0.join(broadcast(dfAgg.filter(col("df") > cap).select("fp")),
+          Seq("fp"), "left_anti")
+      else fp0.join(dfAgg.filter(col("df") <= cap).select("fp"),
+        Seq("fp"), "left_semi")
     fp.alias("x")
       .join(fp.alias("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -216,41 +226,61 @@ object Text {
     * only splits the oversized partition after the fan-out exists. */
   val DefaultShingleDfCap: Long = 1000
 
-  /** Corpus-RELATIVE df cap parameters: effective cap =
-    * max(floor, ceil(nDocs / den)). An absolute cap can never trigger below
-    * its own size (at 500 docs a 1000-doc cap filters nothing while still
-    * paying the df pass), while a fraction of the corpus engages at every
-    * scale; the floor keeps tiny test corpora from over-filtering. Integer
-    * arithmetic only — a float fraction (0.1 × n) rounds differently in
-    * engines that parse 0.1 as DECIMAL (DuckDB) vs double (JVM), and the
-    * cap must be bit-identical for the t5 oracle. */
+  /** Corpus-RELATIVE df cap parameters: effective default cap =
+    * min(absolute ceiling, max(floor, ceil(nDocs / den))). The relative
+    * part makes the cap engage at every corpus size (an absolute cap can
+    * never trigger below its own size — at 500 docs a 1000-doc cap filters
+    * nothing while still paying the df pass); the ABSOLUTE ceiling keeps
+    * the per-key join fan-out bounded by a constant — a fraction alone
+    * would admit a key with df = n/den whose self-join emits O(n²) pairs
+    * at corpus scale, the exact blowup the cap exists to prevent. The
+    * floor keeps tiny test corpora from over-filtering. Integer arithmetic
+    * only — a float fraction (0.1 × n) rounds differently in engines that
+    * parse 0.1 as DECIMAL (DuckDB) vs double (JVM), and the cap must be
+    * bit-identical for the t5/t8 oracles. */
   val DefaultShingleDfDen: Long = 10
   val DefaultShingleDfFloor: Long = 20
 
-  /** The default corpus-relative cap for `nDocs` documents. */
+  /** The corpus-relative component: max(floor, ceil(nDocs / den)). */
   def relativeDfCap(nDocs: Long, den: Long = DefaultShingleDfDen,
                     floor: Long = DefaultShingleDfFloor): Long =
     math.max(floor, (nDocs + den - 1) / den)
 
+  /** The default effective cap: relative, ceilinged by the absolute bound. */
+  def defaultDfCap(nDocs: Long): Long =
+    math.min(DefaultShingleDfCap, relativeDfCap(nDocs))
+
   /** Per-doc sampled shingle hashes, exploded, with hashes above the df cap
-    * removed. The REJECT set (df > maxDf) is tiny by definition — at most
-    * totalShingleRows / maxDf distinct hashes can exceed the cap (≤ ~5k at
-    * ANY corpus size under the relative default: 512·n / (n/10)) — so the
-    * filter is a broadcast ANTI join, not a second shuffle of the exploded
-    * rows. The exploded frame is pinned (ManagedCache): it feeds the df
+    * removed. The exploded frame is pinned (ManagedCache): it feeds the df
     * aggregation AND every downstream consumer (sizes + both self-join
     * sides in t5), and without the persist the ShingleHashes kernel (one
     * md5 per sampled shingle — the expensive part) would re-run per
     * consumer; (doc_id, long) rows are compact, callers release via
-    * ManagedCache.releaseAll. Sizes and intersections downstream both use
-    * the FILTERED sets, so the Jaccard estimate stays a true Jaccard (of
-    * boilerplate-free shingle sets), not an inconsistent hybrid. */
-  private[graft] def explodedShingles(docs: DataFrame, maxDf: Long): DataFrame = {
+    * ManagedCache.releaseAll.
+    *
+    * Filter strategy adapts to the REJECT-set bound (≤ totalShingleRows /
+    * maxDf distinct hashes can exceed the cap, ≤ 512·nDocs / maxDf):
+    * when that bound is driver-small the reject set is broadcast and the
+    * filter is an ANTI join (no second shuffle of the exploded rows); a
+    * small absolute cap on a huge corpus makes the reject set O(n), so
+    * there the filter falls back to the shuffled KEEP semi-join — on the
+    * same key the downstream self-join shuffles anyway. Sizes and
+    * intersections downstream both use the FILTERED sets, so the Jaccard
+    * estimate stays a true Jaccard (of boilerplate-free shingle sets), not
+    * an inconsistent hybrid. */
+  private[graft] def explodedShingles(docs: DataFrame, maxDf: Long,
+                                      nDocs: Long): DataFrame = {
     val ex0 = ManagedCache.pin(
       shingleHashes(docs).select(col("doc_id"), explode(col("sh")).as("s")))
-    val reject = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("s")
-    ex0.join(broadcast(reject), Seq("s"), "left_anti")
+    val dfAgg = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    val rejectBound = 512.0 * nDocs / math.max(maxDf, 1L)
+    if (rejectBound <= 4e6) {
+      val reject = dfAgg.filter(col("df") > maxDf).select("s")
+      ex0.join(broadcast(reject), Seq("s"), "left_anti")
+    } else {
+      val keep = dfAgg.filter(col("df") <= maxDf).select("s")
+      ex0.join(keep, Seq("s"), "left_semi")
+    }
   }
 
   /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
@@ -260,11 +290,13 @@ object Text {
     * by content n-grams; `cap` bounds per-doc fan-out and the df cap bounds
     * per-shingle fan-out (boilerplate removal), so no single key can go
     * quadratic by construction. `maxDf = None` (the default) resolves to
-    * the corpus-relative cap (one cheap count of `docs`). */
+    * the corpus-relative-with-absolute-ceiling cap (one cheap count of
+    * `docs`). */
   def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500,
                         maxDf: Option[Long] = None): DataFrame = {
-    val cap = maxDf.getOrElse(relativeDfCap(docs.count()))
-    val ex = explodedShingles(docs, cap)
+    val n = docs.count()
+    val cap = maxDf.getOrElse(defaultDfCap(n))
+    val ex = explodedShingles(docs, cap, n)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val common = ex.alias("x")
       .join(ex.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -332,8 +364,8 @@ object Text {
       // mirrors the hash-sampled bottom-capped shingling exactly (h60 =
       // first 15 hex digits of md5 as an integer in both engines), INCLUDING
       // the boilerplate document-frequency cap (kept CTE) — corpus-relative
-      // like the Spark default, in pure integer arithmetic (// is DuckDB
-      // integer division; ceil-div both sides)
+      // with the absolute ceiling, like the Spark default, in pure integer
+      // arithmetic (// is DuckDB integer division; ceil-div both sides)
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
               raw AS (
                 SELECT doc_id,
@@ -351,9 +383,10 @@ object Text {
                 SELECT samp.doc_id, samp.h
                 FROM samp
                 JOIN (SELECT h FROM samp GROUP BY h
-                      HAVING count(*) <= greatest($DefaultShingleDfFloor,
-                        (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
-                         FROM documents))) keep
+                      HAVING count(*) <= least($DefaultShingleDfCap,
+                        greatest($DefaultShingleDfFloor,
+                          (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
+                           FROM documents)))) keep
                   ON samp.h = keep.h),
               sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM kept GROUP BY doc_id),
               common AS (
@@ -405,9 +438,10 @@ object Text {
                 SELECT fps.doc_id, fps.fp
                 FROM fps
                 JOIN (SELECT fp FROM fps GROUP BY fp
-                      HAVING count(*) <= greatest($DefaultShingleDfFloor,
-                        (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
-                         FROM documents))) keep
+                      HAVING count(*) <= least($DefaultShingleDfCap,
+                        greatest($DefaultShingleDfFloor,
+                          (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
+                           FROM documents)))) keep
                   ON fps.fp = keep.fp)
               SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
               FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id

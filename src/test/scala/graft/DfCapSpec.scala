@@ -35,7 +35,7 @@ class DfCapSpec extends AnyFunSuite {
 
   test("planted 50%-df shingle: candidate volume bounded by the cap") {
     def candidateRows(maxDf: Long): Long = {
-      val ex = Text.explodedShingles(planted, maxDf)
+      val ex = Text.explodedShingles(planted, maxDf, 202L)
       ex.alias("x").join(ex.alias("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .count()
@@ -56,12 +56,16 @@ class DfCapSpec extends AnyFunSuite {
       s"boilerplate-only pairs leaked: ${pairs.take(5)}")
   }
 
-  test("relative (default) cap engages at corpus scale: max(floor, ceil(n/den))") {
+  test("relative (default) cap engages at corpus scale: min(ceiling, max(floor, ceil(n/den)))") {
     // 202 docs → cap = max(20, ceil(202/10)) = 21 < boilerplate df 101:
     // the DEFAULT path (no explicit maxDf) must already drop the planted
     // boilerplate — an absolute default larger than the corpus never could
-    assert(Text.relativeDfCap(202) == 21L)
-    assert(Text.relativeDfCap(5) == 20L, "floor guards tiny corpora")
+    assert(Text.defaultDfCap(202) == 21L)
+    assert(Text.defaultDfCap(5) == 20L, "floor guards tiny corpora")
+    // ...while the ABSOLUTE ceiling keeps per-key join fan-out constant: a
+    // pure fraction would admit a df = n/10 key whose self-join goes O(n²)
+    assert(Text.defaultDfCap(1000000000L) == 1000L)
+    // the fraction itself is unceilinged (the MinHash-capped path's input)
     assert(Text.relativeDfCap(1000000000L) == 100000000L)
     val pairs = Text.ngramJaccardPairs(planted, minBp = 500)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -92,6 +96,16 @@ class DfCapSpec extends AnyFunSuite {
     val b = Dedup.minhashLshPairsDfCapped(planted, minEstBp = 1500, maxDf = 500)
       .collect().map(_.toString).toSet
     assert(a == b, "high cap must be a no-op vs the explode-free default path")
+  }
+
+  test("filter strategy (broadcast anti vs shuffled semi) is semantics-preserving") {
+    // nDocs only picks the strategy (reject-bound heuristic): an inflated
+    // value forces the shuffled keep semi-join; results must be identical
+    val viaBroadcastAnti = Text.explodedShingles(planted, 10, 202L)
+      .collect().map(_.toString).sorted.toSeq
+    val viaShuffledSemi = Text.explodedShingles(planted, 10, 5000000000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaBroadcastAnti == viaShuffledSemi)
   }
 
   test("curation with the df cap: boilerplate does not mass-drop unrelated docs") {
