@@ -77,7 +77,9 @@ object Dedup {
     * [[minhashSignatures]] path stays explode-free. DfCapSpec bounds the
     * planted-boilerplate bucket sizes and pins clean-corpus equality. */
   def minhashSignaturesDfCapped(docs: DataFrame, maxDf: Long): DataFrame = {
-    val kept = Text.explodedShingles(docs, maxDf, docs.count())
+    // nDocs = None → the safe shuffled filter path, with no extra count
+    // job on a path whose cap is always caller-supplied
+    val kept = Text.explodedShingles(docs, maxDf, None)
     kept.groupBy("doc_id")
       .agg(array_sort(collect_list(col("s"))).as("sh"))
       .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))

@@ -110,26 +110,18 @@ object Text {
   /** Near-duplicate candidate pairs over the WINNOWED fingerprint index:
     * the downstream use the fingerprints exist for (a winnow index stores
     * ~2/(w+1) of the shingle volume, and its selection guarantee — shared
-    * runs ≥ 2w-1 tokens always select a common fingerprint — carries over
-    * to the join). Same scale shape as the shingle join: ids-only
+    * runs ≥ w+k-1 tokens always select a common fingerprint — carries
+    * over to the join). Same scale shape as the shingle join: ids-only
     * equi-join on fp, map-side-combinable pair count, df cap (corpus-
-    * relative by default) bounding the one skew key by construction via
-    * the broadcast anti-joined reject set. */
+    * relative with absolute ceiling by default) bounding the one skew key
+    * by construction. Unlike sampled shingles, winnow fps have NO per-doc
+    * cap, so the filter-strategy bound is the EXACT pinned fp row count
+    * (the count doubles as the pin's materializing action). */
   def winnowNearDupPairs(docs: DataFrame, w: Int = 4, minShared: Long = 2,
                          maxDf: Option[Long] = None): DataFrame = {
-    val n = docs.count()
-    val cap = maxDf.getOrElse(defaultDfCap(n))
+    val cap = maxDf.getOrElse(defaultDfCap(docs.count()))
     val fp0 = ManagedCache.pin(winnowedFingerprints(docs, w))
-    val dfAgg = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
-    // same adaptive filter strategy as explodedShingles (winnowing keeps
-    // ~2/(w+1) of ~n·tokens positions; the broadcast path needs the
-    // reject bound driver-small)
-    val fp =
-      if (512.0 * n / math.max(cap, 1L) <= 4e6)
-        fp0.join(broadcast(dfAgg.filter(col("df") > cap).select("fp")),
-          Seq("fp"), "left_anti")
-      else fp0.join(dfAgg.filter(col("df") <= cap).select("fp"),
-        Seq("fp"), "left_semi")
+    val fp = dfCapFilter(fp0, "fp", cap, fp0.count().toDouble / math.max(cap, 1L))
     fp.alias("x")
       .join(fp.alias("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -250,37 +242,45 @@ object Text {
   def defaultDfCap(nDocs: Long): Long =
     math.min(DefaultShingleDfCap, relativeDfCap(nDocs))
 
+  /** Remove rows whose `keyCol` value occurs in more than `cap` rows. The
+    * strategy adapts to `rejectBound`, an UPPER bound on the number of
+    * distinct over-cap keys (≤ totalRows / cap): when driver-small, the
+    * reject set is broadcast and the filter is an ANTI join (no second
+    * shuffle of the rows); a small absolute cap on a huge corpus makes the
+    * reject set O(n), so there the filter falls back to the shuffled KEEP
+    * semi-join — on the same key the downstream self-join shuffles anyway.
+    * Callers with no cheap bound pass Infinity and get the safe shuffled
+    * path. DfCapSpec pins both paths equal. */
+  private def dfCapFilter(rows: DataFrame, keyCol: String, cap: Long,
+                          rejectBound: Double): DataFrame = {
+    val dfAgg = rows.groupBy(keyCol).agg(count(lit(1)).as("df"))
+    if (rejectBound <= 4e6)
+      rows.join(broadcast(dfAgg.filter(col("df") > cap).select(keyCol)),
+        Seq(keyCol), "left_anti")
+    else
+      rows.join(dfAgg.filter(col("df") <= cap).select(keyCol),
+        Seq(keyCol), "left_semi")
+  }
+
   /** Per-doc sampled shingle hashes, exploded, with hashes above the df cap
-    * removed. The exploded frame is pinned (ManagedCache): it feeds the df
-    * aggregation AND every downstream consumer (sizes + both self-join
+    * removed ([[dfCapFilter]]; the sampler's 512-per-doc cap makes
+    * 512·nDocs a true row bound, so `nDocs = Some(n)` enables the
+    * broadcast path — None takes the safe shuffled path with no extra
+    * count job). The exploded frame is pinned (ManagedCache): it feeds the
+    * df aggregation AND every downstream consumer (sizes + both self-join
     * sides in t5), and without the persist the ShingleHashes kernel (one
     * md5 per sampled shingle — the expensive part) would re-run per
     * consumer; (doc_id, long) rows are compact, callers release via
-    * ManagedCache.releaseAll.
-    *
-    * Filter strategy adapts to the REJECT-set bound (≤ totalShingleRows /
-    * maxDf distinct hashes can exceed the cap, ≤ 512·nDocs / maxDf):
-    * when that bound is driver-small the reject set is broadcast and the
-    * filter is an ANTI join (no second shuffle of the exploded rows); a
-    * small absolute cap on a huge corpus makes the reject set O(n), so
-    * there the filter falls back to the shuffled KEEP semi-join — on the
-    * same key the downstream self-join shuffles anyway. Sizes and
-    * intersections downstream both use the FILTERED sets, so the Jaccard
-    * estimate stays a true Jaccard (of boilerplate-free shingle sets), not
-    * an inconsistent hybrid. */
+    * ManagedCache.releaseAll. Sizes and intersections downstream both use
+    * the FILTERED sets, so the Jaccard estimate stays a true Jaccard (of
+    * boilerplate-free shingle sets), not an inconsistent hybrid. */
   private[graft] def explodedShingles(docs: DataFrame, maxDf: Long,
-                                      nDocs: Long): DataFrame = {
+                                      nDocs: Option[Long]): DataFrame = {
     val ex0 = ManagedCache.pin(
       shingleHashes(docs).select(col("doc_id"), explode(col("sh")).as("s")))
-    val dfAgg = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-    val rejectBound = 512.0 * nDocs / math.max(maxDf, 1L)
-    if (rejectBound <= 4e6) {
-      val reject = dfAgg.filter(col("df") > maxDf).select("s")
-      ex0.join(broadcast(reject), Seq("s"), "left_anti")
-    } else {
-      val keep = dfAgg.filter(col("df") <= maxDf).select("s")
-      ex0.join(keep, Seq("s"), "left_semi")
-    }
+    val bound = nDocs.map(n => 512.0 * n / math.max(maxDf, 1L))
+      .getOrElse(Double.PositiveInfinity)
+    dfCapFilter(ex0, "s", maxDf, bound)
   }
 
   /** N-gram Jaccard near-duplicate candidate pairs: explode shingles,
@@ -296,7 +296,7 @@ object Text {
                         maxDf: Option[Long] = None): DataFrame = {
     val n = docs.count()
     val cap = maxDf.getOrElse(defaultDfCap(n))
-    val ex = explodedShingles(docs, cap, n)
+    val ex = explodedShingles(docs, cap, Some(n))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val common = ex.alias("x")
       .join(ex.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -35,7 +35,7 @@ class DfCapSpec extends AnyFunSuite {
 
   test("planted 50%-df shingle: candidate volume bounded by the cap") {
     def candidateRows(maxDf: Long): Long = {
-      val ex = Text.explodedShingles(planted, maxDf, 202L)
+      val ex = Text.explodedShingles(planted, maxDf, Some(202L))
       ex.alias("x").join(ex.alias("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .count()
@@ -99,11 +99,11 @@ class DfCapSpec extends AnyFunSuite {
   }
 
   test("filter strategy (broadcast anti vs shuffled semi) is semantics-preserving") {
-    // nDocs only picks the strategy (reject-bound heuristic): an inflated
-    // value forces the shuffled keep semi-join; results must be identical
-    val viaBroadcastAnti = Text.explodedShingles(planted, 10, 202L)
+    // nDocs only picks the strategy (reject-bound): None means "no cheap
+    // bound" and forces the shuffled keep semi-join; results must be identical
+    val viaBroadcastAnti = Text.explodedShingles(planted, 10, Some(202L))
       .collect().map(_.toString).sorted.toSeq
-    val viaShuffledSemi = Text.explodedShingles(planted, 10, 5000000000L)
+    val viaShuffledSemi = Text.explodedShingles(planted, 10, None)
       .collect().map(_.toString).sorted.toSeq
     assert(viaBroadcastAnti == viaShuffledSemi)
   }
