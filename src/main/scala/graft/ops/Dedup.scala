@@ -159,30 +159,42 @@ object Dedup {
     * {pairs : hamming ≤ maxHamming} independent of the banding (which is
     * why the d3 oracle can verify it with a plain theta join).
     *
-    * Completeness contract (OpsSpec pins both regimes, and >7 is rejected
-    * at call time rather than silently returning a best-effort subset):
-    *  - maxHamming ≤ 3: plain banding (pigeonhole: 4 bands, ≤3 differing
-    *    bits ⇒ some band untouched ⇒ its buckets collide);
-    *  - 4 ≤ maxHamming ≤ 7: MULTI-PROBE banding — the probe side emits
-    *    each band's bucket plus all 15 single-bit flips (⌈7/4⌉-1 = 1 bit:
-    *    some band differs in ≤1 bit, and flipping that bit on one side
-    *    lands in the other side's bucket). 16× probe-side rows, join still
-    *    keyed by (band, bucket) — never all-pairs. */
+    * Completeness contract (OpsSpec pins every regime, and >11 is rejected
+    * at call time rather than silently returning a best-effort subset).
+    * Pigeonhole: with hamming ≤ h over 4 bands, some band differs in
+    * ≤ ⌊h/4⌋ bits — the probe side emits every bucket within that flip
+    * radius of each band's bucket, so the (band, bucket) equi-join (never
+    * all-pairs) finds each qualifying pair:
+    *  - maxHamming ≤ 3: plain banding (some band untouched);
+    *  - 4..7: single-bit probes (16× probe rows per band);
+    *  - 8..11: ≤2-bit probes (1 + 15 + C(15,2) = 121× probe rows —
+    *    bounded, opt-in via the parameter). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 2 * SimhashBands - 1,
-      s"simhashPairs is complete only to hamming ${2 * SimhashBands - 1} " +
-        s"(4 bands, single-bit multi-probe); got $maxHamming — band wider " +
+    require(maxHamming <= 3 * SimhashBands - 1,
+      s"simhashPairs is complete only to hamming ${3 * SimhashBands - 1} " +
+        s"(4 bands, ≤2-bit multi-probe); got $maxHamming — band wider " +
         "or verify with an exact pass instead of a silent candidate subset")
     val sig = simhash(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr(s"transform(sequence(0, ${SimhashBands - 1}), b -> (simhash >> (b*15)) & 32767)")))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
-    val probeSide =
-      if (maxHamming <= SimhashBands - 1) banded
-      else banded.select(col("doc_id"), col("simhash"), col("band"),
-        explode(expr(
-          "array_union(array(bucket), transform(sequence(0, 14), j -> bucket ^ CAST(shiftleft(1, j) AS BIGINT)))"))
-          .as("bucket"))
+    val oneFlip =
+      "transform(sequence(0, 14), j -> bucket ^ CAST(shiftleft(1, j) AS BIGINT))"
+    val twoFlip = // j1 < j2; j1 max 13 keeps the inner sequence ascending
+      """flatten(transform(sequence(0, 13),
+        |  j1 -> transform(sequence(j1+1, 14),
+        |    j2 -> bucket ^ CAST(shiftleft(1, j1) AS BIGINT) ^ CAST(shiftleft(1, j2) AS BIGINT))))""".stripMargin
+    val probeExpr =
+      if (maxHamming <= SimhashBands - 1) None
+      else if (maxHamming <= 2 * SimhashBands - 1)
+        Some(s"array_union(array(bucket), $oneFlip)")
+      else
+        Some(s"array_union(array_union(array(bucket), $oneFlip), $twoFlip)")
+    val probeSide = probeExpr match {
+      case None => banded
+      case Some(e) => banded.select(col("doc_id"), col("simhash"), col("band"),
+        explode(expr(e)).as("bucket"))
+    }
     probeSide.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))

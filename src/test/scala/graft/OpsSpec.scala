@@ -92,17 +92,19 @@ class OpsSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
-  test("simhash multi-probe: maxHamming 4..7 is EXACTLY the theta-join set; >7 rejected") {
-    // dedicated corpus: one base doc + variants with 1..10 tokens changed,
-    // giving signature pairs across the hamming spectrum (incl. 4..7 —
-    // the regime plain banding cannot cover and multi-probe must)
-    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa", "lambda", "mu")
-    val r0 = new scala.util.Random(42)
-    val base = (0 until 120).map(_ => words(r0.nextInt(words.length))).toArray
-    val probeDocs = ((0L, base.mkString(" ")) +: (1 to 10).map { t =>
+  test("simhash multi-probe: maxHamming 4..11 is EXACTLY the theta-join set; >11 rejected") {
+    // dedicated corpus: one base doc + variants with 1..16 tokens changed,
+    // giving signature pairs across the hamming spectrum (incl. 4..7 and
+    // 8..11 — the regimes plain banding cannot cover and the single-/
+    // two-bit probe tiers must)
+    // unique tokens: every bit sum is a ±1 walk over 120 distinct token
+    // hashes (margin ~√120), so replacing t tokens flips ~t/2 bits — a
+    // repeated small vocabulary makes the sums too lumpy to ever reach
+    // hamming 8..11
+    val base = (0 until 120).map(i => s"tok$i").toArray
+    val probeDocs = ((0L, base.mkString(" ")) +: (1 to 20).map { t =>
       val arr = base.clone()
-      (0 until t).foreach(j => arr(5 + 11 * j) = s"CH${t}_$j")
+      (0 until (2 * t)).foreach(j => arr((5 + 7 * j) % 120) = s"CH${t}_$j")
       (300L + t, arr.mkString(" "))
     }).toDF("doc_id", "text")
     val sig = Dedup.simhash(probeDocs).collect()
@@ -111,17 +113,18 @@ class OpsSpec extends AnyFunSuite {
       (a, ha) <- sig; (b, hb) <- sig if a < b
       d = java.lang.Long.bitCount(ha ^ hb) if d <= h
     } yield (a, b, d.toLong)).toSet
-    // non-vacuous: the corpus must exercise the multi-probe-only band
-    assert(brute(7).size > brute(3).size,
-      s"no pairs at hamming 4..7 — distances: ${
-        sig.combinations(2).map(c => java.lang.Long.bitCount(c(0)._2 ^ c(1)._2)).toSeq.sorted}")
-    for (h <- Seq(4, 7)) {
+    // non-vacuous: the corpus must exercise BOTH multi-probe-only tiers
+    def dists = sig.combinations(2)
+      .map(c => java.lang.Long.bitCount(c(0)._2 ^ c(1)._2)).toSeq.sorted
+    assert(brute(7).size > brute(3).size, s"no pairs at hamming 4..7 — $dists")
+    assert(brute(11).size > brute(7).size, s"no pairs at hamming 8..11 — $dists")
+    for (h <- Seq(4, 7, 9, 11)) {
       val got = Dedup.simhashPairs(probeDocs, maxHamming = h).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == brute(h), s"multi-probe incomplete at h=$h")
     }
     // beyond the guarantee: loud rejection, never a silent subset
-    intercept[IllegalArgumentException](Dedup.simhashPairs(probeDocs, maxHamming = 8))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(probeDocs, maxHamming = 12))
   }
 
   test("simhash: near-dups within small hamming distance, unrelated docs far") {
