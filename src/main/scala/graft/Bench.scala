@@ -169,7 +169,33 @@ object Bench {
     // mutable best-known state, serialized by render()
     val rounds = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Probe]]()
     val queryTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val queryRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     var phase = "calibrate"
+
+    // a round is usable for efficiency only if all 3 probes finished at one
+    // k; re-keyed by cores so a mid-round failure can't shift positions.
+    // Shared by render() AND the scaling loop's zero-accepted retry check.
+    case class Round(p32: Probe, p2: Probe, p8: Probe)
+    def completeRounds(): Seq[Round] = rounds.toSeq.flatMap { r =>
+      for {
+        p32 <- r.find(_.cores == 32); p2 <- r.find(_.cores == nCores); p8 <- r.find(_.cores == n4Cores)
+        if Seq(p32, p2, p8).map(_.k).distinct.length == 1
+      } yield Round(p32, p2, p8)
+    }
+    def bestTpsAt(c: Int, kk: Int): Double = rounds.flatten
+      .filter(p => p.cores == c && p.k == kk).map(_.tps).foldLeft(0.0)(math.max)
+    def cpuMinAt(sel: Round => Probe, kk: Int): Double =
+      completeRounds().filter(_.p2.k == kk).map(r => sel(r).cpuSec)
+        .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a)
+    def acceptedRounds(): Seq[Round] = completeRounds().filter { r =>
+      val kk = r.p2.k
+      val wallOk = r.p2.tps * 2 >= bestTpsAt(nCores, kk) &&
+        r.p8.tps * 2 >= bestTpsAt(n4Cores, kk)
+      val mN = cpuMinAt(_.p2, kk); val mN4 = cpuMinAt(_.p8, kk)
+      val cpuOk = (mN.isNaN || r.p2.cpuSec <= mN * 1.3) &&
+        (mN4.isNaN || r.p8.cpuSec <= mN4 * 1.3)
+      wallOk && cpuOk
+    }
 
     def render(): String = {
       // absolute numbers (tps/sec/triples) come only from probes at the
@@ -179,18 +205,10 @@ object Bench {
       // and each per_round entry reports its own k.
       val all: Seq[Probe] = rounds.flatten.toSeq.filter(_.k == k)
       def bestTps(c: Int): Double = all.filter(_.cores == c).map(_.tps).foldLeft(0.0)(math.max)
-      // a round is usable for efficiency only if all 3 probes finished at one k;
-      // re-key by cores so a mid-round failure can't shift positions
-      case class Round(p32: Probe, p2: Probe, p8: Probe)
-      val complete: Seq[Round] = rounds.toSeq.flatMap { r =>
-        for {
-          p32 <- r.find(_.cores == 32); p2 <- r.find(_.cores == nCores); p8 <- r.find(_.cores == n4Cores)
-          if Seq(p32, p2, p8).map(_.k).distinct.length == 1
-        } yield Round(p32, p2, p8)
-      }
+      val complete: Seq[Round] = completeRounds()
       def median(xs: Seq[Double]): Double =
         if (xs.isEmpty) Double.NaN else { val s = xs.sorted; s((s.length - 1) / 2) }
-      // contended-round rejection, two independent criteria:
+      // contended-round rejection (acceptedRounds above), two criteria:
       //  (a) wall: a pair probe >2x below the best throughput at its level
       //      is a host artifact (observed: 31 min vs 2 min, same code);
       //  (b) CPU burn: the CPU work at a fixed (level, k) is deterministic
@@ -208,20 +226,7 @@ object Bench {
       // both criteria compare within the round's OWN k (absolute tps and
       // CPU work both shift with corpus size, so cross-k comparisons would
       // reject or admit rounds for the wrong reason after a degradation)
-      def bestTpsAt(c: Int, kk: Int): Double = rounds.flatten
-        .filter(p => p.cores == c && p.k == kk).map(_.tps).foldLeft(0.0)(math.max)
-      def cpuMinAt(sel: Round => Probe, kk: Int): Double =
-        complete.filter(_.p2.k == kk).map(r => sel(r).cpuSec)
-          .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a)
-      val accepted = complete.filter { r =>
-        val kk = r.p2.k
-        val wallOk = r.p2.tps * 2 >= bestTpsAt(nCores, kk) &&
-          r.p8.tps * 2 >= bestTpsAt(n4Cores, kk)
-        val mN = cpuMinAt(_.p2, kk); val mN4 = cpuMinAt(_.p8, kk)
-        val cpuOk = (mN.isNaN || r.p2.cpuSec <= mN * 1.3) &&
-          (mN4.isNaN || r.p8.cpuSec <= mN4 * 1.3)
-        wallOk && cpuOk
-      }
+      val accepted = acceptedRounds()
       val effs28 = accepted.map(r => (r.p2.wall / r.p8.wall) / 4.0)
       val effs832 = accepted.map(r => (r.p8.wall / r.p32.wall) / (32.0 / n4Cores))
       val allEffs28 = complete.map(r => (r.p2.wall / r.p8.wall) / 4.0)
@@ -236,7 +241,18 @@ object Bench {
       val tps8 = bestTps(n4Cores)
       val headline = if (tps32 > 0) tps32 else math.max(tps8, tps2)
       val qs = queryTimes.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      // every measured run per query (first = warm-up-bearing, later = the
+      // re-runs the min is taken over) — so cross-round comparisons against
+      // single-run archives can compare like with like (first vs first)
+      val qr = queryRuns.map { case (n, vs) =>
+        "\"" + n + "\":" + vs.map(jNum).mkString("[", ",", "]") }.mkString("{", ",", "}")
       val qSum = queryTimes.values.filter(_ >= 0).sum
+      // the north-gate status is explicit: "ok" (≥1 accepted round) or the
+      // auditable reason no efficiency number exists — never a silent null
+      val gateStatus =
+        if (accepted.nonEmpty) "ok"
+        else if (rounds.length > 2) "budget-exhausted-all-rejected"
+        else "all-rejected-pending"
       val perRound = complete.map { r =>
         val acc = accepted.contains(r)
         s"""{"eff_n_4n":${jNum((r.p2.wall / r.p8.wall) / 4.0)},"accepted":$acc,"k":${r.p2.k},""" +
@@ -244,10 +260,11 @@ object Bench {
           s""""cpu_32":${jNum(r.p32.cpuSec)},"cpu_n":${jNum(r.p2.cpuSec)},"cpu_4n":${jNum(r.p8.cpuSec)}}"""
       }.mkString("[", ",", "]")
       s"""{"metric":"kg_triples_per_sec","value":${jNum(headline)},"unit":"triples/sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","phase":"$phase","elapsed_sec":${jNum(elapsed)},""" +
+        s""""queries":$qs,"queries_runs":$qr,"sf":"$sfDir","phase":"$phase","elapsed_sec":${jNum(elapsed)},""" +
         s""""degraded":$degraded,""" +
         s""""scaling":{"k":$k,"triples":$triples,"pages":${21L * k},""" +
         s""""rounds_run":${complete.length},"rounds_accepted":${accepted.length},""" +
+        s""""round_attempts":${rounds.length},"gate_status":"$gateStatus",""" +
         s""""n_cores":$nCores,"n4_cores":$n4Cores,""" +
         s""""sec_n":${jNum(all.filter(_.cores == nCores).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
         s""""sec_4n":${jNum(all.filter(_.cores == n4Cores).map(_.wall).foldLeft(Double.NaN)((a, b) => if (a.isNaN || b < a) b else a))},""" +
@@ -285,7 +302,16 @@ object Bench {
     val scalingBudget = budgetS * 0.62 // reserve the rest for the query phase
     var lastRoundCost = 0.0
     var r = 0
-    while (r < maxRounds && (r < 2 || elapsed + lastRoundCost * 1.15 < scalingBudget)) {
+    // normal loop: up to maxRounds inside the scaling budget share. The OR
+    // clause is the zero-accepted retry (judge r4 item 2): when EVERY round
+    // so far was auto-rejected for contention, spending leftover budget on
+    // more rounds is the only cure (fresh windows), so the cap stretches to
+    // maxRounds+4 and the budget share to 80% — the query phase keeps its
+    // slice, and a run that still ends 0-accepted reports the explicit
+    // "budget-exhausted-all-rejected" gate_status with its attempt count
+    while ((r < maxRounds && (r < 2 || elapsed + lastRoundCost * 1.15 < scalingBudget)) ||
+           (acceptedRounds().isEmpty && r < maxRounds + 4 &&
+            elapsed + math.max(lastRoundCost, 60.0) * 1.15 < budgetS * 0.8)) {
       val rStart = elapsed
       val scale = k.toDouble / calK
       // generous per-probe watchdogs from the calibration (slow-but-not-
@@ -322,7 +348,7 @@ object Bench {
     // hide inside normal-looking numbers)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     names.zipWithIndex.foreach { case ((name, fn), i) =>
-      if (remaining < 30) queryTimes(name) = -2.0
+      if (remaining < 30) { queryTimes(name) = -2.0; queryRuns(name) = Seq(-2.0) }
       else {
         val qt0 = System.nanoTime()
         val ok = withTimeout(spark, math.max(remaining, 30.0)) { fn(spark, sfDir).count() }
@@ -340,12 +366,15 @@ object Bench {
         // The re-run's watchdog is scaled to the FIRST run (3×t1), not the
         // remaining budget: one pathological re-run must not drain the
         // whole query phase.
+        var runs = Seq(t1)
         val t = if (ok.isDefined && remaining > 60 && t1 < remaining * 0.25) {
           val qt1 = System.nanoTime()
           val ok2 = withTimeout(spark, math.max(t1 * 3, 30.0)) { fn(spark, sfDir).count() }
-          if (ok2.isDefined) math.min(t1, (System.nanoTime() - qt1) / 1e9) else t1
+          val t2 = (System.nanoTime() - qt1) / 1e9
+          if (ok2.isDefined) { runs = Seq(t1, t2); math.min(t1, t2) } else t1
         } else t1
         queryTimes(name) = if (ok.isDefined) t else -1.0
+        queryRuns(name) = if (ok.isDefined) runs else Seq(-1.0)
         graft.ops.ManagedCache.releaseAll(spark)
       }
       if ((i + 1) % 10 == 0) emit(render())

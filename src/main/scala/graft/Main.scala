@@ -46,18 +46,28 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    def optArg(name: String): Option[String] = args.indexOf(name) match {
-      case -1 => None
-      case i if i + 1 < args.length => Some(args(i + 1))
-      case _ => sys.error(s"$name requires a value " +
-        "(usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>])")
-    }
+    val usage =
+      "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>]"
+    def optArg(name: String): Option[String] =
+      args.indices.filter(args(_) == name) match {
+        case Seq() => None
+        case Seq(i) if i + 1 < args.length => Some(args(i + 1))
+        case Seq(_) => sys.error(s"$name requires a value ($usage)")
+        case _ => sys.error(s"$name given more than once ($usage)")
+      }
     val inputDir = optArg("--input")
     val tsvPath = optArg("--tsv")
     val positional = {
       val flagIdx = Seq("--input", "--tsv").flatMap(n =>
         args.indexOf(n) match { case -1 => Nil; case i => Seq(i, i + 1) }).toSet
       args.indices.filterNot(flagIdx).map(args)
+    }
+    // anything '--'-prefixed left over is an unknown (or mis-placed) flag —
+    // letting it fall through to the positionals would crash later with an
+    // opaque NumberFormatException on e.g. a typo'd '--inpt'
+    positional.filter(_.startsWith("--")) match {
+      case Seq() => ()
+      case bad => sys.error(s"unknown flag(s): ${bad.mkString(", ")} ($usage)")
     }
     val outDir = positional.headOption.getOrElse("target/kg-out")
     val k = positional.lift(1).map(_.toInt).getOrElse(1)
@@ -94,20 +104,32 @@ object Main {
     val (base, skipped) = Pipeline.run(spark, pages, outDir, fingerprint)
     // opt-in enrichment: rdfs:label@lang triples from the TSV dictionary,
     // set-unioned into the graph (broadcast dict join — Enrich.labelTriples)
-    val triples = tsvPath match {
+    // and PERSISTED as its own checkpointed stage, so --tsv changes the
+    // on-disk build, not just this run's console summary (the reference
+    // enriches the model before saveModel — App.java:49,72). The stage key
+    // folds in the DICT CONTENT digest: an edited TSV at the same path must
+    // recompute, not stale-skip.
+    val (triples, enrichedSkipped) = tsvPath match {
       case Some(p) =>
-        val labels = graft.kg.Enrich.labelTriples(base, graft.kg.Enrich.loadTsv(spark, p))
-        base.unionByName(labels).distinct()
-      case None => base
+        val dict = graft.kg.Enrich.loadTsv(spark, p)
+        val labels = graft.kg.Enrich.labelTriples(base, dict)
+        val efp = s"$fingerprint;tsv-v1;$p;${graft.store.TableIO.fingerprintOf(dict)}"
+        val (df, sk) = graft.store.TableIO.stage(spark, s"$outDir/triples_enriched", efp) {
+          base.unionByName(labels).distinct()
+        }
+        (df, if (sk) Seq("triples_enriched") else Nil)
+      case None => (base, Nil)
     }
     val nTriples = triples.count()
     val secs = (System.nanoTime() - t0) / 1e9
 
     println(s"[graft] corpus: $corpusDesc")
-    tsvPath.foreach(p => println(s"[graft] enriched with TSV labels from $p"))
+    tsvPath.foreach(p => println(
+      s"[graft] enriched with TSV labels from $p (staged at $outDir/triples_enriched)"))
     println(s"[graft] triples: $nTriples distinct")
+    val allSkipped = skipped ++ enrichedSkipped
     println(s"[graft] stages skipped (checkpoint resume): " +
-      (if (skipped.isEmpty) "none" else skipped.mkString(", ")))
+      (if (allSkipped.isEmpty) "none" else allSkipped.mkString(", ")))
     println(f"[graft] wall: $secs%.1f s")
     println("[graft] sample:")
     triples.orderBy("subj", "pred", "objLex").show(10, truncate = 60)

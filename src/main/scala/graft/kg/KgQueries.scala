@@ -332,10 +332,14 @@ object KgQueries {
     // the Turtle exchange surface (A6/A7): serialized triple lines; the
     // escape/format logic carries an in-test DuckDB oracle (KgOracleSpec)
     QueryDef("kg_turtle_lines", (s, _) => graft.store.TurtleIO.lines(triples(s)), None),
+    // canonical (partition-independent) stage metrics — deterministic, so it
+    // carries an in-test DuckDB oracle (KgOracleSpec) like every other
+    // rows-only entry; the per-partition diagnostic form stays available as
+    // Pipeline.partitionMetrics (the pipeline's metrics stage)
     QueryDef("kg_metrics", (s, _) => {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.product[graft.model.LineageTriple]
-      Pipeline.partitionMetrics(triples(s).as[graft.model.LineageTriple](enc).toDF(), "triples")
+      Pipeline.stageMetrics(triples(s).as[graft.model.LineageTriple](enc).toDF(), "triples")
     }, None),
     QueryDef("kg_q_overview", (s, _) => overview(triples(s)), None),
     QueryDef("kg_q_evolution_chains", (s, _) => evolutionChains(triples(s)), None),

@@ -76,7 +76,16 @@ object Pipeline {
     * the allocation-rate ceiling at high core counts (measured: emit stage
     * 8→32 cores speedup 1.1×; expression form removes the churn).
     */
-  def emit(spark: SparkSession, pages: Dataset[PageRow]): DataFrame = {
+  def emit(spark: SparkSession, pages: Dataset[PageRow]): DataFrame =
+    emitWithDict(spark, pages, None)
+
+  /** [[emit]] with an optional EXTRA (prevName, prevNdex) dictionary unioned
+    * into the corpus-derived one — the incremental-maintenance hook: a
+    * micro-batch of changed pages resolves prevos against the
+    * already-materialized graph, not just its own (batch-local) corpus
+    * (StreamPipeline.streamToGraph). */
+  private[graft] def emitWithDict(spark: SparkSession, pages: Dataset[PageRow],
+                                  extraDict: Option[DataFrame]): DataFrame = {
     val recs = parseRecords(pages)
 
     // name→ndex dictionary for evolvesFrom resolution (the reference resolves
@@ -84,8 +93,9 @@ object Pipeline {
     // here it is a corpus self-join on the extracted name). Rows without a
     // prevo never enter the join: an empty-string join key would concentrate
     // the corpus on one hash bucket if the dict outgrows broadcast.
-    val dict = recs.filter(col("name") =!= "")
+    val dict0 = recs.filter(col("name") =!= "")
       .select(col("name").as("prevName"), col("ndex").as("prevNdex"))
+    val dict = extraDict.map(e => dict0.unionByName(e).distinct()).getOrElse(dict0)
 
     val withPrevo = recs.filter(col("evolvesFrom") =!= "")
       .join(dict, col("evolvesFrom") === col("prevName"), "left_outer")
@@ -241,12 +251,32 @@ object Pipeline {
       .select(col("subj").as("src"), col("pred"), col("objLex").as("dst"))
 
   /** Per-partition extraction metrics for one stage (north_rule lineage +
-    * metrics requirement): rows and distinct source pages per partition. */
+    * metrics requirement): rows and distinct source pages per partition.
+    * Partition-DEPENDENT by construction (that is its diagnostic point:
+    * skew shows up as per-partition row imbalance) — the deterministic
+    * companion for oracles/comparisons is [[stageMetrics]]. */
   def partitionMetrics(df: DataFrame, stage: String): DataFrame =
     df.groupBy(spark_partition_id().as("partId"))
       .agg(count(lit(1)).as("rows"),
         approx_count_distinct(col("srcSha256")).as("approxSrcPages"))
       .withColumn("stage", lit(stage))
+
+  /** Canonical (partition-independent) stage metrics: EXACT totals — rows,
+    * distinct source pages, distinct predicates — plus the per-predicate
+    * row counts as one sorted array (string-encoded `pred:rows`, binary
+    * sort order in every engine), so two runs of the same input produce
+    * identical metrics regardless of physical partitioning. Two
+    * aggregations (the predicate rollup and the distinct-page count key on
+    * different columns), both map-side-combinable; no window. */
+  def stageMetrics(df: DataFrame, stage: String): DataFrame =
+    df.groupBy(col("pred")).agg(count(lit(1)).as("predRows"))
+      .agg(sum(col("predRows")).as("rows"),
+        count(lit(1)).as("nPredicates"),
+        array_sort(collect_list(concat_ws(":", col("pred"), col("predRows"))))
+          .as("predCounts"))
+      .crossJoin(df.agg(countDistinct(col("srcSha256")).as("srcPages")))
+      .select(lit(stage).as("stage"), col("rows"), col("srcPages"),
+        col("nPredicates"), col("predCounts"))
 
   /** Input invariant per BASELINE.json input_hint: every lineage sha256 must
     * equal sha256(content) of its source row. Returns violation count (0 = ok). */

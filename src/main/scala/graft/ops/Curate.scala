@@ -34,7 +34,8 @@ object Curate {
     * cannot collapse unrelated documents into one LSH bucket and
     * mass-drop them as "near-dups" (DfCapSpec pins the behavior). */
   def flags(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
-            nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None): DataFrame = {
+            nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None,
+            leanPin: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val q = docs.withColumn("q_ok",
@@ -43,29 +44,56 @@ object Curate {
     // exact dedup: survivor = min doc_id among quality docs per fingerprint.
     // Persisted because the frame feeds BOTH the near-dup candidate pass
     // (via its exact-survivor filter) and the final flag join — without it
-    // the md5-window shuffle re-runs per consumer. Trade-off: this caches
-    // full document text; at 100 TB the staged variant (`curateStaged`,
-    // which checkpoints the flag table to parquet once) is the right tool.
-    // Pinned via ManagedCache so callers can release the (text-bearing!)
-    // blocks after their action instead of leaking them for the session
-    val w = Window.partitionBy(md5(col("text")))
-    val e = ManagedCache.pin(q.withColumn("exact_ok",
-        col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w)))
+    // the md5-window shuffle re-runs per consumer. Pinned via ManagedCache
+    // so callers can release the blocks after their action instead of
+    // leaking them for the session.
+    //
+    // Pin footprint: the default pins the full doc row (text included) —
+    // one scan of `docs`, no extra join. `leanPin = true` pins ONLY
+    // (doc_id, fp, q_ok, exact_ok) — O(ids) pinned bytes instead of
+    // O(corpus) — re-attaching text from `docs` for the near-dup survivor
+    // set and the final flag table (one extra ids-keyed join + a second
+    // docs scan). Identical output (CurateResumeSpec); at corpus scale the
+    // lean pin is the right default shape, locally the single-scan form
+    // stays cheaper. curateStaged uses lean (it materializes to parquet
+    // anyway, so only the pin footprint differs).
+    if (leanPin) {
+      val w = Window.partitionBy(col("fp"))
+      val keyed = ManagedCache.pin(
+        q.select(col("doc_id"), md5(col("text")).as("fp"), col("q_ok"))
+          .withColumn("exact_ok",
+            col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w)))
+      val survivors = keyed.filter(col("exact_ok")).select("doc_id")
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      val drops = nearDupPairs(survivors, nearDupBp, nearDupDfCap)
+        .select(col("b").as("doc_id")).distinct()
+        .withColumn("_nd_drop", lit(true))
+      q.join(keyed.select(col("doc_id"), col("exact_ok")), Seq("doc_id"))
+        .join(drops, Seq("doc_id"), "left_outer")
+        .withColumn("near_ok", col("exact_ok") && col("_nd_drop").isNull)
+        .drop("_nd_drop")
+    } else {
+      val w = Window.partitionBy(md5(col("text")))
+      val e = ManagedCache.pin(q.withColumn("exact_ok",
+          col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w)))
+      // near-dup removal: of each LSH-confirmed pair among exact survivors,
+      // anti-flag the higher id
+      val drops = nearDupPairs(e.filter(col("exact_ok")).select("doc_id", "text"),
+          nearDupBp, nearDupDfCap)
+        .select(col("b").as("doc_id")).distinct()
+        .withColumn("_nd_drop", lit(true))
+      e.join(drops, Seq("doc_id"), "left_outer")
+        .withColumn("near_ok", col("exact_ok") && col("_nd_drop").isNull)
+        .drop("_nd_drop")
+    }
+  }
 
-    // near-dup removal: of each LSH-confirmed pair among exact survivors,
-    // anti-flag the higher id
-    val survivors = e.filter(col("exact_ok")).select("doc_id", "text")
-    val pairs = nearDupDfCap match {
+  private def nearDupPairs(survivors: DataFrame, nearDupBp: Long,
+                           nearDupDfCap: Option[Long]): DataFrame =
+    nearDupDfCap match {
       case Some(cap) => Dedup.minhashLshPairsDfCapped(survivors, minEstBp = nearDupBp, maxDf = cap)
       case None      => Dedup.minhashLshPairs(survivors, minEstBp = nearDupBp)
     }
-    val drops = pairs
-      .select(col("b").as("doc_id")).distinct()
-      .withColumn("_nd_drop", lit(true))
-    e.join(drops, Seq("doc_id"), "left_outer")
-      .withColumn("near_ok", col("exact_ok") && col("_nd_drop").isNull)
-      .drop("_nd_drop")
-  }
 
   private val flagCols = Seq("q_ok", "exact_ok", "near_ok")
 
@@ -87,9 +115,9 @@ object Curate {
   /** Returns (curated docs, per-stage report) — both lazy views over the
     * same flag DAG; materializing either is one job with no barriers. */
   def curate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
-             nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None)
-      : (DataFrame, DataFrame) = {
-    val f = flags(docs, minTokens, maxTokens, nearDupBp, nearDupDfCap)
+             nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None,
+             leanPin: Boolean = false): (DataFrame, DataFrame) = {
+    val f = flags(docs, minTokens, maxTokens, nearDupBp, nearDupDfCap, leanPin)
     (curatedOf(f), reportOf(f))
   }
 
@@ -104,7 +132,10 @@ object Curate {
       : (DataFrame, DataFrame, Boolean) = {
     val obs = org.apache.spark.sql.Observation()
     val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags", fingerprint) {
-      flags(docs, minTokens, maxTokens, nearDupBp).observe(obs,
+      // lean pin: the flag table is being materialized to parquet anyway, so
+      // the only thing the pin choice changes here is the pinned footprint —
+      // O(ids), never the corpus text
+      flags(docs, minTokens, maxTokens, nearDupBp, leanPin = true).observe(obs,
         count(lit(1)).as("input"),
         sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality_gate"),
         sum(when(col("near_ok"), 1L).otherwise(0L)).as("curated"))

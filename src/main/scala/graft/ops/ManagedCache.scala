@@ -47,4 +47,13 @@ object ManagedCache {
     val l = reg.get(spark)
     if (l == null) 0 else l.size
   }
+
+  /** Schemas of the currently-pinned frames (test surface: specs assert a
+    * pin's footprint SHAPE, e.g. that no text column rides a lean pin). */
+  def pinnedSchemas(spark: SparkSession): Seq[org.apache.spark.sql.types.StructType] =
+    reg.synchronized {
+      val l = reg.get(spark)
+      if (l == null) Nil
+      else scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq.map(_.schema)
+    }
 }

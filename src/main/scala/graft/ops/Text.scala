@@ -116,12 +116,26 @@ object Text {
     * relative with absolute ceiling by default) bounding the one skew key
     * by construction. Unlike sampled shingles, winnow fps have NO per-doc
     * cap, so the filter-strategy bound is the EXACT pinned fp row count
-    * (the count doubles as the pin's materializing action). */
+    * (the count doubles as the pin's materializing action).
+    *
+    * Construction-time jobs (lazy-by-default contract): with `maxDf = None`
+    * this constructor RUNS TWO JOBS before returning — `docs.count()` for
+    * the corpus-relative default cap, and the pinned-fingerprint count
+    * (which doubles as the pin's materializing action) for the exact
+    * reject-set bound that picks the broadcast-anti df filter. Passing an
+    * explicit `maxDf` runs ZERO jobs: the filter then takes the shuffled
+    * semi-join path (no bound needed — OpsSpec pins the no-job contract,
+    * DfCapSpec pins both filter plans equal). */
   def winnowNearDupPairs(docs: DataFrame, w: Int = 4, minShared: Long = 2,
                          maxDf: Option[Long] = None): DataFrame = {
-    val cap = maxDf.getOrElse(defaultDfCap(docs.count()))
     val fp0 = ManagedCache.pin(winnowedFingerprints(docs, w))
-    val fp = dfCapFilter(fp0, "fp", cap, fp0.count().toDouble / math.max(cap, 1L))
+    val (cap, bound) = maxDf match {
+      case Some(c) => (c, Double.PositiveInfinity)
+      case None =>
+        val c = defaultDfCap(docs.count())
+        (c, fp0.count().toDouble / math.max(c, 1L))
+    }
+    val fp = dfCapFilter(fp0, "fp", cap, bound)
     fp.alias("x")
       .join(fp.alias("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -291,12 +305,20 @@ object Text {
     * per-shingle fan-out (boilerplate removal), so no single key can go
     * quadratic by construction. `maxDf = None` (the default) resolves to
     * the corpus-relative-with-absolute-ceiling cap (one cheap count of
-    * `docs`). */
+    * `docs`).
+    *
+    * Construction-time jobs (lazy-by-default contract): `maxDf = None`
+    * RUNS ONE JOB before returning — the `docs.count()` that sizes the
+    * default cap AND the broadcast-anti reject bound. An explicit `maxDf`
+    * runs ZERO jobs; the df filter then takes the shuffled semi-join path
+    * (OpsSpec pins the no-job contract, DfCapSpec pins both plans equal). */
   def ngramJaccardPairs(docs: DataFrame, minBp: Long = 500,
                         maxDf: Option[Long] = None): DataFrame = {
-    val n = docs.count()
-    val cap = maxDf.getOrElse(defaultDfCap(n))
-    val ex = explodedShingles(docs, cap, Some(n))
+    val (cap, nDocs) = maxDf match {
+      case Some(c) => (c, None)
+      case None => val n = docs.count(); (defaultDfCap(n), Some(n))
+    }
+    val ex = explodedShingles(docs, cap, nDocs)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val common = ex.alias("x")
       .join(ex.alias("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -154,22 +154,53 @@ object TurtleIO {
     * exists, and every state is self-healing — no manual intervention and
     * no FileAlreadyExistsException dead ends. */
   def mergeWrite(spark: SparkSession, triples: DataFrame, dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val path = Paths.get(dir)
+    import java.nio.file.Files
     recover(dir)
-    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
-    val fresh = triples.select(cols.map(col): _*)
-    if (Files.exists(path)) {
-      val merged = parse(spark, dir).select(cols.map(col): _*)
-        .unionByName(fresh).distinct()
-      val tmp = dir + ".tmp"
-      write(merged, tmp)
-      val old = dir + ".old"
-      Files.move(path, Paths.get(old))
-      Files.move(Paths.get(tmp), path)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
-      spark.catalog.refreshByPath(dir)
-    } else write(fresh, dir)
+    val fresh = triples.select(tripleCols.map(col): _*)
+    if (Files.exists(java.nio.file.Paths.get(dir)))
+      swapIn(spark, dir) { tmp =>
+        write(parse(spark, dir).select(tripleCols.map(col): _*)
+          .unionByName(fresh).distinct(), tmp)
+      }
+    else write(fresh, dir)
+  }
+
+  private val tripleCols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+
+  /** The swap step shared by [[mergeWrite]] and [[compact]]: materialize the
+    * new snapshot at dir.tmp (the writer may lazily READ the live dir — it
+    * is untouched until the write completes), then dir→dir.old,
+    * dir.tmp→dir, drop dir.old. Crash at any point is healed by
+    * [[recover]]. */
+  private def swapIn(spark: SparkSession, dir: String)(writeTmp: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = dir + ".tmp"
+    writeTmp(tmp)
+    val old = dir + ".old"
+    Files.move(Paths.get(dir), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Rewrite `dir` as one freshly-serialized snapshot (no new triples):
+    * collapses [[mergeAppend]]'s accumulated delta part files and
+    * physically dedups. Runs through the same swap protocol as
+    * [[mergeWrite]], so a crash at any point leaves a complete snapshot. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recover(dir)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      swapIn(spark, dir) { tmp =>
+        write(parse(spark, dir).select(tripleCols.map(col): _*), tmp)
+      }
+  }
+
+  /** Data part files currently in `dir` (Spark's _temporary staging and
+    * _SUCCESS markers excluded) — the [[mergeAppend]] compaction trigger. */
+  private[graft] def partFileCount(dir: String): Int = {
+    val f = new java.io.File(dir)
+    if (!f.isDirectory) 0
+    else f.listFiles().count(x => x.isFile && x.getName.startsWith("part-"))
   }
 
   /** Scale-path merge: anti-join the fresh triples against the existing
@@ -184,20 +215,30 @@ object TurtleIO {
     * rename protocol — a crash mid-append leaves only _temporary dirs,
     * which every reader (including [[parse]]) ignores, so the live
     * snapshot is intact at every instant. Content-idempotent: re-appending
-    * already-present triples appends an empty delta. Periodic compaction
-    * (small-file buildup, physical dedup) is [[mergeWrite]] with its swap
-    * protocol — the two compose. */
-  def mergeAppend(spark: SparkSession, triples: DataFrame, dir: String): Unit = {
+    * already-present triples appends an empty delta.
+    *
+    * Compaction policy: each append accumulates part files forever if left
+    * alone, and file-listing cost (plus per-file read overhead) grows with
+    * the file count, not the data — so when the post-append file count
+    * exceeds `compactFileThreshold`, the existing [[compact]] swap rewrite
+    * runs in place (one serialized snapshot, physical dedup, crash protocol
+    * intact). The threshold bounds listing overhead at
+    * O(threshold + files-per-append) while keeping the common append
+    * O(delta); `compactFileThreshold = 0` disables the trigger for callers
+    * that schedule [[compact]] themselves (e.g. nightly). */
+  def mergeAppend(spark: SparkSession, triples: DataFrame, dir: String,
+                  compactFileThreshold: Int = 256): Unit = {
     import java.nio.file.{Files, Paths}
     recover(dir)
-    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
-    val fresh = triples.select(cols.map(col): _*)
+    val fresh = triples.select(tripleCols.map(col): _*)
     if (!Files.exists(Paths.get(dir))) write(fresh, dir)
     else {
-      val delta = fresh.join(parse(spark, dir).select(cols.map(col): _*),
-        cols, "left_anti")
+      val delta = fresh.join(parse(spark, dir).select(tripleCols.map(col): _*),
+        tripleCols, "left_anti")
       lines(delta).write.mode("append").text(dir)
       spark.catalog.refreshByPath(dir)
+      if (compactFileThreshold > 0 && partFileCount(dir) > compactFileThreshold)
+        compact(spark, dir)
     }
   }
 

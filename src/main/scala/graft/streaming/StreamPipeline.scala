@@ -16,7 +16,16 @@ final case class PageRev(ts: java.sql.Timestamp, repo: String, path: String,
   * watermark but chronologically superseded — cannot roll the gate back
   * to stale content), and the commit it came from (the deterministic
   * tie-break when two revisions share an event time). ~120 bytes per live
-  * key, expired by event-time timeout. */
+  * key, expired by event-time timeout.
+  *
+  * STATE-SCHEMA COMPATIBILITY: flatMapGroupsWithState state encoders are
+  * not schema-evolvable — adding `lastCommit` (round 4) broke decode of
+  * checkpoints written with the earlier 3-field shape. A running query
+  * upgraded across that change must start from a NEW checkpoint directory
+  * (the upstream source replays; [[StreamPipeline.streamToGraph]]'s sink is
+  * content-idempotent, so a replay converges to the same graph). Any future
+  * field change here carries the same cost — prefer adding a parallel
+  * versioned state class + a fresh checkpoint over mutating this one. */
 final case class RevState(lastSha: String, revisions: Long, lastTsMs: Long,
                           lastCommit: String)
 
@@ -144,6 +153,63 @@ object StreamPipeline {
           }
       }
   }
+
+  /** End-to-end incremental graph maintenance: page revisions → the
+    * [[changedPagesOnly]] changed-content gate → the SAME batch pipeline
+    * (parse → emit → dedup) per micro-batch → delta-appended into the live
+    * Turtle graph directory via `TurtleIO.mergeAppend` (anti-join delta,
+    * append-only part files, auto-compaction past the file threshold).
+    *
+    * Exactly-once story: foreachBatch is at-least-once across restarts (a
+    * batch that crashed mid-sink replays), and the sink is
+    * CONTENT-IDEMPOTENT — mergeAppend's anti-join makes a replayed batch
+    * append an empty delta — so kill/rerun converges to exactly the batch
+    * pipeline's graph (StreamingSpec proves batch-parity and a
+    * mid-stream restart from the checkpoint).
+    *
+    * `lang` stamps the content format expected by the batch prefilter
+    * (PageRev carries no format column; one ingestion stream carries one
+    * format — start one query per format otherwise). */
+  def streamToGraph(pages: Dataset[PageRev], graphDir: String,
+                    checkpointDir: String, watermark: String = "1 hour",
+                    stateTtlMs: Long = 3600L * 1000,
+                    lang: String = "wikitext",
+                    compactFileThreshold: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    changedPagesOnly(pages, watermark, stateTtlMs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[ChangedPage], _: Long) =>
+        val pageRows = batch
+          .map(cp => PageRow(cp.repo, cp.path, cp.commit, lang, cp.content))
+        // prevo resolution sees the LIVE graph's name→ndex dictionary in
+        // addition to the batch's own corpus — an evolution page arriving in
+        // a later micro-batch than its pre-evolution still links (parity
+        // with the batch pipeline over the union of pages, as long as
+        // revisions arrive prevo-first; a prevo arriving AFTER its
+        // evolution's last revision is a re-extraction event the
+        // changed-content gate by design does not replay)
+        val triples = Pipeline.dedup(
+          Pipeline.emitWithDict(spark, pageRows, liveGraphDict(spark, graphDir)))
+        graft.store.TurtleIO.mergeAppend(spark, triples, graphDir, compactFileThreshold)
+      }
+      .start()
+  }
+
+  /** name→ndex dictionary recovered from the live graph directory (None
+    * before the first append): schema:name literals of pokemon subjects,
+    * the ndex being the subject-IRI suffix. */
+  private def liveGraphDict(spark: SparkSession, graphDir: String): Option[DataFrame] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(graphDir))) None
+    else Some(graft.store.TurtleIO.parse(spark, graphDir)
+      .filter(col("pred") === graft.model.Vocab.SchemaName && !col("objIsIri") &&
+        col("subj").startsWith(graft.model.Vocab.Base + "pokemon/"))
+      .select(col("objLex").as("prevName"),
+        regexp_extract(col("subj"), "pokemon/([0-9]+)$", 1).as("prevNdex"))
+      .filter(col("prevNdex") =!= ""))
 
   /** Streaming curation: the stateless quality gate + watermark-bounded
     * exact dedup on the content fingerprint — the streaming form of

@@ -59,4 +59,59 @@ class AnnIvfOracleSpec extends AnyFunSuite {
       DuckOracle.assertMatches(c, ivf, sql, "s3_ann_ivf")
     }
   }
+
+  test("s4_ann_ivf_batch: batched probe + candidate join + per-query top-k vs DuckDB") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-batch-oracle").toString
+    val (idx, _) = Similarity.ivfIndex(spark, emb, dir, "fp-batch",
+      nCentroids = 8, iters = 2)
+    val batch = Similarity.ivfSearchAll(idx,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 10, nprobe = 2)
+    val centVals = idx.codebook.zipWithIndex
+      .map { case (cv, i) => s"($i, ${cv.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n            ")
+
+    def dq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+        "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT)"
+    val cellScore = "CAST(dq AS DOUBLE)/sqrt(CAST(cq AS DOUBLE))"
+    val sql =
+      s"""WITH cents(cid, cv) AS (SELECT * FROM (VALUES
+            $centVals) v(cid, cv)),
+          sc AS (SELECT e.vec_id, c.cid,
+                   ${dq("e.embedding", "c.cv")} AS dq,
+                   CAST(list_sum(list_transform(c.cv, x -> CAST(floor(x*x*1000000.0) AS BIGINT))) AS BIGINT) AS cq
+                 FROM embeddings e CROSS JOIN cents c),
+          assigned AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY $cellScore DESC, cid) AS rn FROM sc)
+               WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cid FROM (
+                 SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY $cellScore DESC, cid) AS rn
+                 FROM sc WHERE vec_id < 8)
+               WHERE rn <= 2),
+          cand AS (SELECT p.qid, a.vec_id AS nbr FROM probes p
+                   JOIN assigned a ON a.cid = p.cid
+                   WHERE a.vec_id <> p.qid),
+          scored AS (SELECT c.qid, c.nbr,
+                 round(CAST(${dq("e.embedding", "q.embedding")} AS DOUBLE) /
+                   (sqrt(CAST(${dq("e.embedding", "e.embedding")} AS DOUBLE)) *
+                    sqrt(CAST(${dq("q.embedding", "q.embedding")} AS DOUBLE))), 6) AS cos
+                 FROM cand c
+                 JOIN embeddings e ON e.vec_id = c.nbr
+                 JOIN embeddings q ON q.vec_id = c.qid)
+          SELECT qid, nbr, cos, rk FROM (
+            SELECT qid, nbr, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS BIGINT) AS rk
+            FROM scored)
+          WHERE rk <= 10"""
+
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW embeddings AS SELECT * FROM read_parquet('$sfDir/embeddings.parquet')")
+      DuckOracle.assertMatches(c, batch, sql, "s4_ann_ivf_batch")
+    }
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
 }

@@ -53,4 +53,30 @@ class CurateResumeSpec extends AnyFunSuite {
     assert(ru.collect().map(_.toString).sorted.sameElements(rs.collect().map(_.toString).sorted))
     assert(cu.collect().map(_.toString).sorted.sameElements(cs.collect().map(_.toString).sorted))
   }
+
+  test("lean pin: identical curation output with no text column on any pinned frame") {
+    import org.apache.spark.sql.functions.col
+    graft.ops.ManagedCache.releaseAll(spark)
+    val (cl, rl) = Curate.curate(docs, minTokens = 5, leanPin = true)
+    val cols = cl.columns.sorted.toSeq
+    val leanCurated = cl.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val leanReport = rl.collect().map(_.toString).sorted.toSeq
+    // the O(ids) pin contract: neither the lean flag pin nor the LSH
+    // internals pin a frame carrying document text
+    val schemas = graft.ops.ManagedCache.pinnedSchemas(spark)
+    assert(schemas.nonEmpty, "the lean path must still pin its flag frame")
+    assert(schemas.forall(s => !s.fieldNames.contains("text")),
+      s"a lean pin carries text: ${schemas.map(_.fieldNames.mkString(","))}")
+    graft.ops.ManagedCache.releaseAll(spark)
+
+    val (cd, rd) = Curate.curate(docs, minTokens = 5)
+    assert(cd.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq == leanCurated,
+      "lean and default curated sets must be identical")
+    assert(rd.collect().map(_.toString).sorted.toSeq == leanReport,
+      "lean and default reports must be identical")
+    // … and the default path DOES pin text (the documented trade-off)
+    assert(graft.ops.ManagedCache.pinnedSchemas(spark)
+      .exists(_.fieldNames.contains("text")))
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
 }

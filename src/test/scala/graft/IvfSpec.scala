@@ -54,6 +54,49 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSearchAll == per-qid ivfSearch for every query in the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-batch").toString
+    val (idx, _) = Similarity.ivfIndex(spark, clustered, dir, "fp")
+    val qids = Seq(0L, 3L, 42L, 77L, 150L, 199L)
+    val batch = clustered.filter(col("vec_id").isin(qids: _*))
+    val all = Similarity.ivfSearchAll(idx, batch, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    graft.ops.ManagedCache.releaseAll(spark)
+    assert(all.keySet == qids.toSet, s"batch served ${all.keySet}, expected $qids")
+    for (q <- qids) {
+      val single = Similarity.ivfSearch(idx, q, k = 5, nprobe = 2)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q, r.getLong(0), r.getDouble(1), i + 1L) }.toSeq
+      assert(all(q).sortBy(_._4).toSeq == single, s"qid $q: batch != single")
+    }
+  }
+
+  test("ragged-dimension embeddings: staged search ≡ one-shot (driver probe " +
+    "mirrors the fold's null semantics)") {
+    // two dimensionalities in one table: cells whose dim differs from the
+    // query score NULL in the distributed fold — the driver-side probe
+    // selection must skip them identically or staged ≠ one-shot
+    def vec(seed: Int, dim: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val ragged = ((0 until 6).map(i => (i.toLong, vec(100 + i, 8))) ++
+      (6 until 12).map(i => (i.toLong, vec(200 + i, 12)))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-ragged").toString
+    val (idx, _) = Similarity.ivfIndex(spark, ragged, dir, "fp-ragged",
+      nCentroids = 4, iters = 1)
+    assert(idx.codebook.map(_.length).distinct.length > 1,
+      "fixture must yield a mixed-dimension codebook for the test to bite")
+    for (q <- 0L until 12L) {
+      val staged = Similarity.ivfSearch(idx, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oneShot = Similarity.annIvf(ragged, q, k = 5, nCentroids = 4, iters = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(staged == oneShot, s"ragged qid $q: staged != one-shot")
+    }
+  }
+
   test("assigned table covers every vector exactly once with a valid cell id") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-cov").toString
     val (idx, _) = Similarity.ivfIndex(spark, clustered, dir, "fp")

@@ -12,8 +12,8 @@ import graft.model.{Vocab => V}
   * dumped to parquet once; every corpus query is re-expressed in DuckDB SQL
   * (recursive CTEs for closures / connected components) and row-multisets
   * must match exactly. kg_triples itself is covered by GoldenReplaySpec
-  * (P=R=1.0 vs the reference fixture) and kg_metrics is partition-dependent
-  * by design — those two stay out of scope here.
+  * (P=R=1.0 vs the reference fixture); kg_metrics (canonical stage metrics,
+  * partition-independent since round 5) is checked below like the rest.
   */
 class KgOracleSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
@@ -333,6 +333,28 @@ class KgOracleSpec extends AnyFunSuite {
                           ELSE '' END
               END || ' .' AS value
           FROM (SELECT DISTINCT subj, pred, objIsIri, objLex, objDtype, objLang FROM t)""")
+  }
+
+  test("kg_metrics: canonical stage metrics are partition-independent and match DuckDB") {
+    // the last rows-only entry to gain an independent check: the canonical
+    // form aggregates exact totals + a sorted per-predicate rollup, so it no
+    // longer depends on physical partitioning. The array is compared via a
+    // flat deterministic encoding (same values, both engines' list→string)
+    val metrics = graft.kg.Pipeline.stageMetrics(base, "triples")
+      .withColumn("predCounts", concat_ws("|", col("predCounts")))
+    check("kg_metrics", metrics,
+      s"""SELECT 'triples' AS stage,
+              CAST((SELECT count(*) FROM t) AS BIGINT) AS "rows",
+              CAST((SELECT count(DISTINCT srcSha256) FROM t) AS BIGINT) AS srcPages,
+              CAST((SELECT count(DISTINCT pred) FROM t) AS BIGINT) AS nPredicates,
+              (SELECT array_to_string(list_sort(list(pred || ':' || CAST(cnt AS VARCHAR))), '|')
+               FROM (SELECT pred, count(*) AS cnt FROM t GROUP BY pred)) AS predCounts""")
+    // partition-independence witness: a different physical layout of the
+    // same rows yields the identical metrics row
+    val reshuffled = graft.kg.Pipeline.stageMetrics(base.repartition(7), "triples")
+      .withColumn("predCounts", concat_ws("|", col("predCounts")))
+    assert(metrics.collect().map(_.toString).toSeq ==
+      reshuffled.collect().map(_.toString).toSeq)
   }
 
   test("corpus queries Q2/Q5/Q12/Q7/Q8/Q9 vs DuckDB") {

@@ -276,4 +276,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == "en"); assert(out(2L) == "es")
     assert(out(3L) == "de"); assert(out(5L) == "und")
   }
+
+  test("explicit maxDf: pair constructors run ZERO jobs at construction time " +
+    "(lazy-by-default contract)") {
+    graft.ops.ManagedCache.releaseAll(spark)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p1 = Text.ngramJaccardPairs(docs, maxDf = Some(5L))
+      val p2 = Text.winnowNearDupPairs(docs, maxDf = Some(5L))
+      // listener delivery is async (and the bus API is private) — give any
+      // in-flight job-start events ample time to land before reading
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"constructors with explicit maxDf ran ${jobs.get()} jobs")
+      // the frames still evaluate (shuffled-semi df filter path) …
+      assert(p1.count() >= 0 && p2.count() >= 0)
+      // … and match the default-path results at the same effective cap
+      graft.ops.ManagedCache.releaseAll(spark)
+      val d1 = Text.ngramJaccardPairs(docs, maxDf = Some(Text.defaultDfCap(docs.count())))
+      val d0 = Text.ngramJaccardPairs(docs)
+      assert(d1.collect().map(_.toString).sorted.sameElements(
+        d0.collect().map(_.toString).sorted))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.ops.ManagedCache.releaseAll(spark)
+    }
+  }
 }

@@ -159,6 +159,65 @@ class PlanSpec extends AnyFunSuite {
       s"scan read beyond the probed cells: $scanned files vs $probedFiles in $probed")
   }
 
+  test("batched IVF search prunes cid partitions at the source") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // same well-separated-cluster fixture as the single-query prune test
+    val emb = (0 until 8).flatMap { c =>
+      val ctr = { val r = new scala.util.Random(900 + c); Array.fill(16)(r.nextGaussian().toFloat) }
+      (0 until 20).map { m =>
+        val r = new scala.util.Random(c * 100 + m)
+        (c * 20L + m, ctr.map(x => x + 0.1f * r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-prune-batch").toString
+    val (idx, _) = Similarity.ivfIndex(spark, emb, dir, "fp-prune-batch")
+    // a 2-query batch drawn from 2 clusters: the probed-cid union stays a
+    // strict subset of the 8 cells, so source pruning is observable
+    val batch = emb.filter(col("vec_id").isin(3L, 23L))
+    val search = Similarity.ivfSearchAll(idx, batch, k = 5, nprobe = 2)
+    val p = plan(search)
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    // exactly one file scan carries the partition filter: the assigned table
+    val pf = scanLines.map(l => l.substring(l.indexOf("PartitionFilters")).takeWhile(_ != ']'))
+      .find(_.contains("cid")).getOrElse("")
+    assert(pf.startsWith("PartitionFilters") && pf.contains("cid"),
+      s"batch probe filter is not a partition filter:\n$p")
+    search.collect()
+    // unlike the single-query path (no exchange before the top-k), the
+    // batch plan shuffles for the per-qid window, so under AQE the file
+    // scan sits inside materialized QueryStageExec leaves — recurse into
+    // them (TreeNode.collect does not; a stage's plan is not a child)
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    // the assigned-table scan is the one under the cid partition filter
+    val assignedScans = scans(search.queryExecution.executedPlan)
+      .filter(_.metadata.get("PartitionFilters").exists(_.contains("cid")))
+    val scanned = assignedScans.map(_.metrics("numFiles").value).sum
+    def filesUnder(cidDir: java.io.File): Int =
+      cidDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val cidDirs = new java.io.File(s"$dir/ivf_assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    val totalFiles = cidDirs.map(filesUnder).sum
+    val probed = "IN \\(([-0-9, ]+)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty[Long])
+    val probedFiles = cidDirs
+      .filter(d => probed.contains(d.getName.stripPrefix("cid=").toLong))
+      .map(filesUnder).sum
+    assert(probed.nonEmpty && scanned > 0 && totalFiles > scanned,
+      s"no source pruning in batch search: scanned $scanned of $totalFiles files (probed $probed)")
+    assert(scanned == probedFiles,
+      s"batch scan read beyond the probed cells: $scanned files vs $probedFiles in $probed")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
   test("vertices/edges materialization prunes to the needed columns") {
     val dir = java.nio.file.Files.createTempDirectory("triples-pq").toString
     graft.kg.Pipeline.triples(spark, graft.kg.Fixtures.pages(spark))

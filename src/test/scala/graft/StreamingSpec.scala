@@ -173,4 +173,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids == Set(1L, 4L), s"got $ids")
     } finally q.stop()
   }
+
+  test("streamToGraph: two micro-batches + a restart equal the batch pipeline's graph") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageRev
+    import graft.kg.Pipeline
+    import graft.store.TurtleIO
+    val root = java.nio.file.Files.createTempDirectory("stream-graph").toString
+    val graphDir = s"$root/graph.ttl"
+    val ckpt = s"$root/ckpt"
+    val all = graft.kg.Fixtures.pageRows(0L)
+    // prevo-first arrival: batch 2 = final evolution stages (pokemon nothing
+    // evolves FROM, that DO evolve from something) — their evolvesFrom link
+    // must resolve against the LIVE graph built by batch 1, which is the
+    // cross-batch resolution streamToGraph exists for
+    val recs = Pipeline.parseRecords(spark.createDataset(all)).collect()
+    val prevoNames = recs.map(_.evolvesFrom).filter(_.nonEmpty).toSet
+    val latePaths = recs
+      .filter(r => r.evolvesFrom.nonEmpty && !prevoNames.contains(r.name))
+      .map(_.path).toSet
+    assert(latePaths.nonEmpty, "fixture must contain final evolution stages")
+    val (late, first) = all.partition(p => latePaths.contains(p.path))
+    def rev(p: graft.model.PageRow, t: Long) =
+      PageRev(new java.sql.Timestamp(t), p.repo, p.path, p.commit, p.content)
+
+    val input = MemoryStream[PageRev]
+    val q1 = StreamPipeline.streamToGraph(input.toDS(), graphDir, ckpt)
+    try {
+      input.addData(first.map(rev(_, 1000L)))
+      q1.processAllAvailable()
+    } finally q1.stop() // kill between batches …
+    assert(TurtleIO.parse(spark, graphDir).count() > 0)
+
+    // … and rerun from the checkpoint: state + graph resume
+    val q2 = StreamPipeline.streamToGraph(input.toDS(), graphDir, ckpt)
+    try {
+      input.addData(late.map(rev(_, 2000L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val got = TurtleIO.parse(spark, graphDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    val want = Pipeline.triples(spark, spark.createDataset(all))
+      .select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
+    assert(got == want, "streamed graph must equal the batch pipeline's " +
+      s"(missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)})")
+    // non-vacuous: the cross-batch evolution links are present
+    val lateSubjs = recs.filter(r => latePaths.contains(r.path))
+      .map(r => graft.model.Vocab.Base + "pokemon/" + r.ndex).toSet
+    val evo = TurtleIO.parse(spark, graphDir)
+      .filter(col("pred") === graft.model.Vocab.EvolvesFrom &&
+        col("subj").isin(lateSubjs.toSeq: _*))
+      .count()
+    assert(evo == lateSubjs.size.toLong,
+      s"cross-batch prevo links unresolved: $evo of ${lateSubjs.size}")
+  }
 }

@@ -77,6 +77,42 @@ class TurtleSpec extends AnyFunSuite {
     assert(asSet(TurtleIO.parse(spark, dir)) == asSet(half1.unionByName(half2)))
   }
 
+  test("mergeAppend auto-compaction: threshold crossing triggers the swap rewrite, " +
+    "triple set and crash protocol intact") {
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("ttl-cmpct").toString + "/g.ttl"
+    // disjoint slices appended one at a time so every append adds files
+    val preds = triples.select("pred").distinct().collect().map(_.getString(0)).sorted
+    assert(preds.length >= 4, "fixture must offer several disjoint slices")
+    val threshold = 4
+    var expected = triples.filter(col("pred") === preds.head)
+    TurtleIO.mergeAppend(spark, expected, dir, compactFileThreshold = threshold)
+    var fired = false
+    for (p <- preds.tail) {
+      val slice = triples.filter(col("pred") === p)
+      val before = TurtleIO.partFileCount(dir)
+      TurtleIO.mergeAppend(spark, slice, dir, compactFileThreshold = threshold)
+      expected = expected.unionByName(slice)
+      val after = TurtleIO.partFileCount(dir)
+      if (after < before) fired = true // a compaction collapsed the buildup
+      assert(after <= threshold || after < before + 64,
+        s"file count must stay bounded: $before -> $after")
+      assert(asSet(TurtleIO.parse(spark, dir)) == asSet(expected),
+        s"triple set must survive append+compaction at slice $p")
+    }
+    assert(fired, "the threshold must have triggered at least one compaction")
+    assert(TurtleIO.partFileCount(dir) <= threshold * 2,
+      s"post-run file count not compacted: ${TurtleIO.partFileCount(dir)}")
+    // compaction leaves no swap residue and the protocol still self-heals
+    assert(!Files.exists(Paths.get(dir + ".old")) && !Files.exists(Paths.get(dir + ".tmp")))
+    Files.move(Paths.get(dir), Paths.get(dir + ".old")) // simulated mid-swap crash
+    TurtleIO.recover(dir)
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(expected))
+    // explicit compact() on a live dir is idempotent on content
+    TurtleIO.compact(spark, dir)
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(expected))
+  }
+
   test("mergeWrite crash protocol: every interrupted swap state self-heals") {
     import java.nio.file.{Files, Paths}
     val root = java.nio.file.Files.createTempDirectory("ttl-crash").toString
