@@ -45,9 +45,17 @@ object Main {
     else configKey
   }
 
-  def main(args: Array[String]): Unit = {
-    val usage =
-      "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>]"
+  /** Parsed CLI surface (kept as data so the parsing contract is testable —
+    * MainSpec pins repeated-flag / unknown-flag / missing-value rejection
+    * without spinning up a SparkSession). */
+  private[graft] final case class CliArgs(outDir: String, k: Int,
+                                          inputDir: Option[String],
+                                          tsvPath: Option[String])
+
+  private[graft] val usage =
+    "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>]"
+
+  private[graft] def parseArgs(args: Array[String]): CliArgs = {
     def optArg(name: String): Option[String] =
       args.indices.filter(args(_) == name) match {
         case Seq() => None
@@ -69,8 +77,36 @@ object Main {
       case Seq() => ()
       case bad => sys.error(s"unknown flag(s): ${bad.mkString(", ")} ($usage)")
     }
-    val outDir = positional.headOption.getOrElse("target/kg-out")
-    val k = positional.lift(1).map(_.toInt).getOrElse(1)
+    CliArgs(positional.headOption.getOrElse("target/kg-out"),
+      positional.lift(1).map(_.toInt).getOrElse(1), inputDir, tsvPath)
+  }
+
+  /** Opt-in TSV label enrichment as its own checkpointed stage: rdfs:label@lang
+    * triples from the dictionary, set-unioned into the graph (broadcast dict
+    * join — Enrich.labelTriples) and PERSISTED at `outDir/triples_enriched`,
+    * so --tsv changes the on-disk build, not just one run's console summary
+    * (the reference enriches the model before saveModel — App.java:49,72).
+    * The stage key folds in the DICT CONTENT digest: an edited TSV at the
+    * same path must recompute, not stale-skip. Returns the served triple set
+    * (base when no TSV) plus the skipped-stage names for the resume report. */
+  private[graft] def enrichStage(spark: SparkSession,
+                                 base: org.apache.spark.sql.DataFrame,
+                                 outDir: String, fingerprint: String,
+                                 tsvPath: Option[String])
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = tsvPath match {
+    case Some(p) =>
+      val dict = graft.kg.Enrich.loadTsv(spark, p)
+      val labels = graft.kg.Enrich.labelTriples(base, dict)
+      val efp = s"$fingerprint;tsv-v1;$p;${graft.store.TableIO.fingerprintOf(dict)}"
+      val (df, sk) = graft.store.TableIO.stage(spark, s"$outDir/triples_enriched", efp) {
+        base.unionByName(labels).distinct()
+      }
+      (df, if (sk) Seq("triples_enriched") else Nil)
+    case None => (base, Nil)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val CliArgs(outDir, k, inputDir, tsvPath) = parseArgs(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     // north_rule: "run via spark-submit on a multi-executor cluster" — when
     // spark-submit provides a master (or one is set in spark-defaults),
@@ -102,24 +138,7 @@ object Main {
           s"${15 * k} entities (k=$k)")
     }
     val (base, skipped) = Pipeline.run(spark, pages, outDir, fingerprint)
-    // opt-in enrichment: rdfs:label@lang triples from the TSV dictionary,
-    // set-unioned into the graph (broadcast dict join — Enrich.labelTriples)
-    // and PERSISTED as its own checkpointed stage, so --tsv changes the
-    // on-disk build, not just this run's console summary (the reference
-    // enriches the model before saveModel — App.java:49,72). The stage key
-    // folds in the DICT CONTENT digest: an edited TSV at the same path must
-    // recompute, not stale-skip.
-    val (triples, enrichedSkipped) = tsvPath match {
-      case Some(p) =>
-        val dict = graft.kg.Enrich.loadTsv(spark, p)
-        val labels = graft.kg.Enrich.labelTriples(base, dict)
-        val efp = s"$fingerprint;tsv-v1;$p;${graft.store.TableIO.fingerprintOf(dict)}"
-        val (df, sk) = graft.store.TableIO.stage(spark, s"$outDir/triples_enriched", efp) {
-          base.unionByName(labels).distinct()
-        }
-        (df, if (sk) Seq("triples_enriched") else Nil)
-      case None => (base, Nil)
-    }
+    val (triples, enrichedSkipped) = enrichStage(spark, base, outDir, fingerprint, tsvPath)
     val nTriples = triples.count()
     val secs = (System.nanoTime() - t0) / 1e9
 

@@ -132,6 +132,37 @@ object Similarity {
       .select(col("vec_id"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Batched LSH ANN: top-k neighbors among `embeddings` for each vector of
+    * `queries` — the query-set counterpart of [[annLsh]] (which builds the
+    * ALL-pairs neighbor lists; a serving/dedup pipeline usually has a small
+    * incoming batch against a big corpus, where all-pairs does |corpus|²
+    * work for a |queries|·|corpus| question). Candidates share ANY
+    * (band, bucket) with the query — the bucket join carries ids only on
+    * BOTH sides (the query side's signature rows are as slim as the
+    * corpus side's), payload vectors re-attach per surviving candidate,
+    * exact quantized cosine, top-k per query via one window. For queries
+    * drawn from the corpus itself this equals [[annLsh]] restricted to
+    * those ids (OpsSpec); fully quantized, so unlike IVF it carries a
+    * DRIVER-level DuckDB oracle (s5_ann_lsh_batch). */
+  def lshSearch(embeddings: DataFrame, queries: DataFrame, dim: Int = 64,
+                bands: Int = 4, bitsPerBand: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = bandedBuckets(embeddings, dim, bands, bitsPerBand)
+    val qb = bandedBuckets(queries, dim, bands, bitsPerBand)
+      .withColumnRenamed("vec_id", "qid")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"))
+      .distinct()
+    val scored = cand
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(embeddings.select(col("vec_id").as("nbr"), col("embedding").as("eb")), "nbr")
+      .select(col("qid"), col("nbr"), cosQ("eb", "qv").as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded LSH candidates (a<b,
     * deduped across bands) with exact quantized cosine ≥ threshold — the
     * embedding-space analogue of MinHash dedup. Defaults size the buckets
@@ -422,6 +453,26 @@ object Similarity {
       .select(col("qid"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Near-dup detection of INCOMING vectors against an already-indexed
+    * corpus — the "dedup new data against the training set" composition a
+    * continuously-ingesting pipeline runs: one batched probe of the staged
+    * index ([[ivfSearchAll]] — partition-pruned, one job for the whole
+    * batch) gated by an exact-cosine threshold. Returns (qid, nbr, cos),
+    * one row per (incoming vector, indexed near-duplicate) with
+    * cos ≥ minCos; an incoming id that also exists in the index never
+    * matches ITSELF (ivfSearchAll's self-exclusion), so re-probing already-
+    * indexed vectors reports only their true neighbors. `maxMatches` bounds
+    * the per-query fan-out (a dedup decision needs one hit; the default
+    * keeps a few for audit). */
+  def ivfNearDupAgainstIndex(index: IvfIndex, queries: DataFrame,
+                             minCos: Double = 0.9, nprobe: Int = 2,
+                             maxMatches: Int = 5,
+                             broadcastQueries: Boolean = true): DataFrame =
+    ivfSearchAll(index, queries, k = maxMatches, nprobe = nprobe,
+        broadcastQueries = broadcastQueries)
+      .filter(col("cos") >= minCos)
+      .select(col("qid"), col("nbr"), col("cos"))
+
   // s3 serves from a staged index: per-JVM stage dir keyed by the input
   // path, fingerprinted by the row count, so the first call in a fresh
   // environment trains and every later call (same session or not) skips to
@@ -522,6 +573,36 @@ object Similarity {
           FROM scored)
         WHERE rk <= $k"""
 
+  /** DuckDB replay of [[lshSearch]] with the query set defined by `qPred`
+    * over the same embeddings table: the banding, candidate join,
+    * quantized scoring and per-query top-k are all engine-portable. */
+  private def lshSearchOracleSql(dim: Int, bands: Int, bitsPerBand: Int,
+                                 k: Int, qPred: String): String = {
+    val bandCols = bandSql(dim, bands, bitsPerBand).zipWithIndex
+      .map { case (e, i) => s"$e AS b$i" }.mkString(",\n                ")
+    val bandSelects = (0 until bands)
+      .map(i => s"SELECT vec_id, $i AS band, b$i AS bucket FROM sig")
+      .mkString("\n                UNION ALL ")
+    s"""WITH sig AS (SELECT vec_id, embedding,
+                $bandCols
+                FROM embeddings),
+        banded AS ($bandSelects),
+        qband AS (SELECT vec_id AS qid, band, bucket FROM banded WHERE $qPred),
+        cand AS (SELECT DISTINCT q.qid, b.vec_id AS nbr
+                 FROM qband q JOIN banded b ON b.band = q.band AND b.bucket = q.bucket
+                 WHERE b.vec_id <> q.qid),
+        scored AS (SELECT c.qid, c.nbr,
+                 ${cosSqlDuck("en.embedding", "eq.embedding")} AS cos
+                 FROM cand c
+                 JOIN embeddings en ON en.vec_id = c.nbr
+                 JOIN embeddings eq ON eq.vec_id = c.qid)
+        SELECT qid, nbr, cos, rk FROM (
+          SELECT qid, nbr, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS BIGINT) AS rk
+          FROM scored)
+        WHERE rk <= $k"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk",
       (s, d) => cosineTopK(t(s, d, "embeddings"), queryId = 0L, k = 10),
@@ -545,6 +626,15 @@ object Similarity {
     QueryDef("s2_ann_lsh",
       (s, d) => annLsh(t(s, d, "embeddings")),
       Some(annLshOracleSql(dim = 64, bands = 4, bitsPerBand = 8, k = 5))),
+
+    // the batched-query LSH form, with the FULL driver-level DuckDB oracle
+    // (every stage of it is quantized/engine-portable — the IVF batch can
+    // only be replayed in-test given the trained codebook)
+    QueryDef("s5_ann_lsh_batch",
+      (s, d) => lshSearch(t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8)),
+      Some(lshSearchOracleSql(dim = 64, bands = 4, bitsPerBand = 8, k = 5,
+        qPred = "vec_id < 8"))),
 
     // rows-only: the k-means codebook is trained iteratively (driver-side
     // re-broadcast per Lloyd round) — not expressible as one SQL query;

@@ -72,6 +72,35 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfNearDupAgainstIndex: planted incoming near-dups flagged, novel vectors clean") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-neardup").toString
+    val (idx, _) = Similarity.ivfIndex(spark, clustered, dir, "fp")
+    // incoming batch: two near-copies of indexed vectors (tiny perturbation,
+    // fresh ids) + one genuinely novel direction
+    val dup1 = clustered.filter(col("vec_id") === 7L)
+      .select(lit(10007L).as("vec_id"), col("embedding"))
+    val dup2 = clustered.filter(col("vec_id") === 150L)
+      .select(lit(10150L).as("vec_id"), col("embedding"))
+    val novel = {
+      val r = new scala.util.Random(424242)
+      Seq((99999L, Array.fill(64)(r.nextGaussian().toFloat * 3f))).toDF("vec_id", "embedding")
+    }
+    val incoming = dup1.unionByName(dup2).unionByName(novel)
+    val hits = Similarity.ivfNearDupAgainstIndex(idx, incoming, minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.ops.ManagedCache.releaseAll(spark)
+    val byQ = hits.groupBy(_._1)
+    // each exact copy finds its source (cos = 1.0) as a match
+    assert(byQ.get(10007L).exists(_.exists(h => h._2 == 7L && h._3 >= 0.999)),
+      s"planted dup 10007 not flagged: ${hits.mkString(",")}")
+    assert(byQ.get(10150L).exists(_.exists(h => h._2 == 150L && h._3 >= 0.999)),
+      s"planted dup 10150 not flagged: ${hits.mkString(",")}")
+    // the novel direction matches nothing at the threshold
+    assert(!byQ.contains(99999L), s"novel vector falsely flagged: ${byQ.get(99999L)}")
+    // every reported hit respects the gate
+    assert(hits.forall(_._3 >= 0.95))
+  }
+
   test("ragged-dimension embeddings: staged search ≡ one-shot (driver probe " +
     "mirrors the fold's null semantics)") {
     // two dimensionalities in one table: cells whose dim differs from the

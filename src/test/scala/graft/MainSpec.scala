@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI surface contract: argument parsing rejects malformed invocations with
+  * the usage message (not an opaque downstream crash), and the --tsv
+  * enrichment is a PERSISTED checkpointed stage (the on-disk build changes,
+  * not just the console summary — round-4 ADVICE), keyed on dict content so
+  * an edited TSV at the same path recomputes. */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  // ---- parseArgs ----------------------------------------------------------
+
+  test("parseArgs: defaults") {
+    assert(Main.parseArgs(Array()) ===
+      Main.CliArgs("target/kg-out", 1, None, None))
+  }
+
+  test("parseArgs: positionals + flags in any order") {
+    assert(Main.parseArgs(Array("/tmp/out", "--tsv", "/d.tsv", "7")) ===
+      Main.CliArgs("/tmp/out", 7, None, Some("/d.tsv")))
+    assert(Main.parseArgs(Array("--input", "/corpus", "/tmp/out")) ===
+      Main.CliArgs("/tmp/out", 1, Some("/corpus"), None))
+  }
+
+  test("parseArgs: repeated flag is rejected with usage, not parsed as positional") {
+    val e = intercept[RuntimeException] {
+      Main.parseArgs(Array("/tmp/out", "--input", "/a", "--input", "/b"))
+    }
+    assert(e.getMessage.contains("more than once") && e.getMessage.contains("usage:"))
+  }
+
+  test("parseArgs: unknown flag is rejected with usage") {
+    val e = intercept[RuntimeException] {
+      Main.parseArgs(Array("--inpt", "/a", "/tmp/out"))
+    }
+    assert(e.getMessage.contains("unknown flag") && e.getMessage.contains("--inpt"))
+  }
+
+  test("parseArgs: trailing flag without a value is rejected") {
+    val e = intercept[RuntimeException] {
+      Main.parseArgs(Array("/tmp/out", "--tsv"))
+    }
+    assert(e.getMessage.contains("requires a value"))
+  }
+
+  // ---- enrichStage --------------------------------------------------------
+
+  /** Minimal triple set with one schema:identifier row (all labelTriples
+    * needs) — avoids running the full pipeline for a staging-contract test. */
+  private def tinyBase = {
+    import spark.implicits._
+    Seq(
+      (graft.model.Vocab.Base + "pokemon/0001", graft.model.Vocab.SchemaIdentifier,
+        false, "0001", "", "", "r", "p", "c", "sha"),
+      (graft.model.Vocab.Base + "pokemon/0001", graft.model.Vocab.SchemaName,
+        false, "Bulbasaur", "", "en", "r", "p", "c", "sha"))
+      .toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang",
+        "srcRepo", "srcPath", "srcCommit", "srcSha256")
+  }
+
+  private def writeTsv(rows: Seq[(String, String, String, String)]): java.nio.file.Path = {
+    val f = java.nio.file.Files.createTempFile("main-enrich", ".tsv")
+    val body = ("type\tid\tlabel\tlanguage" +: rows.map(r => s"${r._1}\t${r._2}\t${r._3}\t${r._4}"))
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+    f
+  }
+
+  test("enrichStage: no --tsv serves base untouched and writes nothing") {
+    val out = java.nio.file.Files.createTempDirectory("enrich-none").toString
+    val (served, skipped) = Main.enrichStage(spark, tinyBase, out, "fp0", None)
+    assert(skipped.isEmpty)
+    assert(served.count() === 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/triples_enriched")))
+  }
+
+  test("enrichStage: --tsv persists the enriched union; rerun skips; edited dict recomputes") {
+    val out = java.nio.file.Files.createTempDirectory("enrich-tsv").toString
+    val tsv = writeTsv(Seq(("pokemon", "1", "Bulbizarre", "French")))
+
+    val (served1, skipped1) = Main.enrichStage(spark, tinyBase, out, "fp0", Some(tsv.toString))
+    assert(skipped1.isEmpty, "first build must compute, not skip")
+    val onDisk = spark.read.parquet(s"$out/triples_enriched")
+    assert(onDisk.filter(col("pred") === graft.model.Vocab.RdfsLabel &&
+      col("objLex") === "Bulbizarre" && col("objLang") === "fr").count() === 1,
+      "the persisted stage (not just the returned frame) must carry the TSV label")
+    assert(served1.count() === 3)
+
+    // same dict content → checkpointed skip
+    val (_, skipped2) = Main.enrichStage(spark, tinyBase, out, "fp0", Some(tsv.toString))
+    assert(skipped2 === Seq("triples_enriched"))
+
+    // edited dict at the SAME path → content-keyed fingerprint recomputes
+    java.nio.file.Files.write(tsv,
+      "type\tid\tlabel\tlanguage\npokemon\t1\tFushigidane\tJapanese\n".getBytes("UTF-8"))
+    val (served3, skipped3) = Main.enrichStage(spark, tinyBase, out, "fp0", Some(tsv.toString))
+    assert(skipped3.isEmpty, "edited TSV content must force a recompute")
+    spark.catalog.refreshByPath(s"$out/triples_enriched")
+    assert(served3.filter(col("objLex") === "Fushigidane" && col("objLang") === "ja").count() === 1)
+    assert(served3.filter(col("objLex") === "Bulbizarre").count() === 0,
+      "stale labels from the previous dict must not survive the rewrite")
+  }
+}

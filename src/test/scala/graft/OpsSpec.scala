@@ -215,6 +215,21 @@ class OpsSpec extends AnyFunSuite {
     assert(recalled >= 9, s"banded LSH recall too low: $recalled/10")
   }
 
+  test("lshSearch on corpus-drawn queries == annLsh restricted to those ids") {
+    // for queries ⊆ corpus the batched-query form must reproduce the
+    // all-pairs neighbor lists exactly (same buckets, candidates, scores,
+    // tie-breaks) — the only difference is the work shape
+    val qids = Seq(0L, 3L, 101L, 107L)
+    val batched = Similarity.lshSearch(embeddings,
+        embeddings.filter(col("vec_id").isin(qids: _*)), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val allPairs = Similarity.annLsh(embeddings, k = 3)
+      .filter(col("vec_id").isin(qids: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(batched == allPairs,
+      s"batched != all-pairs-restricted (batched=${batched.take(4)} all=${allPairs.take(4)})")
+  }
+
   /** 8 well-separated clusters of 25 vectors each: cluster centers are
     * orthogonal-ish random gaussians, members = center + small noise. */
   private lazy val clustered = {
