@@ -206,6 +206,37 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Near-dup RESOLUTION: the step that makes the pair-producing family
+    * (MinHash/SimHash/winnow/embedding) actionable — candidate pairs →
+    * undirected connected components (dup GROUPS, since near-dup is not
+    * transitive but a dedup decision must be) → one deterministic survivor
+    * per group (min doc_id, matching [[exactGroups]]' keeper rule). Returns
+    * one row per corpus document: (doc_id, survivor, kept) — kept ⇔ the doc
+    * IS its group's survivor (non-grouped docs survive trivially), so both
+    * the pruned corpus (`kept`) and the redirect table for audit/lineage
+    * (doc_id → survivor) fall out of one frame.
+    *
+    * Scale shape: the CC runs over PAIRS only (the dup graph, ≪ corpus —
+    * O(log diameter) pointer-doubling rounds, and dup clusters are
+    * near-cliques so 2–3 rounds in practice); the corpus is touched by
+    * exactly one join against the label table, which AQE broadcasts
+    * whenever dup groups are rare (the common case). */
+  def resolveNearDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = graft.queries.Iterative.connectedComponents(
+      pairs.select(col("a"), col("b")))
+    docs.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("survivor"))
+      .withColumn("kept", col("doc_id") === col("survivor"))
+  }
+
+  /** The applied form: the corpus with near-duplicates dropped (one survivor
+    * per dup group, all columns preserved). */
+  def dedupNearDups(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(resolveNearDups(docs, pairs).filter(col("kept"))
+      .select("doc_id"), "doc_id")
+
   // ---- DuckDB oracle SQL (generated; mirrors the arithmetic exactly) ------
 
   /** Shared sampled-shingle CTE prefix (same sampling as Text.shingles)
@@ -265,6 +296,25 @@ object Dedup {
     s"""WITH ${minhashPairsCtes(minEstBp, "documents")}
         SELECT a, b, est_jaccard_bp FROM mh_pairs"""
 
+  /** [[resolveNearDups]] over the d2 MinHash pairs, replayed end-to-end:
+    * the same pair CTEs, then components via a recursive reachability
+    * closure (dup groups are tiny, so the closure is cheap in the oracle;
+    * the ENGINE uses pointer doubling — the closure is the semantics, not
+    * the plan) and min-of-component as the survivor. */
+  private def resolveOracleSql(minEstBp: Long): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(minEstBp, "documents")},
+        edges AS (SELECT a, b FROM mh_pairs
+                  UNION SELECT b, a FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        root AS (SELECT id, min(r) AS survivor FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(root.survivor, d.doc_id) AS survivor,
+               (d.doc_id = coalesce(root.survivor, d.doc_id)) AS kept
+        FROM documents d LEFT JOIN root ON root.id = d.doc_id"""
+
   private def simhashOracleSql(maxHamming: Int): String = {
     val sums = (0 until SimhashBits)
       .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -298,6 +348,14 @@ object Dedup {
     // plan produces the same set through the banded bucket join (pigeonhole)
     QueryDef("d3_simhash",
       (s, d) => simhashPairs(t(s, d, "documents")),
-      Some(simhashOracleSql(maxHamming = 3)))
+      Some(simhashOracleSql(maxHamming = 3))),
+
+    // pairs → dup groups (CC) → deterministic survivor: the keep/drop
+    // decision table a dedup pipeline actually applies; oracle replays the
+    // d2 pairs + a recursive reachability closure in DuckDB
+    QueryDef("d5_neardup_resolve",
+      (s, d) => resolveNearDups(t(s, d, "documents"),
+        minhashLshPairs(t(s, d, "documents"), minEstBp = 1500)),
+      Some(resolveOracleSql(minEstBp = 1500)))
   )
 }

@@ -55,6 +55,36 @@ class OpsSpec extends AnyFunSuite {
     assert(nearHits >= 8, s"only $nearHits/10 near-dups found")
   }
 
+  test("resolveNearDups: transitive chains collapse to one min-id survivor; singletons kept") {
+    // a~b and b~c but NOT a~c (near-dup is not transitive) — the resolution
+    // must still put all three in one group with survivor = min id
+    val d = Seq(1L, 2L, 3L, 4L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 9L)).toDF("a", "b")
+    val res = Dedup.resolveNearDups(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 9L -> (4L, false)))
+    // applied form keeps exactly the survivors, all columns intact
+    val kept = Dedup.dedupNearDups(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(kept === Seq((1L, "doc 1"), (4L, "doc 4")))
+  }
+
+  test("resolveNearDups over planted minhash pairs: exact dups dropped, their base kept") {
+    val res = Dedup.resolveNearDups(docs, Dedup.minhashLshPairs(docs, minEstBp = 5000))
+    graft.ops.ManagedCache.releaseAll(spark)
+    val byId = res.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // each planted exact dup (200+i ~ i) resolves to base doc i and is dropped
+    (0 until 5).foreach { i =>
+      assert(byId(200L + i) == (i.toLong, false), s"exact dup ${200 + i}: ${byId(200L + i)}")
+      assert(byId(i.toLong)._1 == i.toLong && byId(i.toLong)._2, s"base $i must survive")
+    }
+    // every doc appears exactly once, and every survivor reference is kept itself
+    assert(byId.size == docs.count())
+    byId.values.foreach { case (surv, _) => assert(byId(surv)._2, s"survivor $surv not kept") }
+  }
+
   test("shingling sees edits beyond token 30 (the round-1 prefix cap provably failed here)") {
     // two docs sharing ONLY their first 30 tokens: a token-prefix-30 shingle
     // set (the old scheme) is IDENTICAL for both — jaccard 1.0, a false
