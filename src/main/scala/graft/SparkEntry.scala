@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.Text.defs ++
       graft.ops.Similarity.defs ++
       graft.ops.Dedup.defs ++
+      graft.ops.Sample.defs ++
       graft.ops.Curate.defs ++
       graft.ops.Multimodal.defs ++
       graft.kg.KgQueries.defs

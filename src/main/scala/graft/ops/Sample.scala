@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Deterministic sampling, train/eval splitting, and weighted corpus mixing —
+  * the dataset-assembly layer of a training-data pipeline (the reference has
+  * no analogue; SURVEY §2's LLM-pipeline extension family).
+  *
+  * Everything here is decided by a salted content hash of the ROW ID, not by
+  * RNG state or row position, which is what makes it usable at 100 TB:
+  *  - map-only — no shuffle, no sort, no sample() RNG whose result depends on
+  *    partitioning; the plan is a parquet scan + filter at every scale;
+  *  - stable — the same row lands in the same sample/split/mix no matter how
+  *    the corpus is partitioned, compacted, or incrementally extended (a
+  *    re-run over a grown corpus KEEPS every earlier decision: sampling is
+  *    per-row, so appends never resample old rows);
+  *  - portable — the decision hash is [[Text.h60]] (md5-based), so every
+  *    operator carries an exact DuckDB oracle, not a statistical check.
+  *
+  * Fractions are BASIS POINTS (bp, 1/10000) in integer arithmetic: engines
+  * disagree on decimal-vs-double parsing of `0.1` (DuckDB DECIMAL, JVM
+  * double), integer thresholds never. */
+object Sample {
+
+  val BpScale = 10000
+
+  /** The decision bucket in [0, 10000): h60 of "salt:id" mod 1e4. Salt keeps
+    * independent decisions independent — a doc sampled into corpus A at 30%
+    * is not automatically in corpus B's 30% (different salt ⇒ different
+    * bucket), and a split salted differently from a sample stays unbiased
+    * within it. */
+  def bucket(idCol: Column, salt: String): Column =
+    pmod(Text.h60(concat_ws(":", lit(salt), idCol.cast("string"))), lit(BpScale.toLong))
+
+  private[ops] def bucketSql(idExpr: String, salt: String): String =
+    s"(CAST(concat('0x', substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT) % $BpScale)"
+
+  /** Uniform deterministic sample: keep a row iff its bucket < `bp`. */
+  def hashSample(df: DataFrame, bp: Int, salt: String = "graft-sample-v1",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(bp >= 0 && bp <= BpScale, s"bp must be in [0, $BpScale]: $bp")
+    df.filter(bucket(col(idCol), salt) < bp)
+  }
+
+  /** Stratified deterministic sample: per-stratum bp fractions (strata not
+    * named fall back to `defaultBp`). The common rebalancing move — e.g.
+    * keep all of a rare language, 5% of the dominant one — as one map-only
+    * filter; no per-stratum jobs, no sampleBy RNG. */
+  def stratifiedSample(df: DataFrame, strataCol: String, bpByStratum: Map[String, Int],
+                       defaultBp: Int = 0, salt: String = "graft-strat-v1",
+                       idCol: String = "doc_id"): DataFrame = {
+    require((defaultBp +: bpByStratum.values.toSeq).forall(b => b >= 0 && b <= BpScale),
+      s"bp values must be in [0, $BpScale]: $bpByStratum / $defaultBp")
+    val th = coalesce(element_at(typedLit(bpByStratum), col(strataCol)), lit(defaultBp))
+    df.filter(bucket(col(idCol), salt) < th)
+  }
+
+  /** Deterministic train/val/test assignment: ONE added column, no data
+    * movement. Buckets [0, testBp) → "test", [testBp, testBp+valBp) → "val",
+    * rest → "train" — so growing the corpus never moves an old row across
+    * splits (the leakage bug of position- or RNG-based splitting). */
+  def splitAssign(df: DataFrame, testBp: Int, valBp: Int,
+                  salt: String = "graft-split-v1", idCol: String = "doc_id"): DataFrame = {
+    require(testBp >= 0 && valBp >= 0 && testBp + valBp <= BpScale,
+      s"test+val must fit in [0, $BpScale]: $testBp + $valBp")
+    val b = bucket(col(idCol), salt)
+    df.withColumn("split",
+      when(b < testBp, "test").when(b < testBp + valBp, "val").otherwise("train"))
+  }
+
+  /** Weighted corpus mixing: each named source contributes its own
+    * deterministic bp-sample, tagged with `mix_source`, unioned by name.
+    * Per-source salts decorrelate the draws (a row in two sources is decided
+    * independently for each). Sources must share a schema (the usual
+    * documents shape); the union is a plan-level concat — still no shuffle. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Int)],
+                 salt: String = "graft-mix-v1", idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      s"duplicate source names: ${sources.map(_._1)}")
+    sources.map { case (name, df, bp) =>
+      hashSample(df, bp, s"$salt;$name", idCol).withColumn("mix_source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
+  // ---- driver-oracle query surface ----------------------------------------
+
+  private val DocCols = "doc_id, text, lang, source, n_chars"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("p1_hash_sample",
+      (s, d) => hashSample(t(s, d, "documents"), bp = 2500),
+      Some(s"""SELECT $DocCols FROM documents
+               WHERE ${bucketSql("doc_id", "graft-sample-v1")} < 2500""")),
+
+    QueryDef("p2_stratified_sample",
+      (s, d) => stratifiedSample(t(s, d, "documents"), "lang",
+        Map("en" -> 2000, "zh" -> 8000), defaultBp = 500),
+      Some(s"""SELECT $DocCols FROM documents
+               WHERE ${bucketSql("doc_id", "graft-strat-v1")} <
+                 (CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 ELSE 500 END)""")),
+
+    // per-row assignment (not just counts): the oracle re-derives every
+    // row's split, so a drifted threshold or hash shows as a hash mismatch
+    QueryDef("p3_split_assign",
+      (s, d) => splitAssign(t(s, d, "documents"), testBp = 1000, valBp = 500)
+        .select("doc_id", "split"),
+      Some(s"""SELECT doc_id,
+                 CASE WHEN ${bucketSql("doc_id", "graft-split-v1")} < 1000 THEN 'test'
+                      WHEN ${bucketSql("doc_id", "graft-split-v1")} < 1500 THEN 'val'
+                      ELSE 'train' END AS split
+               FROM documents""")),
+
+    QueryDef("p4_mix_corpora",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        mixCorpora(Seq(
+          ("en_heavy", docs.filter(col("lang") === "en"), 8000),
+          ("rest", docs.filter(col("lang") =!= "en"), 1500)))
+      },
+      Some(s"""SELECT $DocCols, 'en_heavy' AS mix_source FROM documents
+               WHERE lang = 'en'
+                 AND ${bucketSql("doc_id", "graft-mix-v1;en_heavy")} < 8000
+               UNION ALL
+               SELECT $DocCols, 'rest' AS mix_source FROM documents
+               WHERE lang <> 'en'
+                 AND ${bucketSql("doc_id", "graft-mix-v1;rest")} < 1500"""))
+  )
+}

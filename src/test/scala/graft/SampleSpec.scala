@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sample
+
+/** Deterministic sampling/splitting/mixing contracts: decisions are a pure
+  * function of (salt, id) — independent of partitioning, row order, and
+  * corpus growth — and fractions land near their targets. */
+class SampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L)
+    .map(i => (i, s"text $i", if (i % 5 == 0) "zh" else "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("hashSample: partitioning-independent, repeatable, near target fraction") {
+    val a = Sample.hashSample(docs, 3000).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sample.hashSample(docs.repartition(13), 3000)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sample must not depend on partitioning")
+    assert(math.abs(a.length - 600) < 100, s"~30% of 2000 expected, got ${a.length}")
+  }
+
+  test("hashSample: corpus growth keeps every earlier decision (append-stable)") {
+    val small = Sample.hashSample(docs.filter(col("doc_id") < 1000), 3000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val grown = Sample.hashSample(docs, 3000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(grown.filter(_ < 1000) === small,
+      "appending rows must not change earlier rows' sampling decisions")
+  }
+
+  test("hashSample: bp edge cases and validation") {
+    assert(Sample.hashSample(docs, 0).count() === 0)
+    assert(Sample.hashSample(docs, Sample.BpScale).count() === docs.count())
+    intercept[IllegalArgumentException](Sample.hashSample(docs, 10001))
+  }
+
+  test("stratifiedSample: per-stratum thresholds, default for unnamed strata") {
+    val res = Sample.stratifiedSample(docs, "lang", Map("zh" -> Sample.BpScale),
+      defaultBp = 0).collect()
+    assert(res.length === 400, "keep-all of zh (400 rows), drop-all default")
+    assert(res.forall(_.getString(2) == "zh"))
+    // strata draws come from ONE salted hash: the en fraction at 5000bp is
+    // ~half regardless of the zh setting
+    val mixed = Sample.stratifiedSample(docs, "lang",
+      Map("zh" -> Sample.BpScale, "en" -> 5000), defaultBp = 0)
+    val enKept = mixed.filter(col("lang") === "en").count()
+    assert(math.abs(enKept - 800) < 120, s"~50% of 1600 en expected, got $enKept")
+  }
+
+  test("splitAssign: total partition, stable under growth, fractions near target") {
+    val s = Sample.splitAssign(docs, testBp = 1000, valBp = 500)
+    val byS = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    assert(byS.values.sum === 2000)
+    assert(math.abs(byS("test") - 200) < 70 && math.abs(byS("val") - 100) < 55,
+      s"split sizes off target: $byS")
+    // a doc's split never changes when the corpus grows — the leakage guard
+    val small = Sample.splitAssign(docs.filter(col("doc_id") < 500), 1000, 500)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = s.filter(col("doc_id") < 500)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small === grown)
+  }
+
+  test("mixCorpora: per-source tags, decorrelated draws, duplicate names rejected") {
+    val a = docs.filter(col("lang") === "en")
+    val b = docs.filter(col("lang") === "zh")
+    val mix = Sample.mixCorpora(Seq(("en", a, 5000), ("zh", b, 5000)))
+    val tags = mix.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.keySet === Set("en", "zh"))
+    // same ids offered under both names draw INDEPENDENTLY (different salt):
+    // overlap of two 50% draws over the same universe ≈ 25%, not 50%
+    val both = Sample.mixCorpora(Seq(("x", docs, 5000), ("y", docs, 5000)))
+    val x = both.filter(col("mix_source") === "x").select("doc_id").collect().map(_.getLong(0)).toSet
+    val y = both.filter(col("mix_source") === "y").select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = (x & y).size.toDouble / 2000
+    assert(overlap > 0.15 && overlap < 0.35, s"draws look correlated: overlap=$overlap")
+    intercept[IllegalArgumentException](
+      Sample.mixCorpora(Seq(("x", a, 100), ("x", b, 100))))
+  }
+
+  test("sampling plan is map-only: no shuffle in the physical plan") {
+    val plan = Sample.hashSample(docs, 2500).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+    val plan2 = Sample.splitAssign(docs, 1000, 500).queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), s"splitAssign must not shuffle:\n$plan2")
+  }
+}
