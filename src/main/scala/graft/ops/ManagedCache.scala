@@ -36,6 +36,18 @@ object ManagedCache {
     p
   }
 
+  /** Unpersist ONE pinned frame (the exact reference [[pin]] returned) —
+    * for operators whose pin is internal to a single call (e.g. ivfAppend's
+    * delta), so releasing it cannot sweep away pins the caller still owns
+    * the way [[releaseAll]] would. Unknown frames are a no-op. */
+  def release(spark: SparkSession, df: DataFrame): Unit = reg.synchronized {
+    val l = reg.get(spark)
+    if (l != null && l.remove(df)) {
+      df.unpersist(blocking = false)
+      if (l.isEmpty) reg.remove(spark)
+    }
+  }
+
   /** Unpersist every frame pinned under `spark` (non-blocking). */
   def releaseAll(spark: SparkSession): Unit = reg.synchronized {
     val l = reg.remove(spark)

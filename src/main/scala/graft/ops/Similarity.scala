@@ -326,6 +326,60 @@ object Similarity {
     (IvfIndex(codebook, assigned), cbSkipped && aSkipped)
   }
 
+  /** Incremental index maintenance: assign INCOMING vectors against the
+    * EXISTING staged codebook (no Lloyd retrain, no rescan of the indexed
+    * corpus) and append them into the cid-partitioned assignment — the
+    * continuously-ingesting pipeline's steady-state path, where retraining
+    * per batch would be O(corpus) work for O(batch) new data. Composes with
+    * [[ivfNearDupAgainstIndex]]: probe the incoming batch, drop near-dups,
+    * append the survivors.
+    *
+    * Semantics and guarantees:
+    *  - assignment uses the SAME distributed fold as [[ivfIndex]], so an
+    *    appended vector lands exactly where a full rebuild under this
+    *    codebook would put it (IvfSpec: append ≡ assign-all equality,
+    *    search results identical);
+    *  - already-indexed vec_ids are skipped (ids-only anti-join): re-sending
+    *    a batch is idempotent;
+    *  - appended files land INSIDE the probed cells' directories, so the
+    *    partition-pruned search shape is unchanged;
+    *  - crash-safe via [[graft.store.TableIO.appendToStage]]: the manifest
+    *    is invalidated before data lands and re-committed (with the delta's
+    *    content fingerprint folded in) only after — a later [[ivfIndex]]
+    *    call therefore either sees the consistent grown index (its own
+    *    fingerprint arg folded the appends in), or recomputes; never a
+    *    stale manifest vouching for half-appended data.
+    *
+    * Codebook drift is the caller's trade-off: appends don't move
+    * centroids, so a distribution shift degrades recall until the next
+    * [[ivfIndex]] rebuild (cheap to trigger: any new fingerprint retrains).
+    * Returns the refreshed index + how many vectors were actually new. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                newVectors: DataFrame): (IvfIndex, Long) = {
+    import graft.store.TableIO
+    val aDir = s"$dir/ivf_assigned"
+    val oldFp = TableIO.stageFingerprint(aDir).getOrElse(
+      sys.error(s"no completed IVF index at $dir (run ivfIndex first)"))
+    val codebook = TableIO.read(spark, s"$dir/ivf_codebook").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cmat = typedLit(codebook.map(_.toSeq).toSeq)
+    val assigned0 = TableIO.readStaged(spark, aDir)
+    val delta = ManagedCache.pin(
+      newVectors.select(col("vec_id"), col("embedding"))
+        .join(assigned0.select("vec_id"), Seq("vec_id"), "left_anti"))
+    try {
+      val n = delta.count()
+      if (n > 0) {
+        val deltaFp = TableIO.fingerprintOf(delta)
+        TableIO.appendToStage(spark, aDir,
+          withNearestCell(delta, cmat, codebook.length),
+          partitionCols = Seq("cid"),
+          newFingerprint = s"$oldFp;+append($deltaFp)")
+      }
+      (IvfIndex(codebook, TableIO.readStaged(spark, aDir)), n)
+    } finally ManagedCache.release(spark, delta)
+  }
+
   /** Probe-cell selection for a query vector, computed ON THE DRIVER
     * against the (driver-resident, k×dim) codebook — byte-identical
     * arithmetic to the distributed fold (cellScores quantized dots, double

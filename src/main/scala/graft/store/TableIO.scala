@@ -118,6 +118,41 @@ object TableIO {
     }
   }
 
+  /** The stage's recorded fingerprint, if a completed run committed one. */
+  def stageFingerprint(dir: String): Option[String] = {
+    val mp = manifestPath(dir)
+    if (Files.exists(mp)) Some(new String(Files.readAllBytes(mp), "UTF-8"))
+    else None
+  }
+
+  /** Re-read a completed stage directory (with the recorded schema when one
+    * exists, so partition-directory columns keep their declared types). */
+  def readStaged(spark: SparkSession, dir: String): DataFrame =
+    if (Files.exists(schemaPath(dir)))
+      spark.read.schema(new String(Files.readAllBytes(schemaPath(dir)), "UTF-8"))
+        .parquet(dir)
+    else read(spark, dir)
+
+  /** Append `delta` to a completed stage and advance its fingerprint —
+    * incremental stage growth (the IVF index's append path) under the same
+    * crash-discipline as [[stage]]: the OLD manifest is removed BEFORE any
+    * data lands and the NEW one written only after the append commits, so a
+    * kill at any point leaves either the intact old stage (nothing written
+    * yet) or a manifest-less dir that the next [[stage]] call recomputes
+    * from scratch — never a manifest that vouches for half-appended data.
+    * The delta must already match the stage's schema and partition layout. */
+  def appendToStage(spark: SparkSession, dir: String, delta: DataFrame,
+                    partitionCols: Seq[String], newFingerprint: String): Unit = {
+    val mp = manifestPath(dir)
+    Files.deleteIfExists(mp)
+    val w = delta.write.mode("append")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(dir)
+    spark.catalog.refreshByPath(dir)
+    Files.write(mp, newFingerprint.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+
   /** Run `compute` and persist its result under `dir` unless a previous run
     * already completed there with the same fingerprint — then just re-read.
     * The fingerprint should capture the input snapshot + stage config (we use

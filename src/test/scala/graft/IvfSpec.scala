@@ -72,6 +72,62 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAppend: incremental growth — appended vectors searchable, idempotent, " +
+    "pruning layout preserved, manifest advanced") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val corpusA = clustered.filter(col("vec_id") < 160) // cluster 6 straddles: 150-159 in A, 160-174 in B
+    val (idx0, _) = Similarity.ivfIndex(spark, corpusA, dir, "fpA")
+    assert(idx0.assigned.count() == 160)
+    val preBlocks = graft.ops.ManagedCache.pinnedCount(spark)
+
+    // batch B: the held-out tail — its members are near their A cluster-mates
+    val corpusB = clustered.filter(col("vec_id") >= 160)
+    val (idx1, n1) = Similarity.ivfAppend(spark, dir, corpusB)
+    assert(n1 == 40, s"40 new vectors expected, appended $n1")
+    assert(idx1.assigned.count() == 200)
+    assert(graft.ops.ManagedCache.pinnedCount(spark) == preBlocks,
+      "ivfAppend must release its internal pin")
+    assert(idx1.codebook.map(_.toSeq).toSeq == idx0.codebook.map(_.toSeq).toSeq,
+      "append must not retrain the codebook")
+
+    // an appended vector is served: cluster 7 (175-199) lives entirely in B,
+    // so a cluster-7 query's neighbors are all appended vectors
+    val hits = Similarity.ivfSearch(idx1, queryId = 190L, k = 5)
+      .collect().map(_.getLong(0))
+    assert(hits.nonEmpty && hits.forall(id => id >= 175L && id < 200L),
+      s"cluster-7 query must find its appended cluster-mates, got ${hits.toSeq}")
+    // cluster 6 straddles the A/B split: a query from its A side must see
+    // BOTH its indexed and its appended cluster-mates in one result
+    val straddle = Similarity.ivfSearch(idx1, queryId = 155L, k = 10)
+      .collect().map(_.getLong(0))
+    assert(straddle.exists(_ >= 160L) && straddle.exists(_ < 160L),
+      s"straddling cluster must mix indexed and appended members: ${straddle.toSeq}")
+
+    // idempotence: re-appending the same batch is a no-op
+    val (idx2, n2) = Similarity.ivfAppend(spark, dir, corpusB)
+    assert(n2 == 0 && idx2.assigned.count() == 200)
+
+    // appended files land inside cid=... partition dirs (pruned search shape)
+    val aDir = new java.io.File(s"$dir/ivf_assigned")
+    val stray = aDir.listFiles().filter(f =>
+      f.getName.endsWith(".parquet") && f.isFile)
+    assert(stray.isEmpty, s"appended files must live under cid dirs: ${stray.toSeq}")
+
+    // the manifest advanced: rebuilding with the ORIGINAL fingerprint must
+    // recompute (a stale skip would serve A+B for a corpus-A fingerprint)
+    val (idx3, skipped) = Similarity.ivfIndex(spark, corpusA, dir, "fpA")
+    assert(!skipped, "append must invalidate the pre-append fingerprint")
+    assert(idx3.assigned.count() == 160)
+  }
+
+  test("ivfAppend on a missing index fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-none").toString
+    val e = intercept[RuntimeException] {
+      Similarity.ivfAppend(spark, dir, clustered.limit(1))
+    }
+    assert(e.getMessage.contains("no completed IVF index"))
+  }
+
   test("ivfNearDupAgainstIndex: planted incoming near-dups flagged, novel vectors clean") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-neardup").toString
     val (idx, _) = Similarity.ivfIndex(spark, clustered, dir, "fp")

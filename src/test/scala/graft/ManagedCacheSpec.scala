@@ -32,4 +32,19 @@ class ManagedCacheSpec extends AnyFunSuite {
     while (leftover.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
     assert(leftover.isEmpty, s"blocks still cached after releaseAll: $leftover")
   }
+
+  test("release(df) unpins only that frame — caller-owned pins survive") {
+    ManagedCache.releaseAll(spark)
+    val a = ManagedCache.pin((0 until 5).map(i => (i, s"a$i")).toDF("id", "v"))
+    val b = ManagedCache.pin((0 until 5).map(i => (i, s"b$i")).toDF("id", "v"))
+    a.count(); b.count()
+    assert(ManagedCache.pinnedCount(spark) == 2)
+    ManagedCache.release(spark, a)
+    assert(ManagedCache.pinnedCount(spark) == 1, "only the released frame unpins")
+    // releasing an unknown frame is a no-op
+    ManagedCache.release(spark, (0 until 2).map(i => (i, "x")).toDF("id", "v"))
+    assert(ManagedCache.pinnedCount(spark) == 1)
+    ManagedCache.release(spark, b)
+    assert(ManagedCache.pinnedCount(spark) == 0)
+  }
 }
