@@ -50,6 +50,29 @@ object Text {
       length(col("text")).cast("long").as("n_chars_actual"),
       length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"))
 
+  /** Sliding token-window chunking — the context-window packing step of a
+    * training/RAG pipeline: fixed-size chunks of `chunkTokens` whitespace
+    * tokens advancing by `chunkTokens - overlap` (trailing chunks may be
+    * short; a window that would only re-cover the previous chunk's overlap
+    * is not emitted). One row per chunk: (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_text). Map-only — tokenize + slice + explode, no shuffle; chunk
+    * ids are per-document positions, so the output is deterministic under
+    * any partitioning and an appended corpus chunks identically. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0: $chunkTokens / $overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(0),
+          greatest(col("n") - overlap - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("n") - col("col")).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("col") + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   def qualityScore(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
@@ -344,6 +367,19 @@ object Text {
                      CAST(length(text) AS BIGINT) AS n_chars_actual,
                      CAST(length(replace(text,' ','')) AS BIGINT) AS n_nonspace
               FROM documents""")),
+
+    // sliding-window chunking (64-token windows, 16 overlap): per-row replay
+    // of starts grid, short trailing chunks, and the re-joined chunk text
+    QueryDef("t9_chunk",
+      (s, d) => chunkDocs(t(s, d, "documents"), chunkTokens = 64, overlap = 16),
+      Some("""SELECT doc_id,
+                     CAST(st // 48 AS BIGINT) AS chunk_id,
+                     CAST(least(64, n - st) AS BIGINT) AS n_chunk_tokens,
+                     array_to_string(tk[st + 1 : st + 64], ' ') AS chunk_text
+              FROM (SELECT doc_id, tk, n, unnest(generate_series(0, greatest(n - 17, 0), 48)) AS st
+                    FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+                                 len(string_split(text, ' ')) AS n
+                          FROM documents))""")),
 
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),

@@ -55,6 +55,32 @@ class OpsSpec extends AnyFunSuite {
     assert(nearHits >= 8, s"only $nearHits/10 near-dups found")
   }
 
+  test("chunkDocs: window grid, overlap content, short docs, arg validation") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than overlap
+      (3L, ""))                                       // empty text → [""] (1 token)
+      .toDF("doc_id", "text")
+    val chunks = graft.ops.Text.chunkDocs(d, chunkTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(c => (c._1, c._2)).toSeq
+    assert(chunks === Seq(
+      // doc 1: starts 0 and 4 (a start at 8 would only re-cover overlap)
+      (1L, 0L, 8L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (1L, 1L, 6L, "w5 w6 w7 w8 w9 w10"),
+      (2L, 0L, 2L, "a b"),
+      (3L, 0L, 1L, "")))
+    // consecutive chunks share exactly the overlap tokens
+    val c1 = chunks(0)._4.split(" ").takeRight(4).toSeq
+    val c2 = chunks(1)._4.split(" ").take(4).toSeq
+    assert(c1 === c2, "overlap tokens must repeat across the boundary")
+    // map-only: no shuffle in the plan
+    val plan = graft.ops.Text.chunkDocs(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    intercept[IllegalArgumentException](graft.ops.Text.chunkDocs(d, 8, 8))
+    intercept[IllegalArgumentException](graft.ops.Text.chunkDocs(d, 8, -1))
+  }
+
   test("resolveNearDups: transitive chains collapse to one min-id survivor; singletons kept") {
     // a~b and b~c but NOT a~c (near-dup is not transitive) — the resolution
     // must still put all three in one group with survivor = min id
