@@ -166,6 +166,38 @@ object Text {
       .filter(col("shared") >= minShared)
   }
 
+  /** Cross-corpus contamination detection: which TRAIN documents share
+    * winnowed-fingerprint evidence with which TEST documents — the
+    * benchmark-leakage audit an eval pipeline runs before trusting its
+    * numbers. Same index and guarantees as [[winnowNearDupPairs]] (any
+    * shared token run ≥ w+2 selects a common fingerprint), but the join is
+    * STRICTLY across the two corpora (train × test on fp, never
+    * train × train), so the work is the overlap surface, not either
+    * corpus's internal dup structure. The df cap is computed over the
+    * UNION of both fingerprint sets — a boilerplate fp frequent in either
+    * corpus is what blows the cross-join fan-out, so the bound must see
+    * both. Returns (train_id, test_id, shared). Jobs at construction
+    * mirror the pair form: two counts with `maxDf = None`, zero with an
+    * explicit cap. */
+  def crossCorpusOverlap(train: DataFrame, test: DataFrame, w: Int = 4,
+                         minShared: Long = 2, maxDf: Option[Long] = None): DataFrame = {
+    val union = ManagedCache.pin(
+      winnowedFingerprints(train, w).withColumn("side", lit("a"))
+        .unionByName(winnowedFingerprints(test, w).withColumn("side", lit("b"))))
+    val (cap, bound) = maxDf match {
+      case Some(c) => (c, Double.PositiveInfinity)
+      case None =>
+        val c = defaultDfCap(train.count() + test.count())
+        (c, union.count().toDouble / math.max(c, 1L))
+    }
+    val kept = dfCapFilter(union, "fp", cap, bound)
+    kept.filter(col("side") === "a").alias("x")
+      .join(kept.filter(col("side") === "b").alias("y"), col("x.fp") === col("y.fp"))
+      .groupBy(col("x.doc_id").as("train_id"), col("y.doc_id").as("test_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   private[graft] def winnowedFingerprintsHof(docs: DataFrame, w: Int = 4): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
@@ -503,6 +535,43 @@ object Text {
                   ON fps.fp = keep.fp)
               SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
               FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+              HAVING count(*) >= 2""")),
+
+    // benchmark-contamination audit: train = every other source, test =
+    // src0; the t7 winnowing replayed over the whole (disjointly split)
+    // table, df cap over the union, then the STRICT cross-corpus fp join
+    QueryDef("t10_contamination",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        crossCorpusOverlap(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+              hs AS (
+                SELECT doc_id, source,
+                       list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                         i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+                FROM toks),
+              fps AS (
+                SELECT doc_id, source,
+                       unnest(list_distinct(list_transform(
+                         generate_series(1, greatest(len(hs) - 3, 0)),
+                         i -> list_min(hs[i:i+3])))) AS fp
+                FROM hs),
+              kept AS (
+                SELECT fps.doc_id, fps.source, fps.fp
+                FROM fps
+                JOIN (SELECT fp FROM fps GROUP BY fp
+                      HAVING count(*) <= least($DefaultShingleDfCap,
+                        greatest($DefaultShingleDfFloor,
+                          (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
+                           FROM documents)))) keep
+                  ON fps.fp = keep.fp)
+              SELECT x.doc_id AS train_id, y.doc_id AS test_id,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM kept x JOIN kept y ON x.fp = y.fp
+              WHERE x.source <> 'src0' AND y.source = 'src0'
               GROUP BY x.doc_id, y.doc_id
               HAVING count(*) >= 2""")),
 

@@ -55,6 +55,29 @@ class OpsSpec extends AnyFunSuite {
     assert(nearHits >= 8, s"only $nearHits/10 near-dups found")
   }
 
+  test("crossCorpusOverlap: planted leaked passage flagged train->test; clean docs silent") {
+    // train = the planted corpus; test = one doc quoting a 40-token run of
+    // train doc 3 (well past the w+2 selection guarantee) + one clean doc
+    val train = docs
+    val r = new scala.util.Random(987)
+    val words = Seq("nu", "xi", "omicron", "pi", "rho", "sigma")
+    val leaked = docs.filter(col("doc_id") === 3L).head().getString(1)
+      .split(" ").slice(10, 50).mkString(" ")
+    val test = Seq(
+      (9001L, (1 to 30).map(_ => words(r.nextInt(words.length))).mkString(" ") + " " + leaked),
+      (9002L, (1 to 80).map(_ => words(r.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val hits = graft.ops.Text.crossCorpusOverlap(train, test)
+    graft.ops.ManagedCache.releaseAll(spark)
+    val rows = hits.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(h => h._1 == 3L && h._2 == 9001L && h._3 >= 2),
+      s"leaked passage not flagged: ${rows.toSeq}")
+    assert(!rows.exists(_._2 == 9002L), s"clean test doc falsely flagged: ${rows.toSeq}")
+    // strictly cross-corpus: every pair is (train id, test id) — the
+    // corpus's own internal dups (0~200 etc.) never appear
+    assert(rows.forall(h => h._2 >= 9000L && h._1 < 9000L))
+  }
+
   test("chunkDocs: window grid, overlap content, short docs, arg validation") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
