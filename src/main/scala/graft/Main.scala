@@ -59,7 +59,10 @@ object Main {
     def optArg(name: String): Option[String] =
       args.indices.filter(args(_) == name) match {
         case Seq() => None
-        case Seq(i) if i + 1 < args.length => Some(args(i + 1))
+        // a following '--' token is another flag, not this flag's value —
+        // "--input --tsv /d.tsv" must die here, not later in spark.read
+        case Seq(i) if i + 1 < args.length && !args(i + 1).startsWith("--") =>
+          Some(args(i + 1))
         case Seq(_) => sys.error(s"$name requires a value ($usage)")
         case _ => sys.error(s"$name given more than once ($usage)")
       }
@@ -77,8 +80,13 @@ object Main {
       case Seq() => ()
       case bad => sys.error(s"unknown flag(s): ${bad.mkString(", ")} ($usage)")
     }
-    CliArgs(positional.headOption.getOrElse("target/kg-out"),
-      positional.lift(1).map(_.toInt).getOrElse(1), inputDir, tsvPath)
+    val k = positional.lift(1).map { s =>
+      scala.util.Try(s.toInt).getOrElse(
+        sys.error(s"k must be an integer, got '$s' ($usage)"))
+    }.getOrElse(1)
+    if (positional.length > 2)
+      sys.error(s"unexpected arguments: ${positional.drop(2).mkString(", ")} ($usage)")
+    CliArgs(positional.headOption.getOrElse("target/kg-out"), k, inputDir, tsvPath)
   }
 
   /** Opt-in TSV label enrichment as its own checkpointed stage: rdfs:label@lang

@@ -214,20 +214,34 @@ object Dedup {
     * one row per corpus document: (doc_id, survivor, kept) — kept ⇔ the doc
     * IS its group's survivor (non-grouped docs survive trivially), so both
     * the pruned corpus (`kept`) and the redirect table for audit/lineage
-    * (doc_id → survivor) fall out of one frame.
+    * (doc_id → survivor) fall out of one frame. The survivor is the min id
+    * AMONG GROUP MEMBERS PRESENT IN `docs` — when the pairs were computed
+    * on a superset (e.g. a quality gate dropped some docs after pairing),
+    * the group still keeps one surviving representative instead of
+    * redirecting every member to an id that no longer exists.
     *
     * Scale shape: the CC runs over PAIRS only (the dup graph, ≪ corpus —
     * O(log diameter) pointer-doubling rounds, and dup clusters are
     * near-cliques so 2–3 rounds in practice); the corpus is touched by
     * exactly one join against the label table, which AQE broadcasts
-    * whenever dup groups are rare (the common case). */
+    * whenever dup groups are rare (the common case).
+    *
+    * Construction is NOT lazy (unlike the pair producers' documented
+    * two-job contract): the CC kernel runs its checkpoint + convergence
+    * jobs — over the pair graph only — as soon as this is called. */
   def resolveNearDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = graft.queries.Iterative.connectedComponents(
       pairs.select(col("a"), col("b")))
-    docs.select(col("doc_id"))
+    val labeled = docs.select(col("doc_id"))
       .join(cc, col("doc_id") === col("node"), "left_outer")
+      .select(col("doc_id"), col("component"))
+    // min PRESENT member per group (the group label itself may be absent
+    // from docs); both joins are against pair-graph-sized tables
+    val present = labeled.filter(col("component").isNotNull)
+      .groupBy("component").agg(min(col("doc_id")).as("present_min"))
+    labeled.join(present, Seq("component"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("survivor"))
+        coalesce(col("present_min"), col("doc_id")).as("survivor"))
       .withColumn("kept", col("doc_id") === col("survivor"))
   }
 
@@ -309,7 +323,8 @@ object Dedup {
           SELECT a, a FROM edges
           UNION
           SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-        root AS (SELECT id, min(r) AS survivor FROM reach GROUP BY id)
+        root AS (SELECT id, min(r) AS survivor FROM reach
+                 WHERE r IN (SELECT doc_id FROM documents) GROUP BY id)
         SELECT d.doc_id,
                coalesce(root.survivor, d.doc_id) AS survivor,
                (d.doc_id = coalesce(root.survivor, d.doc_id)) AS kept

@@ -143,7 +143,9 @@ object Similarity {
     * exact quantized cosine, top-k per query via one window. For queries
     * drawn from the corpus itself this equals [[annLsh]] restricted to
     * those ids (OpsSpec); fully quantized, so unlike IVF it carries a
-    * DRIVER-level DuckDB oracle (s5_ann_lsh_batch). */
+    * DRIVER-level DuckDB oracle (s5_ann_lsh_batch). Self-exclusion is by
+    * raw id equality — query ids must share the corpus namespace or be
+    * disjoint from it (see [[ivfNearDupAgainstIndex]]'s id contract). */
   def lshSearch(embeddings: DataFrame, queries: DataFrame, dim: Int = 64,
                 bands: Int = 4, bitsPerBand: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -364,9 +366,19 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     val cmat = typedLit(codebook.map(_.toSeq).toSeq)
     val assigned0 = TableIO.readStaged(spark, aDir)
+    // one row per NEW vec_id: the anti-join drops ids already indexed, and
+    // the window drops intra-batch duplicates (an upstream union without
+    // distinct would otherwise append the same id twice, permanently
+    // breaking the uniqueness the idempotence guard protects — and the
+    // guard itself would then skip the re-append that could reveal it).
+    // Deterministic survivor: min embedding by array ordering.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("embedding"))
     val delta = ManagedCache.pin(
       newVectors.select(col("vec_id"), col("embedding"))
-        .join(assigned0.select("vec_id"), Seq("vec_id"), "left_anti"))
+        .join(assigned0.select("vec_id"), Seq("vec_id"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn"))
     try {
       val n = delta.count()
       if (n > 0) {
@@ -515,9 +527,14 @@ object Similarity {
     * one row per (incoming vector, indexed near-duplicate) with
     * cos ≥ minCos; an incoming id that also exists in the index never
     * matches ITSELF (ivfSearchAll's self-exclusion), so re-probing already-
-    * indexed vectors reports only their true neighbors. `maxMatches` bounds
-    * the per-query fan-out (a dedup decision needs one hit; the default
-    * keeps a few for audit). */
+    * indexed vectors reports only their true neighbors. ID CONTRACT: that
+    * exclusion is by raw id equality, so incoming ids must share the
+    * index's namespace (or be disjoint from it) — an UNRELATED batch
+    * numbered from 0 whose id coincides with an indexed doc would have
+    * exactly that one true near-dup silently excluded; re-key such batches
+    * (e.g. offset or uuid) before probing. `maxMatches` bounds the
+    * per-query fan-out (a dedup decision needs one hit; the default keeps
+    * a few for audit). */
   def ivfNearDupAgainstIndex(index: IvfIndex, queries: DataFrame,
                              minCos: Double = 0.9, nprobe: Int = 2,
                              maxMatches: Int = 5,

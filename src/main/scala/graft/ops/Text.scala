@@ -177,8 +177,9 @@ object Text {
     * UNION of both fingerprint sets — a boilerplate fp frequent in either
     * corpus is what blows the cross-join fan-out, so the bound must see
     * both. Returns (train_id, test_id, shared). Jobs at construction
-    * mirror the pair form: two counts with `maxDf = None`, zero with an
-    * explicit cap. */
+    * mirror the pair form: three counts with `maxDf = None` (each corpus
+    * for the relative cap + the pinned union for the exact reject bound),
+    * zero with an explicit cap. */
   def crossCorpusOverlap(train: DataFrame, test: DataFrame, w: Int = 4,
                          minShared: Long = 2, maxDf: Option[Long] = None): DataFrame = {
     val union = ManagedCache.pin(

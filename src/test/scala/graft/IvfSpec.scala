@@ -120,6 +120,18 @@ class IvfSpec extends AnyFunSuite {
     assert(idx3.assigned.count() == 160)
   }
 
+  test("ivfAppend: intra-batch duplicate ids collapse to one appended row") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-dupbatch").toString
+    val (_, _) = Similarity.ivfIndex(spark, clustered.filter(col("vec_id") < 100), dir, "fp")
+    // the same new id twice in one batch (upstream union without distinct)
+    val batch = clustered.filter(col("vec_id") === 150L)
+      .unionByName(clustered.filter(col("vec_id") === 150L))
+    val (idx, n) = Similarity.ivfAppend(spark, dir, batch)
+    assert(n == 1, s"dup batch must append one row, got $n")
+    assert(idx.assigned.filter(col("vec_id") === 150L).count() == 1,
+      "vec_id uniqueness broken by intra-batch duplicates")
+  }
+
   test("ivfAppend on a missing index fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-none").toString
     val e = intercept[RuntimeException] {

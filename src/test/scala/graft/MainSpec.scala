@@ -46,6 +46,20 @@ class MainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("requires a value"))
   }
 
+  test("parseArgs: a flag cannot consume another flag as its value") {
+    val e = intercept[RuntimeException] {
+      Main.parseArgs(Array("/tmp/out", "--input", "--tsv", "/d.tsv"))
+    }
+    assert(e.getMessage.contains("--input requires a value"))
+  }
+
+  test("parseArgs: non-numeric k and excess positionals die with usage, not NumberFormatException") {
+    val e1 = intercept[RuntimeException](Main.parseArgs(Array("/tmp/out", "fast")))
+    assert(e1.getMessage.contains("k must be an integer") && e1.getMessage.contains("usage:"))
+    val e2 = intercept[RuntimeException](Main.parseArgs(Array("/tmp/out", "2", "extra")))
+    assert(e2.getMessage.contains("unexpected arguments"))
+  }
+
   // ---- enrichStage --------------------------------------------------------
 
   /** Minimal triple set with one schema:identifier row (all labelTriples

@@ -120,6 +120,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Seq((1L, "doc 1"), (4L, "doc 4")))
   }
 
+  test("resolveNearDups: survivor absent from docs — group keeps its min PRESENT member") {
+    // pairs computed before a quality gate dropped doc 1: the group {1,5,7}
+    // must still keep one present representative (5), not redirect everyone
+    // to the vanished id and lose the content entirely
+    val d = Seq(5L, 7L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (5L, 7L)).toDF("a", "b")
+    val res = Dedup.resolveNearDups(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res === Map(5L -> (5L, true), 7L -> (5L, false), 9L -> (9L, true)))
+    assert(Dedup.dedupNearDups(d, pairs).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(5L, 9L))
+  }
+
   test("resolveNearDups over planted minhash pairs: exact dups dropped, their base kept") {
     val res = Dedup.resolveNearDups(docs, Dedup.minhashLshPairs(docs, minEstBp = 5000))
     graft.ops.ManagedCache.releaseAll(spark)

@@ -81,28 +81,49 @@ class PlanSpec extends AnyFunSuite {
     assert(s1.contains("TakeOrderedAndProject"), "s1 top-k should not global-sort")
   }
 
-  test("LSH candidate joins carry ids only through the bucket shuffle") {
-    // the banded exchange before the candidate self-join must not ship the
-    // 64-slot signatures — ids + band + bucket only; the signatures
-    // re-join AFTER the pair dedup. Broadcast off: at corpus scale both
-    // sides are big and the (band, bucket) SHUFFLE is the plan under test
-    // (at sf0.001 the planner would broadcast and no exchange exists)
+  /** Assert every (band, bucket) exchange in `queryName`'s plan ships rows
+    * WITHOUT the payload column. Broadcast off: at corpus scale both sides
+    * are big and the (band, bucket) SHUFFLE is the plan under test (at
+    * sf0.001 the planner would broadcast and no exchange would exist). The
+    * check reads each exchange's DIRECT child line (tree printing puts it
+    * at i+1 — that operator's output is exactly what the exchange ships)
+    * and fails LOUDLY if that line is not a Project, rather than passing
+    * vacuously on a reshaped plan. */
+  private def assertIdsOnlyBucketShuffle(queryName: String, payload: String,
+                                         minExchanges: Int): Unit = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     val lines = try {
-      plan(SparkEntry.queries("d2_minhash_lsh")(spark, sf)).linesIterator.toIndexedSeq
+      plan(SparkEntry.queries(queryName)(spark, sf)).linesIterator.toIndexedSeq
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     val bandedIdx = lines.zipWithIndex.collect {
       case (l, i) if l.contains("Exchange hashpartitioning")
         && l.contains("band") && l.contains("bucket") => i
     }
-    assert(bandedIdx.nonEmpty, s"no banded exchange found:\n${lines.mkString("\n").take(2000)}")
-    // the exchange's input (next tree line) is the projected row it ships
+    assert(bandedIdx.size >= minExchanges,
+      s"expected >= $minExchanges banded exchanges in $queryName:\n" +
+        lines.mkString("\n").take(2000))
     bandedIdx.foreach { i =>
-      val child = lines.drop(i + 1).find(_.contains("Project")).getOrElse("")
-      assert(!child.contains("sig#"),
-        s"signatures ride the bucket shuffle: $child")
+      val child = lines.lift(i + 1).getOrElse("")
+      assert(child.contains("Project"),
+        s"$queryName: banded exchange's direct child is not a Project — " +
+          s"plan reshaped, update this check: $child")
+      assert(!child.contains(payload),
+        s"$queryName: payload rides the bucket shuffle: $child")
     }
+  }
+
+  test("LSH candidate joins carry ids only through the bucket shuffle") {
+    // the banded exchange before the candidate self-join must not ship the
+    // 64-slot signatures — ids + band + bucket only; the signatures
+    // re-join AFTER the pair dedup
+    assertIdsOnlyBucketShuffle("d2_minhash_lsh", "sig#", minExchanges = 1)
+  }
+
+  test("batched LSH search ships ids only through the bucket shuffle (both sides)") {
+    // s5's query-vs-corpus bucket join: neither side's exchange may carry
+    // the embedding payload — vectors re-attach per surviving candidate
+    assertIdsOnlyBucketShuffle("s5_ann_lsh_batch", "embedding#", minExchanges = 2)
   }
 
   test("staged IVF search prunes cid partitions at the source") {
