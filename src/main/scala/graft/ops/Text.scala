@@ -73,6 +73,26 @@ object Text {
         array_join(slice(col("tk"), col("col") + 1, lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** Pack a document's chunks into fixed token-budget sequences — the step
+    * after [[chunkDocs]] that fills model context windows. Deterministic
+    * OFFSET-GRID packing: a chunk's sequence is its starting token offset
+    * (cumulative tokens of its predecessors) integer-divided by the budget,
+    * so a sequence may overflow by less than one chunk. Exact greedy
+    * bin-closing is stateful per document and deliberately not used: the
+    * grid keeps the operator ONE window pass (a single doc_id shuffle),
+    * stable under any partitioning, and exactly SQL-replayable. Output =
+    * the chunk rows + `seq_id` (0-based per doc). */
+  def packChunks(chunks: DataFrame, budgetTokens: Int = 96): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("cum_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div ${budgetTokens}L"))
+      .drop("cum_before")
+  }
+
   def qualityScore(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
@@ -413,6 +433,29 @@ object Text {
                     FROM (SELECT doc_id, string_split(text, ' ') AS tk,
                                  len(string_split(text, ' ')) AS n
                           FROM documents))""")),
+
+    // chunk → context-window packing: a per-doc grid sequence id (cumulative
+    // predecessor tokens div budget, one window pass). Grid 24/8, budget 48:
+    // the driver corpus tops out at 99 tokens, so these sizes make docs
+    // actually span multiple sequences (64/96 would leave seq_id ≡ 0).
+    QueryDef("t11_pack",
+      (s, d) => packChunks(chunkDocs(t(s, d, "documents"),
+        chunkTokens = 24, overlap = 8), budgetTokens = 48),
+      Some("""WITH chunks AS (
+                SELECT doc_id,
+                       CAST(st // 16 AS BIGINT) AS chunk_id,
+                       CAST(least(24, n - st) AS BIGINT) AS n_chunk_tokens,
+                       array_to_string(tk[st + 1 : st + 24], ' ') AS chunk_text
+                FROM (SELECT doc_id, tk, n, unnest(generate_series(0, greatest(n - 9, 0), 16)) AS st
+                      FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+                                   len(string_split(text, ' ')) AS n
+                            FROM documents)))
+              SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text,
+                     CAST(coalesce(sum(n_chunk_tokens) OVER (
+                            PARTITION BY doc_id ORDER BY chunk_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 48
+                          AS BIGINT) AS seq_id
+              FROM chunks""")),
 
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),

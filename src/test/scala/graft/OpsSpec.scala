@@ -104,6 +104,24 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.ops.Text.chunkDocs(d, 8, -1))
   }
 
+  test("packChunks: offset-grid sequences, partitioning-stable, arg validation") {
+    val chunks = Seq(
+      // doc 1: chunk token counts 8, 8, 6 at offsets 0, 8, 16 → budget 16:
+      // seqs 0, 0, 1 (chunk 2 starts at offset 16 = the second grid window)
+      (1L, 0L, 8L, "a"), (1L, 1L, 8L, "b"), (1L, 2L, 6L, "c"),
+      // doc 2: one short chunk → seq 0
+      (2L, 0L, 3L, "d"))
+      .toDF("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+    val packed = graft.ops.Text.packChunks(chunks, budgetTokens = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(packed === Map((1L, 0L) -> 0L, (1L, 1L) -> 0L, (1L, 2L) -> 1L, (2L, 0L) -> 0L))
+    // same result under a different partitioning (the window orders per doc)
+    val repart = graft.ops.Text.packChunks(chunks.repartition(7), budgetTokens = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(repart === packed)
+    intercept[IllegalArgumentException](graft.ops.Text.packChunks(chunks, 0))
+  }
+
   test("resolveNearDups: transitive chains collapse to one min-id survivor; singletons kept") {
     // a~b and b~c but NOT a~c (near-dup is not transitive) — the resolution
     // must still put all three in one group with survivor = min id
