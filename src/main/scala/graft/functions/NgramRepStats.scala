@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document token-n-gram repetition counters — the Gopher/C4-style
+  * "repetitious document" quality signals — as ONE native map-side kernel.
+  *
+  * Returns `array<long> [n_ngrams, top_cnt, dup_cnt]` for a single document:
+  * total n-gram instances, the count of the most frequent n-gram, and the
+  * number of instances belonging to n-grams that occur at least twice.
+  * Downstream filters derive ratios (e.g. `top_cnt/n_ngrams` ≈ Gopher's
+  * "fraction of characters in the most common 2-gram"); the kernel emits raw
+  * integer counts so the DuckDB oracle replay is exact with no float drift.
+  *
+  * Why a native expression and not explode + groupBy: per-document stats
+  * need no cross-row state, so the distributed-wordcount shape (explode all
+  * n-grams, shuffle on (doc_id, gram), re-aggregate per doc) would move the
+  * ENTIRE corpus's n-gram set through two exchanges to compute what one
+  * sorted pass over each row already knows. This kernel keeps the operator
+  * map-only — at 100 TB the repetition scan pipelines with the quality scan
+  * in a single stage, shuffling nothing. Tokenization matches the library
+  * convention (single-space split keeping empties — `Text.tokenStats`,
+  * ShingleKernel) so counts line up with the other text operators.
+  */
+final case class NgramRepStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_rep_stats needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramRepKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramRepKernel.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
+    copy(child = newChild)
+}
+
+object NgramRepStats {
+  def apply(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    GraftExpressionBridge.column(
+      NgramRepStats(GraftExpressionBridge.expression(text), n))
+  }
+}
+
+object NgramRepKernel {
+
+  /** One row: split on single spaces (keeping empties, like Spark
+    * `split(text, ' ')` / DuckDB `string_split`), form the n-grams, sort,
+    * and count runs in one pass. Sorting is only a grouping device — any
+    * total order yields the same counts, so no cross-engine collation
+    * concern exists. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val total = toks.length - n + 1
+    if (total <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val grams = new Array[String](total)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      grams(i) = sb.toString
+      i += 1
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var top = 0L
+    var dup = 0L
+    var run = 1L
+    i = 1
+    while (i <= total) {
+      if (i < total && grams(i) == grams(i - 1)) run += 1
+      else {
+        if (run > top) top = run
+        if (run >= 2) dup += run
+        run = 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(total.toLong, top, dup))
+  }
+}

@@ -47,6 +47,11 @@ package object functions {
       case Seq(text, w) => WinnowFingerprints(text, intLit(w, "w"))
       case args => throw new IllegalArgumentException(
         s"winnow_fingerprints(text, w) takes 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("ngram_rep_stats", classOf[NgramRepStats], {
+      case Seq(text, n) => NgramRepStats(text, intLit(n, "n"))
+      case args => throw new IllegalArgumentException(
+        s"ngram_rep_stats(text, n) takes 2 arguments, got ${args.length}")
     }: Seq[Expression] => Expression))
 
   def register(spark: SparkSession): Unit =

@@ -42,6 +42,17 @@ object Text {
     * so \\s would diverge on documents containing one. */
   val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
+  /** PII patterns for [[piiScrub]]. Same cross-engine discipline as
+    * [[BpeishPattern]]: character classes, grouping and bounded/unbounded
+    * quantifiers only — constructs whose semantics are identical in Java
+    * regex (Spark) and RE2 (DuckDB) — no lookaround, no \\b, no \\d
+    * (class shorthands can differ under Unicode flags; classes are spelled
+    * out). Leftmost-first with greedy quantifiers resolves identically in
+    * both engines for these patterns. */
+  val PiiEmailPattern = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  val PiiIpv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhonePattern = "[0-9]{3}-[0-9]{4}"
+
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -91,6 +102,48 @@ object Text {
       .withColumn("cum_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"cum_before div ${budgetTokens}L"))
       .drop("cum_before")
+  }
+
+  /** Gopher/C4-style repetition quality signals: per-document 2-gram and
+    * 3-gram repetition counters from the [[graft.functions.NgramRepStats]]
+    * native kernel (one codegen'd map-side pass per gram size — NOT the
+    * explode+groupBy wordcount shape, which would shuffle the whole
+    * corpus's n-gram set twice to compute a per-row statistic). Raw integer
+    * counts, not ratios, so the cross-engine oracle is exact; a curation
+    * filter derives e.g. `top_2gram_cnt * 10 > n_2grams` in integers. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.NgramRepStats(col("text"), 2).as("s2"),
+        graft.functions.NgramRepStats(col("text"), 3).as("s3"))
+      .select(col("doc_id"),
+        col("s2")(0).as("n_2grams"),
+        col("s2")(1).as("top_2gram_cnt"),
+        col("s2")(2).as("dup_2gram_cnt"),
+        col("s3")(0).as("n_3grams"),
+        col("s3")(1).as("top_3gram_cnt"),
+        col("s3")(2).as("dup_3gram_cnt"))
+
+  /** PII detection + redaction — the compliance pass of a training-data
+    * pipeline: count and mask emails, IPv4 addresses and phone-shaped
+    * numbers in one projection. Counts are taken on the ORIGINAL text;
+    * redaction applies email → IPv4 → phone in that fixed order (the
+    * placeholders contain no digits, so later passes never re-match earlier
+    * replacements). Map-only codegen'd built-ins (`regexp_count` /
+    * `regexp_replace`) — at scale this pipelines with the quality scan,
+    * shuffling nothing. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    docs.select(
+      col("doc_id"),
+      regexp_count(c, lit(PiiEmailPattern)).cast("long").as("n_emails"),
+      regexp_count(c, lit(PiiIpv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(c, lit(PiiPhonePattern)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, lit(PiiEmailPattern), lit("<EMAIL>")),
+          lit(PiiIpv4Pattern), lit("<IP>")),
+        lit(PiiPhonePattern), lit("<PHONE>")).as("redacted"))
   }
 
   def qualityScore(docs: DataFrame): DataFrame =
@@ -456,6 +509,79 @@ object Text {
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 48
                           AS BIGINT) AS seq_id
               FROM chunks""")),
+
+    // Gopher-style repetition counters — the oracle re-derives every count
+    // through the wordcount shape (unnest + two GROUP BYs) that the native
+    // kernel exists to avoid, so the map-only pass is checked against the
+    // fully relational formulation
+    QueryDef("t12_repetition",
+      (s, d) => repetitionStats(t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              g2 AS (SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS g
+                     FROM tok, unnest(generate_series(1, len(tk) - 1)) AS t(i)),
+              c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, g),
+              a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+                            CAST(max(c) AS BIGINT) AS t2,
+                            CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS d2
+                     FROM c2 GROUP BY doc_id),
+              g3 AS (SELECT doc_id, array_to_string(tk[i : i + 2], ' ') AS g
+                     FROM tok, unnest(generate_series(1, len(tk) - 2)) AS t(i)),
+              c3 AS (SELECT doc_id, count(*) AS c FROM g3 GROUP BY doc_id, g),
+              a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+                            CAST(max(c) AS BIGINT) AS t3,
+                            CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS d3
+                     FROM c3 GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(coalesce(n2, 0) AS BIGINT) AS n_2grams,
+                     CAST(coalesce(t2, 0) AS BIGINT) AS top_2gram_cnt,
+                     CAST(coalesce(d2, 0) AS BIGINT) AS dup_2gram_cnt,
+                     CAST(coalesce(n3, 0) AS BIGINT) AS n_3grams,
+                     CAST(coalesce(t3, 0) AS BIGINT) AS top_3gram_cnt,
+                     CAST(coalesce(d3, 0) AS BIGINT) AS dup_3gram_cnt
+              FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)""")),
+
+    // PII scrub — the corpus itself is PII-free, so the query derives a
+    // deterministic PII-bearing text from doc_id (pure integer arithmetic +
+    // CAST, mirrored verbatim in the oracle); what the oracle then verifies
+    // is the cross-engine agreement of the detection/redaction regexes
+    QueryDef("t13_pii",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withPii = docs.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" from 10."),
+              (col("doc_id") % 256).cast("string"), lit(".0."),
+              ((col("doc_id") * 7) % 256).cast("string")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+        piiScrub(withPii)
+      },
+      Some(s"""WITH pii AS (
+                 SELECT doc_id,
+                        CASE
+                          WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                               CAST(doc_id AS VARCHAR) || '@example.com'
+                          WHEN doc_id % 7 = 1 THEN text || ' from 10.' ||
+                               CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                               CAST((doc_id * 7) % 256 AS VARCHAR)
+                          WHEN doc_id % 7 = 2 THEN text || ' call 555-' ||
+                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE text END AS text
+                 FROM documents)
+               SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '$PiiEmailPattern')) AS BIGINT) AS n_emails,
+                      CAST(len(regexp_extract_all(text, '$PiiIpv4Pattern')) AS BIGINT) AS n_ipv4,
+                      CAST(len(regexp_extract_all(text, '$PiiPhonePattern')) AS BIGINT) AS n_phones,
+                      regexp_replace(regexp_replace(regexp_replace(text,
+                        '$PiiEmailPattern', '<EMAIL>', 'g'),
+                        '$PiiIpv4Pattern', '<IP>', 'g'),
+                        '$PiiPhonePattern', '<PHONE>', 'g') AS redacted
+               FROM pii""")),
 
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),

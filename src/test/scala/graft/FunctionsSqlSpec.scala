@@ -64,7 +64,8 @@ class FunctionsSqlSpec extends AnyFunSuite {
       """SELECT quantized_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d,
         |       simhash64('a b c') AS sh,
         |       minhash_signature(shingle_hashes('a b c d e f g h i j', 1, 8)) AS sig,
-        |       winnow_fingerprints('a b c d e f', 4) AS wf""".stripMargin
+        |       winnow_fingerprints('a b c d e f', 4) AS wf,
+        |       ngram_rep_stats('a b a b a', 2) AS rep""".stripMargin
     intercept[Exception](s2.sql(probe).head()) // fresh registry: unresolved
     GraftExpressionBridge.applyInjectedFunctions(s2, new GraftExtensions().apply(_))
     val r = s2.sql(probe).head()
@@ -72,6 +73,8 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(!r.isNullAt(1) && !r.isNullAt(2))
     val wf = r.getSeq[Long](3)
     assert(wf.length == 1, s"6 tokens -> 4 shingles, w=4 -> one window: $wf")
+    assert(r.getSeq[Long](4) == Seq(4L, 2L, 4L),
+      "'a b a b a' 2-grams: 4 total, top 'a b' x2, all 4 in duplicated grams")
   }
 
   test("quantized_dot on unequal-length arrays is NULL (matches the HOF zip_with form)") {

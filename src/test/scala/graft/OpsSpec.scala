@@ -122,6 +122,41 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.ops.Text.packChunks(chunks, 0))
   }
 
+  test("repetitionStats: hand-computed counts, degenerate docs, map-only plan") {
+    val d = Seq((1L, "a b a b a"), (2L, "x"), (3L, ""), (4L, "p q r s"))
+      .toDF("doc_id", "text")
+    val r = Text.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    // "a b a b a": 2-grams [ab,ba,ab,ba] -> (4, top 2, dup 4);
+    //              3-grams [aba,bab,aba] -> (3, top 2, dup 2)
+    assert(r(1L) === Seq(4L, 2L, 4L, 3L, 2L, 2L))
+    // single token / empty string: no n-grams at all
+    assert(r(2L) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(r(3L) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    // all-distinct grams: top run 1 but dup 0
+    assert(r(4L) === Seq(3L, 1L, 0L, 2L, 1L, 0L))
+    val plan = Text.repetitionStats(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetitionStats must not shuffle:\n$plan")
+    intercept[IllegalArgumentException](graft.functions.NgramRepStats(col("text"), 0))
+  }
+
+  test("piiScrub: counts on original text, ordered redaction, map-only plan") {
+    val d = Seq(
+      (1L, "mail bob.smith@foo.org then 10.1.2.33 or call 555-1234 now"),
+      (2L, "user70@example.com and backup user71@example.com"),
+      (3L, "plain text no identifiers here"),
+      (4L, "edge 999-0000 dash run 123-45678")) // 123-4567 matches inside the run
+      .toDF("doc_id", "text")
+    val r = Text.piiScrub(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(1L) === ((1L, 1L, 1L, "mail <EMAIL> then <IP> or call <PHONE> now")))
+    assert(r(2L) === ((2L, 0L, 0L, "<EMAIL> and backup <EMAIL>")))
+    assert(r(3L) === ((0L, 0L, 0L, "plain text no identifiers here")))
+    assert(r(4L)._3 === 2L)
+    val plan = Text.piiScrub(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"piiScrub must not shuffle:\n$plan")
+  }
+
   test("resolveNearDups: transitive chains collapse to one min-id survivor; singletons kept") {
     // a~b and b~c but NOT a~c (near-dup is not transitive) — the resolution
     // must still put all three in one group with survivor = min id
