@@ -30,10 +30,26 @@ final case class RevState(lastSha: String, revisions: Long, lastTsMs: Long,
                           lastCommit: String)
 
 /** One emitted changed revision: the page plus which revision number this
-  * content change is and whether the key was new to the state store. */
+  * change is and whether the key was new to the state store. */
 final case class ChangedPage(repo: String, path: String, commit: String,
                              content: String, revision: Long,
                              firstSeen: Boolean)
+
+/** A document on the curation stream (event time + the columns the dedup
+  * family needs). */
+final case class StreamDoc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+
+/** One live member of an LSH bucket: doc id + the event time it was
+  * accepted. Ids only — the signature never enters state (it already
+  * determined the bucket key), and the text certainly doesn't. */
+final case class BucketMember(id: Long, tsMs: Long)
+final case class BucketState(members: Seq[BucketMember])
+
+/** An emitted near-dup candidate: the band it collided in, the id pair
+  * (a < b), and the later arrival's event time (so a downstream consumer
+  * can watermark-dedup pairs that collide in several bands). */
+final case class NearDupCandidate(band: Int, a: Long, b: Long,
+                                  ts: java.sql.Timestamp)
 
 /** Structured Streaming surfaces. The reference is strictly batch (its only
   * streaming-ish behavior is rate-limited micro-batching of 50 pages —
@@ -211,13 +227,88 @@ object StreamPipeline {
         regexp_extract(col("subj"), "pokemon/([0-9]+)$", 1).as("prevNdex"))
       .filter(col("prevNdex") =!= ""))
 
+  /** Streaming MinHash-LSH near-dup candidates within a time horizon — the
+    * streaming form of `Dedup.minhashLshPairs`'s candidate stage. Same
+    * signature kernel, same 16-band banding (the band key is the slot
+    * values, exactly the batch form), but the corpus-wide bucket self-join
+    * becomes per-(band, bucket) keyed state: each bucket remembers the doc
+    * ids seen within `stateTtlMs` of the watermark, and a new arrival emits
+    * one candidate pair per live member. State is ids-only (16 bands ×
+    * ~16 bytes per doc inside the horizon — signatures and text never enter
+    * the state store), so the store tracks the working set, not the corpus.
+    *
+    * Contract differences vs batch, by design:
+    *  - pairs are emitted per colliding band (batch `.distinct()`s across
+    *    bands); consumers dedup downstream — the emitted `ts` supports
+    *    `dropDuplicatesWithinWatermark("a", "b")`;
+    *  - pairs are UNSCORED (batch re-joins signatures to estimate Jaccard):
+    *    scoring in-state would put every signature in the store 16×. Join
+    *    candidates back to signatures (or text) in the micro-batch sink;
+    *  - only docs within the TTL horizon pair up — the streaming analogue
+    *    of `dropDuplicatesWithinWatermark`'s bounded memory, where batch
+    *    LSH sees the whole corpus. StreamingSpec pins distinct streamed
+    *    pairs == the batch candidate set on the same corpus, and the
+    *    horizon expiry. */
+  def nearDupCandidatesStream(docs: Dataset[StreamDoc],
+                              watermark: String = "1 hour",
+                              stateTtlMs: Long = 3600L * 1000)
+      : Dataset[NearDupCandidate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.ops.Dedup.Bands
+    val rowsPerBand = graft.ops.Dedup.MinhashPerms / bands
+    docs.toDF()
+      .select(col("ts"), col("doc_id"),
+        graft.functions.MinHashSignature(
+          graft.functions.ShingleHashes(col("text"), 4, 512)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("ts"), col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
+      .select(col("ts"), col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .withWatermark("ts", watermark)
+      .as[(java.sql.Timestamp, Long, Int, String)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // members are pair-eligible for stateTtl past their event time;
+            // prune against the current watermark so a bucket revisited long
+            // after its members aged out doesn't pair against them
+            val wm = state.getCurrentWatermarkMs()
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+              .filter(_.tsMs + stateTtlMs > wm)
+            val out = Seq.newBuilder[NearDupCandidate]
+            // deterministic order inside a micro-batch (iterator order isn't)
+            for (r <- rows.toSeq.sortBy(x => (x._1.getTime, x._2))) {
+              val id = r._2
+              // first sighting wins inside the horizon (the
+              // dropDuplicatesWithinWatermark convention): a re-arrival
+              // neither re-emits its pairs nor extends its retention
+              if (!members.exists(_.id == id)) {
+                for (m <- members) out += NearDupCandidate(band,
+                  math.min(m.id, id), math.max(m.id, id), r._1)
+                members = members :+ BucketMember(id, r._1.getTime)
+              }
+            }
+            if (members.nonEmpty) {
+              state.update(BucketState(members))
+              state.setTimeoutTimestamp(members.map(_.tsMs).max + stateTtlMs)
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming curation: the stateless quality gate + watermark-bounded
     * exact dedup on the content fingerprint — the streaming form of
     * `ops.Curate`'s first two stages (state holds one 128-bit fingerprint
-    * per doc inside the watermark, not the text). Near-dup removal
-    * (MinHash-LSH) stays a periodic batch compaction over the curated
-    * sink: its banded join is a corpus-wide shuffle with no bounded-state
-    * streaming form. */
+    * per doc inside the watermark, not the text). Near-dup handling has two
+    * streaming-era forms: [[nearDupCandidatesStream]] for candidates within
+    * a bounded time horizon, or a periodic batch LSH compaction over the
+    * curated sink when dedup must span the whole corpus. */
   def curateStream(docs: DataFrame, minTokens: Int = 10,
                    maxTokens: Int = 100000,
                    watermark: String = "1 hour"): DataFrame =

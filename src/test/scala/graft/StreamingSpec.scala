@@ -174,6 +174,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup candidates: batch parity, per-band emission, horizon expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{NearDupCandidate, StreamDoc}
+    // the OpsSpec corpus shape: seeded-random 120-token docs + planted
+    // near-dups (one token changed) + exact dups
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def text(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (s"doc$seed" +: (0 until 120).map(_ => words(r.nextInt(words.length)))).mkString(" ")
+    }
+    val base = (0 until 12).map(i => (i.toLong, text(i)))
+    val nearDups = (0 until 4).map { i =>
+      val t = text(i).split(" "); t(60) = "CHANGED"; (100L + i, t.mkString(" "))
+    }
+    val exact = (0 until 2).map(i => (200L + i, text(i)))
+    val all = base ++ nearDups ++ exact
+    // batch ground truth: the full candidate set (threshold 0 keeps every
+    // bucket collision)
+    val batchPairs = graft.ops.Dedup.minhashLshPairs(
+        all.toDF("doc_id", "text"), minEstBp = 0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.ManagedCache.releaseAll(spark)
+
+    val input = MemoryStream[StreamDoc]
+    val out = StreamPipeline.nearDupCandidatesStream(
+      input.toDS(), watermark = "10 minutes", stateTtlMs = 60L * 1000)
+    val q = out.writeStream.format("memory").queryName("nd_sink")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // the corpus over two micro-batches, 30 s apart (inside the horizon)
+      input.addData(all.take(10).map { case (id, t) =>
+        StreamDoc(ts("2024-01-01 10:00:00"), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData(all.drop(10).map { case (id, t) =>
+        StreamDoc(ts("2024-01-01 10:00:30"), id, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("nd_sink").as[NearDupCandidate].collect()
+      assert(streamed.map(c => (c.a, c.b)).toSet == batchPairs,
+        "distinct streamed pairs must equal the batch candidate set")
+      // identical docs collide in EVERY band; per-band emission is the
+      // documented contract (consumers dedup downstream)
+      val exactBands = streamed.filter(c => c.a == 0L && c.b == 200L)
+        .map(_.band).distinct
+      assert(exactBands.length == graft.ops.Dedup.Bands,
+        s"exact dup must collide in all bands, got ${exactBands.length}")
+
+      // advance the watermark far past the 60 s horizon (two batches so the
+      // new watermark is in force when the late copies arrive)
+      input.addData(StreamDoc(ts("2024-01-01 12:10:00"), 50L, text(50)))
+      q.processAllAvailable()
+      input.addData(StreamDoc(ts("2024-01-01 12:11:00"), 51L, text(51)))
+      q.processAllAvailable()
+      // a fresh copy of doc 0: its 10:00 bucket-mates are expired → no
+      // pairs; a second copy seconds later pairs ONLY with the fresh one
+      input.addData(StreamDoc(ts("2024-01-01 12:20:00"), 300L, text(0)))
+      q.processAllAvailable()
+      input.addData(StreamDoc(ts("2024-01-01 12:20:05"), 301L, text(0)))
+      q.processAllAvailable()
+      val late = spark.table("nd_sink").as[NearDupCandidate].collect()
+        .filter(c => c.a >= 300L || c.b >= 300L)
+        .map(c => (c.a, c.b)).toSet
+      assert(late == Set((300L, 301L)),
+        s"expired members must not pair with late arrivals: $late")
+    } finally q.stop()
+  }
+
   test("streamToGraph: two micro-batches + a restart equal the batch pipeline's graph") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
