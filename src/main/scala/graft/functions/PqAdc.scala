@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftExpressionBridge
+
+/** Asymmetric-distance (ADC) score of a product-quantized vector against a
+  * per-query lookup table, as a native Catalyst expression.
+  *
+  * `code` is one BIGINT carrying `m` subspace centroid ids packed `bits`
+  * apart (subspace j in bits [j·bits, (j+1)·bits)); `lut` is the query's
+  * flat m×ksub table where slot j·ksub + c holds the quantized partial dot
+  * of the query's j-th subvector with centroid c of subspace j. The score
+  * Σⱼ lut[j·ksub + codeⱼ] is the quantized dot of the query with the
+  * vector's PQ RECONSTRUCTION — because subspaces partition the
+  * coordinates, the per-subspace partial dots sum exactly.
+  *
+  * This is the hot inner loop of PQ search (one evaluation per
+  * (query, indexed-vector) pair — the compressed-domain scan ADC exists
+  * for), so it gets the same treatment as [[QuantizedDot]]: a tight
+  * primitive loop under whole-stage codegen, never a CodegenFallback HOF.
+  * The equivalent fold `aggregate(sequence(0, m-1), 0L, (acc, j) ->
+  * acc + lut[j*ksub + ((code >> (bits*j)) & mask) + 1])` is pinned as the
+  * executable spec in PqSpec.
+  *
+  * Nulls: null if either input is null, the lut length is not m·ksub, or a
+  * referenced lut slot is null (a null partial dot poisons the sum, exactly
+  * the HOF semantics).
+  */
+final case class PqAdc(left: Expression, right: Expression,
+                       m: Int, ksub: Int, bits: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc needs (bigint code, array<bigint> lut), got " +
+            s"${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Long]
+    val lut = b.asInstanceOf[ArrayData]
+    if (lut.numElements() != m * ksub) return null
+    val mask = (1L << bits) - 1
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      val slot = j * ksub + ((code >>> (bits * j)) & mask).toInt
+      if (lut.isNullAt(slot)) return null
+      acc += lut.getLong(slot)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val slot = ctx.freshName("slot")
+      val mask = (1L << bits) - 1
+      s"""
+         |long $acc = 0L;
+         |if ($b.numElements() != ${m * ksub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $slot = $j * $ksub + (int) (($a >>> ($bits * $j)) & ${mask}L);
+         |    if ($b.isNullAt($slot)) { ${ev.isNull} = true; break; }
+         |    $acc += $b.getLong($slot);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  /** Column API: ADC score of a packed PQ code against a flat m×ksub lut. */
+  def apply(code: Column, lut: Column, m: Int, ksub: Int, bits: Int): Column = {
+    require(m >= 1 && ksub >= 2 && bits >= 1 && (1 << bits) >= ksub,
+      s"need 2^bits >= ksub >= 2, m >= 1: m=$m ksub=$ksub bits=$bits")
+    require(m * bits <= 63, s"packed code must fit a long: m*bits = ${m * bits}")
+    GraftExpressionBridge.column(PqAdc(
+      GraftExpressionBridge.expression(code),
+      GraftExpressionBridge.expression(lut), m, ksub, bits))
+  }
+}

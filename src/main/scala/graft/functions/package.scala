@@ -52,6 +52,15 @@ package object functions {
       case Seq(text, n) => NgramRepStats(text, intLit(n, "n"))
       case args => throw new IllegalArgumentException(
         s"ngram_rep_stats(text, n) takes 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("pq_adc", classOf[PqAdc], {
+      case Seq(code, lut, m, ksub, bits) =>
+        val (mi, ki, bi) = (intLit(m, "m"), intLit(ksub, "ksub"), intLit(bits, "bits"))
+        require(mi >= 1 && ki >= 2 && bi >= 1 && (1 << bi) >= ki && mi * bi <= 63,
+          s"pq_adc needs 2^bits >= ksub >= 2, m >= 1, m*bits <= 63: m=$mi ksub=$ki bits=$bi")
+        PqAdc(code, lut, mi, ki, bi)
+      case args => throw new IllegalArgumentException(
+        s"pq_adc(code, lut, m, ksub, bits) takes 5 arguments, got ${args.length}")
     }: Seq[Expression] => Expression))
 
   def register(spark: SparkSession): Unit =

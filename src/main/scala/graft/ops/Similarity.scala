@@ -185,10 +185,10 @@ object Similarity {
     * this file (integer sums, then one division) so cell assignment is
     * bit-identical across engines — AnnIvfOracleSpec replays it in DuckDB
     * with the trained codebook as literals. */
-  private def cellScores(cmat: Column, k: Int): Column =
+  private def cellScores(v: Column, cmat: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), c => {
       val cv = element_at(cmat, (c + 1).cast("int"))
-      val dot = graft.functions.QuantizedDot(col("embedding"), cv)
+      val dot = graft.functions.QuantizedDot(v, cv)
       val cn = graft.functions.QuantizedDot(cv, cv)
       dot.cast("double") / sqrt(cn.cast("double"))
     })
@@ -206,14 +206,14 @@ object Similarity {
 
   /** df + `cid` = nearest codebook cell by cosine (narrow map, no shuffle). */
   private def withNearestCell(df: DataFrame, cmat: Column, k: Int): DataFrame =
-    df.withColumn("_cs", cellScores(cmat, k))
+    df.withColumn("_cs", cellScores(col("embedding"), cmat, k))
       .withColumn("cid", argmaxCell(col("_cs"), k))
       .drop("_cs")
 
   /** The `nprobe` best cells for this row's embedding, best first:
     * successive excluded argmaxes (nprobe is small). */
   private def probeCells(cmat: Column, k: Int, nprobe: Int): Column = {
-    val scores = cellScores(cmat, k)
+    val scores = cellScores(col("embedding"), cmat, k)
     val picks = (1 to nprobe).foldLeft(Seq.empty[Column]) { (acc, _) =>
       acc :+ argmaxCell(scores, k, acc)
     }
@@ -544,6 +544,158 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("qid"), col("nbr"), col("cos"))
 
+  // ──────────────────────── Product quantization ────────────────────────
+
+  /** A trained PQ codebook: `m` per-subspace codebooks of `ksub` centroids
+    * over `dsub = dim/m` coordinates each, plus the packing width `bits`
+    * (= ⌈log₂ ksub⌉; m·bits ≤ 63 so a whole code packs into one BIGINT).
+    * Driver-sized by construction (m·ksub·dsub doubles — the PQ point:
+    * the codebook is tiny, the vectors compress to m·bits bits each). */
+  final case class PqCodebook(dim: Int, m: Int, ksub: Int, bits: Int,
+                              cents: Array[Array[Array[Double]]]) {
+    def dsub: Int = dim / m
+    /** Flat m×ksub reconstruction-norm table: slot j·ksub+c = quantized
+      * self-dot of centroid c of subspace j. Because subspaces partition
+      * the coordinates, Σⱼ nlut[j, codeⱼ] is EXACTLY the quantized squared
+      * norm of the PQ reconstruction. */
+    lazy val normLut: Seq[Long] = cents.flatten.toSeq.map { cv =>
+      var acc = 0L; var i = 0
+      while (i < cv.length) {
+        acc += math.floor(cv(i) * cv(i) * 1000000.0d).toLong; i += 1
+      }
+      acc
+    }
+  }
+
+  /** Train a PQ codebook: an independent [[kmeansCentroids]] run per
+    * subspace over the SLICED embedding column — same deterministic seeded
+    * Lloyd kernel, same narrow-map assignment, one partial-aggregable
+    * shuffle per iteration per subspace. m small driver-sequenced
+    * trainings over dsub-wide slices ≈ one training over the full width in
+    * moved bytes; the corpus is never replicated. */
+  def pqTrain(embeddings: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+              iters: Int = 2, sampleMod: Int = 1): PqCodebook = {
+    require(m >= 1 && dim % m == 0, s"m must divide dim: dim=$dim m=$m")
+    val bits = 32 - Integer.numberOfLeadingZeros(ksub - 1)
+    require(ksub >= 2 && m * bits <= 63,
+      s"packed code must fit a long: ksub=$ksub -> bits=$bits, m*bits=${m * bits}")
+    val dsub = dim / m
+    val cents = (0 until m).toArray.map { j =>
+      val sub = kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+        ksub, iters, sampleMod)
+      require(sub.length == ksub,
+        s"subspace $j trained ${sub.length} < $ksub centroids (corpus smaller " +
+          s"than ksub after sampling?) — lower ksub or sampleMod")
+      sub
+    }
+    PqCodebook(dim, m, ksub, bits, cents)
+  }
+
+  /** Encode vectors against a trained codebook: per subspace the SAME
+    * argmax fold as IVF cell assignment over the sliced embedding, the m
+    * subspace ids packed `bits` apart into ONE BIGINT column `code` — the
+    * 32× compression (64 floats → 8 bytes at the defaults) that lets a
+    * 100 TB corpus's search structure live in a fraction of the space.
+    * Narrow map, no shuffle; a ragged/unscorable row (any subspace argmax
+    * -1) encodes as NULL rather than a corrupt pack. */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebook): DataFrame = {
+    val cids = (0 until cb.m).map { j =>
+      val cmatJ = typedLit(cb.cents(j).map(_.toSeq).toSeq)
+      argmaxCell(cellScores(
+        slice(col("embedding"), j * cb.dsub + 1, cb.dsub), cmatJ, cb.ksub), cb.ksub)
+    }
+    embeddings
+      .withColumn("_cids", array(cids: _*))
+      .withColumn("code",
+        when(array_contains(col("_cids"), -1L), lit(null).cast("long"))
+          .otherwise((0 until cb.m)
+            .map(j => shiftleft(element_at(col("_cids"), j + 1), cb.bits * j))
+            .reduce(_.bitwiseOR(_))))
+      .drop("_cids")
+  }
+
+  /** The per-query ADC lookup table: flat m×ksub, slot j·ksub+c = quantized
+    * dot of the query's j-th subvector with centroid c of subspace j. */
+  private def pqLutCol(cb: PqCodebook, v: Column): Column = {
+    val flatLit = typedLit(cb.cents.flatten.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(cb.m * cb.ksub - 1)), i => {
+      val j = (i / cb.ksub).cast("int")
+      graft.functions.QuantizedDot(
+        slice(v, j * cb.dsub + lit(1), lit(cb.dsub)),
+        element_at(flatLit, (i + 1).cast("int")))
+    })
+  }
+
+  /** Batched compressed-domain search: N query vectors against the encoded
+    * corpus in ONE job. Per query the m×ksub lut is built once (a narrow
+    * map over the query side); every (query, code) pair is then scored by
+    * the native [[graft.functions.PqAdc]] loop — m table lookups per pair,
+    * never touching the original floats. The ranking score is approximate
+    * cosine against the PQ RECONSTRUCTION: adc / (‖q‖·‖recon‖), both norms
+    * exact in the quantized grid ([[PqCodebook.normLut]]).
+    *
+    * Shape notes: ADC is a compressed-domain LINEAR scan by design — the
+    * pruning lives in IVF (compose: probe cells with [[ivfSearchAll]]'s
+    * machinery, ADC-score inside the probed cells); at the defaults the
+    * scan reads 8-byte codes instead of 256-byte vectors, so the scan is
+    * bandwidth-compressed 32×. `broadcastQueries` as in [[ivfSearchAll]].
+    * Returns (qid, nbr, adc_cos, rk), rk 1..k. */
+  def pqSearchAll(encoded: DataFrame, cb: PqCodebook, queries: DataFrame,
+                  k: Int = 5, broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nlutLit = typedLit(cb.normLut)
+    val qs = queries.select(col("vec_id").as("qid"),
+      pqLutCol(cb, col("embedding")).as("lut"),
+      graft.functions.QuantizedDot(col("embedding"), col("embedding")).as("qn"))
+    val qSide = if (broadcastQueries) broadcast(qs) else qs
+    val scored = encoded
+      .filter(col("code").isNotNull)
+      .select(col("vec_id"), col("code"),
+        graft.functions.PqAdc(col("code"), nlutLit, cb.m, cb.ksub, cb.bits).as("rn"))
+      .filter(col("rn") > 0)
+      .crossJoin(qSide)
+      .filter(col("vec_id") =!= col("qid") && col("qn") > 0)
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(graft.functions.PqAdc(col("code"), col("lut"), cb.m, cb.ksub, cb.bits)
+            .cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("rn").cast("double"))), 6)
+          .as("adc_cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("adc_cos"), asc("nbr"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nbr"), col("adc_cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** ADC shortlist + exact rerank — the production PQ shape: the
+    * compressed-domain scan ranks ALL vectors by approximate cosine
+    * (8-byte codes, native ADC loop), only the top `shortlist` per query
+    * are re-scored against their ORIGINAL floats (an ids-only join back to
+    * `encoded` — the full-precision read is shortlist·queries rows, not
+    * the corpus). Quantization distortion then only costs recall when a
+    * true neighbor falls outside the shortlist, not whenever ADC slightly
+    * misorders the top-k — on near-uniform embeddings (PQ's worst case:
+    * little cluster structure for the codebook to exploit) this is the
+    * difference between ~0.3 and ~0.9 recall@10 (PqSpec measures both).
+    * Returns (qid, nbr, cos, rk) with EXACT quantized cosine, rk 1..k. */
+  def pqSearchRerank(encoded: DataFrame, cb: PqCodebook, queries: DataFrame,
+                     k: Int = 5, shortlist: Int = 50,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqSearchAll(encoded, cb, queries, shortlist, broadcastQueries)
+      .select(col("qid"), col("nbr"))
+    val qv = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qSide = if (broadcastQueries) broadcast(qv) else qv
+    val exact = cand
+      .join(encoded.select(col("vec_id").as("nbr"), col("embedding")), "nbr")
+      .join(qSide, "qid")
+      .select(col("qid"), col("nbr"), cosQ("embedding", "qv").as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
   // s3 serves from a staged index: per-JVM stage dir keyed by the input
   // path, fingerprinted by the row count, so the first call in a fresh
   // environment trains and every later call (same session or not) skips to
@@ -725,6 +877,19 @@ object Similarity {
     QueryDef("s4_ann_ivf_batch",
       (s, d) => ivfSearchAll(stagedIvf(s, d),
         t(s, d, "embeddings").filter(col("vec_id") < 8), k = 10),
+      None),
+
+    // rows-only for the driver (per-subspace iteratively-trained codebooks,
+    // same reason as s3); PqOracleSpec replays encode + ADC + ranking in
+    // DuckDB given the trained codebook, PqSpec pins the native-ADC ≡
+    // HOF-fold equivalence, pack/unpack, and recall vs brute force
+    QueryDef("s6_pq_adc",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cb = pqTrain(emb, dim = 64, m = 16, ksub = 8, iters = 3)
+        pqSearchAll(pqEncode(emb, cb), cb,
+          emb.filter(col("vec_id") < 8), k = 5)
+      },
       None),
 
     QueryDef("d4_embedding_neardup",

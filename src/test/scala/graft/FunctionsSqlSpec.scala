@@ -65,7 +65,8 @@ class FunctionsSqlSpec extends AnyFunSuite {
         |       simhash64('a b c') AS sh,
         |       minhash_signature(shingle_hashes('a b c d e f g h i j', 1, 8)) AS sig,
         |       winnow_fingerprints('a b c d e f', 4) AS wf,
-        |       ngram_rep_stats('a b a b a', 2) AS rep""".stripMargin
+        |       ngram_rep_stats('a b a b a', 2) AS rep,
+        |       pq_adc(CAST(9 AS BIGINT), array(1L, 2L, 3L, 4L, 10L, 20L, 30L, 40L), 2, 4, 2) AS adc""".stripMargin
     intercept[Exception](s2.sql(probe).head()) // fresh registry: unresolved
     GraftExpressionBridge.applyInjectedFunctions(s2, new GraftExtensions().apply(_))
     val r = s2.sql(probe).head()
@@ -75,6 +76,9 @@ class FunctionsSqlSpec extends AnyFunSuite {
     assert(wf.length == 1, s"6 tokens -> 4 shingles, w=4 -> one window: $wf")
     assert(r.getSeq[Long](4) == Seq(4L, 2L, 4L),
       "'a b a b a' 2-grams: 4 total, top 'a b' x2, all 4 in duplicated grams")
+    // code 9 = 0b1001: subspace 0 -> id 1 (lut[1] = 2), subspace 1 -> id 2
+    // (lut[4 + 2] = 30) -> 32
+    assert(r.getLong(5) == 32L, s"pq_adc packed-id routing: ${r.getLong(5)}")
   }
 
   test("quantized_dot on unequal-length arrays is NULL (matches the HOF zip_with form)") {

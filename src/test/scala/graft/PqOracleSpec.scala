@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.queries.QueryDef
+
+/** Independent-engine check for the rows-only s6 driver entry: PQ codebooks
+  * are trained iteratively (per-subspace Lloyd), but GIVEN the trained
+  * centroids as literals, everything downstream — per-subspace assignment,
+  * the ADC partial-dot sums, reconstruction norms, approximate-cosine
+  * ranking — is quantized arithmetic, so DuckDB replays the whole
+  * compressed-domain search and must produce the identical top-k. The
+  * replay never forms the packed BIGINT: it sums partial dots grouped by
+  * the per-subspace assignment — if Spark's pack/unpack misrouted ANY
+  * subspace id, the ADC sums would differ and the match would fail, so the
+  * packing is checked by consequence (and directly in PqSpec). */
+class PqOracleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("s6_pq_adc: encode + ADC + ranking vs DuckDB given the trained codebooks") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val cb = Similarity.pqTrain(emb, dim = 64, m = 16, ksub = 8, iters = 3)
+    val got = Similarity.pqSearchAll(Similarity.pqEncode(emb, cb), cb,
+      emb.filter(col("vec_id") < 8), k = 5)
+
+    val dsub = cb.dsub
+    val centVals = (for (j <- 0 until cb.m; c <- 0 until cb.ksub) yield
+      s"($j, $c, ${cb.cents(j)(c).mkString("[", ", ", "]")}::DOUBLE[])")
+      .mkString(",\n            ")
+    def dq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+        "s -> CAST(floor(CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT)"
+    def nq(a: String) =
+      s"CAST(list_sum(list_transform($a, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000.0) AS BIGINT))) AS BIGINT)"
+
+    val sql =
+      s"""WITH cents(j, c, cv) AS (SELECT * FROM (VALUES
+            $centVals) v(j, c, cv)),
+          js AS (SELECT unnest(generate_series(0, ${cb.m - 1})) AS j),
+          sub AS (SELECT e.vec_id, js.j,
+                    e.embedding[js.j*$dsub + 1 : js.j*$dsub + $dsub] AS sv
+                  FROM embeddings e CROSS JOIN js),
+          sc AS (SELECT s.vec_id, s.j, c.c,
+                   ${dq("s.sv", "c.cv")} AS dqv, ${nq("c.cv")} AS cq
+                 FROM sub s JOIN cents c ON c.j = s.j),
+          asn AS (SELECT vec_id, j, c FROM (
+                   SELECT vec_id, j, c, row_number() OVER (
+                     PARTITION BY vec_id, j
+                     ORDER BY CAST(dqv AS DOUBLE)/sqrt(CAST(cq AS DOUBLE)) DESC, c) AS rn
+                   FROM sc)
+                 WHERE rn = 1),
+          rnorm AS (SELECT a.vec_id, CAST(sum(${nq("c.cv")}) AS BIGINT) AS rn
+                    FROM asn a JOIN cents c ON c.j = a.j AND c.c = a.c
+                    GROUP BY a.vec_id),
+          q AS (SELECT vec_id AS qid, embedding AS qv, ${nq("embedding")} AS qn
+                FROM embeddings WHERE vec_id < 8),
+          adc AS (SELECT q.qid, a.vec_id AS nbr,
+                    CAST(sum(${dq(s"q.qv[a.j*$dsub + 1 : a.j*$dsub + $dsub]", "c.cv")}) AS BIGINT) AS adcdot
+                  FROM q CROSS JOIN asn a JOIN cents c ON c.j = a.j AND c.c = a.c
+                  WHERE a.vec_id <> q.qid
+                  GROUP BY q.qid, a.vec_id),
+          scored AS (SELECT adc.qid, adc.nbr,
+                       round(CAST(adc.adcdot AS DOUBLE) /
+                         (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(r.rn AS DOUBLE))), 6) AS adc_cos
+                     FROM adc JOIN q ON q.qid = adc.qid
+                       JOIN rnorm r ON r.vec_id = adc.nbr
+                     WHERE r.rn > 0 AND q.qn > 0)
+          SELECT qid, nbr, adc_cos, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT qid, nbr, adc_cos, row_number() OVER (
+              PARTITION BY qid ORDER BY adc_cos DESC, nbr) AS rk
+            FROM scored)
+          WHERE rk <= 5"""
+
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW embeddings AS SELECT * FROM read_parquet('$sfDir/embeddings.parquet')")
+      DuckOracle.assertMatches(c, got, sql, "s6_pq_adc")
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.queries.QueryDef
+
+/** Product quantization: native ADC ≡ the HOF fold it replaces, packed-code
+  * semantics, duplicate-vector behavior, and recall of the compressed-domain
+  * scan vs exact brute force on the driver's embeddings table. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = QueryDef.t(spark, sfDir, "embeddings")
+  private lazy val cb = Similarity.pqTrain(emb, dim = 64, m = 16, ksub = 8, iters = 3)
+
+  test("PqAdc native expression ≡ the HOF aggregate fold (the executable spec)") {
+    val (m, ksub, bits) = (4, 8, 3)
+    val mask = (1L << bits) - 1
+    // deterministic pseudo-random codes + luts
+    val rows = (0 until 50).map { i =>
+      val r = new scala.util.Random(i)
+      val code = (0 until m).map(j => (r.nextInt(ksub).toLong) << (bits * j)).sum
+      (code, (0 until m * ksub).map(_ => r.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("code", "lut")
+    val got = df.select(
+      graft.functions.PqAdc(col("code"), col("lut"), m, ksub, bits).as("native"),
+      expr(s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, j) ->
+               acc + element_at(lut, CAST(j*$ksub + ((code >> ($bits*j)) & $mask) + 1 AS INT)))""")
+        .as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"native ≠ hof: $r"))
+    // wrong lut length → null (both inputs non-null)
+    val bad = Seq((0L, Seq(1L, 2L, 3L))).toDF("code", "lut")
+      .select(graft.functions.PqAdc(col("code"), col("lut"), m, ksub, bits))
+      .collect()
+    assert(bad(0).isNullAt(0), "lut length != m*ksub must score NULL")
+    intercept[IllegalArgumentException](
+      graft.functions.PqAdc(col("code"), col("lut"), 16, 16, 4)) // 64 bits > 63
+  }
+
+  test("pqEncode: codes pack m valid subspace ids; identical vectors encode identically") {
+    val enc = Similarity.pqEncode(emb, cb)
+    val codes = enc.select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes.size == 500 && codes.values.forall(_ >= 0L))
+    val mask = (1L << cb.bits) - 1
+    codes.values.foreach { code =>
+      (0 until cb.m).foreach { j =>
+        val cid = (code >>> (cb.bits * j)) & mask
+        assert(cid < cb.ksub, s"subspace $j id $cid out of range in code $code")
+      }
+      assert(code >>> (cb.bits * cb.m) == 0L, "bits above m*bits must be clear")
+    }
+    // a duplicated vector gets the same code (deterministic argmax)
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(9000L).as("vec_id"), col("embedding"))
+    val dupCode = Similarity.pqEncode(dup, cb).select("code").head().getLong(0)
+    assert(dupCode == codes(0L), "identical vectors must encode identically")
+  }
+
+  test("pqSearchAll: a duplicated vector is its twin's top neighbor; k bound holds") {
+    val withDup = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") === 3L).select(lit(9000L).as("vec_id"), col("embedding")))
+    val enc = Similarity.pqEncode(withDup, cb)
+    val res = Similarity.pqSearchAll(enc, cb,
+      withDup.filter(col("vec_id") === 9000L), k = 5).collect()
+    assert(res.length == 5)
+    // identical codes → maximal adc_cos; ties break by ascending nbr, and
+    // no vector can outscore the twin (same reconstruction as the query's)
+    assert(res.find(_.getLong(3) == 1L).get.getLong(1) == 3L,
+      s"twin must rank first: ${res.mkString(", ")}")
+  }
+
+  test("recall vs exact brute force on the driver corpus") {
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 16)
+    // exact quantized-cosine top-k (the s1 scoring), per query via window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        (graft.functions.QuantizedDot(col("embedding"), col("qv")).cast("double") /
+          (sqrt(graft.functions.QuantizedDot(col("embedding"), col("embedding")).cast("double")) *
+            sqrt(graft.functions.QuantizedDot(col("qv"), col("qv")).cast("double")))).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("cos"), asc("nbr"))))
+      .filter(col("rk") <= k)
+      .select("qid", "nbr").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val enc = Similarity.pqEncode(emb, cb)
+    def recallOf(result: org.apache.spark.sql.DataFrame): Double = {
+      val got = result.select("qid", "nbr").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.keys.toSeq.map(qid =>
+        (got.getOrElse(qid, Set.empty) & exact(qid)).size.toDouble / k)
+      rs.sum / rs.size
+    }
+    val adc = recallOf(Similarity.pqSearchAll(enc, cb, queries, k = k))
+    val reranked = recallOf(Similarity.pqSearchRerank(enc, cb, queries, k = k,
+      shortlist = 50))
+    info(f"recall@$k over ${exact.size} queries: adc-only $adc%.3f, rerank@50 $reranked%.3f")
+    // near-uniform synthetic embeddings are PQ's worst case: pure ADC
+    // ordering is noisy (but must not collapse to chance ≈ k/n = 0.02);
+    // the shortlist+exact-rerank shape is the production path and must
+    // recover most of the true neighbors
+    assert(adc >= 0.15, f"ADC recall collapsed to chance: $adc%.3f")
+    assert(reranked >= 0.6, f"reranked recall too low: $reranked%.3f")
+    assert(reranked >= adc, "reranking must not hurt recall")
+  }
+}
