@@ -32,14 +32,41 @@ object Curate {
     * `nearDupDfCap` (opt-in, like d2's) strips shingles above the df cap
     * BEFORE the MinHash fold, so corpus boilerplate (license headers)
     * cannot collapse unrelated documents into one LSH bucket and
-    * mass-drop them as "near-dups" (DfCapSpec pins the behavior). */
+    * mass-drop them as "near-dups" (DfCapSpec pins the behavior).
+    *
+    * Two further opt-in narrow-map gates compose BEFORE the dedup shuffles
+    * (cheap scans shrink the corpus entering the expensive stages):
+    *  - `maxTopBigramPct`: Gopher-style repetition gate — reject docs whose
+    *    most frequent 2-gram exceeds pct% of all 2-gram instances
+    *    (`Text.repetitionStats`'s native kernel; integer comparison
+    *    top·100 ≤ n·pct, vacuously true for gram-less docs);
+    *  - `maxPiiHits`: compliance gate — reject docs with more than this
+    *    many email/IPv4/phone matches ([[Text.piiScrub]]'s patterns);
+    *    pipelines that redact instead run piiScrub upstream and curate the
+    *    redacted text.
+    * Both default off, leaving the t6 stage counts exactly as before. */
   def flags(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
             nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None,
-            leanPin: Boolean = false): DataFrame = {
+            leanPin: Boolean = false, maxTopBigramPct: Option[Int] = None,
+            maxPiiHits: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val q = docs.withColumn("q_ok",
+    val q0 = docs.withColumn("q_ok",
       size(split(col("text"), " ")).between(minTokens, maxTokens))
+    val q1 = maxTopBigramPct match {
+      case Some(p) => q0
+        .withColumn("_s2", graft.functions.NgramRepStats(col("text"), 2))
+        .withColumn("rep_ok", col("_s2")(1) * 100 <= col("_s2")(0) * p)
+        .drop("_s2")
+      case None => q0.withColumn("rep_ok", lit(true))
+    }
+    val q = (maxPiiHits match {
+      case Some(h) => q1.withColumn("pii_ok",
+        (regexp_count(col("text"), lit(Text.PiiEmailPattern)) +
+          regexp_count(col("text"), lit(Text.PiiIpv4Pattern)) +
+          regexp_count(col("text"), lit(Text.PiiPhonePattern))).cast("long") <= h)
+      case None => q1.withColumn("pii_ok", lit(true))
+    }).withColumn("g_ok", col("q_ok") && col("rep_ok") && col("pii_ok"))
 
     // exact dedup: survivor = min doc_id among quality docs per fingerprint.
     // Persisted because the frame feeds BOTH the near-dup candidate pass
@@ -60,9 +87,9 @@ object Curate {
     if (leanPin) {
       val w = Window.partitionBy(col("fp"))
       val keyed = ManagedCache.pin(
-        q.select(col("doc_id"), md5(col("text")).as("fp"), col("q_ok"))
+        q.select(col("doc_id"), md5(col("text")).as("fp"), col("g_ok"))
           .withColumn("exact_ok",
-            col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w)))
+            col("g_ok") && col("doc_id") === min(when(col("g_ok"), col("doc_id"))).over(w)))
       val survivors = keyed.filter(col("exact_ok")).select("doc_id")
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
       val drops = nearDupPairs(survivors, nearDupBp, nearDupDfCap)
@@ -71,11 +98,11 @@ object Curate {
       q.join(keyed.select(col("doc_id"), col("exact_ok")), Seq("doc_id"))
         .join(drops, Seq("doc_id"), "left_outer")
         .withColumn("near_ok", col("exact_ok") && col("_nd_drop").isNull)
-        .drop("_nd_drop")
+        .drop("_nd_drop", "g_ok")
     } else {
       val w = Window.partitionBy(md5(col("text")))
       val e = ManagedCache.pin(q.withColumn("exact_ok",
-          col("q_ok") && col("doc_id") === min(when(col("q_ok"), col("doc_id"))).over(w)))
+          col("g_ok") && col("doc_id") === min(when(col("g_ok"), col("doc_id"))).over(w)))
       // near-dup removal: of each LSH-confirmed pair among exact survivors,
       // anti-flag the higher id
       val drops = nearDupPairs(e.filter(col("exact_ok")).select("doc_id", "text"),
@@ -84,7 +111,7 @@ object Curate {
         .withColumn("_nd_drop", lit(true))
       e.join(drops, Seq("doc_id"), "left_outer")
         .withColumn("near_ok", col("exact_ok") && col("_nd_drop").isNull)
-        .drop("_nd_drop")
+        .drop("_nd_drop", "g_ok")
     }
   }
 
@@ -95,18 +122,23 @@ object Curate {
       case None      => Dedup.minhashLshPairs(survivors, minEstBp = nearDupBp)
     }
 
-  private val flagCols = Seq("q_ok", "exact_ok", "near_ok")
+  private val flagCols = Seq("q_ok", "rep_ok", "pii_ok", "exact_ok", "near_ok")
 
-  /** Per-stage survivor report: ONE aggregation over the flag table. */
+  /** Per-stage CUMULATIVE survivor report: ONE aggregation over the flag
+    * table (a doc counts at a stage iff it survived every stage up to it;
+    * with the gates off the repetition/pii rows equal quality_gate). */
   def reportOf(flags: DataFrame): DataFrame =
     flags.agg(
         count(lit(1)).as("n0"),
         sum(when(col("q_ok"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("exact_ok"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("near_ok"), 1L).otherwise(0L)).as("n3"))
+        sum(when(col("q_ok") && col("rep_ok"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("q_ok") && col("rep_ok") && col("pii_ok"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("exact_ok"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("near_ok"), 1L).otherwise(0L)).as("n5"))
       .select(expr(
-        """stack(4, 'input', n0, 'quality_gate', n1,
-          |         'exact_dedup', n2, 'near_dup_removal', n3)
+        """stack(6, 'input', n0, 'quality_gate', n1,
+          |         'repetition_gate', n2, 'pii_gate', n3,
+          |         'exact_dedup', n4, 'near_dup_removal', n5)
           |  AS (stage, docs)""".stripMargin))
 
   private def curatedOf(flags: DataFrame): DataFrame =
@@ -116,8 +148,10 @@ object Curate {
     * same flag DAG; materializing either is one job with no barriers. */
   def curate(docs: DataFrame, minTokens: Int = 10, maxTokens: Int = 100000,
              nearDupBp: Long = 8000, nearDupDfCap: Option[Long] = None,
-             leanPin: Boolean = false): (DataFrame, DataFrame) = {
-    val f = flags(docs, minTokens, maxTokens, nearDupBp, nearDupDfCap, leanPin)
+             leanPin: Boolean = false, maxTopBigramPct: Option[Int] = None,
+             maxPiiHits: Option[Long] = None): (DataFrame, DataFrame) = {
+    val f = flags(docs, minTokens, maxTokens, nearDupBp, nearDupDfCap, leanPin,
+      maxTopBigramPct, maxPiiHits)
     (curatedOf(f), reportOf(f))
   }
 
@@ -166,12 +200,65 @@ object Curate {
                       WHERE doc_id NOT IN (SELECT DISTINCT b FROM mh_pairs))
         SELECT 'input' AS stage, (SELECT count(*) FROM documents) AS docs
         UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM q)
+        UNION ALL SELECT 'repetition_gate', (SELECT count(*) FROM q)
+        UNION ALL SELECT 'pii_gate', (SELECT count(*) FROM q)
+        UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM ex)
+        UNION ALL SELECT 'near_dup_removal', (SELECT count(*) FROM survivors)"""
+
+  /** DuckDB replay of the fully-gated pipeline over the synthetic-PII
+    * corpus: quality → repetition (2-gram stats re-derived relationally) →
+    * PII regex gate → window exact-dedup → the shared minhash-LSH CTE
+    * chain → the six-stage cumulative report. */
+  private def curateGatedOracleSql(minTokens: Int, maxTokens: Int,
+                                   nearDupBp: Long, pct: Int,
+                                   maxHits: Long): String =
+    s"""WITH pii0 AS (SELECT doc_id, ${Text.syntheticPiiSqlCase} AS text
+                      FROM documents),
+        q AS (SELECT doc_id, text FROM pii0
+              WHERE len(string_split(text,' ')) BETWEEN $minTokens AND $maxTokens),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM pii0),
+        g2 AS (SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS g
+               FROM tok, unnest(generate_series(1, len(tk) - 1)) AS t(i)),
+        c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+                      CAST(max(c) AS BIGINT) AS t2
+               FROM c2 GROUP BY doc_id),
+        repok AS (SELECT p.doc_id FROM pii0 p LEFT JOIN a2 USING (doc_id)
+                  WHERE coalesce(t2, 0) * 100 <= coalesce(n2, 0) * $pct),
+        piiok AS (SELECT doc_id FROM pii0
+                  WHERE len(regexp_extract_all(text, '${Text.PiiEmailPattern}')) +
+                        len(regexp_extract_all(text, '${Text.PiiIpv4Pattern}')) +
+                        len(regexp_extract_all(text, '${Text.PiiPhonePattern}')) <= $maxHits),
+        g AS (SELECT q.doc_id, q.text FROM q
+              JOIN repok USING (doc_id) JOIN piiok USING (doc_id)),
+        ex AS (SELECT doc_id, text FROM (
+                 SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                 FROM g)
+               WHERE doc_id = keeper),
+        ${Dedup.minhashPairsCtes(nearDupBp, "ex")},
+        survivors AS (SELECT doc_id FROM ex
+                      WHERE doc_id NOT IN (SELECT DISTINCT b FROM mh_pairs))
+        SELECT 'input' AS stage, (SELECT count(*) FROM pii0) AS docs
+        UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM q)
+        UNION ALL SELECT 'repetition_gate',
+          (SELECT count(*) FROM q JOIN repok USING (doc_id))
+        UNION ALL SELECT 'pii_gate', (SELECT count(*) FROM g)
         UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM ex)
         UNION ALL SELECT 'near_dup_removal', (SELECT count(*) FROM survivors)"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t6_curate_report",
       (s, d) => curate(t(s, d, "documents"))._2,
-      Some(curateOracleSql(minTokens = 10, maxTokens = 100000, nearDupBp = 8000)))
+      Some(curateOracleSql(minTokens = 10, maxTokens = 100000, nearDupBp = 8000))),
+
+    // the fully-gated composition over the synthetic-PII corpus: the
+    // repetition gate (top-2-gram > 5%) and the zero-tolerance PII gate
+    // actually reject documents here (injected ids ≡ 0/1/2 mod 7), so the
+    // oracle exercises every stage transition, not just pass-through
+    QueryDef("t14_curate_gated",
+      (s, d) => curate(Text.withSyntheticPii(t(s, d, "documents")),
+        maxTopBigramPct = Some(5), maxPiiHits = Some(0L))._2,
+      Some(curateGatedOracleSql(minTokens = 10, maxTokens = 100000,
+        nearDupBp = 8000, pct = 5, maxHits = 0L)))
   )
 }

@@ -124,6 +124,38 @@ object Text {
         col("s3")(1).as("top_3gram_cnt"),
         col("s3")(2).as("dup_3gram_cnt"))
 
+  /** Deterministic PII-bearing text derived from doc_id (pure integer
+    * arithmetic + CAST, so [[syntheticPiiSqlCase]] mirrors it verbatim in
+    * DuckDB): docs ≡ 0/1/2 (mod 7) gain an email / IPv4 / phone
+    * respectively. The corpus itself is PII-free; the oracles that consume
+    * this are testing the cross-engine agreement of the detection regexes,
+    * not hunting real PII. */
+  private[ops] def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+      .when(col("doc_id") % 7 === 1,
+        concat(col("text"), lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string")))
+      .when(col("doc_id") % 7 === 2,
+        concat(col("text"), lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text")).as("text"))
+
+  /** The DuckDB CASE expression mirroring [[withSyntheticPii]]. */
+  private[ops] val syntheticPiiSqlCase: String =
+    """CASE
+         WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+              CAST(doc_id AS VARCHAR) || '@example.com'
+         WHEN doc_id % 7 = 1 THEN text || ' from 10.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+              CAST((doc_id * 7) % 256 AS VARCHAR)
+         WHEN doc_id % 7 = 2 THEN text || ' call 555-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END"""
+
   /** PII detection + redaction — the compliance pass of a training-data
     * pipeline: count and mask emails, IPv4 addresses and phone-shaped
     * numbers in one projection. Counts are taken on the ORIGINAL text;
@@ -145,6 +177,21 @@ object Text {
           lit(PiiIpv4Pattern), lit("<IP>")),
         lit(PiiPhonePattern), lit("<PHONE>")).as("redacted"))
   }
+
+  /** Corpus vocabulary statistics: the top `topK` tokens by total
+    * occurrences, with document frequency — tokenizer/vocab-coverage
+    * reporting for a training corpus. The classic wordcount shape: ONE
+    * shuffle keyed by token with map-side partial aggregation (plus the
+    * count-distinct expand for df); the top-k is a TakeOrdered over the
+    * aggregated (≤ vocab-sized) frame, never a full sort of the corpus. */
+  def vocabStats(docs: DataFrame, topK: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(topK)
 
   def qualityScore(docs: DataFrame): DataFrame =
     docs
@@ -545,33 +592,9 @@ object Text {
     // CAST, mirrored verbatim in the oracle); what the oracle then verifies
     // is the cross-engine agreement of the detection/redaction regexes
     QueryDef("t13_pii",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val withPii = docs.select(col("doc_id"),
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" contact user"),
-              col("doc_id").cast("string"), lit("@example.com")))
-          .when(col("doc_id") % 7 === 1,
-            concat(col("text"), lit(" from 10."),
-              (col("doc_id") % 256).cast("string"), lit(".0."),
-              ((col("doc_id") * 7) % 256).cast("string")))
-          .when(col("doc_id") % 7 === 2,
-            concat(col("text"), lit(" call 555-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(col("text")).as("text"))
-        piiScrub(withPii)
-      },
+      (s, d) => piiScrub(withSyntheticPii(t(s, d, "documents"))),
       Some(s"""WITH pii AS (
-                 SELECT doc_id,
-                        CASE
-                          WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
-                               CAST(doc_id AS VARCHAR) || '@example.com'
-                          WHEN doc_id % 7 = 1 THEN text || ' from 10.' ||
-                               CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
-                               CAST((doc_id * 7) % 256 AS VARCHAR)
-                          WHEN doc_id % 7 = 2 THEN text || ' call 555-' ||
-                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                          ELSE text END AS text
+                 SELECT doc_id, $syntheticPiiSqlCase AS text
                  FROM documents)
                SELECT doc_id,
                       CAST(len(regexp_extract_all(text, '$PiiEmailPattern')) AS BIGINT) AS n_emails,
@@ -582,6 +605,19 @@ object Text {
                         '$PiiIpv4Pattern', '<IP>', 'g'),
                         '$PiiPhonePattern', '<PHONE>', 'g') AS redacted
                FROM pii""")),
+
+    // corpus-level vocabulary report: one token-keyed shuffle; the top-k
+    // tie-break (count desc, token asc) makes the boundary deterministic
+    QueryDef("t15_vocab",
+      (s, d) => vocabStats(t(s, d, "documents")),
+      Some("""SELECT token,
+                     CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+              GROUP BY token
+              ORDER BY n_occurrences DESC, token
+              LIMIT 50""")),
 
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),

@@ -157,6 +157,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"piiScrub must not shuffle:\n$plan")
   }
 
+  test("curate gates: repetition + PII gates reject before dedup; cumulative report") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "alpha beta gamma delta epsilon reach me at bob.smith@foo.org today"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // dup of 1
+      .toDF("doc_id", "text")
+    val (curated, report) = graft.ops.Curate.curate(d, minTokens = 5,
+      maxTopBigramPct = Some(50), maxPiiHits = Some(0L))
+    val r = report.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("input" -> 4L, "quality_gate" -> 4L,
+      "repetition_gate" -> 3L, // doc 2: 'spam spam' is 100% of its 2-grams
+      "pii_gate" -> 2L,        // doc 3: one email > maxPiiHits 0
+      "exact_dedup" -> 1L,     // doc 4 is doc 1's exact dup
+      "near_dup_removal" -> 1L), s"got $r")
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    graft.ops.ManagedCache.releaseAll(spark)
+    // gates off → rep/pii rows equal quality_gate (the t6-compat default)
+    val r0 = graft.ops.Curate.curate(d, minTokens = 5)._2.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r0("repetition_gate") == r0("quality_gate") &&
+      r0("pii_gate") == r0("quality_gate"), s"got $r0")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
   test("resolveNearDups: transitive chains collapse to one min-id survivor; singletons kept") {
     // a~b and b~c but NOT a~c (near-dup is not transitive) — the resolution
     // must still put all three in one group with survivor = min id
