@@ -74,6 +74,29 @@ class PqSpec extends AnyFunSuite {
       s"twin must rank first: ${res.mkString(", ")}")
   }
 
+  test("pqIndex: train-once staging skips on re-run, retrains on fingerprint change") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val (i1, sk1) = Similarity.pqIndex(spark, emb, dir, "fpA",
+      dim = 64, m = 16, ksub = 8, iters = 3)
+    assert(!sk1, "first call must train")
+    // the staged codebook is the fused-trainer codebook, verbatim
+    assert(i1.codebook.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.cents.map(_.map(_.toSeq).toSeq).toSeq, "staged codebook ≠ direct training")
+    val r1 = Similarity.pqSearchAll(i1.encoded, i1.codebook,
+      emb.filter(col("vec_id") < 4), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val (i2, sk2) = Similarity.pqIndex(spark, emb, dir, "fpA",
+      dim = 64, m = 16, ksub = 8, iters = 3)
+    assert(sk2, "same fingerprint must skip to the staged parquet")
+    val r2 = Similarity.pqSearchAll(i2.encoded, i2.codebook,
+      emb.filter(col("vec_id") < 4), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(r1 == r2, "staged-skip serve must equal the fresh-trained serve")
+    val (_, sk3) = Similarity.pqIndex(spark, emb, dir, "fpB",
+      dim = 64, m = 16, ksub = 8, iters = 3)
+    assert(!sk3, "a changed fingerprint must retrain, never stale-skip")
+  }
+
   test("recall vs exact brute force on the driver corpus") {
     val k = 10
     val queries = emb.filter(col("vec_id") < 16)
