@@ -26,9 +26,11 @@ import org.apache.spark.sql.GraftExpressionBridge
   * acc + lut[j*ksub + ((code >> (bits*j)) & mask) + 1])` is pinned as the
   * executable spec in PqSpec.
   *
-  * Nulls: null if either input is null, the lut length is not m·ksub, or a
-  * referenced lut slot is null (a null partial dot poisons the sum, exactly
-  * the HOF semantics).
+  * Nulls: null if either input is null, the lut length is not m·ksub, a
+  * packed subspace id is out of range (≥ ksub — possible when ksub < 2^bits
+  * and the code is malformed; indexing through would read the next
+  * subspace's slots, or out of bounds), or a referenced lut slot is null
+  * (a null partial dot poisons the sum, exactly the HOF semantics).
   */
 final case class PqAdc(left: Expression, right: Expression,
                        m: Int, ksub: Int, bits: Int)
@@ -56,7 +58,13 @@ final case class PqAdc(left: Expression, right: Expression,
     var acc = 0L
     var j = 0
     while (j < m) {
-      val slot = j * ksub + ((code >>> (bits * j)) & mask).toInt
+      val cid = ((code >>> (bits * j)) & mask).toInt
+      // malformed code: when ksub < 2^bits an id in [ksub, 2^bits) would
+      // index the NEXT subspace's slots (or past the lut on the last one —
+      // on UnsafeArrayData that's an unchecked out-of-bounds read, i.e.
+      // silent garbage, not an exception) — poison to null instead
+      if (cid >= ksub) return null
+      val slot = j * ksub + cid
       if (lut.isNullAt(slot)) return null
       acc += lut.getLong(slot)
       j += 1
@@ -70,13 +78,16 @@ final case class PqAdc(left: Expression, right: Expression,
       val acc = ctx.freshName("acc")
       val slot = ctx.freshName("slot")
       val mask = (1L << bits) - 1
+      val cid = ctx.freshName("cid")
       s"""
          |long $acc = 0L;
          |if ($b.numElements() != ${m * ksub}) {
          |  ${ev.isNull} = true;
          |} else {
          |  for (int $j = 0; $j < $m; $j++) {
-         |    int $slot = $j * $ksub + (int) (($a >>> ($bits * $j)) & ${mask}L);
+         |    int $cid = (int) (($a >>> ($bits * $j)) & ${mask}L);
+         |    if ($cid >= $ksub) { ${ev.isNull} = true; break; }
+         |    int $slot = $j * $ksub + $cid;
          |    if ($b.isNullAt($slot)) { ${ev.isNull} = true; break; }
          |    $acc += $b.getLong($slot);
          |  }

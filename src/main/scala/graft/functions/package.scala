@@ -49,7 +49,10 @@ package object functions {
         s"winnow_fingerprints(text, w) takes 2 arguments, got ${args.length}")
     }: Seq[Expression] => Expression),
     ("ngram_rep_stats", classOf[NgramRepStats], {
-      case Seq(text, n) => NgramRepStats(text, intLit(n, "n"))
+      case Seq(text, n) =>
+        val ni = intLit(n, "n")
+        require(ni >= 1, s"ngram_rep_stats n-gram size must be >= 1: $ni")
+        NgramRepStats(text, ni)
       case args => throw new IllegalArgumentException(
         s"ngram_rep_stats(text, n) takes 2 arguments, got ${args.length}")
     }: Seq[Expression] => Expression),

@@ -77,7 +77,9 @@ object Curate {
     //
     // Pin footprint: the default pins the full doc row (text included) —
     // one scan of `docs`, no extra join. `leanPin = true` pins ONLY
-    // (doc_id, fp, q_ok, exact_ok) — O(ids) pinned bytes instead of
+    // (doc_id, fp, g_ok, exact_ok) — g_ok being the COMBINED
+    // quality∧repetition∧pii gate, which is what survivor selection keys
+    // on — O(ids) pinned bytes instead of
     // O(corpus) — re-attaching text from `docs` for the near-dup survivor
     // set and the final flag table (one extra ids-keyed join + a second
     // docs scan). Identical output (CurateResumeSpec); at corpus scale the
@@ -165,7 +167,12 @@ object Curate {
                    maxTokens: Int = 100000, nearDupBp: Long = 8000)
       : (DataFrame, DataFrame, Boolean) = {
     val obs = org.apache.spark.sql.Observation()
-    val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags", fingerprint) {
+    // flags-v2: the flag-table SCHEMA grew rep_ok/pii_ok this round; the
+    // salt forces a recompute over any pre-change staged parquet (a bare
+    // same-fingerprint skip would read the 3-flag table and reportOf would
+    // crash on the missing columns) — same discipline as Main's "tsv-v1"
+    val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags",
+        s"$fingerprint;flags-v2") {
       // lean pin: the flag table is being materialized to parquet anyway, so
       // the only thing the pin choice changes here is the pinned footprint —
       // O(ids), never the corpus text

@@ -755,18 +755,28 @@ object Similarity {
     * misorders the top-k — on near-uniform embeddings (PQ's worst case:
     * little cluster structure for the codebook to exploit) this is the
     * difference between ~0.3 and ~0.9 recall@10 (PqSpec measures both).
+    *
+    * `source`: where the full-precision vectors live. Pass the source
+    * embeddings table when `encoded` is a staged [[pqIndex]] code table
+    * (vec_id, code — no floats by design); defaults to `encoded` itself
+    * for [[pqEncode]] output, which retains the embedding column.
     * Returns (qid, nbr, cos, rk) with EXACT quantized cosine, rk 1..k. */
   def pqSearchRerank(encoded: DataFrame, cb: PqCodebook, queries: DataFrame,
                      k: Int = 5, shortlist: Int = 50,
-                     broadcastQueries: Boolean = true): DataFrame = {
+                     broadcastQueries: Boolean = true,
+                     source: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val floats = source.getOrElse(encoded)
+    require(floats.columns.contains("embedding"),
+      "rerank needs full-precision vectors: pass source = the embeddings " +
+        "table when `encoded` is a staged pqIndex code table")
     val cand = pqSearchAll(encoded, cb, queries, shortlist, broadcastQueries)
       .select(col("qid"), col("nbr"))
     val qv = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val qSide = if (broadcastQueries) broadcast(qv) else qv
     val exact = cand
-      .join(encoded.select(col("vec_id").as("nbr"), col("embedding")), "nbr")
+      .join(floats.select(col("vec_id").as("nbr"), col("embedding")), "nbr")
       .join(qSide, "qid")
       .select(col("qid"), col("nbr"), cosQ("embedding", "qv").as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))

@@ -42,6 +42,14 @@ object Text {
     * so \\s would diverge on documents containing one. */
   val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
+  /** The dedup family's shingle-sampling defaults (1-in-`mod` hash
+    * sampling, at most `cap` shingle hashes per doc). Shared constants so
+    * batch ([[shingleHashes]] → `Dedup.minhashSignatures`) and streaming
+    * (`StreamPipeline.nearDupCandidatesStream`) can never drift apart —
+    * the streamed-equals-batch parity pin depends on identical params. */
+  val DefaultShingleMod = 4
+  val DefaultShingleCap = 512
+
   /** PII patterns for [[piiScrub]]. Same cross-engine discipline as
     * [[BpeishPattern]]: character classes, grouping and bounded/unbounded
     * quantifiers only — constructs whose semantics are identical in Java
@@ -391,11 +399,13 @@ object Text {
     * Runs as the native `functions.ShingleHashes` kernel (one JVM call per
     * row); `shingleHashesHof` is the HOF formulation it must equal
     * (ShingleKernelSpec), kept as the executable spec. */
-  def shingleHashes(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+  def shingleHashes(docs: DataFrame, mod: Int = DefaultShingleMod,
+                    cap: Int = DefaultShingleCap): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.ShingleHashes(col("text"), mod, cap).as("sh"))
 
-  private[graft] def shingleHashesHof(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+  private[graft] def shingleHashesHof(docs: DataFrame, mod: Int = DefaultShingleMod,
+                                      cap: Int = DefaultShingleCap): DataFrame =
     sampledShingleStructs(docs, mod, cap)
       .select(col("doc_id"), expr("transform(shs, x -> x.h)").as("sh"))
 

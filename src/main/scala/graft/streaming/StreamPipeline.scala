@@ -261,7 +261,9 @@ object StreamPipeline {
     docs.toDF()
       .select(col("ts"), col("doc_id"),
         graft.functions.MinHashSignature(
-          graft.functions.ShingleHashes(col("text"), 4, 512)).as("sig"))
+          graft.functions.ShingleHashes(col("text"),
+            graft.ops.Text.DefaultShingleMod,
+            graft.ops.Text.DefaultShingleCap)).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("ts"), col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))

@@ -98,5 +98,13 @@ class FunctionsSqlSpec extends AnyFunSuite {
     spark.range(1).selectExpr("CAST(id AS STRING) AS s").createOrReplaceTempView("fy")
     val e = intercept[Exception](spark.sql("SELECT quantized_dot(s) FROM fy").collect())
     assert(e.getMessage.contains("2 arguments") || e.getMessage.toLowerCase.contains("error"))
+    // SQL-path config validation mirrors the Column API: n = 0 would read
+    // past the token array in the kernel, so it must die at analysis
+    val e2 = intercept[Exception](
+      spark.sql("SELECT ngram_rep_stats(s, 0) FROM fy").collect())
+    assert(e2.getMessage.contains(">= 1") || e2.getMessage.toLowerCase.contains("error"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT pq_adc(CAST(0 AS BIGINT), array(1L), 16, 16, 4) FROM fy").collect())
+    assert(e3.getMessage.contains("m*bits") || e3.getMessage.toLowerCase.contains("error"))
   }
 }

@@ -37,6 +37,16 @@ class PqSpec extends AnyFunSuite {
       .select(graft.functions.PqAdc(col("code"), col("lut"), m, ksub, bits))
       .collect()
     assert(bad(0).isNullAt(0), "lut length != m*ksub must score NULL")
+    // ksub < 2^bits: a packed id in [ksub, 2^bits) must poison to NULL —
+    // indexing through would read the NEXT subspace's slots (or out of
+    // bounds on the last one). m=2, ksub=3, bits=2; code 12 = ids (0, 3)
+    val oor = Seq((12L, (0 until 6).map(_.toLong)), (4L, (0 until 6).map(_.toLong)))
+      .toDF("code", "lut")
+      .select(col("code"),
+        graft.functions.PqAdc(col("code"), col("lut"), 2, 3, 2).as("adc"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(oor(12L).isEmpty, "out-of-range subspace id must be NULL")
+    assert(oor(4L) == Some(0L + 4L), "valid ids (0,1) -> lut[0] + lut[3+1]")
     intercept[IllegalArgumentException](
       graft.functions.PqAdc(col("code"), col("lut"), 16, 16, 4)) // 64 bits > 63
   }
@@ -92,6 +102,25 @@ class PqSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < 4), k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(r1 == r2, "staged-skip serve must equal the fresh-trained serve")
+    // rerank against the staged code table: floats come from the SOURCE
+    // embeddings (the index stores 8-byte codes only) — identical to
+    // reranking pqEncode output, which carries the float copy
+    val queries = emb.filter(col("vec_id") < 4)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaStaged = rset(Similarity.pqSearchRerank(i2.encoded, i2.codebook,
+      queries, k = 5, source = Some(emb)))
+    val viaEncode = rset(Similarity.pqSearchRerank(
+      Similarity.pqEncode(emb.select("vec_id", "embedding"), i2.codebook),
+      i2.codebook, queries, k = 5))
+    assert(viaStaged == viaEncode, "staged-index rerank must equal pqEncode-form rerank")
+    // and a staged code table WITHOUT source must fail loudly, not resolve
+    // some wrong column
+    intercept[IllegalArgumentException](
+      Similarity.pqSearchRerank(i2.encoded, i2.codebook, queries, k = 5))
+
+    // LAST (it overwrites the staged files i2.encoded reads): a changed
+    // fingerprint must retrain, never stale-skip
     val (_, sk3) = Similarity.pqIndex(spark, emb, dir, "fpB",
       dim = 64, m = 16, ksub = 8, iters = 3)
     assert(!sk3, "a changed fingerprint must retrain, never stale-skip")
