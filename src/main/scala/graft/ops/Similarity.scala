@@ -745,6 +745,63 @@ object Similarity {
         iters = 3)._1)
   }
 
+  /** IVF × PQ — the canonical billion-scale index shape: IVF prunes WHERE
+    * to look (the probe becomes a static `cid IN (...)` partition filter
+    * on the staged assignment, listing only ~nprobe/k of the cell
+    * directories), PQ compresses WHAT is read there (8-byte codes via an
+    * ids-only join, scored by the native ADC loop — the floats are never
+    * touched). Composes the two STAGED indexes as built by [[ivfIndex]]
+    * and [[pqIndex]] over the same corpus; per-query probe cells come from
+    * the same distributed fold as cell assignment (consistency, ragged
+    * dims included). Returns (qid, nbr, adc_cos, rk), rk 1..k — exactly
+    * [[pqSearchAll]]'s scoring restricted to the probed cells (IvfPqSpec
+    * pins that identity). Chain [[pqSearchRerank]]-style exact reranking
+    * downstream by joining the shortlist ids back to the source floats. */
+  def ivfPqSearchAll(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+                     k: Int = 5, nprobe: Int = 2,
+                     broadcastQueries: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nCells = ivf.codebook.length
+    val cmat = typedLit(ivf.codebook.map(_.toSeq).toSeq)
+    val cb = pq.codebook
+    val nlutLit = typedLit(cb.normLut)
+    val probes = queries
+      .select(col("vec_id").as("qid"),
+        pqLutCol(cb, col("embedding")).as("lut"),
+        graft.functions.QuantizedDot(col("embedding"), col("embedding")).as("qn"),
+        explode(probeCells(cmat, nCells, nprobe)).as("cid"))
+      .filter(col("cid") >= 0 && col("qn") > 0)
+    // probes feeds the cids collect (column-pruned: cells only) AND the
+    // candidate join — two executions of a narrow map over the
+    // driver-small query batch, deliberately unpinned (no cache-lifecycle
+    // contract for the caller; at corpus-scale batches, pin upstream)
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)) // ≤ IVF codebook size: driver-sized
+    if (cids.isEmpty)
+      return ivf.assigned.filter(lit(false))
+        .select(col("vec_id").as("qid"), col("vec_id").as("nbr"),
+          lit(0.0).as("adc_cos"), lit(0L).as("rk"))
+    // the pruned cell scan carries ids only; codes attach by vec_id
+    val pruned = ivf.assigned.filter(col("cid").isin(cids: _*))
+      .select(col("vec_id"), col("cid"))
+      .join(pq.encoded.select(col("vec_id"), col("code")), "vec_id")
+      .filter(col("code").isNotNull)
+      .withColumn("rn",
+        graft.functions.PqAdc(col("code"), nlutLit, cb.m, cb.ksub, cb.bits))
+      .filter(col("rn") > 0)
+    val probeSide = if (broadcastQueries) broadcast(probes) else probes
+    val scored = pruned.join(probeSide, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(graft.functions.PqAdc(col("code"), col("lut"), cb.m, cb.ksub, cb.bits)
+            .cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("rn").cast("double"))), 6)
+          .as("adc_cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("adc_cos"), asc("nbr"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nbr"), col("adc_cos"), col("rk").cast("long").as("rk"))
+  }
+
   /** ADC shortlist + exact rerank — the production PQ shape: the
     * compressed-domain scan ranks ALL vectors by approximate cosine
     * (8-byte codes, native ADC loop), only the top `shortlist` per query

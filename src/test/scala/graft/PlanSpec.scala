@@ -239,6 +239,65 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.ManagedCache.releaseAll(spark)
   }
 
+  test("IVF-PQ composed search prunes cid partitions at the source") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // same well-separated-cluster fixture as the IVF prune tests (dim 16)
+    val emb = (0 until 8).flatMap { c =>
+      val ctr = { val r = new scala.util.Random(900 + c); Array.fill(16)(r.nextGaussian().toFloat) }
+      (0 until 20).map { m =>
+        val r = new scala.util.Random(c * 100 + m)
+        (c * 20L + m, ctr.map(x => x + 0.1f * r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-prune").toString
+    val (ivfIdx, _) = Similarity.ivfIndex(spark, emb, s"$dir/ivf", "fp-ivfpq")
+    val (pqIdx, _) = Similarity.pqIndex(spark, emb, s"$dir/pq", "fp-ivfpq",
+      dim = 16, m = 4, ksub = 4)
+    val batch = emb.filter(col("vec_id").isin(3L, 23L))
+    val search = Similarity.ivfPqSearchAll(ivfIdx, pqIdx, batch, k = 5, nprobe = 2)
+    val p = plan(search)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .map(l => l.substring(l.indexOf("PartitionFilters")).takeWhile(_ != ']'))
+      .find(_.contains("cid")).getOrElse("")
+    assert(pf.startsWith("PartitionFilters") && pf.contains("cid"),
+      s"IVF-PQ probe filter is not a partition filter:\n$p")
+    // the compressed scan never touches the floats: no `embedding` column
+    // is read from the assigned table (only vec_id/cid + the codes join)
+    val assignedScanLine = p.linesIterator
+      .find(l => l.contains("ivf_assigned") && l.contains("FileScan")).getOrElse("")
+    assert(!assignedScanLine.contains("embedding"),
+      s"IVF-PQ read the float column from the assigned table:\n$assignedScanLine")
+    search.collect()
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(search.queryExecution.executedPlan)
+      .filter(_.metadata.get("PartitionFilters").exists(_.contains("cid")))
+      .map(_.metrics("numFiles").value).sum
+    def filesUnder(cidDir: java.io.File): Int =
+      cidDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val cidDirs = new java.io.File(s"$dir/ivf/ivf_assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    val totalFiles = cidDirs.map(filesUnder).sum
+    val probed = "IN \\(([-0-9, ]+)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(",").map(_.trim.toLong).toSet).getOrElse(Set.empty[Long])
+    val probedFiles = cidDirs
+      .filter(d => probed.contains(d.getName.stripPrefix("cid=").toLong))
+      .map(filesUnder).sum
+    assert(probed.nonEmpty && scanned > 0 && totalFiles > scanned,
+      s"no source pruning in IVF-PQ search: scanned $scanned of $totalFiles (probed $probed)")
+    assert(scanned == probedFiles,
+      s"IVF-PQ scan read beyond the probed cells: $scanned vs $probedFiles in $probed")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
   test("vertices/edges materialization prunes to the needed columns") {
     val dir = java.nio.file.Files.createTempDirectory("triples-pq").toString
     graft.kg.Pipeline.triples(spark, graft.kg.Fixtures.pages(spark))

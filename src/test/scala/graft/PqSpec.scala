@@ -126,6 +126,38 @@ class PqSpec extends AnyFunSuite {
     assert(!sk3, "a changed fingerprint must retrain, never stale-skip")
   }
 
+  test("ivfPqSearchAll: all-cells probe ≡ pure ADC scan; pruned probe scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val (ivfIdx, _) = Similarity.ivfIndex(spark, emb, s"$dir/ivf", "fp1")
+    val (pqIdx, _) = Similarity.pqIndex(spark, emb, s"$dir/pq", "fp1",
+      dim = 64, m = 16, ksub = 8, iters = 3)
+    val queries = emb.filter(col("vec_id") < 6)
+    def rset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // probing every cell = no pruning: the composition must reproduce the
+    // pure compressed-domain scan exactly (same ADC, same ranking)
+    val full = rset(Similarity.ivfPqSearchAll(ivfIdx, pqIdx, queries,
+      k = 5, nprobe = ivfIdx.codebook.length))
+    val pure = rset(Similarity.pqSearchAll(pqIdx.encoded, pqIdx.codebook,
+      queries, k = 5))
+    assert(full == pure, "all-cells IVF-PQ must equal the pure ADC scan")
+    // pruned probe: fewer candidates, but every returned score must be
+    // EXACTLY the pure-scan ADC score for that (query, neighbor)
+    val allScores = Similarity.pqSearchAll(pqIdx.encoded, pqIdx.codebook,
+        queries, k = 600).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = Similarity.ivfPqSearchAll(ivfIdx, pqIdx, queries,
+      k = 5, nprobe = 2).collect()
+    assert(pruned.nonEmpty)
+    val perQ = pruned.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length <= 5))
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(allScores(key) == r.getDouble(2),
+        s"pruned-probe score diverged from the pure scan at $key")
+    }
+  }
+
   test("recall vs exact brute force on the driver corpus") {
     val k = 10
     val queries = emb.filter(col("vec_id") < 16)
