@@ -112,6 +112,19 @@ object Text {
       .drop("cum_before")
   }
 
+  /** Remove benchmark leakage: drop from `train` every document
+    * [[crossCorpusOverlap]] flags against `test` — the actionable form of
+    * the contamination audit (audit for the report, decontaminate for the
+    * training run). The overlap surface carries ids only; the drop is one
+    * ids-keyed left-anti join, so train text crosses the wire exactly
+    * once (the winnowing scan). */
+  def decontaminate(train: DataFrame, test: DataFrame, w: Int = 4,
+                    minShared: Long = 2, maxDf: Option[Long] = None): DataFrame =
+    train.join(
+      crossCorpusOverlap(train, test, w, minShared, maxDf)
+        .select(col("train_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Gopher/C4-style repetition quality signals: per-document 2-gram and
     * 3-gram repetition counters from the [[graft.functions.NgramRepStats]]
     * native kernel (one codegen'd map-side pass per gram size — NOT the
@@ -521,6 +534,40 @@ object Text {
 
   // ---- oracle-paired query definitions -------------------------------------
 
+  /** The shared DuckDB replay of the t10/t16 contamination chain: t7
+    * winnowing over the whole (disjointly split) documents table, df cap
+    * over the union, the strict cross-corpus fp join — ending in a
+    * `crossed(train_id, test_id, shared)` CTE both oracles select from. */
+  private lazy val contaminationOracleCtes: String =
+    s"""toks AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+        hs AS (
+          SELECT doc_id, source,
+                 list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                   i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+          FROM toks),
+        fps AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 0)),
+                   i -> list_min(hs[i:i+3])))) AS fp
+          FROM hs),
+        kept AS (
+          SELECT fps.doc_id, fps.source, fps.fp
+          FROM fps
+          JOIN (SELECT fp FROM fps GROUP BY fp
+                HAVING count(*) <= least($DefaultShingleDfCap,
+                  greatest($DefaultShingleDfFloor,
+                    (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
+                     FROM documents)))) keep
+            ON fps.fp = keep.fp),
+        crossed AS (
+          SELECT x.doc_id AS train_id, y.doc_id AS test_id,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM kept x JOIN kept y ON x.fp = y.fp
+          WHERE x.source <> 'src0' AND y.source = 'src0'
+          GROUP BY x.doc_id, y.doc_id
+          HAVING count(*) >= 2)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t1_token_stats",
       (s, d) => tokenStats(t(s, d, "documents")),
@@ -763,33 +810,21 @@ object Text {
         crossCorpusOverlap(docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
-              hs AS (
-                SELECT doc_id, source,
-                       list_transform(generate_series(1, greatest(len(tk)-2, 0)),
-                         i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
-                FROM toks),
-              fps AS (
-                SELECT doc_id, source,
-                       unnest(list_distinct(list_transform(
-                         generate_series(1, greatest(len(hs) - 3, 0)),
-                         i -> list_min(hs[i:i+3])))) AS fp
-                FROM hs),
-              kept AS (
-                SELECT fps.doc_id, fps.source, fps.fp
-                FROM fps
-                JOIN (SELECT fp FROM fps GROUP BY fp
-                      HAVING count(*) <= least($DefaultShingleDfCap,
-                        greatest($DefaultShingleDfFloor,
-                          (SELECT (count(*) + ${DefaultShingleDfDen - 1}) // $DefaultShingleDfDen
-                           FROM documents)))) keep
-                  ON fps.fp = keep.fp)
-              SELECT x.doc_id AS train_id, y.doc_id AS test_id,
-                     CAST(count(*) AS BIGINT) AS shared
-              FROM kept x JOIN kept y ON x.fp = y.fp
-              WHERE x.source <> 'src0' AND y.source = 'src0'
-              GROUP BY x.doc_id, y.doc_id
-              HAVING count(*) >= 2""")),
+      Some(s"""WITH $contaminationOracleCtes
+              SELECT train_id, test_id, shared FROM crossed""")),
+
+    // the actionable form: the train split minus every flagged train doc
+    QueryDef("t16_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        decontaminate(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+      },
+      Some(s"""WITH $contaminationOracleCtes
+              SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+              FROM documents d
+              WHERE d.source <> 'src0'
+                AND d.doc_id NOT IN (SELECT train_id FROM crossed)""")),
 
     // Multimodal plumbing scalar layer: byte-level metadata over the text
     // treated as an opaque payload (the real binary path is ops.Multimodal)

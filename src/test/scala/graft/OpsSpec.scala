@@ -76,6 +76,16 @@ class OpsSpec extends AnyFunSuite {
     // strictly cross-corpus: every pair is (train id, test id) — the
     // corpus's own internal dups (0~200 etc.) never appear
     assert(rows.forall(h => h._2 >= 9000L && h._1 < 9000L))
+
+    // the actionable form: decontaminate drops EXACTLY the flagged train
+    // ids and nothing else
+    val flagged = rows.map(_._1).toSet
+    val kept = graft.ops.Text.decontaminate(train, test)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.ops.ManagedCache.releaseAll(spark)
+    val all = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- flagged,
+      s"decontaminate must drop exactly the flagged ids ${flagged}")
   }
 
   test("chunkDocs: window grid, overlap content, short docs, arg validation") {
