@@ -267,8 +267,8 @@ object Dedup {
          FROM (SELECT doc_id, s,
                       CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h
                FROM raw)
-         WHERE h % 4 = 0
-         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= 512)"""
+         WHERE h % ${Text.DefaultShingleMod} = 0
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= ${Text.DefaultShingleCap})"""
 
   /** CTE chain (no WITH keyword) replaying minhashLshPairs over `src`;
     * the final CTE is `mh_pairs(a, b, est_jaccard_bp)`. Composable so the

@@ -754,8 +754,10 @@ object Similarity {
     * and [[pqIndex]] over the same corpus; per-query probe cells come from
     * the same distributed fold as cell assignment (consistency, ragged
     * dims included). Returns (qid, nbr, adc_cos, rk), rk 1..k — exactly
-    * [[pqSearchAll]]'s scoring restricted to the probed cells (IvfPqSpec
-    * pins that identity). Chain [[pqSearchRerank]]-style exact reranking
+    * [[pqSearchAll]]'s scoring restricted to the probed cells (PqSpec pins
+    * the identity: all-cells probe ≡ the pure ADC scan, pruned-probe
+    * scores byte-equal; PlanSpec pins the partition pruning and that the
+    * float column is never read). Chain [[pqSearchRerank]]-style exact reranking
     * downstream by joining the shortlist ids back to the source floats. */
   def ivfPqSearchAll(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
                      k: Int = 5, nprobe: Int = 2,

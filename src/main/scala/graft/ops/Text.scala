@@ -397,7 +397,8 @@ object Text {
            |      x -> x.h % $mod = 0)),
            |  1, $cap)""".stripMargin))
 
-  def shingles(docs: DataFrame, mod: Int = 4, cap: Int = 512): DataFrame =
+  def shingles(docs: DataFrame, mod: Int = DefaultShingleMod,
+               cap: Int = DefaultShingleCap): DataFrame =
     sampledShingleStructs(docs, mod, cap)
       .select(col("doc_id"), expr("transform(shs, x -> x.s)").as("sh"))
 
@@ -476,8 +477,8 @@ object Text {
   }
 
   /** Per-doc sampled shingle hashes, exploded, with hashes above the df cap
-    * removed ([[dfCapFilter]]; the sampler's 512-per-doc cap makes
-    * 512·nDocs a true row bound, so `nDocs = Some(n)` enables the
+    * removed ([[dfCapFilter]]; the sampler's DefaultShingleCap-per-doc cap
+    * makes cap·nDocs a true row bound, so `nDocs = Some(n)` enables the
     * broadcast path — None takes the safe shuffled path with no extra
     * count job). The exploded frame is pinned (ManagedCache): it feeds the
     * df aggregation AND every downstream consumer (sizes + both self-join
@@ -491,7 +492,7 @@ object Text {
                                       nDocs: Option[Long]): DataFrame = {
     val ex0 = ManagedCache.pin(
       shingleHashes(docs).select(col("doc_id"), explode(col("sh")).as("s")))
-    val bound = nDocs.map(n => 512.0 * n / math.max(maxDf, 1L))
+    val bound = nDocs.map(n => DefaultShingleCap.toDouble * n / math.max(maxDf, 1L))
       .getOrElse(Double.PositiveInfinity)
     dfCapFilter(ex0, "s", maxDf, bound)
   }
@@ -730,8 +731,8 @@ object Text {
                 FROM (SELECT doc_id, s,
                              CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h
                       FROM raw)
-                WHERE h % 4 = 0
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= 512),
+                WHERE h % $DefaultShingleMod = 0
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h, s) <= $DefaultShingleCap),
               kept AS (
                 SELECT samp.doc_id, samp.h
                 FROM samp

@@ -313,11 +313,26 @@ object StreamPipeline {
     * curated sink when dedup must span the whole corpus. */
   def curateStream(docs: DataFrame, minTokens: Int = 10,
                    maxTokens: Int = 100000,
-                   watermark: String = "1 hour"): DataFrame =
-    docs
+                   watermark: String = "1 hour",
+                   maxTopBigramPct: Option[Int] = None,
+                   maxPiiHits: Option[Long] = None): DataFrame = {
+    val q0 = docs
       .filter(size(split(col("text"), " ")).between(minTokens, maxTokens))
+    // the batch pipeline's opt-in repetition/PII gates (Curate.flags) are
+    // stateless narrow maps, so they run unchanged in a streaming plan
+    val q1 = maxTopBigramPct.fold(q0)(p => q0
+      .withColumn("_s2", graft.functions.NgramRepStats(col("text"), 2))
+      .filter(col("_s2")(1) * 100 <= col("_s2")(0) * p)
+      .drop("_s2"))
+    val q2 = maxPiiHits.fold(q1)(h => q1.filter(
+      (regexp_count(col("text"), lit(graft.ops.Text.PiiEmailPattern)) +
+        regexp_count(col("text"), lit(graft.ops.Text.PiiIpv4Pattern)) +
+        regexp_count(col("text"), lit(graft.ops.Text.PiiPhonePattern)))
+        .cast("long") <= h))
+    q2
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+  }
 }

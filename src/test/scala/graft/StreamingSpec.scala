@@ -156,7 +156,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
     val docs = input.toDF().toDF("ts", "doc_id", "text")
-    val out = StreamPipeline.curateStream(docs, minTokens = 3)
+    val out = StreamPipeline.curateStream(docs, minTokens = 3,
+      maxTopBigramPct = Some(50), maxPiiHits = Some(0L))
     val q = out.writeStream.format("memory").queryName("curate_sink")
       .outputMode("append").start()
     try {
@@ -166,7 +167,9 @@ class StreamingSpec extends AnyFunSuite {
         (t0, 1L, good),            // survives
         (t0, 2L, good),            // exact dup of 1 → dropped
         (t0, 3L, "too short"),     // quality-gated
-        (t0, 4L, "a b c d e f"))   // survives
+        (t0, 4L, "a b c d e f"),   // survives
+        (t0, 5L, "spam spam spam spam spam spam"), // repetition-gated
+        (t0, 6L, "write to me at ann@mail.org ok")) // PII-gated
       q.processAllAvailable()
       val ids = spark.table("curate_sink").select("doc_id")
         .collect().map(_.getLong(0)).toSet
