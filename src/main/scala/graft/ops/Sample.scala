@@ -86,6 +86,32 @@ object Sample {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic global shuffle for training output: assign each row a
+    * shard in [0, nShards) and a 0-based position within its shard, both
+    * derived from the salted id hash — the "shuffle the corpus before
+    * training" step, without RNG. Documents adjacent in the source (same
+    * crawl, same site) land in unrelated (shard, pos) slots because h60 is
+    * uniform, while the assignment stays reproducible row-for-row across
+    * re-runs and engines.
+    *
+    * Scale shape: one narrow projection plus ONE per-shard sort (the
+    * row_number window, partitioned by shard — h60 uniformity makes the
+    * shard sizes even, so there is no skewed sort partition). Pick nShards
+    * at the intended write parallelism (≈ output file count): on a cluster
+    * the materialization is `repartition(nShards, $"shard")` +
+    * `sortWithinPartitions($"pos")` + write, one shuffle total, each file
+    * internally in shuffled order. */
+  def shuffleShards(df: DataFrame, nShards: Int, salt: String = "graft-shuffle-v1",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", Text.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   // ---- driver-oracle query surface ----------------------------------------
 
   private val DocCols = "doc_id, text, lang, source, n_chars"
@@ -127,6 +153,19 @@ object Sample {
                UNION ALL
                SELECT $DocCols, 'rest' AS mix_source FROM documents
                WHERE lang <> 'en'
-                 AND ${bucketSql("doc_id", "graft-mix-v1;rest")} < 1500"""))
+                 AND ${bucketSql("doc_id", "graft-mix-v1;rest")} < 1500""")),
+
+    // global shuffle: the oracle re-derives every row's (shard, pos), so a
+    // drifted hash, modulus, or tie-break shows as a hash mismatch
+    QueryDef("p5_shuffle_shards",
+      (s, d) => shuffleShards(t(s, d, "documents"), nShards = 16),
+      Some(s"""SELECT $DocCols,
+                      CAST(hh % 16 AS BIGINT) AS shard,
+                      CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) - 1
+                           AS BIGINT) AS pos
+               FROM (SELECT *,
+                            CAST(concat('0x', substr(md5('graft-shuffle-v1:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+                     FROM documents)"""))
   )
 }

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Exact duplicated-substring detection and removal across a corpus — the
+  * ExactSubstr dedup family (Lee et al., "Deduplicating Training Data Makes
+  * Language Models Better"): near-dup pair detection (MinHash / winnowing)
+  * finds MOSTLY-duplicate documents, while this family finds duplicated
+  * SPANS inside otherwise-distinct documents (license boilerplate, quoted
+  * passages, templated paragraphs) at token k-gram granularity.
+  *
+  * Scale shape — deliberately LINEAR, never pairwise:
+  *  - gram occurrences are (doc_id, pos, g) rows with g a 60-bit content
+  *    hash ([[Text.h60]]); document text never rides a shuffle;
+  *  - the duplicate verdict is a two-stage aggregation (collapse within-doc
+  *    repeats on (g, doc_id), then per-g doc count + min owner), both
+  *    map-side combinable — no Expand-based count-distinct;
+  *  - the verdict joins back ON g with exactly ONE verdict row per gram, so
+  *    join fan-out equals the occurrence count — unlike the near-dup pair
+  *    joins there is no quadratic key blowup to cap, and corpus boilerplate
+  *    (the highest-df grams) is precisely the signal, never dropped;
+  *  - coverage expansion is a bounded explode of k rows per duplicated
+  *    occurrence.
+  * The suffix-array construction the paper uses is a single-machine design;
+  * the k-gram form trades its arbitrary-length matches for a fixed minimum
+  * match length (k tokens) and gets a shuffle-parallel plan in exchange.
+  *
+  * Cross-engine determinism: positions are 0-based token indexes, hashes are
+  * h60, ownership is min(doc_id) — every rule integer-exact, so the t17/t18
+  * driver oracles replay the whole chain in DuckDB.
+  */
+object Spans {
+
+  /** Minimum duplicated run length, in tokens. Runs shorter than k are
+    * never flagged; runs of length L ≥ k are covered exactly (every token
+    * of the run lies in some length-k window of it). */
+  val DefaultK = 8
+
+  /** One row per k-gram occurrence: (doc_id, pos, g) with `pos` the 0-based
+    * token index of the gram's first token and `g` its [[Text.h60]] hash.
+    * Narrow projection + bounded explode; documents shorter than k tokens
+    * emit nothing (the `when` guard matters: Spark's `sequence(1, n)`
+    * DESCENDS for n < 1 — same trap as the shingle kernels). */
+  private[ops] def gramOccurrences(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("gs",
+        when(size(col("tk")) < k, expr("CAST(array() AS array<bigint>)"))
+          .otherwise(expr(
+            s"""transform(sequence(1, size(tk) - ${k - 1}),
+               |  i -> ${Text.h60Sql(s"array_join(slice(tk, i, $k), ' ')")})""".stripMargin)))
+      .select(col("doc_id"), posexplode(col("gs")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("g"))
+  }
+
+  /** Per-gram duplicate verdicts: grams present in ≥ 2 distinct documents,
+    * with the OWNER (minimum doc_id that contains the gram — the occurrence
+    * [[stripDupSpans]] keeps). Two map-side-combinable aggregations instead
+    * of one count-distinct: the (g, doc_id) pre-collapse also removes
+    * within-doc repeats before the per-g shuffle, so a doc that repeats its
+    * own boilerplate a thousand times contributes one row per gram. */
+  private[ops] def dupGramStats(occ: DataFrame): DataFrame =
+    occ.groupBy("g", "doc_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ndocs"), min("doc_id").as("owner"))
+      .filter(col("ndocs") >= 2)
+      .select("g", "owner")
+
+  /** Report the duplicated spans of every document: maximal runs of token
+    * positions covered by at least one k-gram that also occurs in another
+    * document. Output (doc_id, span_start, span_end, n_span_tokens) with
+    * 0-based inclusive token indexes — the audit surface (how much of the
+    * corpus is cross-document duplicated text, and where).
+    *
+    * Construction-time jobs: none — but the gram frame is pinned
+    * (ManagedCache; it feeds both the verdict aggregation and the coverage
+    * join, and re-running it means re-hashing every gram). Callers release
+    * via ManagedCache.releaseAll / release. */
+  def dupSpans(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    val occ = ManagedCache.pin(gramOccurrences(docs, k))
+    val covered = occ.join(dupGramStats(occ).select("g"), Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    covered
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(F.min("p").as("span_start"), F.max("p").as("span_end"),
+        count(lit(1)).as("n_span_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_span_tokens")
+  }
+
+  /** Remove cross-document duplicated spans, KEEPING the owner's copy: a
+    * token is dropped iff some duplicated k-gram covers it in a document
+    * that is not that gram's owner (min doc_id). Owner docs keep their text
+    * intact for those grams; within-document repetition is untouched (that
+    * is [[Text.repetitionStats]]'s signal, not cross-doc dedup). Output one
+    * row per input document: (doc_id, text_stripped, n_kept_tokens) — a
+    * fully-duplicated non-owner document survives as an empty string with
+    * count 0, so downstream length filters (not silent row loss) decide
+    * its fate. Reconstruction order is the unique token position, so the
+    * result is deterministic under any partitioning. */
+  def stripDupSpans(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    val occ = ManagedCache.pin(gramOccurrences(docs, k))
+    val removed = occ.join(dupGramStats(occ), Seq("g"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("token"))
+    val rebuilt = toks.join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(p, token))), x -> x.token), ' ')")
+          .as("text_stripped"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
+  // ---- driver-oracle query definitions -------------------------------------
+
+  /** Shared DuckDB replay of the gram scan + duplicate verdict (k = 8):
+    * ends in `grams(doc_id, pos, g)` and `stats(g, owner)` CTEs. */
+  private def gramOracleCtes(k: Int): String = {
+    val km1 = k - 1
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 CAST(concat('0x', substr(md5(array_to_string(tk[i:i+$km1], ' ')), 1, 15)) AS BIGINT) AS g
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - $km1, 0))) AS t(i)),
+        stats AS (
+          SELECT g, min(doc_id) AS owner
+          FROM (SELECT g, doc_id FROM grams GROUP BY g, doc_id)
+          GROUP BY g HAVING count(*) >= 2)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // duplicated-span audit: coverage explode, island merge via p - row_number
+    QueryDef("t17_dup_spans",
+      (s, d) => dupSpans(t(s, d, "documents")),
+      Some(s"""WITH ${gramOracleCtes(DefaultK)},
+              cov AS (
+                SELECT DISTINCT grams.doc_id, pos + off AS p
+                FROM grams JOIN stats USING (g),
+                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)),
+              isl AS (
+                SELECT doc_id, p,
+                       p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                FROM cov)
+              SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                     CAST(max(p) AS BIGINT) AS span_end,
+                     CAST(count(*) AS BIGINT) AS n_span_tokens
+              FROM isl GROUP BY doc_id, grp""")),
+
+    // keep-owner strip: per-row reconstruction of the deduplicated text
+    QueryDef("t18_strip_dup_spans",
+      (s, d) => stripDupSpans(t(s, d, "documents")),
+      Some(s"""WITH ${gramOracleCtes(DefaultK)},
+              rem AS (
+                SELECT DISTINCT grams.doc_id, pos + off AS p
+                FROM grams JOIN stats USING (g),
+                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)
+                WHERE grams.doc_id <> stats.owner),
+              tok2 AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, tk[i] AS token
+                FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+              kept AS (
+                SELECT t2.doc_id, t2.p, t2.token
+                FROM tok2 t2 LEFT JOIN rem ON t2.doc_id = rem.doc_id AND t2.p = rem.p
+                WHERE rem.p IS NULL),
+              agg AS (
+                SELECT doc_id, string_agg(token, ' ' ORDER BY p) AS text_stripped,
+                       CAST(count(*) AS BIGINT) AS n_kept_tokens
+                FROM kept GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(a.text_stripped, '') AS text_stripped,
+                     CAST(coalesce(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens
+              FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+  )
+}

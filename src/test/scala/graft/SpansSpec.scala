@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{ManagedCache, Sample, Spans}
+
+/** Exact duplicated-substring spans (t17/t18 family) on a hand-computable
+  * corpus, plus the deterministic shuffle-shard assignment (p5). */
+class SpansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  // doc1 and doc3 are exact copies; doc2 quotes doc1's 8-token run "a..h";
+  // doc4 is unique; doc5 is shorter than k; doc6 repeats an 8-gram only
+  // WITHIN itself (intra-doc repetition is not cross-doc duplication)
+  private lazy val docs = Seq(
+    (1L, "a b c d e f g h x1 x2 x3"),
+    (2L, "y1 y2 a b c d e f g h y3"),
+    (3L, "a b c d e f g h x1 x2 x3"),
+    (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    (5L, "s1 s2 s3"),
+    (6L, "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8")
+  ).toDF("doc_id", "text")
+
+  test("dupSpans: shared runs become maximal spans; intra-doc repeats and short docs are silent") {
+    val spans = Spans.dupSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    ManagedCache.releaseAll(spark)
+    assert(spans == Set(
+      (1L, 0L, 10L, 11L), // whole doc duplicated by doc3
+      (2L, 2L, 9L, 8L),   // just the quoted 8-token run
+      (3L, 0L, 10L, 11L)))
+  }
+
+  test("stripDupSpans: owner keeps its copy, quoters lose the span, full dups become empty rows") {
+    val out = Spans.stripDupSpans(docs, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    ManagedCache.releaseAll(spark)
+    assert(out(1L) == (("a b c d e f g h x1 x2 x3", 11L))) // owner: intact
+    assert(out(2L) == (("y1 y2 y3", 3L)))                  // quoted run removed
+    assert(out(3L) == (("", 0L)))                          // full dup: empty row, not lost
+    assert(out(4L) == (("u1 u2 u3 u4 u5 u6 u7 u8 u9", 9L)))
+    assert(out(5L) == (("s1 s2 s3", 3L)))                  // < k tokens: untouched
+    assert(out(6L)._2 == 16L)                              // intra-doc repeat: untouched
+  }
+
+  test("dupSpans: k larger than every document yields no spans") {
+    assert(Spans.dupSpans(docs, k = 64).isEmpty)
+    ManagedCache.releaseAll(spark)
+  }
+
+  test("shuffleShards: a permutation into contiguous per-shard positions, stable under repartition") {
+    val n = 200
+    val corpus = (0 until n).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    val a = Sample.shuffleShards(corpus, nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == n)
+    // positions are 0..size-1 within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong))
+    }
+    // deterministic under a different physical layout
+    val b = Sample.shuffleShards(corpus.repartition(13), nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // shard agrees with the salted bucket hash it is defined from
+    val manual = corpus.select(col("doc_id"),
+      pmod(graft.ops.Text.h60(concat_ws(":", lit("graft-shuffle-v1"), col("doc_id").cast("string"))),
+        lit(8L)).as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    a.foreach { case (id, shard, _) => assert(manual(id) == shard) }
+  }
+}
