@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** POSITIONAL k-gram hashes as one native kernel: tokenize on single spaces
+  * (keeping empties, Spark `split` semantics) → h60 of every sliding
+  * k-token gram, IN ORDER — element i is the gram starting at 0-based token
+  * position i, so `posexplode` downstream recovers (pos, hash) pairs.
+  * Documents with fewer than k tokens yield an empty array.
+  *
+  * Unlike [[ShingleHashes]] this neither samples nor dedups nor sorts: the
+  * duplicated-span operators ([[graft.ops.Spans]]) need EVERY occurrence
+  * with its position. Semantics are exactly the HOF formulation
+  * `transform(sequence(1, size(tk) - k + 1), i -> h60(array_join(slice(tk,
+  * i, k), ' ')))` (parity-pinned in SpansSpec; kept there as the executable
+  * spec) — but that form is CodegenFallback with a per-window slice + join
+  * allocation, the same interpreter tax the winnow/shingle kernels paid
+  * before their native rewrite.
+  */
+final case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, s"gram_hashes k must be >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_hashes needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashKernel.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramHashKernel.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  def apply(text: Column, k: Int): Column =
+    GraftExpressionBridge.column(
+      GramHashes(GraftExpressionBridge.expression(text), k))
+}
+
+object GramHashKernel {
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = ShingleKernel.h60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

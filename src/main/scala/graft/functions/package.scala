@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** Native Catalyst expressions (codegen'd hot loops) + their SQL-surface
   * registration: after `functions.register(spark)`, `spark.sql` resolves
   * `quantized_dot(a, b)`, `shingle_hashes(text, mod, cap)`,
-  * `minhash_signature(hashes)`, `simhash64(text)` and
-  * `winnow_fingerprints(text, w)` to the same expressions the Column API
+  * `minhash_signature(hashes)`, `simhash64(text)`, `gram_hashes(text, k)`
+  * and `winnow_fingerprints(text, w)` to the same expressions the Column API
   * uses (FunctionsSqlSpec pins the parity) — the SQL surface carries ALL
   * the native functions, not a subset. */
 package object functions {
@@ -42,6 +42,11 @@ package object functions {
       case Seq(text) => SimHash64(text)
       case args => throw new IllegalArgumentException(
         s"simhash64(text) takes 1 argument, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("gram_hashes", classOf[GramHashes], {
+      case Seq(text, k) => GramHashes(text, intLit(k, "k"))
+      case args => throw new IllegalArgumentException(
+        s"gram_hashes(text, k) takes 2 arguments, got ${args.length}")
     }: Seq[Expression] => Expression),
     ("winnow_fingerprints", classOf[WinnowFingerprints], {
       case Seq(text, w) => WinnowFingerprints(text, intLit(w, "w"))

@@ -42,10 +42,23 @@ object Spans {
 
   /** One row per k-gram occurrence: (doc_id, pos, g) with `pos` the 0-based
     * token index of the gram's first token and `g` its [[Text.h60]] hash.
-    * Narrow projection + bounded explode; documents shorter than k tokens
-    * emit nothing (the `when` guard matters: Spark's `sequence(1, n)`
-    * DESCENDS for n < 1 — same trap as the shingle kernels). */
-  private[ops] def gramOccurrences(docs: DataFrame, k: Int): DataFrame = {
+    * Narrow projection + bounded explode, via the native
+    * [[graft.functions.GramHashes]] kernel (one JVM call per row);
+    * [[gramOccurrencesHof]] is the HOF formulation it must equal
+    * (SpansSpec parity pin), kept as the executable spec — CodegenFallback
+    * with a per-window slice + join allocation, it costs ~10× on the gram
+    * scan at sf0.1. */
+  private[graft] def gramOccurrences(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    docs
+      .select(col("doc_id"), posexplode(graft.functions.GramHashes(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("g"))
+  }
+
+  /** The HOF executable spec of [[gramOccurrences]] (the `when` guard
+    * matters: Spark's `sequence(1, n)` DESCENDS for n < 1 — same trap as
+    * the shingle kernels). */
+  private[graft] def gramOccurrencesHof(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2: $k")
     docs
       .withColumn("tk", split(col("text"), " "))

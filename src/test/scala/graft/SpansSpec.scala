@@ -44,6 +44,26 @@ class SpansSpec extends AnyFunSuite {
     assert(out(6L)._2 == 16L)                              // intra-doc repeat: untouched
   }
 
+  test("gram_hashes kernel equals the HOF executable spec (positions + hashes), empties included") {
+    // includes consecutive spaces (empty tokens), a doc shorter than k, and
+    // an exactly-k doc — the edges where tokenization/guard bugs hide
+    val edge = Seq((1L, "a  b c d e"), (2L, "x y"), (3L, "p q r"),
+      (4L, "one two three four five six seven")).toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 5)) {
+      val native = ops.Spans.gramOccurrences(edge, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val hof = ops.Spans.gramOccurrencesHof(edge, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(native == hof, s"kernel/HOF divergence at k=$k")
+    }
+    // the SQL surface resolves to the same kernel
+    graft.functions.register(spark)
+    val viaSql = spark.sql("SELECT gram_hashes('a b c d', 3) AS g").head.getSeq[Long](0)
+    val viaCol = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(graft.functions.GramHashes(col("text"), 3)).head.getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 2)
+  }
+
   test("dupSpans: k larger than every document yields no spans") {
     assert(Spans.dupSpans(docs, k = 64).isEmpty)
     ManagedCache.releaseAll(spark)
