@@ -112,6 +112,22 @@ object Sample {
       .drop("__h")
   }
 
+  /** Materialize [[shuffleShards]] as training-ready files: a parquet
+    * directory partitioned by `shard`, each shard's rows stored in shuffled
+    * (`pos`) order. One shuffle total: `repartition(nShards, shard)`
+    * co-locates each shard in exactly one task (so one file per shard —
+    * hash collisions between shard values merely put two shards in one
+    * task, which `partitionBy` still splits into separate files), and the
+    * within-partition sort orders rows by pos before the write. Readers
+    * stream dir/shard=i/ in file order and see the deterministic shuffled
+    * sequence; `pos` is kept in the files so order survives re-compaction. */
+  def writeShuffled(df: DataFrame, dir: String, nShards: Int,
+                    salt: String = "graft-shuffle-v1", idCol: String = "doc_id"): Unit =
+    shuffleShards(df, nShards, salt, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   // ---- driver-oracle query surface ----------------------------------------
 
   private val DocCols = "doc_id, text, lang, source, n_chars"

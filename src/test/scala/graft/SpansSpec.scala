@@ -92,4 +92,25 @@ class SpansSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     a.foreach { case (id, shard, _) => assert(manual(id) == shard) }
   }
+
+  test("writeShuffled: shard-partitioned files hold rows in shuffled (pos) order") {
+    val n = 300
+    val corpus = (0 until n).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString + "/out"
+    Sample.writeShuffled(corpus, dir, nShards = 4)
+    val expected = Sample.shuffleShards(corpus, nShards = 4)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 4L).foreach { s =>
+      // a shard is one task's output = one file; parquet preserves row order
+      // within a file, so the raw read-back order IS the shuffled order
+      val dirList = new java.io.File(s"$dir/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dirList.length == 1, s"shard $s should be exactly one file")
+      val got = spark.read.parquet(s"$dir/shard=$s")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == expected(s), s"shard $s read-back order != shuffled order")
+    }
+  }
 }
