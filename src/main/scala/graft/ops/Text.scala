@@ -214,6 +214,38 @@ object Text {
       .orderBy(desc("n_occurrences"), asc("token"))
       .limit(topK)
 
+  /** Unigram rarity score — the LM-perplexity-filter stage of a training
+    * pipeline in its integer-exact form: per-token rarity = N div c(token)
+    * (corpus token total over the token's occurrence count, ≈ 1/p(token)),
+    * summed and averaged per document. High-mean docs are unusual relative
+    * to the corpus (gibberish, rare-language leakage); low-mean docs are
+    * boilerplate-heavy. Rarity is a monotone transform of unigram
+    * surprisal, chosen over -log p so the score carries an exact
+    * cross-engine oracle (div is integer division in both engines, floats
+    * never appear); a trained LM scorer slots into the same plan by
+    * replacing the `counts` aggregation with its vocab table.
+    *
+    * Scale shape: the canonical two-pass LM scan. Pass 1 aggregates the
+    * vocab (one token-keyed shuffle, map-side combinable); pass 2 joins the
+    * verdicts back ON token (shuffled join — at corpus scale the vocab is
+    * far too large to broadcast) and re-aggregates per doc. The token
+    * explode is recomputed per pass rather than pinned: it is a narrow map
+    * over the scan, and pinning it would cost O(corpus tokens) of storage
+    * to save exactly that much recompute. The one-row corpus total rides a
+    * broadcast cross join. */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").cast("long").as("n_total"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("n_total div c").as("rarity"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("rarity").as("rarity_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        expr("rarity_sum div n_tokens").as("rarity_mean"))
+  }
+
   def qualityScore(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
@@ -676,6 +708,21 @@ object Text {
               GROUP BY token
               ORDER BY n_occurrences DESC, token
               LIMIT 50""")),
+
+    // unigram rarity (integer surprisal proxy): vocab pass replayed, verdicts
+    // re-joined on token, per-doc integer mean — div is // in DuckDB
+    QueryDef("t19_rarity",
+      (s, d) => rarityScore(t(s, d, "documents")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                            FROM documents),
+              counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+              tot AS (SELECT count(*) AS n_total FROM toks)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(n_total // c) AS BIGINT) AS rarity_sum,
+                     CAST(sum(n_total // c) // count(*) AS BIGINT) AS rarity_mean
+              FROM toks JOIN counts USING (token), tot
+              GROUP BY doc_id""")),
 
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),

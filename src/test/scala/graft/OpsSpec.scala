@@ -33,6 +33,15 @@ class OpsSpec extends AnyFunSuite {
     (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
   }
 
+  test("rarityScore: integer unigram rarity, hand-computed") {
+    // N=5 tokens; c(a)=3, c(b)=1, c(c)=1 → rarity a=1 (5 div 3), b=c=5
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Text.rarityScore(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 7L, 2L))) // 1+1+5 = 7; 7 div 3 = 2
+    assert(out(2L) == ((2L, 6L, 3L))) // 1+5 = 6; 6 div 2 = 3
+  }
+
   test("exact dedup groups: 5 planted exact duplicates found, keeper is min id") {
     val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
     assert(g.length == 5)
