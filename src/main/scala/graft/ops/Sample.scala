@@ -12,7 +12,11 @@ import graft.queries.QueryDef.t
   * Everything here is decided by a salted content hash of the ROW ID, not by
   * RNG state or row position, which is what makes it usable at 100 TB:
   *  - map-only — no shuffle, no sort, no sample() RNG whose result depends on
-  *    partitioning; the plan is a parquet scan + filter at every scale;
+  *    partitioning; the plan is a parquet scan + filter at every scale
+  *    (EXCEPTION: the shuffle-sharding pair [[shuffleShards]] /
+  *    [[writeShuffled]] — ordering output is their job, so they carry the
+  *    module's one deliberate shuffle + per-shard sort; the ASSIGNMENT is
+  *    still hash-decided and map-only);
   *  - stable — the same row lands in the same sample/split/mix no matter how
   *    the corpus is partitioned, compacted, or incrementally extended (a
   *    re-run over a grown corpus KEEPS every earlier decision: sampling is
@@ -97,10 +101,13 @@ object Sample {
     * Scale shape: one narrow projection plus ONE per-shard sort (the
     * row_number window, partitioned by shard — h60 uniformity makes the
     * shard sizes even, so there is no skewed sort partition). Pick nShards
-    * at the intended write parallelism (≈ output file count): on a cluster
-    * the materialization is `repartition(nShards, $"shard")` +
-    * `sortWithinPartitions($"pos")` + write, one shuffle total, each file
-    * internally in shuffled order. */
+    * at the intended write parallelism (≈ output file count):
+    * [[writeShuffled]] is the materialization — `repartition(nShards,
+    * $"shard")` + `sortWithinPartitions($"shard", $"pos")` + write, one
+    * shuffle total, each file internally in shuffled order (shard must
+    * lead the sort: two shard values can hash into one task, and a
+    * pos-only sort would let the writer's own partition-column sort
+    * scramble it). */
   def shuffleShards(df: DataFrame, nShards: Int, salt: String = "graft-shuffle-v1",
                     idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")

@@ -108,22 +108,34 @@ object Spans {
       .select("doc_id", "span_start", "span_end", "n_span_tokens")
   }
 
-  /** Remove cross-document duplicated spans, KEEPING the owner's copy: a
-    * token is dropped iff some duplicated k-gram covers it in a document
-    * that is not that gram's owner (min doc_id). Owner docs keep their text
-    * intact for those grams; within-document repetition is untouched (that
-    * is [[Text.repetitionStats]]'s signal, not cross-doc dedup). Output one
-    * row per input document: (doc_id, text_stripped, n_kept_tokens) — a
-    * fully-duplicated non-owner document survives as an empty string with
-    * count 0, so downstream length filters (not silent row loss) decide
-    * its fate. Reconstruction order is the unique token position, so the
-    * result is deterministic under any partitioning. */
+  /** Remove cross-document duplicated spans, guaranteeing every duplicated
+    * substring SURVIVES IN ITS OWNER: a token is dropped iff it is covered
+    * by at least one duplicated k-gram AND by no duplicated k-gram that
+    * this document owns (owner = min doc_id containing the gram). The
+    * owner of a gram therefore always keeps that gram's full span — one
+    * canonical copy of every duplicated k-gram's text outlives the strip.
+    * (The naive rule "drop every position a foreign dup gram covers" does
+    * NOT have that property: where overlapping duplicated grams have
+    * different owners, their overlap would be foreign to every document
+    * and the substring would vanish corpus-wide.) Within-document
+    * repetition is untouched (that is [[Text.repetitionStats]]'s signal,
+    * not cross-doc dedup). Output one row per input document:
+    * (doc_id, text_stripped, n_kept_tokens) — a fully-duplicated non-owner
+    * document survives as an empty string with count 0, so downstream
+    * length filters (not silent row loss) decide its fate. Reconstruction
+    * order is the unique token position, so the result is deterministic
+    * under any partitioning. */
   def stripDupSpans(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     val occ = ManagedCache.pin(gramOccurrences(docs, k))
-    val removed = occ.join(dupGramStats(occ), Seq("g"))
-      .filter(col("doc_id") =!= col("owner"))
+    val hits = occ.join(dupGramStats(occ), Seq("g"))
+    def coverage(h: DataFrame): DataFrame = h
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .distinct()
+    // covered-by-any minus covered-by-owned; both branches share the same
+    // hits subtree, so the verdict aggregation is a ReusedExchange
+    val removed = coverage(hits)
+      .join(coverage(hits.filter(col("doc_id") === col("owner"))),
+        Seq("doc_id", "p"), "left_anti")
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("token"))
@@ -174,15 +186,25 @@ object Spans {
                      CAST(count(*) AS BIGINT) AS n_span_tokens
               FROM isl GROUP BY doc_id, grp""")),
 
-    // keep-owner strip: per-row reconstruction of the deduplicated text
+    // survives-in-owner strip: per-row reconstruction of the deduplicated
+    // text (removed = covered-by-any-dup-gram minus covered-by-owned)
     QueryDef("t18_strip_dup_spans",
       (s, d) => stripDupSpans(t(s, d, "documents")),
       Some(s"""WITH ${gramOracleCtes(DefaultK)},
-              rem AS (
+              cov_all AS (
+                SELECT DISTINCT grams.doc_id, pos + off AS p
+                FROM grams JOIN stats USING (g),
+                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)),
+              cov_own AS (
                 SELECT DISTINCT grams.doc_id, pos + off AS p
                 FROM grams JOIN stats USING (g),
                      unnest(generate_series(0, ${DefaultK - 1})) AS o(off)
-                WHERE grams.doc_id <> stats.owner),
+                WHERE grams.doc_id = stats.owner),
+              rem AS (
+                SELECT a.doc_id, a.p
+                FROM cov_all a
+                LEFT JOIN cov_own w ON a.doc_id = w.doc_id AND a.p = w.p
+                WHERE w.p IS NULL),
               tok2 AS (
                 SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, tk[i] AS token
                 FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),

@@ -225,23 +225,30 @@ object Text {
     * never appear); a trained LM scorer slots into the same plan by
     * replacing the `counts` aggregation with its vocab table.
     *
-    * Scale shape: the canonical two-pass LM scan. Pass 1 aggregates the
-    * vocab (one token-keyed shuffle, map-side combinable); pass 2 joins the
-    * verdicts back ON token (shuffled join — at corpus scale the vocab is
-    * far too large to broadcast) and re-aggregates per doc. The token
-    * explode is recomputed per pass rather than pinned: it is a narrow map
-    * over the scan, and pinning it would cost O(corpus tokens) of storage
-    * to save exactly that much recompute. The one-row corpus total rides a
+    * Scale shape: the canonical two-pass LM scan, skew-hardened. The
+    * corpus collapses FIRST to per-document term frequencies (one
+    * (doc, token) shuffle, map-side combinable); the vocab aggregates from
+    * the tf frame and the verdicts join back ON token (shuffled join — at
+    * corpus scale the vocab is far too large to broadcast). The token join
+    * key is Zipf-distributed by nature; joining tf rows instead of raw
+    * occurrences bounds the hot key's rows by DOCUMENT count, not
+    * occurrence count (a stopword collapses ~tf× on exactly the hottest
+    * keys), and AQE's skew-join splitting handles the residual imbalance
+    * (a 1:N join splits cleanly — the one verdict row replicates). The tf
+    * frame feeds both the vocab aggregation and the join from one subtree
+    * (a ReusedExchange, not a pin); the one-row corpus total rides a
     * broadcast cross join. */
   def rarityScore(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("token").agg(sum("tf").as("c"))
     val total = counts.agg(sum("c").cast("long").as("n_total"))
-    toks.join(counts, "token")
+    tf.join(counts, "token")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), expr("n_total div c").as("rarity"))
+      .select(col("doc_id"), col("tf"), expr("n_total div c").as("rarity"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("rarity").as("rarity_sum"))
+      .agg(sum("tf").as("n_tokens"), sum(expr("tf * rarity")).as("rarity_sum"))
       .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
         expr("rarity_sum div n_tokens").as("rarity_mean"))
   }

@@ -44,6 +44,24 @@ class SpansSpec extends AnyFunSuite {
     assert(out(6L)._2 == 16L)                              // intra-doc repeat: untouched
   }
 
+  test("stripDupSpans: overlapping dup grams with different owners — each gram survives in its owner") {
+    // gram A = p1..p8 (docs 10, 11; owner 10), gram B = p8 q1..q7 (docs 11,
+    // 12; owner 11). A and B overlap at doc11's position 7: under the naive
+    // any-foreign-gram rule that position is foreign everywhere and the
+    // substring "p8 q1..q7" would vanish corpus-wide; the survives-in-owner
+    // rule keeps it in doc 11
+    val tricky = Seq(
+      (10L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+      (11L, "p1 p2 p3 p4 p5 p6 p7 p8 q1 q2 q3 q4 q5 q6 q7"),
+      (12L, "z p8 q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
+    val out = Spans.stripDupSpans(tricky, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    ManagedCache.releaseAll(spark)
+    assert(out(10L) == (("p1 p2 p3 p4 p5 p6 p7 p8", 8L)))       // owner of A: intact
+    assert(out(11L) == (("p8 q1 q2 q3 q4 q5 q6 q7", 8L)))       // owner of B: B intact, A's rest stripped
+    assert(out(12L) == (("z", 1L)))                             // owns nothing: B stripped
+  }
+
   test("gram_hashes kernel equals the HOF executable spec (positions + hashes), empties included") {
     // includes consecutive spaces (empty tokens), a doc shorter than k, and
     // an exactly-k doc — the edges where tokenization/guard bugs hide
