@@ -151,6 +151,31 @@ object Spans {
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
   }
 
+  /** Corpus duplication audit: per `source`, how much text is covered by
+    * cross-document duplicated k-grams — the headline number a dedup pass
+    * is judged by ("X bp of this crawl is duplicated text"), computed
+    * WITHOUT materializing the strip. Output (source, n_docs, n_tokens,
+    * n_dup_tokens, dup_bp) with dup_bp = (10000 · dup) div tokens in
+    * integer arithmetic. Covered positions come from the same pinned gram
+    * frame as [[dupSpans]]; the per-source rollup is a tiny aggregation
+    * over per-doc counts. */
+  def dupRate(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    val occ = ManagedCache.pin(gramOccurrences(docs, k))
+    val covered = occ.join(dupGramStats(occ).select("g"), Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(covered, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        sum(coalesce(col("covered"), lit(0L))).as("n_dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_dup_tokens"),
+        expr("(10000 * n_dup_tokens) div n_tokens").as("dup_bp"))
+  }
+
   // ---- driver-oracle query definitions -------------------------------------
 
   /** Shared DuckDB replay of the gram scan + duplicate verdict (k = 8):
@@ -185,6 +210,25 @@ object Spans {
                      CAST(max(p) AS BIGINT) AS span_end,
                      CAST(count(*) AS BIGINT) AS n_span_tokens
               FROM isl GROUP BY doc_id, grp""")),
+
+    // per-source duplication rate: covered-position counts rolled up, bp in
+    // integer arithmetic (// both engines)
+    QueryDef("t20_dup_rate",
+      (s, d) => dupRate(t(s, d, "documents")),
+      Some(s"""WITH ${gramOracleCtes(DefaultK)},
+              cov AS (
+                SELECT DISTINCT grams.doc_id, pos + off AS p
+                FROM grams JOIN stats USING (g),
+                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)),
+              cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+              SELECT d.source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+                     CAST(sum(coalesce(c.covered, 0)) AS BIGINT) AS n_dup_tokens,
+                     CAST((10000 * sum(coalesce(c.covered, 0)))
+                          // sum(len(string_split(d.text, ' '))) AS BIGINT) AS dup_bp
+              FROM documents d LEFT JOIN cnt c USING (doc_id)
+              GROUP BY d.source""")),
 
     // survives-in-owner strip: per-row reconstruction of the deduplicated
     // text (removed = covered-by-any-dup-gram minus covered-by-owned)

@@ -81,6 +81,20 @@ class PlanSpec extends AnyFunSuite {
     assert(s1.contains("TakeOrderedAndProject"), "s1 top-k should not global-sort")
   }
 
+  test("span-dedup scan prunes to (doc_id, text); shuffle sharding shuffles exactly once") {
+    // t17's gram scan must not drag lang/source/n_chars through the explode
+    val rs = readSchemas(plan(SparkEntry.queries("t17_dup_spans")(spark, sf))).mkString
+    assert(rs.contains("doc_id") && rs.contains("text"), s"t17 schema: $rs")
+    assert(!rs.contains("lang") && !rs.contains("source") && !rs.contains("n_chars"),
+      s"t17 over-reads: $rs")
+    graft.ops.ManagedCache.releaseAll(spark)
+    // p5 is one narrow projection + ONE per-shard sort (the window) — a
+    // second exchange would mean the assignment itself started shuffling
+    val p5 = plan(SparkEntry.queries("p5_shuffle_shards")(spark, sf))
+    val nEx = p5.linesIterator.count(_.contains("Exchange"))
+    assert(nEx == 1, s"p5 should shuffle exactly once (the shard window), got $nEx:\n$p5")
+  }
+
   /** Assert every (band, bucket) exchange in `queryName`'s plan ships rows
     * WITHOUT the payload column. Broadcast off: at corpus scale both sides
     * are big and the (band, bucket) SHUFFLE is the plan under test (at
