@@ -84,6 +84,14 @@ object Spans {
       .filter(col("ndocs") >= 2)
       .select("g", "owner")
 
+  /** Distinct (doc_id, p) token positions covered by the duplicated-gram
+    * occurrences in `hits` — the coverage invariant every operator in this
+    * family shares (audit, strip, rate): a gram at pos covers positions
+    * pos .. pos+k-1, a bounded k-row explode. */
+  private def coverage(hits: DataFrame, k: Int): DataFrame = hits
+    .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+    .distinct()
+
   /** Report the duplicated spans of every document: maximal runs of token
     * positions covered by at least one k-gram that also occurs in another
     * document. Output (doc_id, span_start, span_end, n_span_tokens) with
@@ -96,11 +104,8 @@ object Spans {
     * via ManagedCache.releaseAll / release. */
   def dupSpans(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     val occ = ManagedCache.pin(gramOccurrences(docs, k))
-    val covered = occ.join(dupGramStats(occ).select("g"), Seq("g"))
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
     val w = Window.partitionBy("doc_id").orderBy("p")
-    covered
+    coverage(occ.join(dupGramStats(occ).select("g"), Seq("g")), k)
       .withColumn("grp", col("p") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(F.min("p").as("span_start"), F.max("p").as("span_end"),
@@ -128,13 +133,10 @@ object Spans {
   def stripDupSpans(docs: DataFrame, k: Int = DefaultK): DataFrame = {
     val occ = ManagedCache.pin(gramOccurrences(docs, k))
     val hits = occ.join(dupGramStats(occ), Seq("g"))
-    def coverage(h: DataFrame): DataFrame = h
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
     // covered-by-any minus covered-by-owned; both branches share the same
     // hits subtree, so the verdict aggregation is a ReusedExchange
-    val removed = coverage(hits)
-      .join(coverage(hits.filter(col("doc_id") === col("owner"))),
+    val removed = coverage(hits, k)
+      .join(coverage(hits.filter(col("doc_id") === col("owner")), k),
         Seq("doc_id", "p"), "left_anti")
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -156,15 +158,14 @@ object Spans {
     * is judged by ("X bp of this crawl is duplicated text"), computed
     * WITHOUT materializing the strip. Output (source, n_docs, n_tokens,
     * n_dup_tokens, dup_bp) with dup_bp = (10000 · dup) div tokens in
-    * integer arithmetic. Covered positions come from the same pinned gram
-    * frame as [[dupSpans]]; the per-source rollup is a tiny aggregation
-    * over per-doc counts. */
+    * integer arithmetic. DERIVED from [[dupSpans]] (covered tokens per doc
+    * = the sum of its span lengths), so the rate can never diverge from
+    * the spans it summarizes; the per-source rollup is a tiny aggregation
+    * over per-doc counts. Inherits dupSpans' pin — callers release via
+    * ManagedCache.releaseAll / release. */
   def dupRate(docs: DataFrame, k: Int = DefaultK): DataFrame = {
-    val occ = ManagedCache.pin(gramOccurrences(docs, k))
-    val covered = occ.join(dupGramStats(occ).select("g"), Seq("g"))
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    val covered = dupSpans(docs, k)
+      .groupBy("doc_id").agg(sum("n_span_tokens").as("covered"))
     docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n"))
@@ -178,8 +179,10 @@ object Spans {
 
   // ---- driver-oracle query definitions -------------------------------------
 
-  /** Shared DuckDB replay of the gram scan + duplicate verdict (k = 8):
-    * ends in `grams(doc_id, pos, g)` and `stats(g, owner)` CTEs. */
+  /** Shared DuckDB replay of the gram scan + duplicate verdict + coverage
+    * (k = 8): ends in `grams(doc_id, pos, g)`, `stats(g, owner)` and
+    * `cov(doc_id, p)` (distinct positions covered by any dup gram — the
+    * one coverage definition t17/t18/t20 all consume). */
   private def gramOracleCtes(k: Int): String = {
     val km1 = k - 1
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -190,7 +193,11 @@ object Spans {
         stats AS (
           SELECT g, min(doc_id) AS owner
           FROM (SELECT g, doc_id FROM grams GROUP BY g, doc_id)
-          GROUP BY g HAVING count(*) >= 2)"""
+          GROUP BY g HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT grams.doc_id, pos + off AS p
+          FROM grams JOIN stats USING (g),
+               unnest(generate_series(0, $km1)) AS o(off))"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -198,10 +205,6 @@ object Spans {
     QueryDef("t17_dup_spans",
       (s, d) => dupSpans(t(s, d, "documents")),
       Some(s"""WITH ${gramOracleCtes(DefaultK)},
-              cov AS (
-                SELECT DISTINCT grams.doc_id, pos + off AS p
-                FROM grams JOIN stats USING (g),
-                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)),
               isl AS (
                 SELECT doc_id, p,
                        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
@@ -216,10 +219,6 @@ object Spans {
     QueryDef("t20_dup_rate",
       (s, d) => dupRate(t(s, d, "documents")),
       Some(s"""WITH ${gramOracleCtes(DefaultK)},
-              cov AS (
-                SELECT DISTINCT grams.doc_id, pos + off AS p
-                FROM grams JOIN stats USING (g),
-                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)),
               cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
               SELECT d.source,
                      CAST(count(*) AS BIGINT) AS n_docs,
@@ -235,10 +234,6 @@ object Spans {
     QueryDef("t18_strip_dup_spans",
       (s, d) => stripDupSpans(t(s, d, "documents")),
       Some(s"""WITH ${gramOracleCtes(DefaultK)},
-              cov_all AS (
-                SELECT DISTINCT grams.doc_id, pos + off AS p
-                FROM grams JOIN stats USING (g),
-                     unnest(generate_series(0, ${DefaultK - 1})) AS o(off)),
               cov_own AS (
                 SELECT DISTINCT grams.doc_id, pos + off AS p
                 FROM grams JOIN stats USING (g),
@@ -246,7 +241,7 @@ object Spans {
                 WHERE grams.doc_id = stats.owner),
               rem AS (
                 SELECT a.doc_id, a.p
-                FROM cov_all a
+                FROM cov a
                 LEFT JOIN cov_own w ON a.doc_id = w.doc_id AND a.p = w.p
                 WHERE w.p IS NULL),
               tok2 AS (

@@ -83,11 +83,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("span-dedup scan prunes to (doc_id, text); shuffle sharding shuffles exactly once") {
     // t17's gram scan must not drag lang/source/n_chars through the explode
-    val rs = readSchemas(plan(SparkEntry.queries("t17_dup_spans")(spark, sf))).mkString
-    assert(rs.contains("doc_id") && rs.contains("text"), s"t17 schema: $rs")
-    assert(!rs.contains("lang") && !rs.contains("source") && !rs.contains("n_chars"),
-      s"t17 over-reads: $rs")
-    graft.ops.ManagedCache.releaseAll(spark)
+    try {
+      val rs = readSchemas(plan(SparkEntry.queries("t17_dup_spans")(spark, sf))).mkString
+      assert(rs.contains("doc_id") && rs.contains("text"), s"t17 schema: $rs")
+      assert(!rs.contains("lang") && !rs.contains("source") && !rs.contains("n_chars"),
+        s"t17 over-reads: $rs")
+    } finally graft.ops.ManagedCache.releaseAll(spark)
     // p5 is one narrow projection + ONE per-shard sort (the window) — a
     // second exchange would mean the assignment itself started shuffling
     val p5 = plan(SparkEntry.queries("p5_shuffle_shards")(spark, sf))

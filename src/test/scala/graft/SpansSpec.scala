@@ -82,6 +82,20 @@ class SpansSpec extends AnyFunSuite {
     assert(viaSql == viaCol && viaSql.length == 2)
   }
 
+  test("dupRate: per-source covered-token rollup, hand-computed") {
+    // sources: docs 1-3 -> "a" (the dup cluster), 4-6 -> "b" (all clean)
+    val withSrc = docs.withColumn("source",
+      when(col("doc_id") <= 3, "a").otherwise("b"))
+    val out = try Spans.dupRate(withSrc, k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    finally ManagedCache.releaseAll(spark)
+    // a: 33 tokens (3 × 11), covered 11 + 8 + 11 = 30 → 300000 div 33 = 9090
+    assert(out("a") == ((3L, 33L, 30L, 9090L)))
+    // b: 9 + 3 + 16 = 28 tokens, nothing cross-doc duplicated
+    assert(out("b") == ((3L, 28L, 0L, 0L)))
+  }
+
   test("dupSpans: k larger than every document yields no spans") {
     assert(Spans.dupSpans(docs, k = 64).isEmpty)
     ManagedCache.releaseAll(spark)
