@@ -101,6 +101,66 @@ class SpansSpec extends AnyFunSuite {
     ManagedCache.releaseAll(spark)
   }
 
+  /** Independent in-JVM reference implementation of the span family
+    * (string grams, no hashing — ground truth modulo h60's 2^-60 collision
+    * odds): dup verdicts, survives-in-owner removal, island spans. */
+  private def refSpans(corpus: Seq[(Long, String)], k: Int)
+      : (Map[Long, Seq[(Long, Long, Long)]], Map[Long, (String, Long)]) = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    case class Occ(doc: Long, pos: Int, g: String)
+    val occ = for ((id, tk) <- corpus.map(_._1).map(i => i -> toks(i)); i <- 0 to toks(id).length - k)
+      yield Occ(id, i, tk.slice(i, i + k).mkString(" "))
+    val dup = occ.groupBy(_.g).filter(_._2.map(_.doc).distinct.size >= 2)
+    val owner = dup.map { case (g, os) => g -> os.map(_.doc).min }
+    val dupOcc = dup.values.flatten.toSeq
+    def cover(os: Seq[Occ]): Map[Long, Set[Int]] =
+      os.groupBy(_.doc).map { case (d, s) => d -> s.flatMap(o => o.pos until o.pos + k).toSet }
+    val covAll = cover(dupOcc)
+    val covOwn = cover(dupOcc.filter(o => owner(o.g) == o.doc))
+    val spans = covAll.map { case (d, ps) =>
+      val sorted = ps.toSeq.sorted
+      val islands = sorted.zipWithIndex.groupBy { case (p, i) => p - i }.values.toSeq
+        .map(g => (g.head._1.toLong, g.last._1.toLong, g.size.toLong))
+      d -> islands.sortBy(_._1)
+    }
+    val stripped = corpus.map { case (id, _) =>
+      val rm = covAll.getOrElse(id, Set.empty) -- covOwn.getOrElse(id, Set.empty)
+      val kept = toks(id).indices.filterNot(rm)
+      id -> ((kept.map(toks(id)).mkString(" "), kept.size.toLong))
+    }.toMap
+    (spans, stripped)
+  }
+
+  test("span family ≡ independent reference implementation on passage-pool corpora") {
+    // docs assembled from a shared passage pool: shared runs (and the
+    // overlapping different-owner gram cases) arise naturally
+    for (seed <- Seq(7, 23, 91)) {
+      val r = new scala.util.Random(seed)
+      val pool = (0 until 12).map(p =>
+        (0 until 4 + r.nextInt(9)).map(i => s"w${p}_$i"))
+      val corpus = (0 until 25).map { id =>
+        val body = (0 until 2 + r.nextInt(4)).flatMap(_ => pool(r.nextInt(pool.size)))
+        (id.toLong, body.mkString(" "))
+      }
+      val (refSp, refStrip) = refSpans(corpus, k = 8)
+      // non-vacuity: the pool must actually produce dup structure, and at
+      // least one doc must lose text (else the comparison proves nothing)
+      assert(refSp.nonEmpty && refStrip.exists(_._2._1.isEmpty == false), s"seed $seed degenerate")
+      assert(refStrip.exists { case (id, (t, _)) => t != corpus.find(_._1 == id).get._2 },
+        s"seed $seed strips nothing")
+      val df = corpus.toDF("doc_id", "text")
+      try {
+        val gotSp = Spans.dupSpans(df, k = 8).collect()
+          .map(r0 => (r0.getLong(0), (r0.getLong(1), r0.getLong(2), r0.getLong(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+        assert(gotSp == refSp, s"dupSpans diverged from reference at seed $seed")
+        val gotStrip = Spans.stripDupSpans(df, k = 8).collect()
+          .map(r0 => r0.getLong(0) -> ((r0.getString(1), r0.getLong(2)))).toMap
+        assert(gotStrip == refStrip, s"stripDupSpans diverged from reference at seed $seed")
+      } finally ManagedCache.releaseAll(spark)
+    }
+  }
+
   test("shuffleShards: a permutation into contiguous per-shard positions, stable under repartition") {
     val n = 200
     val corpus = (0 until n).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
