@@ -82,6 +82,61 @@ object Iterative {
     seen
   }
 
+  /** Fixed-iteration INTEGER PageRank — the rank-propagation workload of a
+    * link/citation/near-dup graph (corpus-quality weighting in a training
+    * pipeline; the classic iterative-shuffle benchmark). All arithmetic is
+    * integer so the result is bit-identical in any engine and the oracle
+    * can replay it with unrolled SQL:
+    *
+    *   score_0(v)   = scale
+    *   score_i+1(v) = base + (dampBp · inc) div 10000
+    *   inc          = Σ over in-neighbors u of  score_i(u) div outdeg(u)
+    *   base         = ((10000 − dampBp) · scale) div 10000
+    *
+    * (Floor-division per edge loses at most outdeg−1 units of mass per
+    * node per round — ~1e-6 relative at the default scale, the price of
+    * exactness.) Contract: every node must have outdeg ≥ 1 (symmetrize or
+    * pre-drop sinks; a dangling node would silently leak its mass, so the
+    * caller decides). Fixed iteration count, not convergence-tested —
+    * rank uses want a deterministic budget, and it keeps the oracle a
+    * finite unroll.
+    *
+    * Job discipline per iteration: ONE shuffle join (scores ⋈ out-edges on
+    * the node) + one map-side-combinable sum keyed by dst + the eager
+    * localCheckpoint that truncates lineage (same rules as the closure
+    * kernels above — without it the plan grows linearly and analysis time
+    * quadratically). Hub skew (a popular page's in-edge sum) sits in the
+    * partial aggregation, not the join, so it map-combines away. */
+  def pageRank(edges0: DataFrame, iters: Int = 10, scale: Long = 1000000L,
+               dampBp: Int = 8500): DataFrame = {
+    require(iters >= 1 && dampBp >= 0 && dampBp <= 10000 && scale > 0,
+      s"need iters >= 1, dampBp in [0, 10000], scale > 0: $iters/$dampBp/$scale")
+    val e = edges0.select(col("src"), col("dst")).distinct()
+    // the edge table is loop-INVARIANT: partition it on the join key ONCE
+    // (localCheckpoint preserves the partitioning), so each round's
+    // scores ⋈ edges join exchanges only the score side — the per-round
+    // shuffles are then O(nodes + contributions), never O(edges)
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = withDeg.select(col("src").as("node")).distinct().localCheckpoint()
+    val base = ((10000L - dampBp) * scale) / 10000L
+    var scores = nodes.withColumn("score", lit(scale))
+    for (_ <- 1 to iters) {
+      val inc = scores.alias("s")
+        .join(withDeg.alias("e"), col("s.node") === col("e.src"))
+        .select(col("e.dst").as("node"), expr("score div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("inc"))
+      scores = nodes
+        .join(inc, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampBp * coalesce(inc, 0L)) div 10000")).as("score"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** GraphX alternative for long-id graphs (SURVEY §7.4: "GraphX or
     * pure-DataFrame — decide by benchmark"; the spark-graphx jar ships with
     * the runtime). Pregel-based, RDD-backed — the one sanctioned RDD use.

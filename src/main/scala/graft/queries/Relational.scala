@@ -17,6 +17,35 @@ import QueryDef.t
   */
 object Relational {
 
+  /** DuckDB replay of [[Iterative.pageRank]] over the f7 graph: the fixed
+    * iteration count makes the oracle a FINITE UNROLL (pr0..prN CTEs) —
+    * recursive CTEs cannot re-aggregate per round, unrolling can. base and
+    * the damp factor are interpolated from the same integers the Spark
+    * side uses, so the two can't drift. */
+  private def pageRankOracle(iters: Int, scale: Long, dampBp: Int): String = {
+    val base = ((10000L - dampBp) * scale) / 10000L
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+            SELECT n.node,
+                   CAST($base + ($dampBp * coalesce(s.inc, 0)) // 10000 AS BIGINT) AS score
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(pr${i - 1}.score // e.outdeg) AS inc
+              FROM pr${i - 1} JOIN e ON pr${i - 1}.node = e.src
+              GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n          ")
+    s"""WITH raw AS (
+          SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey+1 AS dst FROM lineitem
+          UNION
+          SELECT DISTINCT 2*l_suppkey+1, 2*l_partkey FROM lineitem),
+        e AS (
+          SELECT raw.src, raw.dst, d.outdeg
+          FROM raw JOIN (SELECT src, count(*) AS outdeg FROM raw GROUP BY src) d USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM raw),
+        pr0 AS (SELECT node, CAST($scale AS BIGINT) AS score FROM nodes),
+        $rounds
+        SELECT node, score FROM pr$iters"""
+  }
+
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100).cast("long")
 
@@ -128,6 +157,21 @@ object Relational {
               )
               SELECT src, count(*) AS n_anc, CAST(max(dst) AS BIGINT) AS max_anc
               FROM anc GROUP BY src""")),
+
+    // F7: fixed-iteration integer PageRank over the symmetrized
+    // part↔supplier bipartite graph (node ids disjoint via 2k / 2k+1;
+    // suppliers are natural hubs). Every round replayed in the oracle as an
+    // unrolled CTE — no float appears in either engine
+    QueryDef("f7_pagerank",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val fwd = li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        Iterative.pageRank(
+          fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+          iters = 10)
+      },
+      Some(pageRankOracle(iters = 10, scale = 1000000L, dampBp = 8500))),
 
     // I3: connected components via iterative min-label propagation (the
     // reference's sameAs closure — inference/InferenceHandler.java:62-108 —

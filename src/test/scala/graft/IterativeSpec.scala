@@ -29,6 +29,20 @@ class IterativeSpec extends AnyFunSuite {
     assert(closed == Set(("a","b"),("a","c"),("b","d"),("c","d"),("a","d")))
   }
 
+  test("pageRank: integer fixed-point, hand-computed rounds on a symmetric star") {
+    // A(1) <-> B(2), A <-> C(3): outdeg A=2, B=C=1; scale 1e6, damp 8500
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    def run(n: Int) = Iterative.pageRank(e, iters = n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: inc_A = 1e6 + 1e6; inc_B = inc_C = 1e6 div 2
+    assert(run(1) == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // round 2: inc_A = 575000·2; inc_B = 1850000 div 2
+    assert(run(2) == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+    // arg validation fails loudly
+    intercept[IllegalArgumentException](Iterative.pageRank(e, iters = 0))
+    intercept[IllegalArgumentException](Iterative.pageRank(e, dampBp = 10001))
+  }
+
   test("connected components: two components, min-id labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val cc = Iterative.connectedComponents(edges).collect()
