@@ -49,6 +49,37 @@ object Relational {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100).cast("long")
 
+  /** Shared synthetic link graph for the graph-analytics queries (f8/f9):
+    * nodes = partkeys, each lineitem row contributes an edge to a nearby
+    * partkey — node count scales with SF while degree stays bounded (~30),
+    * so triangle/core structure grows linearly instead of densifying. */
+  private val graphEdgesSql =
+    "SELECT l_partkey AS a, l_partkey + 1 + (l_suppkey * 3 + l_orderkey) % 19 AS b FROM lineitem"
+
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      col("l_partkey").cast("long").as("a"),
+      (col("l_partkey") + 1 + (col("l_suppkey") * 3 + col("l_orderkey")) % 19)
+        .cast("long").as("b"))
+
+  /** Unrolled fixed-round k-core peel — each round references the previous
+    * exactly once (doubled-edge table + window degrees), so DuckDB never
+    * re-evaluates the chain. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""d$r AS (
+            SELECT u, v FROM (
+              SELECT u, v, count(*) OVER (PARTITION BY u) AS du,
+                           count(*) OVER (PARTITION BY v) AS dv
+              FROM d${r - 1}) t WHERE du >= $k AND dv >= $k)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS ($graphEdgesSql),
+        und AS (SELECT DISTINCT least(a,b) AS x, greatest(a,b) AS y FROM e WHERE a<>b),
+        d0 AS (SELECT x AS u, y AS v FROM und UNION ALL SELECT y, x FROM und),
+        $chain
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM d$rounds GROUP BY u"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // C1/C3: filter + projection — predicate reaches the parquet scan
@@ -172,6 +203,29 @@ object Relational {
           iters = 10)
       },
       Some(pageRankOracle(iters = 10, scale = 1000000L, dampBp = 8500))),
+
+    // F8: per-node triangle counts via degree-ordered orientation — the
+    // clustering-structure scan of the KG link graph (north_star: hub
+    // entities). The oracle enumerates a<b<c directly; the implementation's
+    // orientation bounds every wedge fan-out at O(√m) (see Iterative).
+    QueryDef("f8_triangle_count",
+      (s, d) => Iterative.triangleCounts(graphEdges(s, d)),
+      Some(s"""WITH e AS ($graphEdgesSql),
+               und AS (SELECT DISTINCT least(a,b) AS x, greatest(a,b) AS y FROM e WHERE a<>b),
+               tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                       FROM und e1 JOIN und e2 ON e2.x = e1.y
+                                   JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y)
+               SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                 SELECT a AS node FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri) corners
+               GROUP BY node""")),
+
+    // F9: bounded k-core peeling (8 synchronized rounds, k=24) — dense-core
+    // extraction on the same link graph; the oracle unrolls the rounds.
+    QueryDef("f9_kcore",
+      (s, d) => Iterative.kcorePeel(graphEdges(s, d), k = 24, rounds = 8),
+      Some(kcoreOracle(k = 24, rounds = 8))),
 
     // I3: connected components via iterative min-label propagation (the
     // reference's sameAs closure — inference/InferenceHandler.java:62-108 —
@@ -385,6 +439,41 @@ object Relational {
                      coalesce(o_orderpriority, 'ALL') AS priority,
                      count(*) AS n
               FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // G8: EXACT per-group quantiles by rank position (beyond the reference —
+    // the quality-score calibration scan of a curation pipeline: the
+    // thresholds fed to quality gates must be exact and engine-portable, so
+    // no percentile_approx). One shuffle on the group key feeds both window
+    // passes; position arithmetic is integer (ceil(p·n) as (n·p+99) div 100)
+    // so both engines pick the identical element of the sorted multiset.
+    QueryDef("g8_group_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag").orderBy("v")
+        val wn = Window.partitionBy("l_returnflag")
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("l_returnflag")
+          .agg(
+            max(when(col("rn") === expr("(n*50 + 99) div 100"), col("v"))).as("p50_cents"),
+            max(when(col("rn") === expr("(n*90 + 99) div 100"), col("v"))).as("p90_cents"),
+            max(when(col("rn") === expr("(n*99 + 99) div 100"), col("v"))).as("p99_cents"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+                     max(CASE WHEN rn = (n*50 + 99) // 100 THEN v END) AS p50_cents,
+                     max(CASE WHEN rn = (n*90 + 99) // 100 THEN v END) AS p90_cents,
+                     max(CASE WHEN rn = (n*99 + 99) // 100 THEN v END) AS p99_cents,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM (
+                SELECT l_returnflag, v,
+                       row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM (SELECT l_returnflag, CAST(floor(l_extendedprice*100) AS BIGINT) AS v
+                      FROM lineitem) t) s
+              GROUP BY l_returnflag""")),
 
     // A8: JSON attribute decode + banded histogram
     QueryDef("a8_json_extract",

@@ -65,4 +65,54 @@ class IterativeSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(df == gx)
   }
+
+  private def triMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 has 3 triangles per node; parallel edges and self-loops ignored") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+      Seq((2L, 1L), (3L, 3L), (1L, 2L)) // reversed duplicate, self-loop, duplicate
+    assert(triMap(Iterative.triangleCounts(k4.toDF("a", "b"))) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: stars and paths are triangle-free; pendant nodes are absent") {
+    val star = (2L to 8L).map(i => (1L, i)).toDF("a", "b")
+    assert(Iterative.triangleCounts(star).isEmpty)
+    // one triangle + a pendant edge: only the three corners appear
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(triMap(Iterative.triangleCounts(g)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: hub-heavy graph (orientation keeps the hub's fan-out off the wedge side)") {
+    // hub 0 connected to 1..30, plus ring edges i->(i+1) among the leaves:
+    // each ring edge closes one triangle through the hub
+    val leaves = (1L to 30L)
+    val edges = (leaves.map(i => (0L, i)) ++ (1L until 30L).map(i => (i, i + 1))).toDF("a", "b")
+    val m = triMap(Iterative.triangleCounts(edges))
+    assert(m(0L) == 29L) // hub sits on all 29 triangles
+    assert(m(1L) == 1L && m(15L) == 2L && m(30L) == 1L)
+  }
+
+  test("kcorePeel: cascading peel is round-synchronized; the dense core survives") {
+    // triangle {1,2,3} + tail 3-4-5-6, k=2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    // after 2 rounds the tail has only partially peeled: round 1 drops (5,6),
+    // round 2 drops (4,5) — node 4 still hangs off the triangle at deg 1
+    val partial = triMap(Iterative.kcorePeel(g, k = 2, rounds = 2))
+    assert(partial == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // after 8 rounds only the triangle remains, every degree >= k
+    val core = triMap(Iterative.kcorePeel(g, k = 2, rounds = 8))
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(Iterative.kcorePeel(g, k = 4, rounds = 3).isEmpty)
+    intercept[IllegalArgumentException](Iterative.kcorePeel(g, k = 0))
+  }
+
+  test("kcorePeel: K4 with pendants keeps exactly the K4 at k=3") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val g = (k4 ++ Seq((1L, 10L), (2L, 11L), (3L, 12L))).toDF("a", "b")
+    assert(triMap(Iterative.kcorePeel(g, k = 3, rounds = 8)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
