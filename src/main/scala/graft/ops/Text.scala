@@ -20,6 +20,17 @@ object Text {
   private val stopwords = Seq("the", "a", "of", "to", "and")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB replay of [[qualityScore]] — shared by t2 and the calibrated
+    * gate t21 so the two oracles can never drift apart. */
+  private lazy val qualityScoreSql =
+    s"""SELECT doc_id, n_tokens, stop_cnt,
+               CAST(floor(10000.0*stop_cnt/n_tokens) AS BIGINT) AS stop_bp,
+               (n_tokens >= 10 AND n_tokens <= 1000) AS len_ok
+        FROM (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
+              FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))"""
+
   /** Marker dictionaries for the n-gram/stopword language-ID heuristic. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "is"),
@@ -262,6 +273,38 @@ object Text {
         col("doc_id"), col("n_tokens"), col("stop_cnt"),
         floor(lit(10000.0) * col("stop_cnt") / col("n_tokens")).cast("long").as("stop_bp"),
         (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("len_ok"))
+
+  /** Quantile-CALIBRATED quality gate: keep documents whose stopword ratio
+    * lies inside the corpus's own [lowBp, highBp] exact percentile band
+    * (both tails are suspect: near-zero stop_bp is keyword lists / non-prose,
+    * extreme stop_bp is stopword spam) and that pass the length gate. The
+    * Gopher-style "drop the worst X% of the corpus" — the threshold is a
+    * property of the corpus, not a magic constant, so it stays meaningful
+    * as the corpus drifts.
+    *
+    * The exact global percentile NEVER does a global sort/row_number (a
+    * corpus-sized single-partition window): stop_bp lives in the bounded
+    * domain [0, 10000], so one map-side-combinable histogram aggregation +
+    * a running count over the ≤10,001-row histogram (window size bounded by
+    * the DOMAIN, not the corpus) yields the threshold = smallest value whose
+    * cumulative count reaches ceil(p·n/100) — the same integer rank rule as
+    * g8_group_quantiles. Thresholds ride along as columns (audit trail). */
+  def calibratedQualityFilter(docs: DataFrame, lowBp: Int = 10, highBp: Int = 90): DataFrame = {
+    require(lowBp >= 0 && highBp <= 100 && lowBp <= highBp,
+      s"need 0 <= lowBp <= highBp <= 100: $lowBp/$highBp")
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(docs)
+    val hist = q.groupBy(col("stop_bp").as("v")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+    val thr = cum.agg(
+      min(when(col("cum") >= expr(s"(n*$lowBp + 99) div 100"), col("v"))).as("lo_thr"),
+      min(when(col("cum") >= expr(s"(n*$highBp + 99) div 100"), col("v"))).as("hi_thr"))
+    q.crossJoin(broadcast(thr))
+      .filter(col("len_ok") && col("stop_bp").between(col("lo_thr"), col("hi_thr")))
+      .select("doc_id", "n_tokens", "stop_bp", "lo_thr", "hi_thr")
+  }
 
   /** Stopword-dictionary language ID with a deterministic priority argmax. */
   def langId(docs: DataFrame): DataFrame = {
@@ -733,13 +776,21 @@ object Text {
 
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),
-      Some(s"""SELECT doc_id, n_tokens, stop_cnt,
-                      CAST(floor(10000.0*stop_cnt/n_tokens) AS BIGINT) AS stop_bp,
-                      (n_tokens >= 10 AND n_tokens <= 1000) AS len_ok
-               FROM (SELECT doc_id,
-                            CAST(len(toks) AS BIGINT) AS n_tokens,
-                            CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
-                     FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))""")),
+      Some(qualityScoreSql)),
+
+    // quantile-calibrated quality gate: thresholds re-derived in DuckDB from
+    // the same histogram + integer rank rule, then the band filter replayed
+    QueryDef("t21_calibrated_filter",
+      (s, d) => calibratedQualityFilter(t(s, d, "documents")),
+      Some(s"""WITH q AS ($qualityScoreSql),
+               hist AS (SELECT stop_bp AS v, count(*) AS c FROM q GROUP BY stop_bp),
+               cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hist),
+               thr AS (SELECT min(CASE WHEN cum >= (n*10 + 99) // 100 THEN v END) AS lo_thr,
+                              min(CASE WHEN cum >= (n*90 + 99) // 100 THEN v END) AS hi_thr
+                       FROM cum)
+               SELECT doc_id, n_tokens, stop_bp, lo_thr, hi_thr
+               FROM q, thr
+               WHERE len_ok AND stop_bp BETWEEN lo_thr AND hi_thr""")),
 
     QueryDef("t3_lang_id",
       (s, d) => langId(t(s, d, "documents")),

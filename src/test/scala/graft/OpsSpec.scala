@@ -512,4 +512,22 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.ManagedCache.releaseAll(spark)
     }
   }
+
+  test("calibratedQualityFilter: band thresholds come from the corpus's own exact percentiles") {
+    // 10 docs, 20 tokens each, k stopwords => stop_bp = 500k for k=0..9
+    val docs = (0 until 10).map { k =>
+      (k.toLong, (Seq.fill(k)("the") ++ Seq.fill(20 - k)("x")).mkString(" "))
+    }.toDF("doc_id", "text")
+    // n=10: lo rank ceil(20%·10)=2 → 2nd smallest bp = 500; hi rank 8 → 3500
+    val kept = Text.calibratedQualityFilter(docs, lowBp = 20, highBp = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(kept.forall { case (_, _, lo, hi) => lo == 500L && hi == 3500L })
+    assert(kept.map(_._1).sorted.toSeq == (1L to 7L)) // k=1..7 inside the band
+    // the length gate still applies inside the band
+    val short = docs.unionByName(Seq((99L, "the x the x")).toDF("doc_id", "text"))
+    val kept2 = Text.calibratedQualityFilter(short, lowBp = 0, highBp = 100)
+      .collect().map(_.getLong(0))
+    assert(!kept2.contains(99L) && kept2.length == 10)
+    intercept[IllegalArgumentException](Text.calibratedQualityFilter(docs, 60, 40))
+  }
 }
