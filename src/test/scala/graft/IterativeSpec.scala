@@ -109,6 +109,37 @@ class IterativeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Iterative.kcorePeel(g, k = 0))
   }
 
+  test("differential: triangleCounts / kcorePeel vs independent in-JVM references on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 15
+      val raw = (1 to n * 3).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val und = raw.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = und.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      // reference triangle count: per edge (x<y), common neighbors z>y → x<y<z once
+      val triRef = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((x, y) <- und; z <- adj(x) if z > y && adj(y)(z)) {
+        triRef(x) += 1; triRef(y) += 1; triRef(z) += 1
+      }
+      val df = raw.toDF("a", "b")
+      assert(triMap(Iterative.triangleCounts(df)) == triRef.toMap,
+        s"triangle mismatch on trial $trial")
+      // reference synchronized peel
+      var cur = und
+      for (_ <- 1 to 4) {
+        val deg = cur.toSeq.flatMap { case (x, y) => Seq(x, y) }
+          .groupBy(identity).map { case (a, b) => a -> b.size }
+        val keep = deg.filter(_._2 >= 3).keySet
+        cur = cur.filter { case (x, y) => keep(x) && keep(y) }
+      }
+      val coreRef = cur.toSeq.flatMap { case (x, y) => Seq(x, y) }
+        .groupBy(identity).map { case (a, b) => a -> b.size.toLong }
+      assert(triMap(Iterative.kcorePeel(df, k = 3, rounds = 4)) == coreRef,
+        s"kcore mismatch on trial $trial")
+    }
+  }
+
   test("kcorePeel: K4 with pendants keeps exactly the K4 at k=3") {
     val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
     val g = (k4 ++ Seq((1L, 10L), (2L, 11L), (3L, 12L))).toDF("a", "b")

@@ -322,4 +322,21 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("srcSha256"), s"lineage not pruned from edges scan: $readSchema")
   }
+
+  test("triangle count: every join is an equi-join (no nested-loop closing probe)") {
+    val df = SparkEntry.queries("f8_triangle_count")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle plan fell back to a nested-loop join:\n$p")
+  }
+
+  test("calibrated filter: the corpus is never globally sorted (histogram-bounded quantile)") {
+    // the only single-partition window may run over the bounded stop_bp
+    // histogram; a rangepartitioning exchange would mean the CORPUS is
+    // being sorted for the percentile — the shape this operator exists to avoid
+    val df = graft.ops.Text.calibratedQualityFilter(t(spark, sf, "documents"))
+    val p = plan(df)
+    assert(!p.contains("rangepartitioning"),
+      s"calibrated filter range-partitions (global sort of the corpus):\n$p")
+  }
 }
