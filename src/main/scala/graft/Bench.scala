@@ -248,11 +248,16 @@ object Bench {
         "\"" + n + "\":" + vs.map(jNum).mkString("[", ",", "]") }.mkString("{", ",", "}")
       val qSum = queryTimes.values.filter(_ >= 0).sum
       // the north-gate status is explicit: "ok" (≥1 accepted round) or the
-      // auditable reason no efficiency number exists — never a silent null
+      // auditable reason no efficiency number exists — never a silent null.
+      // "pending" is tied to the PHASE, not the attempt count: while the
+      // scaling loop is live, retries may still rescue the gate (whatever
+      // the count), and once it has exited nothing is pending — the final
+      // status says which limit actually stopped the retries.
       val gateStatus =
         if (accepted.nonEmpty) "ok"
-        else if (rounds.length > 2) "budget-exhausted-all-rejected"
-        else "all-rejected-pending"
+        else if (phase == "calibrate" || phase == "scaling") "all-rejected-pending"
+        else if (rounds.length >= maxRounds + 4) "attempts-exhausted-all-rejected"
+        else "budget-exhausted-all-rejected"
       val perRound = complete.map { r =>
         val acc = accepted.contains(r)
         s"""{"eff_n_4n":${jNum((r.p2.wall / r.p8.wall) / 4.0)},"accepted":$acc,"k":${r.p2.k},""" +

@@ -31,6 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class NgramRepStats(child: Expression, n: Int)
     extends UnaryExpression {
 
+  // guard at CONSTRUCTION (like GramHashes' k >= 2): both public surfaces
+  // validate too, but a catalyst-level copy(n = ...) must fail here, not
+  // as an index error inside the kernel
+  require(n >= 1, s"ngram_rep_stats n must be >= 1, got $n")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()

@@ -164,19 +164,27 @@ object Curate {
     * Returns (curated, report, skipped). */
   def curateStaged(spark: SparkSession, docs: DataFrame, dir: String,
                    fingerprint: String, minTokens: Int = 10,
-                   maxTokens: Int = 100000, nearDupBp: Long = 8000)
+                   maxTokens: Int = 100000, nearDupBp: Long = 8000,
+                   nearDupDfCap: Option[Long] = None,
+                   maxTopBigramPct: Option[Int] = None,
+                   maxPiiHits: Option[Long] = None)
       : (DataFrame, DataFrame, Boolean) = {
     val obs = org.apache.spark.sql.Observation()
-    // flags-v2: the flag-table SCHEMA grew rep_ok/pii_ok this round; the
-    // salt forces a recompute over any pre-change staged parquet (a bare
-    // same-fingerprint skip would read the 3-flag table and reportOf would
-    // crash on the missing columns) — same discipline as Main's "tsv-v1"
-    val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags",
-        s"$fingerprint;flags-v2") {
+    // flags-v2: the flag-table SCHEMA grew rep_ok/pii_ok; the salt forces a
+    // recompute over any pre-change staged parquet (a bare same-fingerprint
+    // skip would read the 3-flag table and reportOf would crash on the
+    // missing columns) — same discipline as Main's "tsv-v1". EVERY gate
+    // parameter is folded in too: the staged table is a function of the
+    // thresholds, so changing any of them must recompute, not stale-skip.
+    val salt = s"$fingerprint;flags-v2;$minTokens;$maxTokens;$nearDupBp;" +
+      s"${nearDupDfCap.getOrElse(-1L)};${maxTopBigramPct.getOrElse(-1)};${maxPiiHits.getOrElse(-1L)}"
+    val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags", salt) {
       // lean pin: the flag table is being materialized to parquet anyway, so
       // the only thing the pin choice changes here is the pinned footprint —
       // O(ids), never the corpus text
-      flags(docs, minTokens, maxTokens, nearDupBp, leanPin = true).observe(obs,
+      flags(docs, minTokens, maxTokens, nearDupBp, nearDupDfCap,
+          leanPin = true, maxTopBigramPct = maxTopBigramPct,
+          maxPiiHits = maxPiiHits).observe(obs,
         count(lit(1)).as("input"),
         sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality_gate"),
         sum(when(col("near_ok"), 1L).otherwise(0L)).as("curated"))

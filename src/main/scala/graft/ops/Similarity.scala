@@ -146,9 +146,26 @@ object Similarity {
     * DRIVER-level DuckDB oracle (s5_ann_lsh_batch). Self-exclusion is by
     * raw id equality — query ids must share the corpus namespace or be
     * disjoint from it (see [[ivfNearDupAgainstIndex]]'s id contract). */
+  /** The shared ranking tail of every batched search (LSH / IVF / PQ /
+    * IVF×PQ / rerank): top-k per query with the deterministic boundary
+    * tie-break (score desc, nbr asc), rk 1..k as BIGINT. One definition so
+    * a tie-break or type change cannot drift between the five surfaces. */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc(scoreCol), asc("nbr"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("nbr"), col(scoreCol), col("rk").cast("long").as("rk"))
+  }
+
+  /** Empty (qid, nbr, <score>, rk) result in the search schema — the
+    * no-scorable-query early return shared by the probe-based searches. */
+  private def emptyTopK(idTemplate: DataFrame, scoreCol: String): DataFrame =
+    idTemplate.filter(lit(false))
+      .select(col("vec_id").as("qid"), col("vec_id").as("nbr"),
+        lit(0.0).as(scoreCol), lit(0L).as("rk"))
+
   def lshSearch(embeddings: DataFrame, queries: DataFrame, dim: Int = 64,
                 bands: Int = 4, bitsPerBand: Int = 8, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cb = bandedBuckets(embeddings, dim, bands, bitsPerBand)
     val qb = bandedBuckets(queries, dim, bands, bitsPerBand)
       .withColumnRenamed("vec_id", "qid")
@@ -160,9 +177,7 @@ object Similarity {
       .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
       .join(embeddings.select(col("vec_id").as("nbr"), col("embedding").as("eb")), "nbr")
       .select(col("qid"), col("nbr"), cosQ("eb", "qv").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Embedding-cosine near-duplicate pairs: banded LSH candidates (a<b,
@@ -495,7 +510,6 @@ object Similarity {
     * (IvfSpec), DuckDB-replayed given the codebook (AnnIvfOracleSpec). */
   def ivfSearchAll(index: IvfIndex, queries: DataFrame, k: Int = 5,
                    nprobe: Int = 2, broadcastQueries: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nCells = index.codebook.length
     val cmat = typedLit(index.codebook.map(_.toSeq).toSeq)
     val probes0 = queries
@@ -506,17 +520,13 @@ object Similarity {
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)) // ≤ codebook size: driver-sized always
     if (cids.isEmpty) // no query had a scorable cell
-      return index.assigned.filter(lit(false))
-        .select(col("vec_id").as("qid"), col("vec_id").as("nbr"),
-          lit(0.0).as("cos"), lit(0L).as("rk"))
+      return emptyTopK(index.assigned, "cos")
     val pruned = index.assigned.filter(col("cid").isin(cids: _*))
     val probeSide = if (broadcastQueries) broadcast(probes) else probes
     val scored = pruned.join(probeSide, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"), cosQ("embedding", "qv").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Near-dup detection of INCOMING vectors against an already-indexed
@@ -669,9 +679,19 @@ object Similarity {
     * scan reads 8-byte codes instead of 256-byte vectors, so the scan is
     * bandwidth-compressed 32×. `broadcastQueries` as in [[ivfSearchAll]].
     * Returns (qid, nbr, adc_cos, rk), rk 1..k. */
+  /** The ADC approximate-cosine score shared by [[pqSearchAll]] and
+    * [[ivfPqSearchAll]]: native PqAdc over the probe-side lut, normalized
+    * by the exact quantized norms (qn on the probe side, rn on the code
+    * side), rounded to 6 dp (the cross-engine float discipline). One
+    * definition so the "pruned-probe scores byte-equal the pure ADC scan"
+    * identity can never drift. */
+  private def adcCosCol(cb: PqCodebook): Column =
+    round(graft.functions.PqAdc(col("code"), col("lut"), cb.m, cb.ksub, cb.bits)
+        .cast("double") /
+      (sqrt(col("qn").cast("double")) * sqrt(col("rn").cast("double"))), 6)
+
   def pqSearchAll(encoded: DataFrame, cb: PqCodebook, queries: DataFrame,
                   k: Int = 5, broadcastQueries: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nlutLit = typedLit(cb.normLut)
     val qs = queries.select(col("vec_id").as("qid"),
       pqLutCol(cb, col("embedding")).as("lut"),
@@ -684,14 +704,8 @@ object Similarity {
       .filter(col("rn") > 0)
       .crossJoin(qSide)
       .filter(col("vec_id") =!= col("qid") && col("qn") > 0)
-      .select(col("qid"), col("vec_id").as("nbr"),
-        round(graft.functions.PqAdc(col("code"), col("lut"), cb.m, cb.ksub, cb.bits)
-            .cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("rn").cast("double"))), 6)
-          .as("adc_cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("adc_cos"), asc("nbr"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nbr"), col("adc_cos"), col("rk").cast("long").as("rk"))
+      .select(col("qid"), col("vec_id").as("nbr"), adcCosCol(cb).as("adc_cos"))
+    topKPerQuery(scored, "adc_cos", k)
   }
 
   /** A staged PQ index: the trained codebook + the packed-code table. */
@@ -762,7 +776,6 @@ object Similarity {
   def ivfPqSearchAll(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
                      k: Int = 5, nprobe: Int = 2,
                      broadcastQueries: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nCells = ivf.codebook.length
     val cmat = typedLit(ivf.codebook.map(_.toSeq).toSeq)
     val cb = pq.codebook
@@ -780,9 +793,7 @@ object Similarity {
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)) // ≤ IVF codebook size: driver-sized
     if (cids.isEmpty)
-      return ivf.assigned.filter(lit(false))
-        .select(col("vec_id").as("qid"), col("vec_id").as("nbr"),
-          lit(0.0).as("adc_cos"), lit(0L).as("rk"))
+      return emptyTopK(ivf.assigned, "adc_cos")
     // the pruned cell scan carries ids only; codes attach by vec_id
     val pruned = ivf.assigned.filter(col("cid").isin(cids: _*))
       .select(col("vec_id"), col("cid"))
@@ -794,14 +805,8 @@ object Similarity {
     val probeSide = if (broadcastQueries) broadcast(probes) else probes
     val scored = pruned.join(probeSide, "cid")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nbr"),
-        round(graft.functions.PqAdc(col("code"), col("lut"), cb.m, cb.ksub, cb.bits)
-            .cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("rn").cast("double"))), 6)
-          .as("adc_cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("adc_cos"), asc("nbr"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nbr"), col("adc_cos"), col("rk").cast("long").as("rk"))
+      .select(col("qid"), col("vec_id").as("nbr"), adcCosCol(cb).as("adc_cos"))
+    topKPerQuery(scored, "adc_cos", k)
   }
 
   /** ADC shortlist + exact rerank — the production PQ shape: the
@@ -824,7 +829,6 @@ object Similarity {
                      k: Int = 5, shortlist: Int = 50,
                      broadcastQueries: Boolean = true,
                      source: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val floats = source.getOrElse(encoded)
     require(floats.columns.contains("embedding"),
@@ -838,9 +842,7 @@ object Similarity {
       .join(floats.select(col("vec_id").as("nbr"), col("embedding")), "nbr")
       .join(qSide, "qid")
       .select(col("qid"), col("nbr"), cosQ("embedding", "qv").as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("nbr"), col("cos"), col("rk").cast("long").as("rk"))
+    topKPerQuery(exact, "cos", k)
   }
 
   // s3 serves from a staged index: per-JVM stage dir keyed by the input

@@ -242,6 +242,56 @@ object TurtleIO {
     }
   }
 
+  /** Entity-scoped UPSERT: [[mergeAppend]] plus retraction of superseded
+    * facts. `ownedSubjects` (one `subj` column) names the entities this
+    * delta is authoritative for — typically the page-owned subjects of the
+    * revised source pages; live triples about those subjects that the fresh
+    * set no longer carries are STALE and must go, where plain mergeAppend
+    * would retain them forever (append-only set semantics cannot retract).
+    *
+    * Two physical paths, chosen per call from the data:
+    *  - no stale rows (new pages, or re-emission of identical facts — the
+    *    common case): the O(delta) append path, same as mergeAppend;
+    *  - stale rows exist (a revision changed/dropped a fact): the snapshot
+    *    swap path — (live minus owned-subject rows) ∪ fresh, through the
+    *    same crash protocol as [[mergeWrite]]. A retraction IS a rewrite in
+    *    an append-only store; the point is paying it only on batches that
+    *    actually supersede something.
+    *
+    * The stale probe costs one graph scan — the same class as the append
+    * path's anti-join; pass `live` (= [[parse]] of this dir, persisted by
+    * the caller) to share that scan with other per-batch uses. Triples
+    * about subjects NOT in `ownedSubjects` are never retracted — shared
+    * vocabulary entities stay monotone by design (they have many
+    * contributing sources; retract them via [[compact]]-time rebuilds).
+    * Content-idempotent like mergeAppend: re-upserting a committed batch
+    * finds no stale rows and an empty delta. */
+  def mergeUpsert(spark: SparkSession, triples: DataFrame, dir: String,
+                  ownedSubjects: DataFrame,
+                  compactFileThreshold: Int = 256,
+                  live: Option[DataFrame] = None): Unit = {
+    import java.nio.file.{Files, Paths}
+    recover(dir)
+    val fresh = triples.select(tripleCols.map(col): _*)
+    if (!Files.exists(Paths.get(dir))) write(fresh, dir)
+    else {
+      val existing = live.getOrElse(parse(spark, dir)).select(tripleCols.map(col): _*)
+      val owned = ownedSubjects.select("subj").distinct()
+      val stale = existing.join(owned, Seq("subj"), "left_semi")
+        .join(fresh, tripleCols, "left_anti")
+      if (stale.isEmpty) {
+        val delta = fresh.join(existing, tripleCols, "left_anti")
+        lines(delta).write.mode("append").text(dir)
+        spark.catalog.refreshByPath(dir)
+        if (compactFileThreshold > 0 && partFileCount(dir) > compactFileThreshold)
+          compact(spark, dir)
+      } else swapIn(spark, dir) { tmp =>
+        write(existing.join(owned, Seq("subj"), "left_anti")
+          .unionByName(fresh).distinct(), tmp)
+      }
+    }
+  }
+
   /** Restore the invariant "dir holds the latest complete snapshot" after
     * a crash at any point of [[mergeWrite]]'s swap; also run by mergeWrite
     * itself at entry. Idempotent. */

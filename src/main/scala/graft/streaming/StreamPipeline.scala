@@ -172,16 +172,25 @@ object StreamPipeline {
 
   /** End-to-end incremental graph maintenance: page revisions → the
     * [[changedPagesOnly]] changed-content gate → the SAME batch pipeline
-    * (parse → emit → dedup) per micro-batch → delta-appended into the live
-    * Turtle graph directory via `TurtleIO.mergeAppend` (anti-join delta,
-    * append-only part files, auto-compaction past the file threshold).
+    * (parse → emit → dedup) per micro-batch → entity-scoped UPSERT into the
+    * live Turtle graph directory via `TurtleIO.mergeUpsert`: facts about
+    * the batch's page-owned entity subjects (`…/pokemon/{ndex}`) are
+    * replaced — a revision that changes or drops a fact RETRACTS the stale
+    * triple — while batches that supersede nothing (new pages, replays)
+    * take mergeAppend's O(delta) append path. The live graph is parsed
+    * ONCE per batch and shared by the name→ndex dictionary, the stale
+    * probe, and the delta anti-join.
     *
     * Exactly-once story: foreachBatch is at-least-once across restarts (a
     * batch that crashed mid-sink replays), and the sink is
-    * CONTENT-IDEMPOTENT — mergeAppend's anti-join makes a replayed batch
-    * append an empty delta — so kill/rerun converges to exactly the batch
-    * pipeline's graph (StreamingSpec proves batch-parity and a
-    * mid-stream restart from the checkpoint).
+    * CONTENT-IDEMPOTENT — a replayed batch finds no stale rows and an
+    * empty delta — so kill/rerun converges to exactly the batch pipeline's
+    * graph over the LATEST revision of every page (StreamingSpec proves
+    * batch-parity, supersession parity, and a mid-stream restart from the
+    * checkpoint). Two documented monotone edges: shared vocabulary
+    * subjects (Type/ability/label entities, contributed by many pages) are
+    * never retracted, and a page changing its ndex orphans the old
+    * subject — both are compaction/rebuild events, not per-batch ones.
     *
     * `lang` stamps the content format expected by the batch prefilter
     * (PageRev carries no format column; one ingestion stream carries one
@@ -201,31 +210,45 @@ object StreamPipeline {
       .foreachBatch { (batch: Dataset[ChangedPage], _: Long) =>
         val pageRows = batch
           .map(cp => PageRow(cp.repo, cp.path, cp.commit, lang, cp.content))
-        // prevo resolution sees the LIVE graph's name→ndex dictionary in
-        // addition to the batch's own corpus — an evolution page arriving in
-        // a later micro-batch than its pre-evolution still links (parity
-        // with the batch pipeline over the union of pages, as long as
-        // revisions arrive prevo-first; a prevo arriving AFTER its
-        // evolution's last revision is a re-extraction event the
-        // changed-content gate by design does not replay)
-        val triples = Pipeline.dedup(
-          Pipeline.emitWithDict(spark, pageRows, liveGraphDict(spark, graphDir)))
-        graft.store.TurtleIO.mergeAppend(spark, triples, graphDir, compactFileThreshold)
+        // ONE graph parse per batch (persisted for its three consumers:
+        // dict, stale probe, delta anti-join — re-parsing per consumer
+        // doubles the O(graph) read incremental maintenance exists to
+        // avoid); unpersisted before the upsert may swap the dir away
+        val live =
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(graphDir))) None
+          else Some(graft.store.TurtleIO.parse(spark, graphDir).persist())
+        try {
+          // prevo resolution sees the LIVE graph's name→ndex dictionary in
+          // addition to the batch's own corpus — an evolution page arriving
+          // in a later micro-batch than its pre-evolution still links
+          // (parity with the batch pipeline over the union of pages, as
+          // long as revisions arrive prevo-first; a prevo arriving AFTER
+          // its evolution's last revision is a re-extraction event the
+          // changed-content gate by design does not replay)
+          val triples = Pipeline.dedup(
+            Pipeline.emitWithDict(spark, pageRows, live.map(liveGraphDict)))
+          // materialize the emitted delta BEFORE retraction: the upsert's
+          // swap path rewrites the dir a lazy emission plan would re-read
+          val frozen = triples.localCheckpoint()
+          val owned = frozen
+            .filter(col("subj").rlike(graft.model.Vocab.Base + "pokemon/[0-9]+$"))
+            .select("subj")
+          graft.store.TurtleIO.mergeUpsert(spark, frozen, graphDir,
+            owned, compactFileThreshold, live)
+        } finally live.foreach(_.unpersist())
       }
       .start()
   }
 
-  /** name→ndex dictionary recovered from the live graph directory (None
-    * before the first append): schema:name literals of pokemon subjects,
-    * the ndex being the subject-IRI suffix. */
-  private def liveGraphDict(spark: SparkSession, graphDir: String): Option[DataFrame] =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(graphDir))) None
-    else Some(graft.store.TurtleIO.parse(spark, graphDir)
+  /** name→ndex dictionary from the parsed live graph: schema:name literals
+    * of pokemon subjects, the ndex being the subject-IRI suffix. */
+  private def liveGraphDict(live: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    live
       .filter(col("pred") === graft.model.Vocab.SchemaName && !col("objIsIri") &&
         col("subj").startsWith(graft.model.Vocab.Base + "pokemon/"))
       .select(col("objLex").as("prevName"),
         regexp_extract(col("subj"), "pokemon/([0-9]+)$", 1).as("prevNdex"))
-      .filter(col("prevNdex") =!= ""))
+      .filter(col("prevNdex") =!= "")
 
   /** Streaming MinHash-LSH near-dup candidates within a time horizon — the
     * streaming form of `Dedup.minhashLshPairs`'s candidate stage. Same

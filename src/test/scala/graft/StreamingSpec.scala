@@ -302,4 +302,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(evo == lateSubjs.size.toLong,
       s"cross-batch prevo links unresolved: $evo of ${lateSubjs.size}")
   }
+
+  test("streamToGraph supersession: a revised fact RETRACTS the stale triple (parity on latest revisions)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageRev
+    import graft.kg.Pipeline
+    import graft.store.TurtleIO
+    val root = java.nio.file.Files.createTempDirectory("stream-upsrt").toString
+    val graphDir = s"$root/graph.ttl"
+    val all = graft.kg.Fixtures.pageRows(0L)
+    val target = all.find(_.content.contains("|weight-kg=")).get
+    // rev2 changes the weight value → the rev1 weight triple is now stale
+    val revised = target.copy(
+      commit = target.commit + "-r2",
+      content = target.content.replace("|weight-kg=", "|weight-kg=9"))
+    def rev(p: graft.model.PageRow, t: Long) =
+      PageRev(new java.sql.Timestamp(t), p.repo, p.path, p.commit, p.content)
+
+    val input = MemoryStream[PageRev]
+    val q = StreamPipeline.streamToGraph(input.toDS(), graphDir, s"$root/ckpt")
+    try {
+      input.addData(all.map(rev(_, 1000L)))
+      q.processAllAvailable()
+      input.addData(Seq(rev(revised, 2000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val got = TurtleIO.parse(spark, graphDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    val latest = all.map(p => if (p.path == target.path) revised else p)
+    val want = Pipeline.triples(spark, spark.createDataset(latest))
+      .select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
+    assert(got == want, "streamed graph must equal batch over the LATEST revisions " +
+      s"(missing=${(want -- got).take(3)}, stale=${(got -- want).take(3)})")
+  }
 }

@@ -113,6 +113,38 @@ class TurtleSpec extends AnyFunSuite {
     assert(asSet(TurtleIO.parse(spark, dir)) == asSet(expected))
   }
 
+  test("mergeUpsert: retracts superseded owned-subject facts, appends when nothing is stale") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl-upsrt").toString + "/g.ttl"
+    val a = "http://example.org/pokemon/0001"
+    val b = "http://example.org/pokemon/0002"
+    val shared = "http://example.org/Type/Grass"
+    def row(s: String, lex: String) = (s, V.SchemaName, false, lex, "", "")
+    val v1 = Seq(row(a, "OldName"), row(b, "Other"), row(shared, "Grass")).toDF(cols: _*)
+    TurtleIO.mergeUpsert(spark, v1, dir, Seq(a).toDF("subj"))
+    assert(asSet(TurtleIO.parse(spark, dir)) == asSet(v1))
+    def partFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    // append fast path: a batch that supersedes nothing lands as a delta,
+    // existing part files untouched
+    val before = partFiles()
+    val add = Seq(row("http://example.org/pokemon/0003", "New")).toDF(cols: _*)
+    TurtleIO.mergeUpsert(spark, add, dir,
+      Seq("http://example.org/pokemon/0003").toDF("subj"))
+    assert(before.forall { case (n, m) => partFiles().get(n).contains(m) },
+      "no-stale upsert must take the append path")
+    // supersession: a revised fact about A retracts the old one; B and the
+    // shared (un-owned) subject are untouched
+    val v2 = Seq(row(a, "NewName")).toDF(cols: _*)
+    TurtleIO.mergeUpsert(spark, v2, dir, Seq(a).toDF("subj"))
+    val got = asSet(TurtleIO.parse(spark, dir))
+    assert(got == asSet(v1.filter(col("subj") =!= a).unionByName(add).unionByName(v2)),
+      s"stale fact must be retracted: $got")
+    // idempotent: replaying the committed batch changes nothing
+    TurtleIO.mergeUpsert(spark, v2, dir, Seq(a).toDF("subj"))
+    assert(asSet(TurtleIO.parse(spark, dir)) == got)
+  }
+
   test("mergeWrite crash protocol: every interrupted swap state self-heals") {
     import java.nio.file.{Files, Paths}
     val root = java.nio.file.Files.createTempDirectory("ttl-crash").toString
