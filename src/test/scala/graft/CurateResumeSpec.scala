@@ -34,6 +34,33 @@ class CurateResumeSpec extends AnyFunSuite {
     assert(obs.getAs[Long]("curated") == rm("near_dup_removal"))
   }
 
+  test("gated staged curation: gates reach the staged path; threshold changes recompute, not stale-skip") {
+    import org.apache.spark.sql.functions.col
+    // one repetitious doc the bigram gate must reject
+    val gatedDocs = docs.unionByName(
+      Seq((999L, Seq.fill(40)("spam spam").mkString(" "))).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("curate-gated").toString
+    val (c1, _, sk1) = Curate.curateStaged(spark, gatedDocs, dir, "fp-g",
+      minTokens = 5, maxTopBigramPct = Some(30))
+    assert(!sk1)
+    val kept1 = c1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept1.contains(999L), "repetition gate must reject the spam doc in the staged path")
+    // unstaged flags with the same gates agree
+    val (cu, _) = Curate.curate(gatedDocs, minTokens = 5, maxTopBigramPct = Some(30))
+    assert(kept1 == cu.select("doc_id").collect().map(_.getLong(0)).toSet)
+    graft.ops.ManagedCache.releaseAll(spark)
+    // same fingerprint + same thresholds → skip; changed threshold → recompute
+    val (_, _, sk2) = Curate.curateStaged(spark, gatedDocs, dir, "fp-g",
+      minTokens = 5, maxTopBigramPct = Some(30))
+    assert(sk2, "unchanged thresholds must stage-skip")
+    val (c3, _, sk3) = Curate.curateStaged(spark, gatedDocs, dir, "fp-g",
+      minTokens = 5, maxTopBigramPct = None)
+    assert(!sk3, "a changed gate threshold must recompute the staged flags")
+    assert(c3.filter(col("doc_id") === 999L).count() == 1,
+      "without the gate the spam doc survives")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
   test("kill/rerun: a flag dir without a committed manifest is recomputed") {
     val dir = java.nio.file.Files.createTempDirectory("curate-crash").toString
     // simulate a run killed mid-stage: parquet bytes on disk, no manifest
