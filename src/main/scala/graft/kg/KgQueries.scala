@@ -261,6 +261,18 @@ object KgQueries {
       .orderBy("baseName", "evolvedName", "commonType")
   }
 
+  /** Clustering structure of the identity graph: per-IRI triangle counts
+    * over the symmetric owl:sameAs edges (degree-ordered orientation —
+    * [[graft.queries.Iterative.triangleCounts]]). A cluster of n mutually-
+    * linked IRIs is an n-clique, so triangle counts audit cluster density:
+    * a broken external-link dictionary shows up as MISSING triangles
+    * before it shows up as wrong canonical ids (the reference's identity
+    * audit is eyeballing sameAs lists — inference/InferenceHandler.java:62-108). */
+  def sameasTriangles(t: DataFrame): DataFrame =
+    graft.queries.Iterative.triangleCounts(
+      t.filter(col("pred") === V.OwlSameAs && col("objIsIri"))
+        .select(col("subj").as("a"), col("objLex").as("b")))
+
   /** Completeness checks (reference: pokemon_queries.sparql:182-238 — G1 +
     * validation-by-query). */
   def completeness(t: DataFrame): DataFrame =
@@ -376,6 +388,7 @@ object KgQueries {
     // the five reference corpus queries missing in round 1 (VERDICT item 1);
     // all run over the inference-enriched graph like the reference's served
     // dataset (server loads the model through InferenceHandler first)
+    QueryDef("kg_q_sameas_triangles", (s, _) => sameasTriangles(inferred(s)), None),
     QueryDef("kg_q_abilities", (s, _) => abilities(inferred(s)), None),
     QueryDef("kg_q_external_links", (s, _) => externalLinks(inferred(s)), None),
     QueryDef("kg_q_external_links_opt",

@@ -168,6 +168,24 @@ class KgOracleSpec extends AnyFunSuite {
           FROM comp GROUP BY canonId""")
   }
 
+  test("kg_q_sameas_triangles vs DuckDB (orientation-independent enumeration)") {
+    // non-vacuous: every entity's sameAs cluster (entity + dbpedia +
+    // wikidata + bulbapedia, symmetric-closed) is a ≥3-clique
+    assert(KgQueries.sameasTriangles(inf).count() > 0)
+    check("kg_q_sameas_triangles", KgQueries.sameasTriangles(inf),
+      s"""WITH e AS (SELECT subj AS a, objLex AS b FROM inf
+                     WHERE pred = '${V.OwlSameAs}' AND objIsIri),
+          und AS (SELECT DISTINCT least(a,b) AS x, greatest(a,b) AS y FROM e WHERE a<>b),
+          tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                  FROM und e1 JOIN und e2 ON e2.x = e1.y
+                              JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y)
+          SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) corners
+          GROUP BY node""")
+  }
+
   test("kg_vertices + kg_edges vs DuckDB") {
     check("kg_edges", Pipeline.edges(base),
       s"SELECT subj AS src, pred, objLex AS dst FROM t WHERE objIsIri")
