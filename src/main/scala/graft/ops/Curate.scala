@@ -176,8 +176,11 @@ object Curate {
     // missing columns) — same discipline as Main's "tsv-v1". EVERY gate
     // parameter is folded in too: the staged table is a function of the
     // thresholds, so changing any of them must recompute, not stale-skip.
+    // Option-ness encoded distinctly ("none" vs the number): a sentinel like
+    // -1 would collide with an explicit Some(-1) threshold and stale-skip
+    def enc(o: Option[_]): String = o.map(_.toString).getOrElse("none")
     val salt = s"$fingerprint;flags-v2;$minTokens;$maxTokens;$nearDupBp;" +
-      s"${nearDupDfCap.getOrElse(-1L)};${maxTopBigramPct.getOrElse(-1)};${maxPiiHits.getOrElse(-1L)}"
+      s"${enc(nearDupDfCap)};${enc(maxTopBigramPct)};${enc(maxPiiHits)}"
     val (staged, skipped) = TableIO.stage(spark, s"$dir/curate_flags", salt) {
       // lean pin: the flag table is being materialized to parquet anyway, so
       // the only thing the pin choice changes here is the pinned footprint —

@@ -293,7 +293,12 @@ object Text {
     require(lowBp >= 0 && highBp <= 100 && lowBp <= highBp,
       s"need 0 <= lowBp <= highBp <= 100: $lowBp/$highBp")
     import org.apache.spark.sql.expressions.Window
-    val q = qualityScore(docs)
+    // the scored frame feeds BOTH the threshold histogram and the output
+    // filter — pinned (slim projection, no text) so the tokenizing scan
+    // runs once per action, not once per consumer. ManagedCache contract:
+    // the caller releases (Verify/Bench release per query).
+    val q = ManagedCache.pin(
+      qualityScore(docs).select("doc_id", "n_tokens", "stop_bp", "len_ok"))
     val hist = q.groupBy(col("stop_bp").as("v")).agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum", sum("c").over(Window.orderBy("v")))

@@ -227,15 +227,24 @@ object Iterative {
     * and the closing semi-join. Counts each triangle once per corner
     * (standard local triangle count; global count = Σ/3). Input: (a, b)
     * pairs, self-loops dropped, parallel edges collapsed. */
-  def triangleCounts(edges0: DataFrame): DataFrame = {
-    val und = edges0
+  /** (a, b) pairs → normalized undirected edge set (x < y, self-loops
+    * dropped, parallel edges collapsed) — shared by the graph kernels. */
+  private def normalizeUndirected(edges0: DataFrame): DataFrame =
+    edges0
       .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
       .filter(col("x") =!= col("y"))
       .distinct()
-      .localCheckpoint()
-    val deg = und.select(col("x").as("node"))
+
+  /** Endpoint degrees of a normalized undirected edge set (map-side
+    * combinable). */
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("x").as("node"))
       .unionByName(und.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    val und = normalizeUndirected(edges0).localCheckpoint()
+    val deg = degreesOf(und)
     // orient by the total order (deg, id): the triangle's three edges form
     // an acyclic tournament, so wedge-at-minimum + one closing direction
     // counts each triangle exactly once
@@ -279,15 +288,9 @@ object Iterative {
                 checkpointEvery: Int = 2): DataFrame = {
     require(k >= 1 && rounds >= 1 && checkpointEvery >= 1,
       s"need k >= 1, rounds >= 1, checkpointEvery >= 1: $k/$rounds/$checkpointEvery")
-    var und = edges0
-      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
-      .filter(col("x") =!= col("y"))
-      .distinct()
-      .localCheckpoint()
+    var und = normalizeUndirected(edges0).localCheckpoint()
     for (r <- 1 to rounds) {
-      val keep = und.select(col("x").as("node"))
-        .unionByName(und.select(col("y").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = degreesOf(und)
         .filter(col("deg") >= k)
         .select("node")
       val next = und
@@ -301,8 +304,6 @@ object Iterative {
       // regresses to 10-12 s on the same input
       und = if (r % checkpointEvery == 0 || r == rounds) next.localCheckpoint() else next
     }
-    und.select(col("x").as("node"))
-      .unionByName(und.select(col("y").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    degreesOf(und)
   }
 }

@@ -187,10 +187,13 @@ object StreamPipeline {
     * empty delta — so kill/rerun converges to exactly the batch pipeline's
     * graph over the LATEST revision of every page (StreamingSpec proves
     * batch-parity, supersession parity, and a mid-stream restart from the
-    * checkpoint). Two documented monotone edges: shared vocabulary
-    * subjects (Type/ability/label entities, contributed by many pages) are
-    * never retracted, and a page changing its ndex orphans the old
-    * subject — both are compaction/rebuild events, not per-batch ones.
+    * checkpoint). Retraction keys on the batch's page IDENTITIES (the
+    * |ndex= line), so even a revision too degraded to emit any triple
+    * still retracts its stale facts. Three documented monotone edges:
+    * shared vocabulary subjects (Type/ability/label entities, contributed
+    * by many pages) are never retracted, a page changing its ndex orphans
+    * the old subject, and a fully blanked page (no |ndex= line) names no
+    * entity to retract — all compaction/rebuild events, not per-batch ones.
     *
     * `lang` stamps the content format expected by the batch prefilter
     * (PageRev carries no format column; one ingestion stream carries one
@@ -210,6 +213,11 @@ object StreamPipeline {
       .foreachBatch { (batch: Dataset[ChangedPage], _: Long) =>
         val pageRows = batch
           .map(cp => PageRow(cp.repo, cp.path, cp.commit, lang, cp.content))
+        // heal any interrupted swap BEFORE probing existence: a crash
+        // between mergeUpsert's two moves leaves the graph at dir.old, and
+        // an unrecovered replay would emit WITHOUT the live dictionary —
+        // permanently dropping cross-batch links the gate never re-extracts
+        graft.store.TurtleIO.recover(graphDir)
         // ONE graph parse per batch (persisted for its three consumers:
         // dict, stale probe, delta anti-join — re-parsing per consumer
         // doubles the O(graph) read incremental maintenance exists to
@@ -230,9 +238,22 @@ object StreamPipeline {
           // materialize the emitted delta BEFORE retraction: the upsert's
           // swap path rewrites the dir a lazy emission plan would re-read
           val frozen = triples.localCheckpoint()
-          val owned = frozen
+          // owned subjects come from the batch's PAGE IDENTITIES (the ndex
+          // in the content), not only from the emitted triples: a revision
+          // whose infobox degraded past the record parser still names its
+          // entity, so its stale facts retract even when it emits nothing.
+          // A fully blanked page (no |ndex= line) names no entity and
+          // retracts nothing — the third monotone edge, a rebuild event
+          // like the other two.
+          val emittedSubj = frozen
             .filter(col("subj").rlike(graft.model.Vocab.Base + "pokemon/[0-9]+$"))
             .select("subj")
+          val namedSubj = pageRows
+            .map(p => graft.kg.WikitextParser.extractNdex(p.content))
+            .filter(_.nonEmpty)
+            .toDF("ndex")
+            .select(concat(lit(graft.model.Vocab.Base + "pokemon/"), col("ndex")).as("subj"))
+          val owned = emittedSubj.unionByName(namedSubj)
           graft.store.TurtleIO.mergeUpsert(spark, frozen, graphDir,
             owned, compactFileThreshold, live)
         } finally live.foreach(_.unpersist())

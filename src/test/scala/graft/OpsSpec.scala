@@ -529,5 +529,6 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(!kept2.contains(99L) && kept2.length == 10)
     intercept[IllegalArgumentException](Text.calibratedQualityFilter(docs, 60, 40))
+    graft.ops.ManagedCache.releaseAll(spark)
   }
 }

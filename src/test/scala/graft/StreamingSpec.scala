@@ -337,5 +337,40 @@ class StreamingSpec extends AnyFunSuite {
       .select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
     assert(got == want, "streamed graph must equal batch over the LATEST revisions " +
       s"(missing=${(want -- got).take(3)}, stale=${(got -- want).take(3)})")
+
+    // a revision too degraded to emit ANY triple still retracts: the page
+    // names its entity via |ndex= even though the infobox no longer parses.
+    // Target a page that is no one's prevo so the only cross-page effects
+    // are the documented monotone shared subjects.
+    val recs2 = Pipeline.parseRecords(spark.createDataset(all)).collect()
+    val prevos = recs2.map(_.evolvesFrom).filter(_.nonEmpty).toSet
+    val finalStage = recs2.find(r => !prevos.contains(r.name) &&
+      all.find(_.path == r.path).get.content.contains("|weight-kg=")).get
+    val fsPage = all.find(_.path == finalStage.path).get
+    val gutted = fsPage.copy(commit = fsPage.commit + "-r3",
+      content = s"blanked\n|ndex=${finalStage.ndex.toInt}\n")
+    val q2 = StreamPipeline.streamToGraph(input.toDS(), graphDir, s"$root/ckpt")
+    try {
+      input.addData(Seq(rev(gutted, 3000L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val tgtSubj = graft.model.Vocab.Base + "pokemon/" + finalStage.ndex
+    val parsed = TurtleIO.parse(spark, graphDir)
+    assert(parsed.filter(col("subj") === tgtSubj).isEmpty,
+      "a degraded revision must retract every fact about its entity")
+    // nothing the latest-corpus batch emits is missing, and the extras the
+    // stream keeps are confined to the documented monotone shared subjects
+    val got2 = parsed.select(cols.map(col): _*).collect().map(_.toString).toSet
+    // the latest corpus carries BOTH the earlier weight revision and the gut
+    val latest2 = all.map(p =>
+      if (p.path == fsPage.path) gutted
+      else if (p.path == target.path) revised
+      else p)
+    val want2 = Pipeline.triples(spark, spark.createDataset(latest2))
+      .select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
+    assert((want2 -- got2).isEmpty, s"missing=${(want2 -- got2).take(3)}")
+    val pokRe = ("\\[" + graft.model.Vocab.Base + "pokemon/[0-9]+,").r
+    assert((got2 -- want2).forall(r => pokRe.findPrefixOf(r).isEmpty),
+      s"extra pokemon-subject rows survived: ${(got2 -- want2).take(3)}")
   }
 }
