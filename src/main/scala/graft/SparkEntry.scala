@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.Similarity.defs ++
       graft.ops.Dedup.defs ++
       graft.ops.Sample.defs ++
+      graft.ops.Sketch.defs ++
       graft.ops.Spans.defs ++
       graft.ops.Curate.defs ++
       graft.ops.Multimodal.defs ++

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Mergeable integer sketches with EXACTLY replayable state — the
+  * approximate-counting layer of a corpus-scale pipeline (heavy-hitter
+  * screening before an exact pass, distinct-cardinality monitoring per
+  * shard/day) built so the sketch TABLES are bit-identical in any engine:
+  *
+  *  - the hash is [[Text.h60]] (md5-derived, the repo-wide portable hash),
+  *    so DuckDB replays every cell — the oracles compare sketch STATE
+  *    exactly, not statistically;
+  *  - sketch state is integer counters/ranks only; the floating-point
+  *    estimate formulas stay OUT of the cross-engine surface (summation
+  *    order would diverge) and are asserted as accuracy bounds in
+  *    ScalaTest instead;
+  *  - a sketch is a small DataFrame on purpose: `unionByName` + the same
+  *    aggregation IS the merge, so corpus shards sketch independently and
+  *    combine associatively (the property that makes sketches the right
+  *    tool at 100 TB — per-executor partial sketches, counters on the
+  *    wire, never tokens).
+  *
+  * Scale shape: both builders are one narrow map (+ a bounded ×d explode
+  * for CMS) into one map-side-combinable aggregation keyed by the sketch
+  * CELL — cardinality d·w or 2^p, bounded by the sketch geometry, never
+  * by the corpus.
+  */
+object Sketch {
+
+  // ──────────────────────────── count–min ────────────────────────────
+
+  private def cmsCell(w: Long)(r: Column, tok: Column): Column =
+    pmod(Text.h60(concat_ws(":", lit("cms"), r.cast("string"), tok)), lit(w))
+
+  /** Count–min sketch of a token column: d rows × w cells of exact
+    * occurrence counters. Point query = min over the d counters
+    * ([[cmsEstimate]]); always an over-estimate (collisions add, never
+    * subtract), with the classic ε=e/w, δ=e^-d guarantee. */
+  def cmsBuild(tokens: DataFrame, tokenCol: String = "token",
+               d: Int = 4, w: Long = 2048): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1, w >= 1: $d/$w")
+    tokens
+      .select(explode(expr(s"sequence(0, ${d - 1})")).as("r0"), col(tokenCol).as("tok"))
+      .select(col("r0").cast("long").as("r"), col("tok"))
+      .select(col("r"), cmsCell(w)(col("r"), col("tok")).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `queries` (distinct values of `tokenCol`) against
+    * a built sketch: est = min over the d rows' counters (0 when a probed
+    * cell is empty). Ids-only probe — the sketch side is d·w rows, so the
+    * join broadcasts. */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame,
+                  tokenCol: String = "token",
+                  d: Int = 4, w: Long = 2048): DataFrame =
+    queries.select(col(tokenCol).as("tok")).distinct()
+      .select(col("tok"), explode(expr(s"sequence(0, ${d - 1})")).as("r0"))
+      .select(col("tok"), col("r0").cast("long").as("r"))
+      .withColumn("cell", cmsCell(w)(col("r"), col("tok")))
+      .join(broadcast(sketch), Seq("r", "cell"), "left_outer")
+      .groupBy("tok").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ───────────────────────── HLL-style distinct ─────────────────────────
+
+  /** HLL-style distinct sketch: bucket = h60 mod 2^p, rho = (trailing
+    * zeros of the remaining 60-p hash bits) + 1, state = per-bucket max
+    * rho. All integer; rho comes from a generated comparison chain (never
+    * log2 — float log is not guaranteed correctly rounded across engines).
+    * Estimate with [[hllEstimate]] (driver-side, the sketch is 2^p rows). */
+  def hllBuckets(ids: DataFrame, idCol: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 20, s"p must be in [4, 20]: $p")
+    val m = 1L << p
+    val restBits = 60 - p
+    val h = Text.h60(concat_ws(":", lit("hll"), col(idCol).cast("string")))
+    // rho = trailing zeros of rest + 1: first k (low to high) where bit k
+    // of rest is set; rest = 0 (all restBits zero) caps at restBits + 1
+    val rho = (0 until restBits).foldRight(lit(restBits + 1): Column) {
+      case (k, elseCol) =>
+        when(expr(s"(rest div ${1L << k}) % 2") === 1, lit(k + 1)).otherwise(elseCol)
+    }
+    ids.select(h.as("h"))
+      .select(pmod(col("h"), lit(m)).as("bucket"), expr(s"h div $m").as("rest"))
+      .withColumn("rho", rho.cast("long"))
+      .groupBy("bucket").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** The standard HLL estimate from a bucket table (driver-side — the
+    * sketch is 2^p rows by construction). Floating-point on purpose and
+    * deliberately NOT part of any cross-engine oracle. */
+  def hllEstimate(buckets: DataFrame, p: Int = 12): Double = {
+    val m = (1L << p).toDouble
+    val present = buckets.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val z = (0L until (1L << p)).map(b => math.pow(2.0, -present.getOrElse(b, 0L).toDouble)).sum
+    val raw = alpha * m * m / z
+    val zeros = m - present.size
+    // standard small-range correction: below 2.5m with empty buckets,
+    // linear counting is the better estimator
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
+  // ──────────────────────────── QueryDefs ────────────────────────────
+
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+
+  private val cmsCellSql =
+    // the bucketSql trick: DuckDB has no conv(), so the first 15 md5 hex
+    // chars become a hex literal — identical value to Text.h60
+    "CAST(concat('0x', substr(md5('cms:' || CAST(r AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 2048"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // count–min heavy-hitter screen: sketch state + probe replayed exactly;
+    // output = per-token (true count, CMS estimate) for the top-50 tokens
+    QueryDef("k3_cms_estimate",
+      (s, d) => {
+        val toks = tokensOf(t(s, d, "documents"))
+        val sketch = cmsBuild(toks)
+        val top = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(desc("true_cnt"), asc("token")).limit(50)
+        cmsEstimate(sketch, top).join(top, col("tok") === col("token"))
+          .select(col("token"), col("true_cnt"), col("est"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+               grid AS (SELECT token, r FROM toks, (SELECT unnest([0,1,2,3]) AS r) rr),
+               sketch AS (SELECT r, $cmsCellSql AS cell, count(*) AS cnt
+                          FROM grid GROUP BY 1, 2),
+               top AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM toks
+                       GROUP BY token ORDER BY true_cnt DESC, token LIMIT 50),
+               probe AS (SELECT token, r, $cmsCellSql AS cell
+                         FROM top, (SELECT unnest([0,1,2,3]) AS r) rr),
+               est AS (SELECT probe.token,
+                              CAST(min(coalesce(sketch.cnt, 0)) AS BIGINT) AS est
+                       FROM probe LEFT JOIN sketch USING (r, cell)
+                       GROUP BY probe.token)
+               SELECT top.token, top.true_cnt, est.est
+               FROM top JOIN est ON est.token = top.token""")),
+
+    // HLL bucket table over (doc_id:token) pairs — ~3m distinct at the
+    // verify scale, clear of the small-range regime; the full integer
+    // sketch state is replayed exactly
+    QueryDef("k4_hll_buckets",
+      (s, d) => hllBuckets(
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .select(concat_ws(":", col("doc_id"), col("token")).as("id"))
+          .distinct(), "id"),
+      Some {
+        val restBits = 48
+        val whens = (0 until restBits).map(k =>
+          s"WHEN (rest // ${1L << k}) % 2 = 1 THEN ${k + 1}").mkString(" ")
+        s"""WITH ids AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) || ':' || token AS id FROM
+                           (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u),
+            h AS (SELECT CAST(concat('0x', substr(md5('hll:' || id), 1, 15)) AS BIGINT) AS h
+                  FROM ids),
+            parts AS (SELECT h % 4096 AS bucket, h // 4096 AS rest FROM h)
+            SELECT bucket,
+                   CAST(max(CASE $whens ELSE ${restBits + 1} END) AS BIGINT) AS max_rho
+            FROM parts GROUP BY bucket"""
+      })
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sketch
+
+/** Integer sketches: CMS over-estimate guarantee, HLL accuracy bound, and
+  * the merge property that makes both shardable (union + re-agg ≡ whole). */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def toks(ws: Seq[String]) = ws.toDF("token")
+
+  test("CMS: estimates are never under the true count; exact at generous width") {
+    val corpus = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      (1 to 30).map(i => s"tail$i")
+    val sketch = Sketch.cmsBuild(toks(corpus), w = 4096)
+    val truth = corpus.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Sketch.cmsEstimate(sketch, toks(corpus.distinct), w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.forall { case (tok, n) => est(tok) >= n },
+      "CMS must never under-count")
+    // 32 distinct tokens × 4 rows in 4096 cells: collisions are possible but
+    // the MIN across 4 independent rows is exact unless a token collides in
+    // every row — astronomically unlikely here; assert exactness
+    assert(est == truth, s"expected exact at this width: ${est.toSeq.diff(truth.toSeq)}")
+    // a saturated width forces over-estimates: 32 distinct tokens in 2
+    // cells ⇒ every cell holds ≥ 2 tokens ⇒ every estimate strictly
+    // exceeds its true count (collisions add, never subtract)
+    val tight = Sketch.cmsEstimate(Sketch.cmsBuild(toks(corpus), d = 1, w = 2),
+      toks(corpus.distinct), d = 1, w = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.forall { case (tok, n) => tight(tok) > n }, "saturation must over-count")
+  }
+
+  test("CMS: sketches merge — union of shard sketches re-aggregated ≡ whole-corpus sketch") {
+    val shard1 = Seq.fill(10)("x") ++ Seq("y", "z")
+    val shard2 = Seq.fill(7)("y") ++ Seq("x")
+    val merged = Sketch.cmsBuild(toks(shard1)).unionByName(Sketch.cmsBuild(toks(shard2)))
+      .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.cmsBuild(toks(shard1 ++ shard2))
+    assert(merged.collect().map(_.toString).sorted.toSeq ==
+      whole.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("HLL: within 5% of the true distinct count at 8x bucket load; merge ≡ whole") {
+    val n = 32000
+    val ids = (1 to n).map(i => s"id-$i")
+    val est = Sketch.hllEstimate(Sketch.hllBuckets(ids.toDF("id"), "id"))
+    assert(math.abs(est - n) / n < 0.05, s"HLL estimate $est vs true $n")
+    // merge: per-shard bucket tables combine by max
+    val (s1, s2) = ids.splitAt(n / 3)
+    val merged = Sketch.hllBuckets(s1.toDF("id"), "id")
+      .unionByName(Sketch.hllBuckets(s2.toDF("id"), "id"))
+      .groupBy("bucket").agg(max("max_rho").as("max_rho"))
+    val whole = Sketch.hllBuckets(ids.toDF("id"), "id")
+    assert(merged.collect().map(_.toString).sorted.toSeq ==
+      whole.collect().map(_.toString).sorted.toSeq)
+    intercept[IllegalArgumentException](Sketch.hllBuckets(ids.toDF("id"), "id", p = 2))
+  }
+
+  test("HLL small-range correction: a tiny set is estimated by linear counting") {
+    val est = Sketch.hllEstimate(Sketch.hllBuckets((1 to 100).map(i => s"v$i").toDF("id"), "id"))
+    assert(math.abs(est - 100) / 100.0 < 0.1, s"small-range estimate $est vs 100")
+  }
+}
