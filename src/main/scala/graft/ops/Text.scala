@@ -274,6 +274,33 @@ object Text {
         floor(lit(10000.0) * col("stop_cnt") / col("n_tokens")).cast("long").as("stop_bp"),
         (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("len_ok"))
 
+  /** Token-distribution drift between two corpora — the snapshot monitor a
+    * recurring ingestion pipeline runs (yesterday's crawl vs today's: a
+    * sudden per-token frequency shift flags a scraper change, a spam wave,
+    * or an upstream format break before it poisons training data). Per
+    * token: frequency in integer BASIS POINTS of each corpus's total token
+    * count and the absolute difference; Σ drift_bp is the corpus-level L1
+    * drift. Integer arithmetic throughout (the repo-wide quantization
+    * discipline) so the oracle replays exactly.
+    *
+    * Scale shape: one map-side-combinable token count per corpus (the same
+    * wordcount aggregate as the vocab report), each normalized by a
+    * 1-row broadcast total, then ONE vocab-sized full-outer join — the
+    * corpora themselves cross the wire once each, as counters. */
+  def tokenDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def freqs(df: DataFrame, bpCol: String) = {
+      val counts = df.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      counts.crossJoin(broadcast(counts.agg(sum("c").as("t"))))
+        .select(col("token"), expr("(c * 10000) div t").as(bpCol))
+    }
+    freqs(a, "bp_a").join(freqs(b, "bp_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("bp_a"), lit(0L)).as("bp_a"),
+        coalesce(col("bp_b"), lit(0L)).as("bp_b"))
+      .withColumn("drift_bp", abs(col("bp_a") - col("bp_b")))
+  }
+
   /** Quantile-CALIBRATED quality gate: keep documents whose stopword ratio
     * lies inside the corpus's own [lowBp, highBp] exact percentile band
     * (both tails are suspect: near-zero stop_bp is keyword lists / non-prose,
@@ -782,6 +809,33 @@ object Text {
     QueryDef("t2_quality_score",
       (s, d) => qualityScore(t(s, d, "documents")),
       Some(qualityScoreSql)),
+
+    // snapshot drift monitor: the corpus split in two deterministic halves
+    // (even/odd doc_id — the stand-in for yesterday/today), per-token bp
+    // frequencies + L1 drift replayed in DuckDB integer arithmetic
+    QueryDef("t22_token_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        tokenDrift(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+      },
+      Some("""WITH fa AS (
+                SELECT token, CAST((count(*) * 10000) // (SELECT count(*) FROM (
+                    SELECT unnest(string_split(text,' ')) AS token FROM documents
+                    WHERE doc_id % 2 = 0) ta) AS BIGINT) AS bp_a
+                FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents
+                      WHERE doc_id % 2 = 0) ua GROUP BY token),
+              fb AS (
+                SELECT token, CAST((count(*) * 10000) // (SELECT count(*) FROM (
+                    SELECT unnest(string_split(text,' ')) AS token FROM documents
+                    WHERE doc_id % 2 = 1) tb) AS BIGINT) AS bp_b
+                FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents
+                      WHERE doc_id % 2 = 1) ub GROUP BY token)
+              SELECT coalesce(fa.token, fb.token) AS token,
+                     CAST(coalesce(bp_a, 0) AS BIGINT) AS bp_a,
+                     CAST(coalesce(bp_b, 0) AS BIGINT) AS bp_b,
+                     CAST(abs(coalesce(bp_a, 0) - coalesce(bp_b, 0)) AS BIGINT) AS drift_bp
+              FROM fa FULL OUTER JOIN fb ON fa.token = fb.token""")),
 
     // quantile-calibrated quality gate: thresholds re-derived in DuckDB from
     // the same histogram + integer rank rule, then the band filter replayed

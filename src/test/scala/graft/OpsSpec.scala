@@ -513,6 +513,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenDrift: hand-computed bp frequencies, absent tokens coalesce to 0") {
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y y"), (3L, "z")).toDF("doc_id", "text")
+    val got = Text.tokenDrift(a, b).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: x 3/4=7500bp, y 1/4=2500bp; b: x 1/5=2000bp, y 3/5=6000bp, z 1/5=2000bp
+    assert(got == Map(
+      "x" -> ((7500L, 2000L, 5500L)),
+      "y" -> ((2500L, 6000L, 3500L)),
+      "z" -> ((0L, 2000L, 2000L))))
+    // identical corpora drift zero
+    assert(Text.tokenDrift(a, a).agg(sum("drift_bp")).head.getLong(0) == 0L)
+  }
+
   test("calibratedQualityFilter: band thresholds come from the corpus's own exact percentiles") {
     // 10 docs, 20 tokens each, k stopwords => stop_bp = 500k for k=0..9
     val docs = (0 until 10).map { k =>
