@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.Text.defs ++
       graft.ops.Similarity.defs ++
       graft.ops.Dedup.defs ++
+      graft.ops.Bloom.defs ++
       graft.ops.Sample.defs ++
       graft.ops.Sketch.defs ++
       graft.ops.Spans.defs ++

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Bloom-filter benchmark decontamination: membership of a document's
+  * winnowed fingerprints against a BENCHMARK fingerprint set, with the
+  * benchmark compressed to a bit set of bounded size instead of carried as
+  * a join table.
+  *
+  * Why it exists next to [[Text.crossCorpusOverlap]] (the exact-join audit):
+  * at 100 TB the train side dominates and the benchmark side is fixed and
+  * small-ish, but the exact form still shuffles the TRAIN fingerprint index
+  * on fp to meet the benchmark's. The Bloom form inverts that: the
+  * benchmark is folded once into ≤ `mBits` bit positions (a table bounded
+  * by CONSTRUCTION, independent of corpus size — `mBits/8` bytes as a
+  * bitmap), and the probe is a BROADCAST join against it, so the train
+  * corpus never crosses the wire: one winnowing scan, one broadcast-hash
+  * membership lookup, then ids-only partial-agg reduces. There is no df
+  * cap and no fan-out hazard — each (doc, fp) contributes exactly
+  * `kHashes` probe rows regardless of how hot the fingerprint is.
+  *
+  * Guarantees (the Bloom contract, pinned in BloomSpec):
+  *  - NO FALSE NEGATIVES: every train document that truly shares
+  *    ≥ `minHits` fingerprints with the benchmark is flagged;
+  *  - false positives possible at ~(1-e^{-kn/m})^k per fingerprint —
+  *    flagged is a SUPERSET of the true-overlap set; size `mBits` ≈ 10×
+  *    the benchmark fingerprint count for ≲1% per-fp noise, and keep
+  *    `minHits` ≥ 2 so a single colliding fingerprint never flags a doc.
+  *
+  * Everything is integer arithmetic over the repo-wide portable h60
+  * fingerprints (positions via the MinHash permutation table), so the t23
+  * oracle replays build + probe + decision exactly in DuckDB.
+  */
+object Bloom {
+
+  /** Default bit-set size (2²⁰ bits = 128 KiB as a bitmap). */
+  val DefaultMBits: Int = 1 << 20
+
+  /** Default probe count per fingerprint. */
+  val DefaultKHashes: Int = 4
+
+  private def P: Long = Dedup.HashPrime
+
+  private def checkArgs(mBits: Int, kHashes: Int): Unit = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"bloom: mBits must be a positive power of two, got $mBits")
+    require(kHashes >= 1 && kHashes <= Dedup.Perms.length,
+      s"bloom: kHashes must be in [1, ${Dedup.Perms.length}], got $kHashes")
+  }
+
+  /** The j-th bit position of a fingerprint: the MinHash permutation
+    * (a·(fp mod P) + b) mod P, folded onto the bit set. fp is h60-derived
+    * (non-negative), so `%` agrees across engines. */
+  private def posCol(fp: Column, j: Int, mBits: Int): Column = {
+    val (a, b) = Dedup.Perms(j)
+    (((fp % P) * a + b) % P) % mBits
+  }
+
+  private[ops] def posSql(fp: String, j: Int, mBits: Int): String = {
+    val (a, b) = Dedup.Perms(j)
+    s"((($fp % $P) * $a + $b) % $P) % $mBits"
+  }
+
+  /** Build: the distinct bit positions set by `fps` (any frame with a
+    * long `fp` column). Output `(pos: long)` — at most min(k·|fps|, mBits)
+    * rows, i.e. bounded regardless of corpus size; this IS the filter
+    * state, and `unionByName` + distinct over per-shard builds is the
+    * merge (Bloom OR is set union on positions). */
+  def bloomBuild(fps: DataFrame, mBits: Int = DefaultMBits,
+                 kHashes: Int = DefaultKHashes): DataFrame = {
+    checkArgs(mBits, kHashes)
+    fps.select(explode(array((0 until kHashes)
+      .map(j => posCol(col("fp"), j, mBits)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Probe: the (doc_id, fp) rows of `fps` whose `kHashes` positions are
+    * ALL present in `bits` — "possibly in the benchmark". The join is
+    * broadcast (bits is bounded by construction); the k probe rows of one
+    * input row collapse map-side, so the only exchange carries ids-only
+    * partial counts. */
+  def flaggedFps(fps: DataFrame, bits: DataFrame, mBits: Int = DefaultMBits,
+                 kHashes: Int = DefaultKHashes): DataFrame = {
+    checkArgs(mBits, kHashes)
+    fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until kHashes)
+        .map(j => posCol(col("fp"), j, mBits)): _*)).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy("doc_id", "fp")
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === kHashes)
+      .select("doc_id", "fp")
+  }
+
+  /** The audit: train documents with ≥ `minHits` Bloom-flagged winnowed
+    * fingerprints against the benchmark corpus. (doc_id, n_hit_fps). */
+  def contaminationAudit(train: DataFrame, bench: DataFrame, w: Int = 4,
+                         minHits: Long = 2, mBits: Int = DefaultMBits,
+                         kHashes: Int = DefaultKHashes): DataFrame = {
+    val bits = bloomBuild(Text.winnowedFingerprints(bench, w), mBits, kHashes)
+    flaggedFps(Text.winnowedFingerprints(train, w), bits, mBits, kHashes)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_fps"))
+      .filter(col("n_hit_fps") >= minHits)
+  }
+
+  /** The actionable form: `train` minus every audited doc — one ids-only
+    * left-anti join, train text crosses the wire exactly once (inside the
+    * winnowing scan). Because Bloom has no false negatives, the result is
+    * decontaminated with certainty; over-dropping is bounded by the false-
+    * positive rate. */
+  def decontaminate(train: DataFrame, bench: DataFrame, w: Int = 4,
+                    minHits: Long = 2, mBits: Int = DefaultMBits,
+                    kHashes: Int = DefaultKHashes): DataFrame =
+    train.join(
+      contaminationAudit(train, bench, w, minHits, mBits, kHashes)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  // ---- DuckDB oracle --------------------------------------------------------
+
+  /** Full replay of [[contaminationAudit]] over the t10-convention corpus
+    * split (bench = source 'src0', train = the rest): winnowing (the t7
+    * arithmetic), position expansion, bit-set build, all-k membership,
+    * per-doc decision. */
+  private def auditOracleSql(minHits: Long, mBits: Int, kHashes: Int): String = {
+    def posList(fp: String) =
+      (0 until kHashes).map(j => posSql(fp, j, mBits)).mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+        hs AS (
+          SELECT doc_id, source,
+                 list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                   i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+          FROM toks),
+        fps AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 0)),
+                   i -> list_min(hs[i:i+3])))) AS fp
+          FROM hs),
+        bench_bits AS (
+          SELECT DISTINCT unnest(${posList("fp")}) AS pos
+          FROM fps WHERE source = 'src0'),
+        probe AS (
+          SELECT doc_id, fp, unnest(${posList("fp")}) AS pos
+          FROM fps WHERE source <> 'src0'),
+        hits AS (
+          SELECT p.doc_id, p.fp
+          FROM probe p JOIN bench_bits b ON b.pos = p.pos
+          GROUP BY p.doc_id, p.fp
+          HAVING count(*) = $kHashes)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_fps
+        FROM hits GROUP BY doc_id HAVING count(*) >= $minHits"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Bloom-compressed benchmark-contamination audit: same corpus split as
+    // t10 but the benchmark travels as a bounded bit set and the probe is
+    // a broadcast membership join — flagged ⊇ the true-overlap set, no
+    // false negatives (BloomSpec pins the contract; the oracle replays
+    // build + probe bit-exactly)
+    QueryDef("t23_bloom_contaminated",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        contaminationAudit(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"))
+      },
+      Some(auditOracleSql(minHits = 2, mBits = DefaultMBits,
+        kHashes = DefaultKHashes)))
+  )
+}

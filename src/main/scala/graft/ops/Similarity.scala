@@ -192,6 +192,98 @@ object Similarity {
       .select(col("ida").as("a"), col("idb").as("b"), cosQ("ea", "eb").as("cos"))
       .filter(col("cos") >= minCos)
 
+  // ---- SemDeDup ---------------------------------------------------------------
+
+  /** Semantic cluster assignment: each vector goes to its highest-
+    * quantized-cosine seed, ties to the smallest seed id. `seeds` must be
+    * driver-small (it is broadcast — a BroadcastNestedLoopJoin, never a
+    * shuffle). The corpus payload never rides the ×|seeds| blowup through
+    * an exchange: scored rows are projected to (vec_id, seed_id, cos)
+    * before the per-vector argmax, and the argmax itself is a map-side-
+    * combinable `max(struct(cos, -seed_id, …))` — one slim shuffle, no
+    * window. */
+  def semanticAssign(embeddings: DataFrame, seeds: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds.select(col("vec_id").as("seed_id"),
+        col("embedding").as("sv"))))
+      .select(col("vec_id"), col("seed_id"), cosQ("embedding", "sv").as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("seed_id")).as("inv"),
+        col("seed_id"))).as("m"))
+      .select(col("vec_id"), col("m.seed_id").as("cluster"),
+        col("m.cos").as("seed_cos"))
+
+  /** The within-cluster pairing tail shared by the seeded and IVF SemDeDup
+    * forms: cluster-keyed self-join (each side shuffles its payload ONCE on
+    * `cluster`; the pair blowup and the ≥ minCos filter both happen inside
+    * the join stage, so rejected pairs never cross an exchange). */
+  private def withinClusterPairs(withCluster: DataFrame,
+                                 minCos: Double): DataFrame = {
+    val left = withCluster.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val right = withCluster.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    left.join(right, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("cluster"), col("a"), col("b"), cosQ("ea", "eb").as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) semantic near-duplicate
+    * pairs: partition the embedding space into clusters, compare cosines
+    * WITHIN CLUSTERS ONLY, and flag pairs at or above `minCos` — the
+    * near-dup detector for paraphrases/translations/templated boilerplate
+    * that share few n-grams (MinHash/SimHash/winnowing are blind to them).
+    *
+    * This variant seeds the clusters deterministically with the `nSeeds`
+    * smallest vec_ids (a canopy, not a trained codebook), which keeps every
+    * stage engine-portable — the s7/s8 oracles replay seed pick, cluster
+    * argmax, pairing and survivor resolution end-to-end in DuckDB. The
+    * trained-codebook production form is [[semanticDupPairsIvf]] over the
+    * staged IVF index.
+    *
+    * Within-cluster comparison is all-pairs BY DESIGN — SemDeDup's bet is
+    * that the cluster count grows with the corpus (k ≈ √n ⇒ expected
+    * cluster size √n ⇒ total pair work O(n^1.5), not O(n²)); at 100 TB you
+    * train k ~ 10⁵ cells via [[ivfIndex]] and use the IVF variant, never a
+    * fixed seed count (a fixed k turns the self-join into n²/k — the
+    * quadratic term wins as n grows). */
+  def semanticDupPairs(embeddings: DataFrame, nSeeds: Int = 8,
+                       minCos: Double = 0.8): DataFrame = {
+    require(nSeeds >= 1, s"semanticDupPairs: nSeeds must be >= 1, got $nSeeds")
+    // TakeOrderedAndProject — a top-k, never a corpus sort
+    val seeds = embeddings.orderBy("vec_id").limit(nSeeds)
+    val withCluster = embeddings.join(
+      semanticAssign(embeddings, seeds).select("vec_id", "cluster"), "vec_id")
+    withinClusterPairs(withCluster, minCos)
+  }
+
+  /** The keep/drop decision table over [[semanticDupPairs]]:
+    * [[Dedup.resolveNearDups]] (pair graph → connected components → min-id
+    * survivor), keyed back to `vec_id`. One row per corpus vector —
+    * `kept` selects the pruned corpus, (vec_id → survivor) is the redirect
+    * table for lineage. */
+  def semanticDedup(embeddings: DataFrame, nSeeds: Int = 8,
+                    minCos: Double = 0.8): DataFrame =
+    Dedup.resolveNearDups(
+      embeddings.select(col("vec_id").as("doc_id")),
+      semanticDupPairs(embeddings, nSeeds, minCos).select("a", "b"))
+      .select(col("doc_id").as("vec_id"), col("survivor"), col("kept"))
+
+  /** SemDeDup at scale: within-cell pairs over the staged IVF index — the
+    * trained-codebook form. Cells come from the cid-partitioned `assigned`
+    * table (vec_id, embedding, cid), so the self-join input is already
+    * grouped by cell on disk and the cell count was chosen at train time
+    * (grow it with the corpus: within-cell pair work is Σ|cell|² ≈ n²/k for
+    * balanced cells). Pair semantics are identical to [[semanticDupPairs]]
+    * with `cluster = cid` — SemDedupSpec pins the equivalence against an
+    * independently-computed per-cell brute force. */
+  def semanticDupPairsIvf(index: IvfIndex, minCos: Double = 0.8): DataFrame =
+    withinClusterPairs(
+      index.assigned.select(col("cid").cast("long").as("cluster"),
+        col("vec_id"), col("embedding")),
+      minCos)
+
   // ---- IVF ------------------------------------------------------------------
 
   /** Cosine of the embedding against every codebook cell, as an array
@@ -931,6 +1023,52 @@ object Similarity {
           JOIN embeddings eb ON eb.vec_id = c.idb)
         WHERE cos >= $minCos"""
 
+  /** CTE chain (no WITH keyword) replaying [[semanticDupPairs]]: seed pick
+    * (smallest vec_ids), quantized-cosine cluster argmax (row_number with
+    * the same cos-desc/seed-asc tie-break as the engine's max(struct)),
+    * within-cluster pairing. Final CTE is `sem_pairs(cluster, a, b, cos)`. */
+  private def semanticPairsCtes(nSeeds: Int, minCos: Double): String =
+    s"""seeds AS (SELECT vec_id AS seed_id, embedding AS sv
+                  FROM embeddings ORDER BY vec_id LIMIT $nSeeds),
+        sem_scored AS (SELECT e.vec_id, s.seed_id,
+                 ${cosSqlDuck("e.embedding", "s.sv")} AS cos
+                 FROM embeddings e CROSS JOIN seeds s),
+        sem_assign AS (SELECT vec_id, seed_id AS cluster FROM (
+                 SELECT vec_id, seed_id, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+                 FROM sem_scored) WHERE rn = 1),
+        sem_pairs AS (SELECT cluster, a, b, cos FROM (
+          SELECT xa.cluster, xa.vec_id AS a, xb.vec_id AS b,
+                 ${cosSqlDuck("ea.embedding", "eb.embedding")} AS cos
+          FROM sem_assign xa
+          JOIN sem_assign xb ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id
+          JOIN embeddings ea ON ea.vec_id = xa.vec_id
+          JOIN embeddings eb ON eb.vec_id = xb.vec_id)
+          WHERE cos >= $minCos)"""
+
+  private def semanticPairsOracleSql(nSeeds: Int, minCos: Double): String =
+    s"""WITH ${semanticPairsCtes(nSeeds, minCos)}
+        SELECT cluster, a, b, cos FROM sem_pairs"""
+
+  /** [[semanticDedup]] replayed end-to-end: the pair CTEs, then components
+    * via a recursive reachability closure and min-of-component survivor
+    * (the same oracle shape as d5_neardup_resolve — the closure is the
+    * semantics; the engine uses pointer doubling). */
+  private def semanticResolveOracleSql(nSeeds: Int, minCos: Double): String =
+    s"""WITH RECURSIVE ${semanticPairsCtes(nSeeds, minCos)},
+        sem_edges AS (SELECT a, b FROM sem_pairs
+                      UNION SELECT b, a FROM sem_pairs),
+        sem_reach(id, r) AS (
+          SELECT a, a FROM sem_edges
+          UNION
+          SELECT sem_reach.id, e.b FROM sem_reach
+          JOIN sem_edges e ON e.a = sem_reach.r),
+        sem_root AS (SELECT id, min(r) AS survivor FROM sem_reach GROUP BY id)
+        SELECT v.vec_id,
+               coalesce(sem_root.survivor, v.vec_id) AS survivor,
+               (v.vec_id = coalesce(sem_root.survivor, v.vec_id)) AS kept
+        FROM embeddings v LEFT JOIN sem_root ON sem_root.id = v.vec_id"""
+
   private def annLshOracleSql(dim: Int, bands: Int, bitsPerBand: Int, k: Int): String =
     s"""WITH ${bandedCandSql(dim, bands, bitsPerBand, "<>")},
         scored AS (
@@ -1046,6 +1184,22 @@ object Similarity {
     QueryDef("d4_embedding_neardup",
       (s, d) => embeddingNearDupPairs(t(s, d, "embeddings"),
         bands = 4, bitsPerBand = 8, minCos = 0.15),
-      Some(nearDupOracleSql(dim = 64, bands = 4, bitsPerBand = 8, minCos = 0.15)))
+      Some(nearDupOracleSql(dim = 64, bands = 4, bitsPerBand = 8, minCos = 0.15))),
+
+    // SemDeDup (clustered semantic near-dup, arXiv:2303.09540): the
+    // deterministic-seed variant, so the FULL chain — seed pick, cluster
+    // argmax, within-cluster pairing — replays in DuckDB; the trained-
+    // codebook IVF form is pinned in SemDedupSpec instead
+    QueryDef("s7_semdedup_pairs",
+      (s, d) => semanticDupPairs(t(s, d, "embeddings"),
+        nSeeds = 8, minCos = 0.3),
+      Some(semanticPairsOracleSql(nSeeds = 8, minCos = 0.3))),
+
+    // pairs → dup groups → deterministic survivor, the applied decision
+    // table (same resolution semantics as d5, over the semantic pair graph)
+    QueryDef("s8_semdedup_resolve",
+      (s, d) => semanticDedup(t(s, d, "embeddings"),
+        nSeeds = 8, minCos = 0.3),
+      Some(semanticResolveOracleSql(nSeeds = 8, minCos = 0.3)))
   )
 }

@@ -264,6 +264,86 @@ object Text {
         expr("rarity_sum div n_tokens").as("rarity_mean"))
   }
 
+  /** BM25-ranked keyword search: the top-k documents for a bag of query
+    * terms — the retrieval surface over the corpus (c1 is the boolean
+    * contains-filter; this is the RANKED form an eval-set miner or
+    * quality-by-query pipeline needs).
+    *
+    * Arithmetic is integer fixed-point so the oracle replays bit-exactly:
+    * the tf saturation term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is scaled
+    * to milli units with k1/b given as milli constants (defaults 1.2/0.75),
+    * every division is integer `div`, and idf = floor(log2(N/df)) computed
+    * as the bit length of the integer quotient (`bin()` here,
+    * `printf('%b')` in DuckDB — never float log, which is not
+    * correctly-rounded across engines). A term present in every document
+    * gets idf 0 and contributes nothing, as it should.
+    *
+    * Scale shape: the corpus collapses IN THE SCAN — tokens are filtered to
+    * the query terms before any exchange, so the only wide rows shuffled
+    * are (doc_id, dl, term) partial counts for MATCHING docs; df comes from
+    * the tf frame (≤ |terms| rows, broadcast back); corpus totals ride a
+    * 1-row broadcast cross join (one extra pass over the text column —
+    * a scan, not a shuffle); the final top-k is a TakeOrdered, never a
+    * corpus sort. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                 k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    require(terms.nonEmpty, "bm25Search: need at least one query term")
+    require(k >= 1, s"bm25Search: k must be >= 1, got $k")
+    val qTerms = terms.distinct
+    val totals = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfPerTerm), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("dl_norm_milli", expr("(1000 * dl * n_docs) div total_dl"))
+      .withColumn("k_milli", expr(
+        s"($k1Milli * ((1000 - $bMilli) + ($bMilli * dl_norm_milli) div 1000)) div 1000"))
+      .withColumn("tf_part_milli", expr(
+        s"(tf * ($k1Milli + 1000) * 1000) div (tf * 1000 + k_milli)"))
+      .withColumn("idf_log2",
+        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(expr("idf_log2 * tf_part_milli")).as("score_milli"))
+      .orderBy(desc("score_milli"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[bm25Search]] — same fixed-point arithmetic, with
+    * `//` for div and printf('%b') for the idf bit length. */
+  private def bm25OracleSql(terms: Seq[String], k: Int,
+                            k1m: Long, bm: Long): String = {
+    val inList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(tk)) AS BIGINT) AS total_dl FROM base),
+        toks AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                        unnest(tk) AS token FROM base),
+        tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+               FROM toks WHERE token IN ($inList)
+               GROUP BY doc_id, dl, token),
+        dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        scored AS (
+          SELECT t.doc_id,
+                 (CAST(length(printf('%b', n_docs // df)) AS BIGINT) - 1) *
+                 ((t.tf * ($k1m + 1000) * 1000) // (t.tf * 1000 +
+                   (($k1m * ((1000 - $bm) +
+                     ($bm * ((1000 * t.dl * n_docs) // total_dl)) // 1000)) // 1000)))
+                   AS contrib
+          FROM tf t JOIN dft USING(token) CROSS JOIN totals)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+               CAST(sum(contrib) AS BIGINT) AS score_milli
+        FROM scored GROUP BY doc_id
+        ORDER BY score_milli DESC, doc_id LIMIT $k"""
+  }
+
   def qualityScore(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
@@ -836,6 +916,14 @@ object Text {
                      CAST(coalesce(bp_b, 0) AS BIGINT) AS bp_b,
                      CAST(abs(coalesce(bp_a, 0) - coalesce(bp_b, 0)) AS BIGINT) AS drift_bp
               FROM fa FULL OUTER JOIN fb ON fa.token = fb.token""")),
+
+    // BM25 ranked keyword search (integer fixed-point; idf via bit length):
+    // the retrieval surface — top-k docs for a term bag, fully replayed
+    QueryDef("t24_bm25_search",
+      (s, d) => bm25Search(t(s, d, "documents"),
+        terms = Seq("spark", "shuffle", "window")),
+      Some(bm25OracleSql(terms = Seq("spark", "shuffle", "window"), k = 20,
+        k1m = 1200, bm = 750))),
 
     // quantile-calibrated quality gate: thresholds re-derived in DuckDB from
     // the same histogram + integer rank rule, then the band filter replayed

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Bloom, Text}
+import graft.queries.QueryDef
+
+/** The Bloom decontamination contract:
+  *  - flagged fps ≡ a driver-side brute force of the position arithmetic
+  *    (build + all-k membership);
+  *  - NO FALSE NEGATIVES: every train doc truly sharing ≥ minHits winnowed
+  *    fingerprints with the benchmark is in the audit;
+  *  - the t23 driver oracle replays in DuckDB;
+  *  - decontaminate = train minus audit, and re-auditing the survivors
+  *    against the same benchmark finds nothing (the filter is effective);
+  *  - argument validation (mBits power of two, kHashes bounds).
+  */
+class BloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val P = graft.functions.MinHashKernel.HashPrime
+  private val Perms = graft.functions.MinHashKernel.Perms
+
+  private def docs() = QueryDef.t(spark, sfDir, "documents")
+  private def train() = docs().filter(col("source") =!= "src0")
+  private def bench() = docs().filter(col("source") === "src0")
+
+  private def positions(fp: Long, mBits: Int, k: Int): Seq[Long] =
+    (0 until k).map { j =>
+      val (a, b) = Perms(j); (((fp % P) * a + b) % P) % mBits
+    }
+
+  /** (doc_id -> winnowed fp set) collected for driver-side brute force. */
+  private def fpSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    Text.winnowedFingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+
+  test("flaggedFps equals the brute-force position membership") {
+    val mBits = 1 << 16 // small bit set so collisions actually occur
+    val k = 4
+    val benchFps = fpSets(bench())
+    val bits = benchFps.values.flatten.toSet
+      .flatMap((fp: Long) => positions(fp, mBits, k))
+    val trainFps = fpSets(train())
+    val want = (for {
+      (id, fps) <- trainFps.toSeq; fp <- fps
+      if positions(fp, mBits, k).forall(bits.contains)
+    } yield (id, fp)).toSet
+
+    val bitsDf = Bloom.bloomBuild(
+      Text.winnowedFingerprints(bench()), mBits, k)
+    val got = Bloom.flaggedFps(
+      Text.winnowedFingerprints(train()), bitsDf, mBits, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"flagged sets differ: onlyGot=${(got -- want).take(3)} onlyWant=${(want -- got).take(3)}")
+    assert(want.nonEmpty, "degenerate test: nothing flagged at 2^16 bits")
+  }
+
+  test("no false negatives: audit covers every true >= minHits overlap") {
+    val benchAll = fpSets(bench()).values.flatten.toSet
+    val trueOverlap = fpSets(train()).collect {
+      case (id, fps) if (fps & benchAll).size >= 2 => id
+    }.toSet
+    val audited = Bloom.contaminationAudit(train(), bench())
+      .collect().map(_.getLong(0)).toSet
+    assert(trueOverlap.subsetOf(audited),
+      s"missed true contamination: ${(trueOverlap -- audited).take(5)}")
+    assert(trueOverlap.nonEmpty, "degenerate test: no true overlap in corpus")
+  }
+
+  test("decontaminated survivors re-audit clean") {
+    val clean = Bloom.decontaminate(train(), bench())
+    assert(clean.count() < train().count(), "something was dropped")
+    assert(Bloom.contaminationAudit(clean, bench()).count() == 0,
+      "the decontaminated corpus still audits dirty")
+  }
+
+  test("t23 driver oracle replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sfDir/documents.parquet')")
+      val df = SparkEntry.queries("t23_bloom_contaminated")(spark, sfDir)
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("t23_bloom_contaminated"), "t23_bloom_contaminated")
+    }
+  }
+
+  test("shard-merge: union + distinct of per-shard builds equals the whole build") {
+    val fps = Text.winnowedFingerprints(bench())
+    val whole = Bloom.bloomBuild(fps).collect().map(_.getLong(0)).toSet
+    val sharded = Bloom.bloomBuild(fps.filter(col("doc_id") % 2 === 0))
+      .unionByName(Bloom.bloomBuild(fps.filter(col("doc_id") % 2 =!= 0)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(whole == sharded)
+  }
+
+  test("argument validation is loud") {
+    val fps = Text.winnowedFingerprints(bench())
+    assert(intercept[IllegalArgumentException] {
+      Bloom.bloomBuild(fps, mBits = 1000)
+    }.getMessage.contains("power of two"))
+    assert(intercept[IllegalArgumentException] {
+      Bloom.bloomBuild(fps, kHashes = 0)
+    }.getMessage.contains("kHashes"))
+    assert(intercept[IllegalArgumentException] {
+      Bloom.bloomBuild(fps, kHashes = 65)
+    }.getMessage.contains("kHashes"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Text
+import graft.queries.QueryDef
+
+/** BM25 fixed-point ranking: hand-computed fixture scores, ranking
+  * properties, and the t24 driver oracle replayed in DuckDB. */
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("hand-computed fixture: scores, idf-0 ubiquitous term, ranking") {
+    import spark.implicits._
+    // 4 docs, 4 tokens each → avgdl = dl for every doc → dl_norm = 1000
+    // K_milli = (1200 * ((1000-750) + 750)) div 1000 = 1200
+    // tf=1: tf_part = (1*2200*1000) div (1000+1200) = 1000
+    // tf=2: tf_part = (2*2200*1000) div (2000+1200) = 1375
+    // "rare" df=1, N=4 → idf = floor(log2(4)) = 2
+    // "mid"  df=2 → idf = floor(log2(2)) = 1
+    // "all"  df=4 → idf = floor(log2(1)) = 0 (contributes nothing)
+    val docs = Seq(
+      (1L, "rare all x y"),   // 2*1000 + 0        = 2000, hits 2
+      (2L, "mid mid all x"),  // 1*1375 + 0        = 1375, hits 2
+      (3L, "mid all x y"),    // 1*1000 + 0        = 1000, hits 2
+      (4L, "all x y z")       // 0                 = 0,    hits 1
+    ).toDF("doc_id", "text")
+    val got = Text.bm25Search(docs, Seq("rare", "mid", "all"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2000L), (2L, 2L, 1375L),
+      (3L, 2L, 1000L), (4L, 1L, 0L)))
+  }
+
+  test("k bounds the result and ties break by doc_id") {
+    import spark.implicits._
+    val docs = Seq((5L, "t a b c"), (3L, "t a b c"), (9L, "t a b c"))
+      .toDF("doc_id", "text")
+    // identical docs → identical scores; top-2 must be the two smallest ids
+    val got = Text.bm25Search(docs, Seq("t", "zzz"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 5L))
+  }
+
+  test("argument validation is loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Text.bm25Search(docs, Seq.empty) }
+    intercept[IllegalArgumentException] { Text.bm25Search(docs, Seq("a"), k = 0) }
+  }
+
+  test("t24 driver oracle replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sfDir/documents.parquet')")
+      val df = SparkEntry.queries("t24_bm25_search")(spark, sfDir)
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("t24_bm25_search"), "t24_bm25_search")
+    }
+  }
+}

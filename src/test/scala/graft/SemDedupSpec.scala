@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+import graft.queries.QueryDef
+
+/** SemDeDup (clustered semantic near-dup):
+  *  - seeded assignment ≡ a driver-side brute-force argmax with the same
+  *    quantization and tie-break;
+  *  - within-cluster pairs ≡ brute force over the assignment;
+  *  - the trained-codebook IVF form ≡ per-cell brute force over the staged
+  *    assignment (same semantics, cluster = cid);
+  *  - resolution invariants (kept ⇔ min of its dup component);
+  *  - the s7/s8 driver oracles replayed against DuckDB in-test.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // driver-side replication of the repo-wide quantized cosine (QuantizedDot
+  // grid + round-half-up to 6 dp — the exact arithmetic of cosQ)
+  private def dotQ(a: Array[Double], b: Array[Double]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += math.floor(a(i) * b(i) * 1e6).toLong; i += 1 }
+    acc
+  }
+  private def cosQ(a: Array[Double], b: Array[Double]): Double =
+    BigDecimal(dotQ(a, b).toDouble / (math.sqrt(dotQ(a, a).toDouble) *
+      math.sqrt(dotQ(b, b).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def collectVectors(): Map[Long, Array[Double]] =
+    QueryDef.t(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  private def bruteAssign(vecs: Map[Long, Array[Double]],
+                          nSeeds: Int): Map[Long, Long] = {
+    val seedIds = vecs.keys.toSeq.sorted.take(nSeeds)
+    vecs.map { case (id, v) =>
+      id -> seedIds.map(s => (cosQ(v, vecs(s)), s))
+        .minBy { case (c, s) => (-c, s) }._2
+    }
+  }
+
+  test("semanticAssign matches the brute-force quantized argmax") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val seeds = emb.orderBy("vec_id").limit(8)
+    val got = Similarity.semanticAssign(emb, seeds)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = bruteAssign(collectVectors(), 8)
+    assert(got.size == want.size)
+    val diff = want.collect { case (id, c) if got(id) != c => (id, c, got(id)) }
+    assert(diff.isEmpty, s"assignment mismatches (want, got): ${diff.take(5)}")
+  }
+
+  test("semanticDupPairs equals brute-force within-cluster pairing") {
+    val vecs = collectVectors()
+    val assign = bruteAssign(vecs, 8)
+    val minCos = 0.3
+    val want = (for {
+      a <- vecs.keys; b <- vecs.keys
+      if a < b && assign(a) == assign(b)
+      c = cosQ(vecs(a), vecs(b)) if c >= minCos
+    } yield (assign(a), a, b, c)).toSet
+    val got = Similarity.semanticDupPairs(
+      QueryDef.t(spark, sfDir, "embeddings"), nSeeds = 8, minCos = minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want,
+      s"pair sets differ: onlyGot=${(got -- want).take(3)} onlyWant=${(want -- got).take(3)}")
+    assert(want.nonEmpty, "degenerate test: no semantic dup pairs at 0.3")
+  }
+
+  test("semanticDupPairsIvf equals per-cell brute force over the staged assignment") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-ivf").toString
+    val (idx, _) = Similarity.ivfIndex(spark, emb, dir, "fp-semdedup",
+      nCentroids = 8, iters = 2)
+    val cellOf = idx.assigned.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val vecs = collectVectors()
+    val minCos = 0.3
+    val want = (for {
+      a <- vecs.keys; b <- vecs.keys
+      if a < b && cellOf(a) == cellOf(b)
+      c = cosQ(vecs(a), vecs(b)) if c >= minCos
+    } yield (cellOf(a), a, b, c)).toSet
+    val got = Similarity.semanticDupPairsIvf(idx, minCos = minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want,
+      s"IVF pair sets differ: onlyGot=${(got -- want).take(3)} onlyWant=${(want -- got).take(3)}")
+  }
+
+  test("semanticDedup: one row per vector, kept iff min of its dup component") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val res = Similarity.semanticDedup(emb, nSeeds = 8, minCos = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = emb.count()
+    assert(res.length == n, "one decision row per corpus vector")
+    assert(res.forall { case (id, sv, kept) => kept == (id == sv) })
+    assert(res.forall { case (id, sv, _) => sv <= id },
+      "survivor is the component minimum, so never greater than the member")
+    // survivors are themselves kept (closed redirect table)
+    val keptIds = res.collect { case (id, _, true) => id }.toSet
+    assert(res.forall { case (_, sv, _) => keptIds.contains(sv) })
+    assert(res.exists { case (_, _, kept) => !kept },
+      "degenerate test: nothing was deduped at 0.3")
+  }
+
+  test("nSeeds < 1 is rejected loudly") {
+    val emb = QueryDef.t(spark, sfDir, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDupPairs(emb, nSeeds = 0)
+    }
+    assert(e.getMessage.contains("nSeeds"))
+  }
+
+  test("s7/s8 driver oracles replay in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW embeddings AS SELECT * FROM read_parquet('$sfDir/embeddings.parquet')")
+      for (name <- Seq("s7_semdedup_pairs", "s8_semdedup_resolve")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        DuckOracle.assertMatches(c, df, SparkEntry.oracleSql(name), name)
+      }
+    }
+  }
+}
