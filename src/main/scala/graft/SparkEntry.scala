@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ops.Dedup.defs ++
       graft.ops.Bloom.defs ++
       graft.ops.Sample.defs ++
+      graft.ops.Layout.defs ++
       graft.ops.Sketch.defs ++
       graft.ops.Spans.defs ++
       graft.ops.Curate.defs ++

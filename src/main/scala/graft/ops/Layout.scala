@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Z-order (Morton) data layout: co-cluster rows on TWO dimension keys so a
+  * rectangle query (user range × time range, domain × date, …) prunes at
+  * the FILE-LISTING level instead of scanning one dimension's layout and
+  * filtering the other row-by-row — the lakehouse `OPTIMIZE ZORDER`
+  * workload, built from Spark primitives.
+  *
+  * How the pruning works (the IVF-probe discipline, applied to layout):
+  *  - [[zValue]] interleaves the bits of the two keys; nearby (x, y) cells
+  *    get nearby z values, so sorting by z keeps both dimensions locally
+  *    tight inside every file.
+  *  - The top `bucketBits` bits of z become a PARTITION COLUMN
+  *    (`z_bucket`): each bucket is by construction an axis-aligned
+  *    rectangle of the key grid.
+  *  - A rectangle query enumerates, ON THE DRIVER, the buckets whose
+  *    rectangles intersect it ([[rectangleBuckets]] — a loop over
+  *    2^bucketBits candidates, bounded by construction like the IVF probe
+  *    set) and reads with a static `z_bucket IN (...)` filter: Spark prunes
+  *    whole bucket directories at the source, the residual exact range
+  *    filter runs only inside surviving buckets (and parquet min/max on the
+  *    z-sorted rows prunes row groups within them).
+  *
+  * Contract: both keys must already lie in [0, 2^bitsPerDim) — fold them
+  * (`% (1 << bitsPerDim)`, a day/minute index, a hash bucket) BEFORE
+  * calling; [[zOrderStage]] validates the range with one cheap aggregate
+  * and fails loudly rather than silently corrupting the layout. All
+  * arithmetic is shift/mask integer work, so the z computation itself is
+  * oracle-replayable (p6_zvalue).
+  */
+object Layout {
+
+  private def checkBits(bitsPerDim: Int, bucketBits: Int): Unit = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31,
+      s"zorder: bitsPerDim must be in [1, 31], got $bitsPerDim")
+    require(bucketBits >= 1 && bucketBits <= 2 * bitsPerDim &&
+      bucketBits <= 20,
+      s"zorder: bucketBits must be in [1, min(2*bitsPerDim, 20)], got $bucketBits")
+  }
+
+  /** Morton interleave of two keys in [0, 2^bitsPerDim): x on even bit
+    * positions, y on odd. 2·bitsPerDim shift/mask/add terms — plain
+    * codegen'd integer arithmetic, no UDF. */
+  def zValue(x: Column, y: Column, bitsPerDim: Int = 16): Column = {
+    checkBits(bitsPerDim, 1)
+    (0 until bitsPerDim).flatMap { i =>
+      Seq(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** The same interleave as DuckDB SQL over integer expressions. */
+  private[ops] def zSql(x: String, y: String, bitsPerDim: Int): String =
+    (0 until bitsPerDim).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})",
+        s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+
+  /** The partition key: the top `bucketBits` bits of the z value. */
+  def zBucket(z: Column, bitsPerDim: Int, bucketBits: Int = 8): Column = {
+    checkBits(bitsPerDim, bucketBits)
+    shiftright(z, 2 * bitsPerDim - bucketBits).cast("long")
+  }
+
+  private[ops] def zBucketSql(z: String, bitsPerDim: Int, bucketBits: Int): String =
+    s"($z >> ${2 * bitsPerDim - bucketBits})"
+
+  /** The axis-aligned key rectangle a bucket covers: (xLo, xHi, yLo, yHi),
+    * inclusive. A z-prefix fixes the top bits of each dimension
+    * independently, so every bucket is exactly a rectangle — the fact the
+    * driver-side pruning enumeration rests on. */
+  private[ops] def bucketRect(bucket: Long, bitsPerDim: Int,
+                              bucketBits: Int): (Long, Long, Long, Long) = {
+    var xp = 0L; var yp = 0L; var xBits = 0; var yBits = 0
+    var j = bucketBits - 1
+    while (j >= 0) { // top z bit down; x/y positions arrive high-to-low
+      val zPos = 2 * bitsPerDim - bucketBits + j
+      val bit = (bucket >> j) & 1L
+      if (zPos % 2 == 0) { xp = (xp << 1) | bit; xBits += 1 }
+      else { yp = (yp << 1) | bit; yBits += 1 }
+      j -= 1
+    }
+    val xSpan = 1L << (bitsPerDim - xBits)
+    val ySpan = 1L << (bitsPerDim - yBits)
+    (xp * xSpan, xp * xSpan + xSpan - 1, yp * ySpan, yp * ySpan + ySpan - 1)
+  }
+
+  /** The buckets whose rectangles intersect [xMin, xMax] × [yMin, yMax] —
+    * a driver loop over the 2^bucketBits candidates (bounded by
+    * construction; bucketBits ≤ 20 keeps it ≤ 1M cheap integer tests, and
+    * the default 8 is 256). Sorted for deterministic plans. */
+  def rectangleBuckets(xMin: Long, xMax: Long, yMin: Long, yMax: Long,
+                       bitsPerDim: Int = 16, bucketBits: Int = 8): Seq[Long] = {
+    checkBits(bitsPerDim, bucketBits)
+    require(xMin <= xMax && yMin <= yMax,
+      s"zorder: empty rectangle [$xMin,$xMax]x[$yMin,$yMax]")
+    (0L until (1L << bucketBits)).filter { b =>
+      val (xl, xh, yl, yh) = bucketRect(b, bitsPerDim, bucketBits)
+      xh >= xMin && xl <= xMax && yh >= yMin && yl <= yMax
+    }
+  }
+
+  /** Materialize the z-ordered layout: z value + bucket computed, ONE
+    * shuffle keyed by bucket, rows z-sorted inside each bucket (tight
+    * parquet min/max for row-group pruning within surviving buckets),
+    * written `partitionBy(z_bucket)` behind the library's manifest
+    * checkpoint (same train-once discipline as the IVF index: re-runs with
+    * the same fingerprint skip straight to the staged files). Validates
+    * the key-range contract with one aggregate before writing. */
+  def zOrderStage(spark: SparkSession, df: DataFrame, xCol: String,
+                  yCol: String, dir: String, fingerprint: String,
+                  bitsPerDim: Int = 16, bucketBits: Int = 8): (DataFrame, Boolean) = {
+    checkBits(bitsPerDim, bucketBits)
+    graft.store.TableIO.stage(spark, dir,
+      s"$fingerprint;zorder;x=$xCol;y=$yCol;bits=$bitsPerDim;bb=$bucketBits",
+      partitionCols = Seq("z_bucket")) {
+      val bound = 1L << bitsPerDim
+      val Array(row) = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+        min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).collect()
+      require(row.getLong(0) >= 0 && row.getLong(1) < bound &&
+        row.getLong(2) >= 0 && row.getLong(3) < bound,
+        s"zorder: keys out of [0, $bound): $xCol in [${row.getLong(0)}, ${row.getLong(1)}], " +
+          s"$yCol in [${row.getLong(2)}, ${row.getLong(3)}] — fold the keys first")
+      val z = df
+        .withColumn("zv", zValue(col(xCol), col(yCol), bitsPerDim))
+        .withColumn("z_bucket", zBucket(col("zv"), bitsPerDim, bucketBits))
+      z.repartition(col("z_bucket")).sortWithinPartitions("zv")
+    }
+  }
+
+  /** Rectangle read over a staged layout: static bucket IN-list (whole
+    * directories pruned at the source — PlanSpec-style evidence in
+    * LayoutSpec) + the exact residual range filter. */
+  def readRectangle(staged: DataFrame, xCol: String, yCol: String,
+                    xMin: Long, xMax: Long, yMin: Long, yMax: Long,
+                    bitsPerDim: Int = 16, bucketBits: Int = 8): DataFrame = {
+    val buckets = rectangleBuckets(xMin, xMax, yMin, yMax, bitsPerDim, bucketBits)
+    staged
+      .filter(col("z_bucket").isin(buckets: _*))
+      .filter(col(xCol).between(xMin, xMax) && col(yCol).between(yMin, yMax))
+  }
+
+  // ---- oracle-paired query definition ---------------------------------------
+
+  /** p6: the z computation itself over the events table — user_id ×
+    * minute-index keys folded to 16 bits, z value + bucket per event.
+    * unix_micros ↔ epoch_us is the proven w2 integer-microsecond idiom. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("p6_zvalue",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("x", col("user_id") % 65536)
+          .withColumn("y",
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000") % 65536)
+        ev.select(col("event_id"), col("x"), col("y"),
+          zValue(col("x"), col("y"), 16).as("zv"))
+          .withColumn("z_bucket", zBucket(col("zv"), 16, 8))
+      },
+      Some(s"""WITH keyed AS (
+                 SELECT event_id,
+                        (user_id % 65536) AS x,
+                        ((epoch_us(ts) // 60000000) % 65536) AS y
+                 FROM events)
+               SELECT event_id, x, y,
+                      CAST(${zSql("x", "y", 16)} AS BIGINT) AS zv,
+                      CAST(${zBucketSql(zSql("x", "y", 16), 16, 8)} AS BIGINT) AS z_bucket
+               FROM keyed"""))
+  )
+}
