@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.Similarity.defs ++
       graft.ops.Dedup.defs ++
       graft.ops.Bloom.defs ++
+      graft.ops.Bpe.defs ++
       graft.ops.Sample.defs ++
       graft.ops.Layout.defs ++
       graft.ops.Sketch.defs ++

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One BPE merge pass over a symbol sequence: every LEFTMOST,
+  * NON-OVERLAPPING adjacent occurrence of (a, b) becomes the single symbol
+  * a+b — the apply step of byte-pair-encoding training/encoding
+  * ([[graft.ops.Bpe]]), one pass per learned merge.
+  *
+  * Greedy-leftmost is the standard BPE rule and makes the pass
+  * deterministic on runs: `[a, a, a]` under merge (a, a) → `[aa, a]` (the
+  * first pair wins, the middle symbol cannot be shared). The merge pair
+  * rides as CONSTRUCTION PARAMETERS, not child expressions — training picks
+  * it on the driver per round, so it is a constant of the pass, and the
+  * kernel call stays a two-comparison scan.
+  *
+  * Why native: the pass has no HOF formulation at all (stateful consume-two
+  * over a sequence — `transform` cannot skip), so the alternatives are a
+  * Scala UDF (serialization per row, no codegen) or this: one JVM call per
+  * row inside whole-stage codegen, zero allocation beyond the output.
+  */
+final case class BpeMergePass(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+
+  require(a.nonEmpty && b.nonEmpty,
+    s"bpe_merge_pass: merge symbols must be non-empty, got '$a'/'$b'")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_pass needs array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeKernel.merge(input.asInstanceOf[ArrayData], ua, ub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeMergeA", ua, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("bpeMergeB", ub, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeMergeKernel.merge($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePass =
+    copy(child = newChild)
+}
+
+object BpeMergePass {
+  def apply(syms: Column, a: String, b: String): Column =
+    GraftExpressionBridge.column(
+      BpeMergePass(GraftExpressionBridge.expression(syms), a, b))
+}
+
+object BpeMergeKernel {
+  def merge(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return arr.copy()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    var changed = false
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).equals(a) &&
+        arr.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b)); changed = true; i += 2
+      } else {
+        out.add(arr.getUTF8String(i)); i += 1
+      }
+    }
+    if (!changed) arr.copy()
+    else new GenericArrayData(out.toArray) // ArrayList.toArray(): Object[]
+  }
+}

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** Native Catalyst expressions (codegen'd hot loops) + their SQL-surface
   * registration: after `functions.register(spark)`, `spark.sql` resolves
   * `quantized_dot(a, b)`, `shingle_hashes(text, mod, cap)`,
-  * `minhash_signature(hashes)`, `simhash64(text)`, `gram_hashes(text, k)`
-  * and `winnow_fingerprints(text, w)` to the same expressions the Column API
+  * `minhash_signature(hashes)`, `simhash64(text)`, `gram_hashes(text, k)`,
+  * `winnow_fingerprints(text, w)`, `ngram_rep_stats(text, n)`, `pq_adc(...)`
+  * and `bpe_merge_pass(syms, a, b)` to the same expressions the Column API
   * uses (FunctionsSqlSpec pins the parity) — the SQL surface carries ALL
   * the native functions, not a subset. */
 package object functions {
@@ -16,6 +17,13 @@ package object functions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   /** The shared (name, expression class, builder) triples behind BOTH
@@ -60,6 +68,12 @@ package object functions {
         NgramRepStats(text, ni)
       case args => throw new IllegalArgumentException(
         s"ngram_rep_stats(text, n) takes 2 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("bpe_merge_pass", classOf[BpeMergePass], {
+      case Seq(syms, a, b) =>
+        BpeMergePass(syms, strLit(a, "a"), strLit(b, "b"))
+      case args => throw new IllegalArgumentException(
+        s"bpe_merge_pass(symbols, a, b) takes 3 arguments, got ${args.length}")
     }: Seq[Expression] => Expression),
     ("pq_adc", classOf[PqAdc], {
       case Seq(code, lut, m, ksub, bits) =>

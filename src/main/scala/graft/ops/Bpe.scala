@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** BPE (byte-pair-encoding) tokenizer-vocabulary induction — the
+  * train-your-own-tokenizer step of an LLM data pipeline, as a Spark job.
+  *
+  * The scale insight (Sennrich et al., arXiv:1508.07909 — and every
+  * production BPE trainer since): training never touches the corpus
+  * per-round. The corpus collapses ONCE to the word-frequency table (one
+  * map-side-combinable wordcount shuffle — the ONLY corpus-sized job), and
+  * every merge round runs over that vocab-sized table: count adjacent
+  * symbol pairs weighted by word count, pick the best pair ON THE DRIVER
+  * (a 1-row TakeOrdered, the k-means/Lloyd discipline), apply it with the
+  * native [[graft.functions.BpeMergePass]] kernel (greedy-leftmost,
+  * non-overlapping — the standard rule), repeat. 100 TB of text with a
+  * 10M-word vocabulary trains its tokenizer over a 10M-row table.
+  *
+  * Determinism: merge choice ties break (count desc, left asc, right asc);
+  * the kernel is deterministic per row — so the merge sequence is a pure
+  * function of the corpus. BpeSpec pins the whole table against an
+  * independent in-JVM reference implementation (the SpansSpec differential
+  * discipline), plus the concatenation invariant (symbols always re-join
+  * to the word) and the kernel's greedy-run semantics.
+  *
+  * Symbols start as characters; merges never cross word boundaries (each
+  * word is its own sequence). No end-of-word marker — segmentations of a
+  * word are position-independent here; add one upstream (suffix a sentinel
+  * to `word`) if the downstream tokenizer needs boundary-aware merges.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+  final case class Model(merges: Seq[Merge])
+
+  /** The corpus → word-frequency collapse (the one corpus-sized job). */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Character-split the vocabulary: (word, cnt, syms). */
+  private def initialState(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Adjacent-pair counts over the current state, weighted by word count —
+    * the per-round aggregate (vocab-sized input, ids-only output). */
+  private def pairCounts(state: DataFrame): DataFrame =
+    state.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), col("syms"),
+        explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+      .select(expr("element_at(syms, i)").as("left"),
+        expr("element_at(syms, CAST(i + 1 AS INT))").as("right"), col("cnt"))
+      .groupBy("left", "right").agg(sum("cnt").as("pair_count"))
+
+  /** Train `nMerges` merges (stops early when no pair reaches
+    * `minPairCount`). Each round: one vocab-sized aggregate + a 1-row
+    * TakeOrdered collect + one narrow kernel map; the state is
+    * localCheckpoint'ed every `checkpointEvery` rounds so the plan depth
+    * stays bounded (the iterative-kernel lineage discipline). */
+  def train(spark: SparkSession, docs: DataFrame, nMerges: Int = 50,
+            minPairCount: Long = 2, checkpointEvery: Int = 8): Model = {
+    require(nMerges >= 1, s"bpe: nMerges must be >= 1, got $nMerges")
+    require(minPairCount >= 1, s"bpe: minPairCount must be >= 1, got $minPairCount")
+    require(checkpointEvery >= 1, s"bpe: checkpointEvery must be >= 1, got $checkpointEvery")
+    var state = initialState(wordCounts(docs)).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = pairCounts(state)
+        .orderBy(desc("pair_count"), asc("left"), asc("right"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, pc)
+        state = state.withColumn("syms",
+          graft.functions.BpeMergePass(col("syms"), l, r))
+        rank += 1
+        if (rank % checkpointEvery == 0) state = state.localCheckpoint(true)
+      }
+    }
+    Model(merges.toSeq)
+  }
+
+  /** The merge table as a DataFrame — the persistable artifact. */
+  def mergesDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.merges.map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a trained model: segment the `word` column into subword symbols
+    * (`syms`) by replaying the merges in rank order — |merges| chained
+    * kernel passes, each a narrow map (checkpointed every
+    * `checkpointEvery` to bound the plan). The executable-spec form of
+    * encoding; a production online encoder replays the same table with a
+    * priority queue per word, byte-identically. */
+  def segmentWords(words: DataFrame, model: Model,
+                   checkpointEvery: Int = 16): DataFrame = {
+    var df = initialState(words
+      .select(col("word"), lit(1L).as("cnt"))).drop("cnt")
+    model.merges.zipWithIndex.foreach { case (m, i) =>
+      df = df.withColumn("syms",
+        graft.functions.BpeMergePass(col("syms"), m.left, m.right))
+      if ((i + 1) % checkpointEvery == 0) df = df.localCheckpoint(true)
+    }
+    df
+  }
+
+  // ---- staged query surface ---------------------------------------------
+
+  /** Train-once staging for the t25 entry: the merge table persists behind
+    * the manifest checkpoint keyed on the documents' CONTENT fingerprint
+    * (fingerprintOf — regenerated docs with the same row count retrain),
+    * so later calls/runs skip to the staged parquet (the ivfIndex
+    * discipline). */
+  private def stagedMerges(s: SparkSession, d: String, nMerges: Int): DataFrame = {
+    import graft.store.TableIO
+    val docs = t(s, d, "documents")
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+      sys.props("java.io.tmpdir") + "/graft-stages") + s"/bpe_$safe"
+    val fp = s"${TableIO.fingerprintOf(docs.select(col("doc_id"), col("text")))};bpe;n=$nMerges"
+    TableIO.stage(s, dir, fp) {
+      mergesDf(s, train(s, docs, nMerges))
+    }._1
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // rows-only for the driver (iterative training — not one SQL query, the
+    // s3/s6 reasoning); BpeSpec pins the full merge table against an
+    // independent in-JVM reference implementation and DuckDB replays the
+    // round-1 pair count. Train-once staged, like the ANN indexes.
+    QueryDef("t25_bpe_merges",
+      (s, d) => stagedMerges(s, d, nMerges = 40),
+      None)
+  )
+}

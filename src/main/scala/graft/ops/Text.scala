@@ -264,6 +264,52 @@ object Text {
         expr("rarity_sum div n_tokens").as("rarity_mean"))
   }
 
+  /** Bigram-surprisal quality scoring — the n-gram LM perplexity filter in
+    * integer-exact form (one step up from [[rarityScore]]'s unigram
+    * surprisal): per document, the summed conditional surprisal of its
+    * bigrams under the corpus's own bigram model,
+    * surprisal(w₁w₂) = floor(log2(count(w₁·) / count(w₁w₂))) — whole bits
+    * via the integer-quotient bit length (`bin()` / printf('%b')), never
+    * float log. High mean surprisal = improbable token transitions
+    * (gibberish, mixed fragments, OCR noise); near-zero = degenerate
+    * repetition. A trained KenLM-style scorer slots in for the counts
+    * table — the pipeline shape is identical.
+    *
+    * Scale shape (the rarityScore discipline, one order up): the corpus
+    * collapses FIRST to per-document bigram frequencies (one map-side-
+    * combinable (doc, w₁, w₂) shuffle); the model tables aggregate FROM the
+    * tf frame (context counts re-aggregate bigram counts — the text is
+    * never re-scanned) and verdicts join back on the bigram key. The key is
+    * Zipf-hot by nature; joining tf rows instead of raw occurrences bounds
+    * the hottest key's rows by DOCUMENT count, and AQE splits the residual
+    * skew. Every bigram occurrence is counted — including a document's own
+    * contribution to the model (self-inclusive, like rarityScore; at corpus
+    * scale one document's mass is noise). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // docs with < 2 tokens have no bigrams and drop out (Spark's
+      // sequence(1, 0) would count DOWN; DuckDB's generate_series is empty
+      // — the guard makes both engines agree by construction)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(1, size(tk) - 1)")).as("i"))
+      .select(col("doc_id"), expr("element_at(tk, i)").as("w1"),
+        expr("element_at(tk, CAST(i + 1 AS INT))").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bigramCounts = tf.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val contextCounts = bigramCounts.groupBy("w1").agg(sum("c2").as("c1"))
+    tf.join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .withColumn("bits",
+        (length(bin(expr("c1 div c2"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(expr("tf * bits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        expr("surprisal_bits div n_bigrams").as("mean_bits"))
+  }
+
   /** BM25-ranked keyword search: the top-k documents for a bag of query
     * terms — the retrieval surface over the corpus (c1 is the boolean
     * contains-filter; this is the RANKED form an eval-set miner or
@@ -916,6 +962,29 @@ object Text {
                      CAST(coalesce(bp_b, 0) AS BIGINT) AS bp_b,
                      CAST(abs(coalesce(bp_a, 0) - coalesce(bp_b, 0)) AS BIGINT) AS drift_bp
               FROM fa FULL OUTER JOIN fb ON fa.token = fb.token""")),
+
+    // bigram-surprisal LM quality score: the corpus bigram model and the
+    // per-doc conditional surprisal (whole bits, integer quotient) replayed
+    QueryDef("t26_bigram_surprisal",
+      (s, d) => bigramSurprisal(t(s, d, "documents")),
+      Some("""WITH base AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+              idx AS (SELECT doc_id, tk,
+                       unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                      FROM base),
+              bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM idx),
+              tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+                     FROM bg GROUP BY doc_id, w1, w2),
+              c2t AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+                      FROM tf GROUP BY w1, w2),
+              c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+                      FROM c2t GROUP BY w1),
+              scored AS (SELECT t.doc_id, t.tf,
+                       (CAST(length(printf('%b', c1 // c2)) AS BIGINT) - 1) AS bits
+                       FROM tf t JOIN c2t USING(w1, w2) JOIN c1t USING(w1))
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                     CAST(sum(tf * bits) AS BIGINT) AS surprisal_bits,
+                     CAST(sum(tf * bits) // sum(tf) AS BIGINT) AS mean_bits
+              FROM scored GROUP BY doc_id""")),
 
     // BM25 ranked keyword search (integer fixed-point; idf via bit length):
     // the retrieval surface — top-k docs for a term bag, fully replayed

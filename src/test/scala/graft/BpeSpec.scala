@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+import graft.queries.QueryDef
+
+/** BPE vocabulary induction, pinned the SpansSpec way: the full merge table
+  * must equal an INDEPENDENT in-JVM reference implementation (plain Scala
+  * collections, no Spark), plus the concatenation invariant, the kernel's
+  * greedy-leftmost semantics, the SQL-surface parity, and the classic
+  * non-increasing-pair-count property. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Reference BPE: word-frequency table in, merge list out. Same rules as
+    * the engine (positional pair counts incl. overlap, tie-break count
+    * desc / left asc / right asc, greedy-leftmost non-overlapping apply) —
+    * implemented independently over Scala collections. */
+  private def refBpe(wordCounts: Map[String, Long], nMerges: Int,
+                     minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    var syms: Map[String, Vector[String]] =
+      wordCounts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + wordCounts(w)
+      if (counts.isEmpty || counts.values.max < minPairCount) done = true
+      else {
+        val ((l, r), pc) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, pc))
+        syms = syms.map { case (w, s) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          w -> b.result()
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("differential: engine merge table equals the in-JVM reference at sf0.001") {
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    val wc = Bpe.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(wc, nMerges = 30, minPairCount = 2)
+    val got = Bpe.train(spark, docs, nMerges = 30).merges
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+    assert(got == want,
+      s"first divergence: ${got.zip(want).find { case (g, w) => g != w }}")
+    assert(got.size == 30, "corpus should support 30 merges")
+  }
+
+  test("hand fixture: merge order, early stop, pair counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ab abc")).toDF("doc_id", "text")
+    val m = Bpe.train(spark, docs, nMerges = 5, minPairCount = 1).merges
+      .map(x => (x.rank, x.left, x.right, x.pairCount))
+    assert(m == Seq((0, "a", "b", 4L), (1, "ab", "c", 1L)),
+      s"got $m")
+  }
+
+  test("pair counts are non-increasing across ranks (the classic BPE property)") {
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    val counts = Bpe.train(spark, docs, nMerges = 30).merges.map(_.pairCount)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"counts increased: $counts")
+  }
+
+  test("concatenation invariant: segments re-join to the word, never longer") {
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    val model = Bpe.train(spark, docs, nMerges = 25)
+    val words = Bpe.wordCounts(docs).select("word")
+    val seg = Bpe.segmentWords(words, model)
+      .select(col("word"), concat_ws("", col("syms")).as("joined"),
+        size(col("syms")).as("n"), length(col("word")).as("len"))
+      .collect()
+    assert(seg.nonEmpty)
+    for (r <- seg) {
+      assert(r.getString(1) == r.getString(0), s"broken word: ${r.getString(0)}")
+      assert(r.getInt(2) <= r.getInt(3))
+    }
+    // merges actually compress: some word segments into fewer symbols
+    assert(seg.exists(r => r.getInt(2) < r.getInt(3)))
+  }
+
+  test("kernel: greedy-leftmost non-overlapping runs, identity cases, SQL parity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),
+      (2L, Seq("a", "a", "a", "a")),
+      (3L, Seq("x")),
+      (4L, Seq.empty[String]),
+      (5L, Seq("b", "a", "a", "b"))
+    ).toDF("id", "syms")
+    val got = df.select(col("id"),
+      graft.functions.BpeMergePass(col("syms"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("aa", "a"))
+    assert(got(2L) == List("aa", "aa"))
+    assert(got(3L) == List("x"))
+    assert(got(4L) == Nil)
+    assert(got(5L) == List("b", "aa", "b"))
+
+    graft.functions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT bpe_merge_pass(array('a','a','a'), 'a', 'a') AS m")
+      .collect()(0).getSeq[String](0).toList
+    assert(sqlGot == List("aa", "a"))
+    // non-literal merge symbol is rejected loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_merge_pass(array('a'), lower('A'), 'a')").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("t25 staged entry: deterministic across calls, DuckDB replays round-1 counts") {
+    val q = SparkEntry.queries("t25_bpe_merges")
+    // parquet read-back order is arbitrary — rank is the order column
+    val first = q(spark, sfDir).orderBy("rank").collect().map(_.toSeq).toSeq
+    val second = q(spark, sfDir).orderBy("rank").collect().map(_.toSeq).toSeq // staged skip
+    assert(first == second && first.size == 40)
+    // independent engine check of the FIRST merge: DuckDB computes round-1
+    // adjacent-pair counts over the char-split word-frequency table; the
+    // top pair (count desc, left, right) must equal merge rank 0
+    val (r0l, r0r, r0c) = first.head match {
+      case Seq(_, l: String, r: String, c: Long) => (l, r, c)
+    }
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sfDir/documents.parquet')")
+      val rs = c.createStatement().executeQuery(
+        """WITH wc AS (
+             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+               SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE length(word) > 0 GROUP BY word),
+           pairs AS (
+             SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+                    CAST(sum(cnt) AS BIGINT) AS pc
+             FROM (SELECT word, cnt,
+                          unnest(generate_series(1, greatest(length(word) - 1, 0))) AS i
+                   FROM wc)
+             GROUP BY 1, 2)
+           SELECT l, r, pc FROM pairs ORDER BY pc DESC, l, r LIMIT 1""")
+      assert(rs.next())
+      assert((rs.getString(1), rs.getString(2), rs.getLong(3)) == (r0l, r0r, r0c))
+    }
+  }
+}

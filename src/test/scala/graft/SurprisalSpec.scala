@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Text
+
+/** Bigram-surprisal scoring: hand-computed model + scores, sub-bigram doc
+  * exclusion, and the t26 driver oracle replayed in DuckDB. */
+class SurprisalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("hand-computed fixture: counts, integer bit surprisal, means") {
+    import spark.implicits._
+    // doc 1 "a b a b": bigrams ab×2, ba×1. doc 2 "a c": ac×1.
+    // model: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1; c1(a)=3 c1(b)=1
+    // bits: ab → 3 div 2 = 1 → 0; ba → 1 div 1 = 1 → 0; ac → 3 div 1 = 3 → 1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Text.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> (3L, 0L, 0L), 2L -> (1L, 1L, 1L)),
+      s"got $got")
+    assert(!got.contains(3L), "a 1-token doc has no bigrams and drops out")
+  }
+
+  test("rare transitions score higher than corpus-dominant ones") {
+    import spark.implicits._
+    // "x y" appears 8×, "x z" once → c1(x)=9, bits(xy)=floor(log2(9/8))=0,
+    // bits(xz)=floor(log2(9/1))=3
+    val docs = ((1L to 8L).map(i => (i, "x y")) :+ (9L, "x z"))
+      .toDF("doc_id", "text")
+    val got = Text.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 0L && got(9L) == 3L)
+  }
+
+  test("t26 driver oracle replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sfDir/documents.parquet')")
+      val df = SparkEntry.queries("t26_bigram_surprisal")(spark, sfDir)
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("t26_bigram_surprisal"), "t26_bigram_surprisal")
+    }
+  }
+}
