@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.QueryDef
+
+/** Physical-plan pins for the round-5 additions — the shapes the scale
+  * claims rest on, asserted so a refactor cannot silently regress them. */
+class NewOpsPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("t24 BM25: top-k is a TakeOrdered, df re-joins via broadcast, no corpus sort") {
+    val p = plan("t24_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is not a TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/totals must ride broadcasts")
+    // the only Sort allowed is none at all: TakeOrdered subsumes the ranking
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ") ||
+      l.trim.startsWith("+- Sort ")), s"unexpected global sort:\n$p")
+  }
+
+  test("s7 SemDeDup: seed argmax partial-aggregates map-side; seeds ride a broadcast") {
+    val p = plan("s7_semdedup_pairs")
+    assert(p.contains("partial_max"),
+      s"cluster argmax is not map-side combinable:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"seed scoring must broadcast the seeds, never shuffle the corpus:\n$p")
+  }
+
+  test("t23 Bloom: the membership probe is a broadcast hash join on pos") {
+    val p = plan("t23_bloom_contaminated")
+    val probeJoins = p.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).filter(_.contains("pos"))
+    assert(probeJoins.nonEmpty,
+      s"bit-set membership must be a broadcast join (train never shuffles):\n$p")
+  }
+
+  test("p6 z-value: a narrow map — no Exchange anywhere in the plan") {
+    val p = plan("p6_zvalue")
+    assert(!p.contains("Exchange"), s"z computation must not shuffle:\n$p")
+  }
+
+  test("t26 surprisal: bigram tf partial-aggregates before the model joins") {
+    val p = plan("t26_bigram_surprisal")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc bigram tf must partial-aggregate map-side:\n$p")
+  }
+}
