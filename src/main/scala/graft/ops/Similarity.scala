@@ -1200,6 +1200,15 @@ object Similarity {
     QueryDef("s8_semdedup_resolve",
       (s, d) => semanticDedup(t(s, d, "embeddings"),
         nSeeds = 8, minCos = 0.3),
-      Some(semanticResolveOracleSql(nSeeds = 8, minCos = 0.3)))
+      Some(semanticResolveOracleSql(nSeeds = 8, minCos = 0.3))),
+
+    // the production SemDeDup form: within-cell pairs over the SAME staged
+    // train-once IVF index s3/s4 serve from (rows-only for the driver —
+    // trained codebook, the s3 reasoning; SemDedupSpec pins the semantics
+    // against a per-cell brute force and the cid-partitioned input needs
+    // no assignment pass here at all)
+    QueryDef("s9_semdedup_ivf",
+      (s, d) => semanticDupPairsIvf(stagedIvf(s, d), minCos = 0.3),
+      None)
   )
 }

@@ -112,6 +112,17 @@ class SemDedupSpec extends AnyFunSuite {
       "degenerate test: nothing was deduped at 0.3")
   }
 
+  test("s9 served entry: deterministic across calls, pairs live within one cell") {
+    val q = SparkEntry.queries("s9_semdedup_ivf")
+    def rows() = q(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val first = rows()
+    assert(first == rows(), "staged-index pairs must be call-deterministic")
+    assert(first.nonEmpty, "degenerate: no semantic pairs at 0.3 on the staged index")
+    assert(first.forall { case (_, a, b, _) => a < b })
+  }
+
   test("nSeeds < 1 is rejected loudly") {
     val emb = QueryDef.t(spark, sfDir, "embeddings")
     val e = intercept[IllegalArgumentException] {
