@@ -95,6 +95,14 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Inverse of [[mergesDf]]: rehydrate a Model from its staged table — the
+    * bounded collect is the merge table itself (vocab-budget-sized, ≤ a few
+    * 10⁴ rows for any real tokenizer), never corpus data. */
+  def modelOf(merges: DataFrame): Model =
+    Model(merges.select("rank", "left", "right", "pair_count").collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq)
+
   /** Apply a trained model: segment the `word` column into subword symbols
     * (`syms`) by replaying the merges in rank order — |merges| chained
     * kernel passes, each a narrow map (checkpointed every
@@ -139,6 +147,21 @@ object Bpe {
     // round-1 pair count. Train-once staged, like the ANN indexes.
     QueryDef("t25_bpe_merges",
       (s, d) => stagedMerges(s, d, nMerges = 40),
+      None),
+
+    // apply the staged merges: segment the corpus VOCABULARY (tokenization
+    // is per-word, so encoding the vocab once IS encoding the corpus — the
+    // wordCounts collapse from training applies to inference too; a doc's
+    // token stream is a broadcast word→syms join away). Rows-only for the
+    // driver (the merge replay is iterative); BpeSpec pins every row
+    // against an independent in-JVM rank-order encoder.
+    QueryDef("t27_bpe_encode",
+      (s, d) => {
+        val model = modelOf(stagedMerges(s, d, nMerges = 40))
+        segmentWords(wordCounts(t(s, d, "documents")).select("word"), model)
+          .select(col("word"), col("syms"),
+            size(col("syms")).cast("long").as("n_syms"))
+      },
       None)
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
 import graft.queries.QueryDef.t
@@ -99,8 +99,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, minEstBp: Long = 3000): DataFrame =
     lshPairsOf(minhashSignatures(docs), minEstBp)
 
-  private def lshPairsOf(signatures: DataFrame, minEstBp: Long): DataFrame = {
+  /** (doc_id, band, bucket) rows of a signature table — the ids-only side
+    * of every LSH bucket join. The band key is the slot values themselves
+    * (a short string), no second hash, so banding is engine-portable. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
     val rowsPerBand = MinhashPerms / Bands
+    sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  private def lshPairsOf(signatures: DataFrame, minEstBp: Long): DataFrame = {
     // the signature table feeds the DAG three times (banded explode + the
     // two per-side re-joins) — without a persist the ShingleHashes+MinHash
     // kernels (the expensive part: one md5 per sampled shingle) would run
@@ -114,10 +124,7 @@ object Dedup {
     // 64-slot signatures re-join by doc_id AFTER the candidate pairs are
     // deduped (pairs ≪ banded rows, and each sig crosses the wire once per
     // surviving pair instead of riding all 16 band rows)
-    val banded = sigs.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${Bands - 1}), b -> concat_ws(',', slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandRows(sigs)
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
@@ -130,6 +137,43 @@ object Dedup {
         expr(s"aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
           .as("matching"))
       .select(col("a"), col("b"),
+        floor(lit(10000.0) * col("matching") / lit(MinhashPerms.toDouble)).cast("long").as("est_jaccard_bp"))
+      .filter(col("est_jaccard_bp") >= minEstBp)
+  }
+
+  /** Incremental dedup: near-dup matches of an incoming BATCH against a
+    * staged corpus signature INDEX — the append-only production shape.
+    * At 100 TB the corpus is never re-shingled when a new slice arrives:
+    * its signatures were computed once ([[minhashSignatures]], staged via
+    * TableIO.stage keyed on the corpus content fingerprint) and only the
+    * batch pays kernel work here. Banding, bucket-join and scoring are the
+    * [[minhashLshPairs]] machinery with the two sides split: candidates
+    * carry ids only, batch signatures are pinned (they feed banding + the
+    * score re-join), corpus signatures stay UNPINNED on purpose — they are
+    * a staged parquet scanned twice (banding reads every row once; the
+    * score join touches only candidate ids), and at index ≫ batch sizes a
+    * persist would cost more memory than the second columnar scan.
+    *
+    * Returns (batch_id, corpus_id, est_jaccard_bp) — one row per match at
+    * or above `minEstBp`; batch docs with no row are novel vs the corpus.
+    * Caller contract: batch and corpus doc_id spaces are disjoint (an
+    * overlapping id would self-match trivially). Within-batch dups are a
+    * separate [[minhashLshPairs]] over the batch alone. */
+  def dedupAgainstIndex(corpusSigs: DataFrame, batchDocs: DataFrame,
+                        minEstBp: Long = 3000): DataFrame = {
+    val bSigs = ManagedCache.pin(minhashSignatures(batchDocs))
+    val cand = bandRows(bSigs).alias("x")
+      .join(bandRows(corpusSigs).alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(bSigs.select(col("doc_id").as("batch_id"), col("sig").as("sa")), "batch_id")
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"), col("sig").as("sb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        expr(s"aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
+          .as("matching"))
+      .select(col("batch_id"), col("corpus_id"),
         floor(lit(10000.0) * col("matching") / lit(MinhashPerms.toDouble)).cast("long").as("est_jaccard_bp"))
       .filter(col("est_jaccard_bp") >= minEstBp)
   }
@@ -310,6 +354,33 @@ object Dedup {
     s"""WITH ${minhashPairsCtes(minEstBp, "documents")}
         SELECT a, b, est_jaccard_bp FROM mh_pairs"""
 
+  /** [[dedupAgainstIndex]] replayed in DuckDB: the same pair CTEs over the
+    * whole documents table, restricted to cross-split pairs and reoriented
+    * (batch = doc_id % 10 = 0, the d6 split). A batch/corpus pair collides
+    * in some band iff it collides in the union banding, so filtering the
+    * union pairs IS the two-sided join — same set, same scores. */
+  private def incrementalOracleSql(minEstBp: Long): String =
+    s"""WITH ${minhashPairsCtes(minEstBp, "documents")}
+        SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS batch_id,
+               CASE WHEN a % 10 = 0 THEN b ELSE a END AS corpus_id,
+               est_jaccard_bp
+        FROM mh_pairs
+        WHERE (a % 10 = 0) <> (b % 10 = 0)"""
+
+  /** Train-once staging for the d6 corpus signature index (the ivfIndex /
+    * stagedMerges discipline): signatures persist behind the manifest
+    * checkpoint keyed on the corpus CONTENT fingerprint, so later
+    * calls/runs skip straight to the staged parquet. */
+  private def stagedSigIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.store.TableIO
+    val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+      sys.props("java.io.tmpdir") + "/graft-stages") + s"/mhsig_$safe"
+    val fp = s"${TableIO.fingerprintOf(corpus.select(col("doc_id"), col("text")))};mhsig;v1"
+    TableIO.stage(s, dir, fp) { minhashSignatures(corpus) }._1
+  }
+
   /** [[resolveNearDups]] over the d2 MinHash pairs, replayed end-to-end:
     * the same pair CTEs, then components via a recursive reachability
     * closure (dup groups are tiny, so the closure is cheap in the oracle;
@@ -371,6 +442,13 @@ object Dedup {
     QueryDef("d5_neardup_resolve",
       (s, d) => resolveNearDups(t(s, d, "documents"),
         minhashLshPairs(t(s, d, "documents"), minEstBp = 1500)),
-      Some(resolveOracleSql(minEstBp = 1500)))
+      Some(resolveOracleSql(minEstBp = 1500))),
+
+    // incremental dedup: batch (doc_id % 10 = 0) vs the staged signature
+    // index of the rest — only the batch pays kernel work per call
+    QueryDef("d6_dedup_incremental",
+      (s, d) => dedupAgainstIndex(stagedSigIndex(s, d),
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0), minEstBp = 1500),
+      Some(incrementalOracleSql(minEstBp = 1500)))
   )
 }

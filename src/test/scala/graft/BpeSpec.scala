@@ -124,6 +124,42 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"))
   }
 
+  /** Reference encoder: replay a merge list in rank order with
+    * greedy-leftmost non-overlapping passes — independent of the engine's
+    * BpeMergePass kernel. */
+  private def refSegment(word: String,
+                         merges: Seq[(String, String)]): Vector[String] = {
+    var s = word.map(_.toString).toVector
+    for ((l, r) <- merges) {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+        else { b += s(i); i += 1 }
+      }
+      s = b.result()
+    }
+    s
+  }
+
+  test("t27 served entry equals the independent encoder over the full vocab") {
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    val wc = Bpe.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference merges (already proven == engine merges by the differential
+    // test above) drive the reference encoder — end-to-end independence
+    val merges = refBpe(wc, nMerges = 40, minPairCount = 2)
+      .map { case (_, l, r, _) => (l, r) }
+    val got = SparkEntry.queries("t27_bpe_encode")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList, r.getLong(2)))
+    assert(got.map(_._1).toSet == wc.keySet, "vocab coverage mismatch")
+    for ((w, syms, n) <- got) {
+      val want = refSegment(w, merges).toList
+      assert(syms == want, s"word '$w': engine $syms != reference $want")
+      assert(n == syms.length.toLong)
+    }
+  }
+
   test("t25 staged entry: deterministic across calls, DuckDB replays round-1 counts") {
     val q = SparkEntry.queries("t25_bpe_merges")
     // parquet read-back order is arbitrary — rank is the order column

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.queries.QueryDef
+
+/** Incremental dedup (d6): an incoming batch matched against a STAGED
+  * corpus signature index must produce exactly the cross-split subset of
+  * the whole-corpus LSH pairs — the two-sided bucket join is semantically
+  * the union banding restricted to (batch, corpus) pairs. The d6 driver
+  * oracle replays this in DuckDB; here the engine is checked against its
+  * own one-sided machinery plus the served entry's staging behavior. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = QueryDef.t(spark, sfDir, "documents")
+
+  test("differential: dedupAgainstIndex equals cross-split whole-corpus pairs") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val got = Dedup.dedupAgainstIndex(
+        Dedup.minhashSignatures(corpus), batch, minEstBp = 1500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.minhashLshPairs(docs, minEstBp = 1500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, e) => if (a % 10 == 0) (a, b, e) else (b, a, e) }
+      .toSet
+    assert(got == want,
+      s"asymmetric diff: got-want=${(got -- want).take(3)} want-got=${(want -- got).take(3)}")
+    assert(want.nonEmpty, "degenerate test: no cross-split near-dup pairs at 1500bp")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
+  test("batch docs never match each other; ids come from the right sides") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val rows = Dedup.dedupAgainstIndex(
+        Dedup.minhashSignatures(corpus), batch, minEstBp = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (b, c) => b % 10 == 0 && c % 10 != 0 },
+      "a pair crossed sides: batch_id must be % 10 == 0, corpus_id must not")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
+  test("d6 served entry: deterministic across calls (staged index reused)") {
+    val q = SparkEntry.queries("d6_dedup_incremental")
+    def run() = {
+      val r = q(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.ops.ManagedCache.releaseAll(spark)
+      r
+    }
+    val first = run()
+    assert(first == run(), "staged-index matches must be call-deterministic")
+    assert(first.nonEmpty, "degenerate: no incremental matches at 1500bp")
+  }
+}

@@ -135,6 +135,13 @@ class PlanSpec extends AnyFunSuite {
     assertIdsOnlyBucketShuffle("d2_minhash_lsh", "sig#", minExchanges = 1)
   }
 
+  test("incremental dedup ships ids only through the bucket shuffle (both sides)") {
+    // d6's batch-vs-index bucket join: neither the batch nor the staged
+    // corpus side may carry the 64-slot signatures through the (band,
+    // bucket) exchange — signatures re-attach per surviving candidate
+    assertIdsOnlyBucketShuffle("d6_dedup_incremental", "sig#", minExchanges = 2)
+  }
+
   test("batched LSH search ships ids only through the bucket shuffle (both sides)") {
     // s5's query-vs-corpus bucket join: neither side's exchange may carry
     // the embedding payload — vectors re-attach per surviving candidate
