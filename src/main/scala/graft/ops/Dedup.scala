@@ -119,7 +119,16 @@ object Dedup {
     // safe at any scale. Pinned via ManagedCache: disk-backed blocks are
     // not LRU-evicted, so callers release after their action
     // (ManagedCache.releaseAll — Verify/Bench do per query)
-    val sigs = ManagedCache.pin(signatures)
+    lshPairsOfSigs(ManagedCache.pin(signatures), minEstBp)
+  }
+
+  /** [[lshPairsOf]] over an ALREADY-PINNED signature table — for callers
+    * that own the pin's lifecycle themselves (streaming ingestion pins one
+    * signature table per micro-batch, feeds it to BOTH the within-batch
+    * pair join and the against-index match, and releases it in its own
+    * finally — a second pin here would leave an orphan registry entry no
+    * single release could clear). */
+  private[graft] def lshPairsOfSigs(sigs: DataFrame, minEstBp: Long): DataFrame = {
     // the hot (band, bucket) join carries ONLY (doc_id) per side — the
     // 64-slot signatures re-join by doc_id AFTER the candidate pairs are
     // deduped (pairs ≪ banded rows, and each sig crosses the wire once per
@@ -160,8 +169,17 @@ object Dedup {
     * overlapping id would self-match trivially). Within-batch dups are a
     * separate [[minhashLshPairs]] over the batch alone. */
   def dedupAgainstIndex(corpusSigs: DataFrame, batchDocs: DataFrame,
-                        minEstBp: Long = 3000): DataFrame = {
-    val bSigs = ManagedCache.pin(minhashSignatures(batchDocs))
+                        minEstBp: Long = 3000): DataFrame =
+    matchSigsAgainstIndex(corpusSigs, ManagedCache.pin(minhashSignatures(batchDocs)),
+      minEstBp)
+
+  /** [[dedupAgainstIndex]] with the batch signatures ALREADY computed and
+    * pinned by the caller — the streaming-ingestion shape, where one pinned
+    * signature table per micro-batch feeds both this match and the
+    * within-batch [[lshPairsOfSigs]] join and is released in the caller's
+    * finally. */
+  private[graft] def matchSigsAgainstIndex(corpusSigs: DataFrame, bSigs: DataFrame,
+                                           minEstBp: Long): DataFrame = {
     val cand = bandRows(bSigs).alias("x")
       .join(bandRows(corpusSigs).alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))

@@ -379,4 +379,115 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
   }
+
+  // ---- continuous corpus ingestion against a growing signature index ----
+
+  /** Signatures of every COMPLETED ingest batch (explicit `ingest_batch=*`
+    * subdir paths — no partition inference, and the current batch's own
+    * subdir is excluded so a REPLAY of batch `batchId` sees exactly the
+    * prior state it saw the first time instead of matching itself). */
+  private def priorIndexSigs(spark: SparkSession, indexDir: String,
+                             batchId: Long): Option[DataFrame] = {
+    val parts = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch=")
+        && f.getName != s"ingest_batch=$batchId")
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts.map(_.getAbsolutePath): _*)
+      .select(col("doc_id"), col("sig")))
+  }
+
+  /** One micro-batch of continuous corpus ingestion — the testable body of
+    * [[ingestStream]]. Accepts the batch's docs (`doc_id`, `text`, any
+    * extra columns ride along), drops what the LIVE corpus already holds,
+    * and appends the rest:
+    *
+    *  1. within-batch doc_id collisions keep one deterministic row
+    *     (ordered by the remaining columns — not first-seen, which would
+    *     depend on partitioning);
+    *  2. ids already ingested are dropped (exact replay/duplicate guard —
+    *     an anti-join against the index's id column);
+    *  3. near-dups OF THE INDEX are dropped (`Dedup.matchSigsAgainstIndex`
+    *     — the d6 machinery: ids-only banded bucket join, only the batch
+    *     pays shingle/signature kernel work);
+    *  4. near-dups WITHIN the remainder resolve to the min-id survivor per
+    *     connected dup group (`Dedup.dedupNearDups` over
+    *     `lshPairsOfSigs`, both endpoints restricted to the remainder —
+    *     index-matched docs are decided by step 3, not by group pullback);
+    *  5. the survivors land in `corpusDir/ingest_batch=<id>` and their
+    *     signatures in `indexDir/ingest_batch=<id>` — so the NEXT batch
+    *     dedups against them too.
+    *
+    * Exactly-once story: foreachBatch is at-least-once, and this body is
+    * REPLAY-IDEMPOTENT — the novel set is a pure function of (batch
+    * content, prior index state), the prior read excludes the batch's own
+    * subdir, and both writes are batch-scoped overwrites, so a replay
+    * rewrites byte-identical dirs. Both outputs are localCheckpoint'ed
+    * before either write: the write plans must not re-read `indexDir`
+    * mid-overwrite, and both dirs must commit the SAME survivor set.
+    *
+    * Scale shape: per-batch kernel work is O(batch); the index contributes
+    * one ids-only banded scan per batch (never re-shingled); writes are
+    * O(survivors). Docs too short to shingle (< 3 tokens) carry no
+    * signature: they ingest (novel by construction) but only the exact-id
+    * guard ever dedups them. Small-file buildup across many batches is a
+    * compaction event (read corpus → rewrite k files), not a per-batch
+    * cost. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                  corpusDir: String, indexDir: String,
+                  minEstBp: Long = 3000): Unit = {
+    import graft.ops.{Dedup, ManagedCache}
+    val others = batch.columns.filterNot(_ == "doc_id").toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(others.map(col): _*)
+    val one = batch.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val prior = priorIndexSigs(spark, indexDir, batchId)
+    val fresh = prior.fold(one)(p =>
+      one.join(p.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val bSigs = ManagedCache.pin(
+      Dedup.minhashSignatures(fresh.select(col("doc_id"), col("text"))))
+    try {
+      val matched = prior.fold(fresh.select("doc_id").limit(0))(p =>
+        Dedup.matchSigsAgainstIndex(p, bSigs, minEstBp)
+          .select(col("batch_id").as("doc_id")).distinct())
+      val remaining = fresh.join(matched, Seq("doc_id"), "left_anti")
+      val remIds = remaining.select("doc_id")
+      val pairs = Dedup.lshPairsOfSigs(bSigs, minEstBp)
+        .join(remIds.select(col("doc_id").as("a")), "a")
+        .join(remIds.select(col("doc_id").as("b")), "b")
+      val novel = Dedup.dedupNearDups(remaining, pairs).localCheckpoint(true)
+      val novelSigs = bSigs
+        .join(novel.select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("sig")).localCheckpoint(true)
+      novel.write.mode("overwrite")
+        .parquet(s"$corpusDir/ingest_batch=$batchId")
+      novelSigs.write.mode("overwrite")
+        .parquet(s"$indexDir/ingest_batch=$batchId")
+    } finally ManagedCache.release(spark, bSigs)
+  }
+
+  /** Continuous corpus ingestion: a document stream → [[ingestBatch]] per
+    * micro-batch — the always-on form of the batch curation pipeline's
+    * dedup stages, where the corpus and its MinHash signature index GROW
+    * together and every batch is deduplicated against everything accepted
+    * before it (exact id + near-dup, cross-batch and within-batch). The
+    * index dir doubles as the d6 `dedupAgainstIndex` input for any offline
+    * consumer. */
+  def ingestStream(docs: Dataset[StreamDoc], corpusDir: String,
+                   indexDir: String, checkpointDir: String,
+                   minEstBp: Long = 3000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestBatch(b.sparkSession, b.toDF(), id, corpusDir, indexDir, minEstBp)
+      }
+      .start()
+
+  /** The live ingested corpus (partition-inferred `ingest_batch` lineage
+    * column included). */
+  def ingestedCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.option("basePath", corpusDir).parquet(corpusDir)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{StreamDoc, StreamPipeline}
+
+/** Continuous corpus ingestion ([[StreamPipeline.ingestStream]] /
+  * [[StreamPipeline.ingestBatch]]): every micro-batch dedups against the
+  * GROWING signature index — exact id, near-dup vs everything accepted
+  * before it, near-dup within the batch — and appends only survivors.
+  * Replay idempotence is the foreachBatch at-least-once contract. */
+class IngestStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  // seeded-random token streams (the OpsSpec discipline: high shingle
+  // entropy so 1-in-4 hash sampling keeps plenty of shingles per doc)
+  private val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+  private def mkText(seed: Int): String = {
+    val r = new scala.util.Random(seed)
+    (0 until 120).map(_ => words(r.nextInt(words.length))).mkString(" ")
+  }
+  // near-dup variant: same stream, one token appended — Jaccard stays ≫
+  // the 0.3 default threshold
+  private def variant(base: String, tag: String): String = base + " " + tag
+
+  private def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+
+  private def corpusIds(dir: String): Set[Long] =
+    StreamPipeline.ingestedCorpus(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("ingestStream: exact, cross-batch and within-batch dedup against the growing index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ingest-stream").toString
+    val (corpusDir, indexDir, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    val (a, b, d) = (mkText(1), mkText(2), mkText(4))
+
+    val input = MemoryStream[StreamDoc]
+    val q = StreamPipeline.ingestStream(input.toDS(), corpusDir, indexDir, ckpt)
+    try {
+      // batch 0: 3 ≈ 1 within the batch → min-id survivor 1; 2 unique
+      input.addData(StreamDoc(ts(1), 1L, a), StreamDoc(ts(2), 2L, b),
+        StreamDoc(ts(3), 3L, variant(a, "x")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) == Set(1L, 2L))
+
+      // batch 1: 4 ≈ index doc 1 → dropped; 5 novel; id 1 re-sent → exact
+      // guard; 6 ≈ 5 within the batch → survivor 5
+      input.addData(StreamDoc(ts(4), 4L, variant(a, "y")), StreamDoc(ts(5), 5L, d),
+        StreamDoc(ts(6), 1L, a), StreamDoc(ts(7), 6L, variant(d, "z")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(corpusIds(corpusDir) == Set(1L, 2L, 5L))
+    // the index grew in lockstep: one signature per accepted doc
+    val idxIds = spark.read.parquet(s"$indexDir/ingest_batch=0", s"$indexDir/ingest_batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 2L, 5L))
+    // text rides along into the corpus
+    val kept5 = StreamPipeline.ingestedCorpus(spark, corpusDir)
+      .filter(col("doc_id") === 5L).select("text").head().getString(0)
+    assert(kept5 == d)
+    // release discipline: ingestBatch owns its pin
+    assert(graft.ops.ManagedCache.pinnedCount(spark) == 0)
+  }
+
+  test("ingestBatch: replaying a committed batch rewrites identical state (at-least-once safety)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest-replay").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val (a, b, d) = (mkText(11), mkText(12), mkText(14))
+    val b0 = Seq((ts(1), 1L, a), (ts(2), 2L, b)).toDF("ts", "doc_id", "text")
+    val b1 = Seq((ts(3), 3L, variant(a, "q")), (ts(4), 5L, d))
+      .toDF("ts", "doc_id", "text")
+
+    StreamPipeline.ingestBatch(spark, b0, 0L, corpusDir, indexDir)
+    StreamPipeline.ingestBatch(spark, b1, 1L, corpusDir, indexDir)
+    def snapshot(): (Set[String], Set[String]) = (
+      StreamPipeline.ingestedCorpus(spark, corpusDir)
+        .select("doc_id", "text", "ingest_batch")
+        .collect().map(_.toString).toSet,
+      spark.read.option("basePath", indexDir).parquet(indexDir)
+        .select(col("doc_id"), col("sig").cast("string"), col("ingest_batch"))
+        .collect().map(_.toString).toSet)
+    val before = snapshot()
+    assert(corpusIds(corpusDir) == Set(1L, 2L, 5L)) // 3 matched the index
+
+    // the crash-before-checkpoint-commit replay: same batch, same id
+    StreamPipeline.ingestBatch(spark, b1, 1L, corpusDir, indexDir)
+    assert(snapshot() == before)
+
+    // short docs (< 3 tokens → no signature) still ingest, and the exact-id
+    // guard still dedups a resend of them
+    val b2 = Seq((ts(5), 7L, "too short"), (ts(6), 2L, b)).toDF("ts", "doc_id", "text")
+    StreamPipeline.ingestBatch(spark, b2, 2L, corpusDir, indexDir)
+    assert(corpusIds(corpusDir) == Set(1L, 2L, 5L, 7L))
+    val b3 = Seq((ts(7), 7L, "too short")).toDF("ts", "doc_id", "text")
+    StreamPipeline.ingestBatch(spark, b3, 3L, corpusDir, indexDir)
+    assert(corpusIds(corpusDir) == Set(1L, 2L, 5L, 7L))
+  }
+
+  test("ingestBatch: within-batch doc_id collision keeps one deterministic row") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest-collide").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val (x, y) = (mkText(21), mkText(22))
+    // same id twice with different payloads: the min-(ts, text) row wins,
+    // independent of arrival order / partitioning
+    val batch = Seq((ts(9), 9L, y), (ts(8), 9L, x)).toDF("ts", "doc_id", "text")
+      .repartition(4)
+    StreamPipeline.ingestBatch(spark, batch, 0L, corpusDir, indexDir)
+    val rows = StreamPipeline.ingestedCorpus(spark, corpusDir)
+      .select("doc_id", "text").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9L && rows(0).getString(1) == x)
+  }
+}
