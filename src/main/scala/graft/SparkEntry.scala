@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ops.Layout.defs ++
       graft.ops.Sketch.defs ++
       graft.ops.Spans.defs ++
+      graft.ops.Temporal.defs ++
       graft.ops.Curate.defs ++
       graft.ops.Multimodal.defs ++
       graft.kg.KgQueries.defs

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Temporal joins Spark's built-in operators don't express directly:
+  * point-in-time (as-of) joins and interval (range) joins.
+  *
+  *  - [[asOfJoin]]: for every left row, the single most recent right row
+  *    at-or-before its timestamp per key (or the earliest at-or-after with
+  *    `forward = true`). Spark has no ASOF JOIN; the naive encoding —
+  *    non-equi join + per-left-row argmax — materializes every (left,
+  *    right-before-it) pair first, quadratic per key. This one is a UNION
+  *    + one window scan: ONE shuffle on the key columns, zero
+  *    intermediate pairs, O(n log n) in the partition sort — the shape a
+  *    1000-executor run needs (the union keeps both inputs on the same
+  *    exchange, so the window's sort is the only per-key work).
+  *  - [[rangeJoin]]: points-in-intervals with NO equi key, via time
+  *    bucketing: each interval explodes into the fixed-width buckets it
+  *    overlaps, each point computes its one bucket, and the match becomes
+  *    an ordinary shuffle hash equi-join on bucket + a residual BETWEEN —
+  *    never the BroadcastNestedLoop/Cartesian plan Spark picks for a bare
+  *    inequality join. Each qualifying (interval, point) pair is produced
+  *    EXACTLY once (a point lives in exactly one bucket), so no distinct
+  *    pass is needed.
+  *
+  * Both stay on integer/orderable columns end-to-end — timestamps enter as
+  * `unix_micros` longs (the repo-wide integer-time discipline, see
+  * w2_sessionize), so the f10/f11 DuckDB oracles (ASOF LEFT JOIN / BETWEEN
+  * join) replay them exactly.
+  */
+object Temporal {
+
+  /** Point-in-time join. For each `left` row: the latest `right` row with
+    * `right.tsCol <= left.tsCol` on the same `keys` (inclusive; with
+    * `forward = true`, the earliest with `right.tsCol >= left.tsCol`).
+    * Left rows with no match keep nulls (LEFT OUTER semantics). Output =
+    * every left column, plus every right column that is neither a key nor
+    * `rightTs` (the matched timestamp itself rides along only if the
+    * caller duplicates it into a value column — `rightTs` is consumed by
+    * the ordering).
+    *
+    * Determinism: if several right rows share (keys, ts), the max (min
+    * when `forward`) of the remaining-columns struct wins — stable under
+    * any partitioning, but callers should treat (keys, rightTs) uniqueness
+    * as the real contract (pre-aggregate, as f10 does).
+    *
+    * Scale: one Exchange on `keys` (TemporalSpec pins exactly one), then a
+    * per-key sort feeding a single running-`last` frame — no pair blowup,
+    * no driver state. `keys` must be non-empty: a keyless as-of is a
+    * single-partition window; callers accepting that cost can pass an
+    * explicit constant key. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty,
+      "asOfJoin: keys must be non-empty (a keyless as-of is one partition; " +
+        "pass an explicit constant key to accept that)")
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    require(rightVals.nonEmpty, "asOfJoin: right has no value columns beyond keys + ts")
+    val collide = rightVals.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty,
+      s"asOfJoin: right value columns collide with left: ${collide.mkString(", ")}")
+
+    val reserved = Set("__ts", "__side", "__rv", "__m").intersect(left.columns.toSet)
+    require(reserved.isEmpty,
+      s"asOfJoin: left uses reserved column names: ${reserved.mkString(", ")}")
+
+    val rvType = right.select(rightVals.map(col): _*).schema
+    // right rows sort BEFORE left at equal ts for backward (inclusive <=),
+    // AFTER for forward (inclusive >=) — the side tag encodes that
+    val lu = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val ru = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")
+        :+ struct(rightVals.map(col): _*).as("__rv")): _*)
+      .withColumn("__side", lit(0))
+    val ruAligned = left.schema.fields.filterNot(f => keys.contains(f.name))
+      .foldLeft(ru)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(lu.columns.map(col): _*)
+
+    val ord: Seq[Column] =
+      if (forward) Seq(col("__ts").asc, col("__side").desc, col("__rv").asc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__rv").asc)
+    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val (frame, pick) =
+      if (forward)
+        (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__rv"), ignoreNulls = true))
+      else
+        (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__rv"), ignoreNulls = true))
+
+    lu.unionByName(ruAligned)
+      .withColumn("__m", pick.over(frame))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(v => col("__m").getField(v).as(v)): _*)
+  }
+
+  /** Interval join: every (interval, point) pair with
+    * `loCol <= points.ptCol <= hiCol`, no equi key required. `ptCol`,
+    * `loCol`, `hiCol` are LONGs (unix_micros — or any integer axis).
+    * Output = every interval column followed by every point column
+    * (names must not collide — alias first).
+    *
+    * `bucket` is the banding width: size it to the MAX interval length so
+    * each interval explodes into ≤ 2 bucket rows. An interval spanning
+    * more than `maxBuckets` buckets fails LOUDLY at execution (a silent
+    * drop would under-join; a silent explode is the skew hazard this
+    * operator exists to avoid). Degenerate intervals (hi < lo) match
+    * nothing and are filtered. Integer division truncates toward zero in
+    * both engines, and both sides derive buckets from the same division,
+    * so bucket agreement holds on any axis sign. */
+  def rangeJoin(points: DataFrame, ptCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucket: Long, maxBuckets: Int = 1024): DataFrame = {
+    require(bucket > 0, s"rangeJoin: bucket must be positive, got $bucket")
+    val collide = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(collide.isEmpty,
+      s"rangeJoin: interval/point column names collide: ${collide.mkString(", ")}")
+    // `div` (integer division), not Column./ (Divide, DOUBLE on longs) —
+    // only reachable via expr; column names must be plain identifiers here
+    val bLo = expr(s"$loCol div $bucket")
+    val bHi = expr(s"$hiCol div $bucket")
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bhi",
+        when(bHi - bLo < lit(maxBuckets.toLong), bHi)
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval spans >= $maxBuckets buckets of width $bucket: ["),
+            col(loCol), lit(", "), col(hiCol),
+            lit("] - widen `bucket` (size it to the max interval length)")))))
+      .withColumn("__b", explode(sequence(bLo, col("__bhi"))))
+      .drop("__bhi")
+    val pts = points.withColumn("__b", expr(s"$ptCol div $bucket"))
+    iv.alias("i")
+      .join(pts.alias("p"),
+        col("i.__b") === col("p.__b") &&
+          col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .select(intervals.columns.map(c => col(s"i.$c")) ++
+        points.columns.map(c => col(s"p.$c")): _*)
+  }
+
+  private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    // TIMESTAMP_NTZ -> TIMESTAMP reinterprets as UTC (session TZ), exactly
+    // DuckDB's epoch_us on the naive value — the w2_sessionize discipline
+    t(s, d, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+
+  /** Ten minutes in microseconds — the f11 incident-window length and the
+    * rangeJoin bucket (equal by design: <= 2 bucket rows per interval). */
+  private val IncidentUs = 600000000L
+
+  val defs: Seq[QueryDef] = Seq(
+    // point-in-time enrichment: each purchase event joined to the most
+    // recent error at-or-before it for the same user (errors pre-aggregated
+    // to one row per (user, us) so the as-of pick is unique in both
+    // engines); the oracle is DuckDB's native ASOF LEFT JOIN
+    QueryDef("f10_asof_join",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us", "value")
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("us").as("err_us"))
+          .agg(max("value").as("err_value"))
+          // rightTs is consumed by the ordering; duplicate it so the
+          // matched timestamp itself is a visible output column
+          .withColumn("__rts", col("err_us"))
+        asOfJoin(purchases, errors, Seq("user_id"),
+          leftTs = "us", rightTs = "__rts")
+      },
+      Some("""WITH p AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us, value
+                FROM events WHERE event_type = 'purchase'),
+              e AS (
+                SELECT user_id, epoch_us(ts) AS err_us, max(value) AS err_value
+                FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+              SELECT p.event_id, p.user_id, p.us, p.value, e.err_us, e.err_value
+              FROM p ASOF LEFT JOIN e
+                ON p.user_id = e.user_id AND p.us >= e.err_us""")),
+
+    // interval join with NO equi key: all purchases (any user) falling in
+    // any error's 10-minute incident window — banded into width-10-min
+    // buckets so the physical plan is a shuffle hash join, not the
+    // BroadcastNestedLoop a bare BETWEEN join degenerates to
+    QueryDef("f11_range_join",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("user_id").as("err_user"),
+            col("us").as("lo"), (col("us") + IncidentUs).as("hi"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us", "value")
+        rangeJoin(purchases, "us", incidents, "lo", "hi", bucket = IncidentUs)
+      },
+      Some(s"""WITH e AS (
+                 SELECT event_id AS incident_id, user_id AS err_user,
+                        epoch_us(ts) AS lo, epoch_us(ts) + $IncidentUs AS hi
+                 FROM events WHERE event_type = 'error'),
+               p AS (
+                 SELECT event_id, user_id, epoch_us(ts) AS us, value
+                 FROM events WHERE event_type = 'purchase')
+               SELECT e.incident_id, e.err_user, e.lo, e.hi,
+                      p.event_id, p.user_id, p.us, p.value
+               FROM e JOIN p ON p.us BETWEEN e.lo AND e.hi"""))
+  )
+}

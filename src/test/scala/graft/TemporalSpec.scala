@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+/** [[graft.ops.Temporal]] — as-of and range joins. Hand-sized semantic
+  * cases (inclusive boundaries, no-match nulls, tie determinism), a seeded
+  * differential against the naive quadratic form, the f10/f11 DuckDB
+  * oracle replay at sf0.001, and the physical-plan pins the scale claims
+  * rest on (one Exchange for as-of; no nested-loop/cartesian for range).
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("asOfJoin backward: latest right at-or-before, inclusive tie, no-match nulls") {
+    val left = Seq((1L, 10L), (1L, 5L), (1L, 2L), (2L, 7L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 10L, "r10"), (1L, 5L, "r5"), (1L, 3L, "r3"))
+      .toDF("k", "rts", "v")
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "ts", "rts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some("r10")), // inclusive: equal ts matches
+      (1L, 5L, Some("r5")),
+      (1L, 2L, None),         // before every right row
+      (2L, 7L, None)))        // key with no right rows at all
+  }
+
+  test("asOfJoin forward: earliest right at-or-after") {
+    val left = Seq((1L, 10L), (1L, 4L), (1L, 11L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "r10"), (1L, 5L, "r5")).toDF("k", "rts", "v")
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "ts", "rts", forward = true)
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (10L, Some("r10")), // inclusive
+      (4L, Some("r5")),   // earliest at-or-after, not the latest
+      (11L, None)))
+  }
+
+  test("asOfJoin: equal-(key, ts) right rows resolve to the max value struct, any partitioning") {
+    val left = Seq((1L, 9L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "a"), (1L, 5L, "b"), (1L, 5L, "c"))
+      .toDF("k", "rts", "v").repartition(4)
+    (1 to 3).foreach { _ =>
+      val out = Temporal.asOfJoin(left, right, Seq("k"), "ts", "rts").collect()
+      assert(out.map(_.getString(2)).toSeq == Seq("c"))
+    }
+  }
+
+  test("asOfJoin: guards — empty keys, value-name collision, reserved names") {
+    val l = Seq((1L, 1L)).toDF("k", "ts")
+    val r = Seq((1L, 1L, "x")).toDF("k", "rts", "v")
+    intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(l, r, Seq.empty, "ts", "rts")
+    }
+    intercept[IllegalArgumentException] { // right value col "ts" collides
+      Temporal.asOfJoin(l, r.withColumnRenamed("v", "ts"), Seq("k"), "ts", "rts")
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(l.withColumn("__rv", lit(1)), r, Seq("k"), "ts", "rts")
+    }
+  }
+
+  test("asOfJoin differential: seeded random streams vs the naive quadratic form") {
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 400).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong * 7L, i.toLong))
+      // (k, rts) unique by construction: rts stride 7 x distinct payload max
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rts", "rid")
+
+    val fast = Temporal.asOfJoin(left, right, Seq("k"), "ts", "rts")
+      .select("lid", "rid")
+
+    // naive: every (left, right-at-or-before) pair, then per-left argmax —
+    // the O(n*m)-per-key plan asOfJoin exists to avoid
+    val naive = left.alias("l")
+      .join(right.alias("r"), col("l.k") === col("r.k") && col("rts") <= col("ts"), "left")
+      .groupBy(col("lid"))
+      .agg(max(struct(col("rts"), col("rid"))).as("m"))
+      .select(col("lid"), col("m.rid").as("rid"))
+
+    assert(DuckOracle.sparkRows(fast) == DuckOracle.sparkRows(naive))
+  }
+
+  test("rangeJoin: inclusive bounds, multi-bucket intervals, degenerate drop, exact-once") {
+    val intervals = Seq((1L, 10L, 20L), (2L, 15L, 45L), (3L, 50L, 40L))
+      .toDF("iid", "lo", "hi") // iid=3 degenerate (hi < lo): matches nothing
+    val points = Seq((100L, 10L), (101L, 20L), (102L, 21L), (103L, 44L), (104L, 45L))
+      .toDF("pid", "pt")
+    val out = Temporal.rangeJoin(points, "pt", intervals, "lo", "hi", bucket = 10L)
+      .select("iid", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: exact-once per qualifying pair, no dedup pass needed
+    assert(out.sorted.toSeq == Seq(
+      (1L, 100L), (1L, 101L), // both bounds inclusive
+      (2L, 101L), (2L, 102L), (2L, 103L), (2L, 104L)).sorted)
+  }
+
+  test("rangeJoin: an interval spanning >= maxBuckets buckets fails loudly") {
+    val intervals = Seq((1L, 0L, 100L)).toDF("iid", "lo", "hi")
+    val points = Seq((9L, 5L)).toDF("pid", "pt")
+    val ex = intercept[Exception] {
+      Temporal.rangeJoin(points, "pt", intervals, "lo", "hi",
+        bucket = 10L, maxBuckets = 5).collect()
+    }
+    assert(ex.getMessage.contains("rangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
+  test("f10/f11 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW events AS SELECT * FROM read_parquet('$sf/events.parquet')")
+      Seq("f10_asof_join", "f11_range_join").foreach { q =>
+        DuckOracle.assertMatches(c,
+          SparkEntry.queries(q)(spark, sf), SparkEntry.oracleSql(q), q)
+      }
+    }
+  }
+
+  test("plan pins: as-of is ONE Exchange; range join never nested-loops") {
+    // the operator in isolation: union + window = exactly one key shuffle
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us").as("err_us"), col("value").as("err_value"))
+    val iso = Temporal.asOfJoin(purchases, errors, Seq("user_id"), "us", "err_us")
+    val pi = iso.queryExecution.executedPlan.toString
+    val isoEx = pi.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(isoEx == 1, s"asOfJoin itself must be exactly one key shuffle, saw $isoEx:\n$pi")
+
+    // the f10 entry adds ONE more: the error-side (user_id, us) pre-agg
+    val asOf = SparkEntry.queries("f10_asof_join")(spark, sf)
+    val pa = asOf.queryExecution.executedPlan.toString
+    val exchanges = pa.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"f10 = pre-agg shuffle + as-of key shuffle, saw $exchanges:\n$pa")
+    assert(!pa.contains("CartesianProduct") && !pa.contains("BroadcastNestedLoop"),
+      s"as-of must never pair up rows:\n$pa")
+
+    val rj = SparkEntry.queries("f11_range_join")(spark, sf)
+    val pr = rj.queryExecution.executedPlan.toString
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoop"),
+      s"range join must stay an equi-join on the bucket band:\n$pr")
+    assert(pr.contains("BroadcastHashJoin") || pr.contains("SortMergeJoin") ||
+      pr.contains("ShuffledHashJoin"), s"no hash/merge join found:\n$pr")
+  }
+}
