@@ -30,6 +30,9 @@ object SparkEntry {
       graft.ops.Sketch.defs ++
       graft.ops.Spans.defs ++
       graft.ops.Temporal.defs ++
+      graft.ops.History.defs ++
+      graft.ops.Fuzzy.defs ++
+      graft.ops.SetSim.defs ++
       graft.ops.Curate.defs ++
       graft.ops.Multimodal.defs ++
       graft.kg.KgQueries.defs

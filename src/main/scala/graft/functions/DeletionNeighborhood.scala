@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deletion-neighborhood signatures for edit-distance candidate generation
+  * (the FastSS family): every distinct string reachable by deleting UP TO
+  * `k` code points, the original included.
+  *
+  * Completeness (why an equi-join on these signatures never misses a true
+  * pair): each unit edit operation deletes at most one code point from each
+  * side of an optimal alignment — a substitution deletes one from both, an
+  * insertion one from the right, a deletion one from the left. So
+  * `lev(a, b) <= k` implies some common string lies in both `k`-deletion
+  * neighborhoods. The intersection is NOT sufficient ("ab"/"ba" share "a"
+  * at k=1 but sit at distance 2), which is why [[graft.ops.Fuzzy]] always
+  * re-verifies candidates with Spark's `levenshtein`.
+  *
+  * Deletions operate on CODE POINTS (surrogate pairs never split), matching
+  * the unit `UTF8String.levenshteinDistance` edits — char-level deletions
+  * would lose completeness on astral-plane text (FuzzySpec pins a
+  * surrogate-pair case).
+  *
+  * Cost is combinatorial in `k`: 1 + n + C(n,2) signatures at k=2. The
+  * expression REJECTS rows longer than `maxLen` code points loudly (task
+  * failure with a sizing hint, the rangeJoin discipline) instead of
+  * silently exploding the exchange — at a trillion rows a hidden 2000×
+  * fan-out is an outage, a loud length contract is a config fix.
+  */
+final case class DeletionNeighborhood(child: Expression, k: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"deletion_neighborhood needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    DeletionKernel.compute(input.asInstanceOf[UTF8String], k, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeletionKernel.compute($c, $k, $maxLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionNeighborhood =
+    copy(child = newChild)
+}
+
+object DeletionNeighborhood {
+  def apply(text: Column, k: Int, maxLen: Int): Column = {
+    require(k >= 1 && k <= 2,
+      s"deletion_neighborhood: k must be 1 or 2 (got $k) - the signature count " +
+        "is C(n,k)-combinatorial; beyond 2 use a banding scheme, not this")
+    require(maxLen >= 1, s"deletion_neighborhood: maxLen must be positive, got $maxLen")
+    GraftExpressionBridge.column(
+      DeletionNeighborhood(GraftExpressionBridge.expression(text), k, maxLen))
+  }
+}
+
+object DeletionKernel {
+
+  /** Distinct members of the <=k-deletion neighborhood (original first),
+    * deleting by code point. Throws on strings longer than `maxLen` code
+    * points — the caller-facing length contract documented above. */
+  def compute(input: UTF8String, k: Int, maxLen: Int): GenericArrayData = {
+    val s = input.toString
+    val n = s.codePointCount(0, s.length)
+    if (n > maxLen)
+      throw new IllegalArgumentException(
+        s"deletion_neighborhood: string has $n code points > maxLen $maxLen " +
+          s"(k=$k would emit up to ${1 + n + (n.toLong * (n - 1)) / 2} signatures " +
+          "per row) - raise maxLen explicitly or pre-truncate the join key")
+    // char offset of each code point, plus the terminal offset
+    val off = new Array[Int](n + 1)
+    var i = 0
+    var ci = 0
+    while (i < n) { off(i) = ci; ci = s.offsetByCodePoints(ci, 1); i += 1 }
+    off(n) = s.length
+
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(s)
+    if (k >= 1) {
+      var a = 0
+      while (a < n) {
+        seen.add(s.substring(0, off(a)) + s.substring(off(a + 1)))
+        a += 1
+      }
+    }
+    if (k >= 2) {
+      var a = 0
+      while (a < n) {
+        var b = a + 1
+        while (b < n) {
+          seen.add(s.substring(0, off(a)) + s.substring(off(a + 1), off(b)) +
+            s.substring(off(b + 1)))
+          b += 1
+        }
+        a += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   * registration: after `functions.register(spark)`, `spark.sql` resolves
   * `quantized_dot(a, b)`, `shingle_hashes(text, mod, cap)`,
   * `minhash_signature(hashes)`, `simhash64(text)`, `gram_hashes(text, k)`,
-  * `winnow_fingerprints(text, w)`, `ngram_rep_stats(text, n)`, `pq_adc(...)`
-  * and `bpe_merge_pass(syms, a, b)` to the same expressions the Column API
+  * `winnow_fingerprints(text, w)`, `ngram_rep_stats(text, n)`, `pq_adc(...)`,
+  * `bpe_merge_pass(syms, a, b)` and `deletion_neighborhood(text, k, maxLen)`
+  * to the same expressions the Column API
   * uses (FunctionsSqlSpec pins the parity) — the SQL surface carries ALL
   * the native functions, not a subset. */
 package object functions {
@@ -74,6 +75,15 @@ package object functions {
         BpeMergePass(syms, strLit(a, "a"), strLit(b, "b"))
       case args => throw new IllegalArgumentException(
         s"bpe_merge_pass(symbols, a, b) takes 3 arguments, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("deletion_neighborhood", classOf[DeletionNeighborhood], {
+      case Seq(text, k, maxLen) =>
+        val (ki, ml) = (intLit(k, "k"), intLit(maxLen, "maxLen"))
+        require(ki >= 1 && ki <= 2 && ml >= 1,
+          s"deletion_neighborhood needs k in {1, 2} and maxLen >= 1: k=$ki maxLen=$ml")
+        DeletionNeighborhood(text, ki, ml)
+      case args => throw new IllegalArgumentException(
+        s"deletion_neighborhood(text, k, maxLen) takes 3 arguments, got ${args.length}")
     }: Seq[Expression] => Expression),
     ("pq_adc", classOf[PqAdc], {
       case Seq(code, lut, m, ksub, bits) =>

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DeletionNeighborhood
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Edit-distance (fuzzy) joins — the typo-tolerant face of entity linking:
+  * matching mention strings against a label dictionary when the corpus
+  * misspells ("Pikchu" → "Pikachu"), or collapsing near-identical entity
+  * names across repos. Exact-semantics, never all-pairs:
+  *
+  *  1. candidate generation by deletion-neighborhood signatures
+  *     ([[graft.functions.DeletionNeighborhood]] — complete for
+  *     `lev <= k`, k in {1, 2}): each side explodes to ids-only
+  *     `(signature, id)` rows, candidates come from one equi-join on the
+  *     signature — the only shuffle that scales with corpus size, and it
+  *     carries ids + short signatures, never payloads;
+  *  2. `.distinct()` on the id pair (one pair can share many signatures);
+  *  3. exact verification with Spark's codegen'd `levenshtein(a, b) <= k`
+  *     after re-joining the two string payloads by id.
+  *
+  * The naive form is a cross join with a levenshtein predicate — Spark
+  * plans it as BroadcastNestedLoop, quadratic at any scale (FuzzySpec pins
+  * that this plan contains NO nested-loop/cartesian operator and that the
+  * result is exactly the brute-force set). Signature fan-out per row is
+  * n+1 at k=1 and O(n²) at k=2, bounded loudly by the expression's
+  * `maxLen` contract.
+  */
+object Fuzzy {
+
+  /** All pairs (left, right) with `levenshtein(leftStr, rightStr) <= k`.
+    * Output: leftId, leftStr, rightId, rightStr, dist. Column names must
+    * be disjoint across the four; ids must be unique per side (they key
+    * the payload re-join). `maxLen` bounds signature fan-out per row —
+    * rows longer than that FAIL loudly (pre-truncate or raise it). */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftStr: String,
+                       right: DataFrame, rightId: String, rightStr: String,
+                       k: Int = 1, maxLen: Int = 64): DataFrame = {
+    val names = Seq(leftId, leftStr, rightId, rightStr)
+    require(names.distinct.length == 4,
+      s"editDistanceJoin: the four column names must be disjoint: ${names.mkString(", ")}")
+    val ls = left.select(col(leftId),
+      explode(DeletionNeighborhood(col(leftStr), k, maxLen)).as("__sig"))
+    val rs = right.select(col(rightId),
+      explode(DeletionNeighborhood(col(rightStr), k, maxLen)).as("__sig"))
+    val cands = ls.join(rs, "__sig").select(col(leftId), col(rightId)).distinct()
+    cands
+      .join(left.select(leftId, leftStr), leftId)
+      .join(right.select(rightId, rightStr), rightId)
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .filter(col("dist") <= k)
+      .select(leftId, leftStr, rightId, rightStr, "dist")
+  }
+
+  /** Self-join form: unordered pairs (id1 < id2) within distance `k` in
+    * one corpus. Same plan shape as [[editDistanceJoin]], with the
+    * signature explode computed ONCE and reused for both join sides. */
+  def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
+                        k: Int = 1, maxLen: Int = 64): DataFrame = {
+    val sigs = docs.select(col(idCol).as("__id"),
+      explode(DeletionNeighborhood(col(strCol), k, maxLen)).as("__sig"))
+    val cands = sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    val s1 = docs.select(col(idCol).as("id1"), col(strCol).as("s1"))
+    val s2 = docs.select(col(idCol).as("id2"), col(strCol).as("s2"))
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= k)
+      .select("id1", "id2", "s1", "s2", "dist")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // fuzzy self-match over customer names (distance <= 1): the oracle is
+    // the brute-force cross join this operator exists to avoid — DuckDB
+    // wears the quadratic cost at oracle scale, the Spark plan never does
+    QueryDef("e4_fuzzy_pairs",
+      (s, d) => editDistancePairs(
+        t(s, d, "customer").select("c_custkey", "c_name"),
+        "c_custkey", "c_name", k = 1, maxLen = 64)
+        .withColumnRenamed("s1", "name1").withColumnRenamed("s2", "name2"),
+      Some("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                     a.c_name AS name1, b.c_name AS name2,
+                     levenshtein(a.c_name, b.c_name) AS dist
+              FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1"""))
+  )
+}

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Change-data-capture over append-only history tables — the operators a
+  * commit-history corpus of the input_hint shape (repo, path, commit, …)
+  * needs once it stops being a single snapshot:
+  *
+  *  - [[scd2]]: slowly-changing-dimension type-2 interval build — collapse
+  *    each key's revision stream to the rows where the tracked values
+  *    actually CHANGED, each carrying `[valid_from, valid_to)` (null
+  *    valid_to = current). The whole build is ONE shuffle: the
+  *    change-detect lag, the compression filter and the interval-closing
+  *    lead all share the same (keys → ts) exchange+sort, because a Filter
+  *    preserves both hash partitioning and sort order (HistorySpec pins
+  *    exactly one Exchange AND one Sort).
+  *  - [[snapshotDiff]]: the entity-level diff between the states at two
+  *    times t1 <= t2 — WITHOUT building either snapshot: one conditional
+  *    aggregation computes both argmax-by-ts states per key in a single
+  *    shuffle (s1 over rows <= t1, s2 over rows <= t2), where the naive
+  *    form is two snapshot jobs + a full-outer join (three shuffles and a
+  *    join that dwarfs the diff at 100 TB). Optional tombstone column for
+  *    delete semantics ("removed" = latest row in (t1, t2] is a delete).
+  *
+  * Both require (keys, tsCol) to be UNIQUE — the argmax/lag tie would
+  * otherwise be partition-order-dependent. Callers pre-aggregate, as the
+  * v1/v2 entries do (max value per (key, ts)); timestamps ride as
+  * unix_micros longs per the repo's integer-time discipline.
+  */
+object History {
+
+  private def reservedCheck(df: DataFrame, names: Seq[String], op: String): Unit = {
+    val clash = names.toSet.intersect(df.columns.toSet)
+    require(clash.isEmpty, s"$op: input uses reserved column names: ${clash.mkString(", ")}")
+  }
+
+  /** SCD type-2 build. Input: one row per (keys, tsCol) observation of
+    * `valueCols`. Output: keys ++ valueCols ++ (valid_from, valid_to) —
+    * only rows where the value-struct differs from the key's previous
+    * observation (change-capture compression), with `valid_from` = the
+    * observation ts and `valid_to` = the NEXT change's ts (exclusive; null
+    * for the currently-valid row). Comparison is null-safe (`<=>` on the
+    * value struct), so a value flipping to null and back yields intervals.
+    *
+    * Scale: one Exchange on `keys`, one Sort on (keys, ts) — lag,
+    * filter and lead reuse the same exchange and sort (plan-pinned). No
+    * self-join, no second shuffle: at a trillion (repo, path) keys the
+    * cost is the one repartition a snapshot build pays anyway. */
+  def scd2(history: DataFrame, keys: Seq[String], tsCol: String,
+           valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "scd2: keys must be non-empty")
+    require(valueCols.nonEmpty, "scd2: valueCols must be non-empty")
+    reservedCheck(history, Seq("__v", "__pv", "valid_from", "valid_to"), "scd2")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    history
+      .withColumn("__v", struct(valueCols.map(col): _*))
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      // first row per key: lag is null, `<=>` false, row kept
+      .filter(!(col("__v") <=> col("__pv")))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select((keys ++ valueCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+  }
+
+  /** State diff between times `t1 <= t2` (inclusive cutoffs, same axis as
+    * `tsCol` — unix_micros). State at T = the row with max ts <= T per
+    * key; when `deleteCol` (a boolean tombstone flag) is given and that
+    * row carries true, the entity is ABSENT at T. Output: keys, then for
+    * each value column `old_<c>` / `new_<c>` (null when absent on that
+    * side), then `change_type` in {added, removed, changed} — unchanged
+    * entities (same value struct, both present) and never-present keys are
+    * filtered out.
+    *
+    * Scale: ONE aggregation job — both states come from conditional
+    * `max(struct(ts, …))` over the rows <= t2 (the <= t1 state is the
+    * same max with a `when` guard), so there is exactly one shuffle on
+    * `keys` and no join anywhere (plan-pinned: no SortMergeJoin /
+    * BroadcastHashJoin / Exchange beyond the one aggregate). */
+  def snapshotDiff(history: DataFrame, keys: Seq[String], tsCol: String,
+                   valueCols: Seq[String], t1: Long, t2: Long,
+                   deleteCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: keys must be non-empty")
+    require(valueCols.nonEmpty, "snapshotDiff: valueCols must be non-empty")
+    require(t1 <= t2, s"snapshotDiff: t1 must be <= t2, got $t1 > $t2")
+    reservedCheck(history, Seq("__s1", "__s2", "change_type"), "snapshotDiff")
+    val obs = struct(
+      col(tsCol).as("__ts")
+        +: deleteCol.map(c => col(c).as("__del")).getOrElse(lit(false).as("__del"))
+        +: valueCols.map(col): _*)
+    val agged = history
+      .filter(col(tsCol) <= lit(t2))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col(tsCol) <= lit(t1), obs)).as("__s1"),
+        max(obs).as("__s2"))
+    def present(s: String): Column = col(s).isNotNull && !col(s).getField("__del")
+    def vals(s: String): Column = struct(valueCols.map(v => col(s).getField(v)): _*)
+    val p1 = present("__s1")
+    val p2 = present("__s2")
+    agged
+      .withColumn("change_type",
+        when(!p1 && p2, lit("added"))
+          .when(p1 && !p2, lit("removed"))
+          .when(p1 && p2 && !(vals("__s1") <=> vals("__s2")), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col)
+        ++ valueCols.map(v => when(p1, col("__s1").getField(v)).as(s"old_$v"))
+        ++ valueCols.map(v => when(p2, col("__s2").getField(v)).as(s"new_$v"))
+        :+ col("change_type"): _*)
+  }
+
+  /** events as a (key, ts)-unique integer-time history: per (user_id,
+    * event_type, us) the max cents observation — the pre-aggregation both
+    * entries and their DuckDB oracles share. */
+  private def eventHistory(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("user_id", "event_type", "us")
+      .agg(max("cents").as("cents"))
+
+  /** 2024-01-10T00:00:00Z / 2024-01-20T00:00:00Z in unix micros — inside
+    * the events table's Jan 2024 span at every sf. */
+  private val T1 = 1704844800000000L
+  private val T2 = 1705708800000000L
+
+  val defs: Seq[QueryDef] = Seq(
+    // SCD2 value-state intervals per (user, event_type): only observations
+    // where cents changed, each with its [valid_from, valid_to) span
+    QueryDef("v1_scd2",
+      (s, d) => scd2(eventHistory(s, d),
+        Seq("user_id", "event_type"), "us", Seq("cents")),
+      Some("""WITH u AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us,
+                       max(CAST(floor(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2, 3),
+              c AS (
+                SELECT user_id, event_type, us, cents,
+                       lag(cents) OVER (PARTITION BY user_id, event_type ORDER BY us) AS pv,
+                       CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us)
+                            IS NULL THEN 1 ELSE 0 END AS is_first
+                FROM u),
+              f AS (
+                SELECT user_id, event_type, us, cents FROM c
+                WHERE is_first = 1 OR pv IS DISTINCT FROM cents)
+              SELECT user_id, event_type, cents, us AS valid_from,
+                     lead(us) OVER (PARTITION BY user_id, event_type ORDER BY us) AS valid_to
+              FROM f""")),
+
+    // entity-state diff without snapshots: each user's latest purchase
+    // cents at Jan 10 vs Jan 20, one conditional aggregation
+    QueryDef("v2_snapshot_diff",
+      (s, d) => snapshotDiff(
+        eventHistory(s, d).filter(col("event_type") === "purchase")
+          .select("user_id", "us", "cents"),
+        Seq("user_id"), "us", Seq("cents"), T1, T2),
+      Some(s"""WITH u AS (
+                 SELECT user_id, epoch_us(ts) AS us,
+                        max(CAST(floor(value * 100) AS BIGINT)) AS cents
+                 FROM events
+                 WHERE event_type = 'purchase' AND epoch_us(ts) <= $T2
+                 GROUP BY 1, 2),
+               a AS (
+                 SELECT user_id,
+                        arg_max(cents, us) FILTER (WHERE us <= $T1) AS old_cents,
+                        arg_max(cents, us) AS new_cents
+                 FROM u GROUP BY 1)
+               SELECT user_id, old_cents, new_cents,
+                      CASE WHEN old_cents IS NULL THEN 'added'
+                           ELSE 'changed' END AS change_type
+               FROM a
+               WHERE old_cents IS NULL OR old_cents <> new_cents"""))
+  )
+}

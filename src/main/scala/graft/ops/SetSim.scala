@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Exact set-similarity join — all document pairs whose word-token SETS have
+  * Jaccard ≥ τ, with NO approximation anywhere (the AllPairs/PPJoin prefix
+  * filter family, Bayardo et al. WWW'07). This is the lossless counterpart
+  * to the other near-dup joins: MinHash LSH ([[Dedup.minhashLshPairs]]) is
+  * probabilistic, [[Text.ngramJaccardPairs]]'s df cap CHANGES the measured
+  * sets — this one prunes candidates without touching the semantics.
+  *
+  * Candidate generation never materializes all pairs and never joins on hot
+  * tokens:
+  *
+  *  1. one (doc, token) shuffle builds distinct token sets + document
+  *     frequencies (map-side combinable);
+  *  2. each document sorts its tokens by GLOBAL rarity — the order key is
+  *     the (df, token) pair itself, so no vocabulary ranking job and no
+  *     single-partition row_number over the vocab;
+  *  3. prefix filter: a pair with Jaccard ≥ τ = bp/10000 shares ≥
+  *     ⌈τ·|A|⌉ tokens with A (intersection ≥ τ·union ≥ τ·|A|), so it must
+  *     share at least one token inside A's first |A| − ⌈τ·|A|⌉ + 1 tokens
+  *     under any common total order — candidates come from an ids-only
+  *     equi-join on PREFIX tokens only. Sorting by ascending df puts the
+  *     rarest tokens in the prefix, so the join keys are by construction
+  *     the COLDEST keys in the corpus — the Zipf head never enters the
+  *     exchange (a stopword sits at the tail of every prefix-order and
+  *     joins only for documents so small it is rare FOR THEM);
+  *  4. length filter inside the join condition: Jaccard ≤ min/max sizes,
+  *     so 10000·min(|A|,|B|) < bp·max(|A|,|B|) prunes before the shuffle
+  *     write of the verify stage;
+  *  5. exact verification: re-join the two full token arrays by id and
+  *     test 10000·|A∩B| ≥ bp·|A∪B| in pure integer arithmetic.
+  *
+  * All thresholds are integer basis points; ⌈τ·n⌉ = (bp·n + 9999) div 10000
+  * — the exact ceiling both engines compute identically. Empty documents
+  * (no non-empty tokens) have no defined Jaccard and never pair.
+  */
+object SetSim {
+
+  /** ⌈bp·n / 10000⌉ in exact integer arithmetic (`div`, never float). */
+  private def ceilBp(nCol: String, bp: Long): Column =
+    expr(s"($bp * $nCol + 9999) div 10000")
+
+  /** Distinct non-empty word tokens per doc, globally rarity-ordered:
+    * (doc_id, tokens array<string>, sz). */
+  private[graft] def rarityOrderedTokenSets(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("ts"))
+      .select(col("doc_id"),
+        expr("transform(ts, x -> x.token)").as("tokens"),
+        size(col("ts")).cast("long").as("sz"))
+  }
+
+  /** All unordered pairs (id1 < id2) with token-set Jaccard ≥ minBp/10000.
+    * Output: id1, id2, common, jaccard_bp (floor of 10000·J — the FILTER is
+    * the exact integer inequality, not the floored value). */
+  def setSimilarityPairs(docs: DataFrame, minBp: Long = 5000): DataFrame = {
+    require(minBp >= 1 && minBp <= 10000,
+      s"setSimilarityPairs: minBp must be in [1, 10000], got $minBp " +
+        "(0 would disable the prefix filter and go quadratic by design)")
+    val sets = rarityOrderedTokenSets(docs)
+    // prefix = first sz − ⌈τ·sz⌉ + 1 rarity-ordered tokens (ids only)
+    val pref = sets.select(col("doc_id"), col("sz"),
+      explode(slice(col("tokens"), lit(1),
+        (col("sz") - ceilBp("sz", minBp) + lit(1L)).cast("int"))).as("token"))
+    val cands = pref.alias("x")
+      .join(pref.alias("y"),
+        col("x.token") === col("y.token") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // length filter: J ≤ min/max ⇒ 10000·min ≥ bp·max or no pair
+          lit(10000L) * least(col("x.sz"), col("y.sz")) >=
+            lit(minBp) * greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("id1"), col("tokens").as("ta"),
+      col("sz").as("sa"))
+    val b = sets.select(col("doc_id").as("id2"), col("tokens").as("tb"),
+      col("sz").as("sb"))
+    cands.join(a, "id1").join(b, "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("common"),
+        col("sa"), col("sb"))
+      .filter(lit(10000L) * col("common") >=
+        lit(minBp) * (col("sa") + col("sb") - col("common")))
+      .select(col("id1"), col("id2"), col("common"),
+        expr("(10000 * common) div (sa + sb - common)").as("jaccard_bp"))
+  }
+
+  /** The oracle is the definition itself, brute-force: DuckDB wears the
+    * all-shared-token quadratic cost at oracle scale; the Spark plan never
+    * does (FuzzySpec discipline). */
+  private def bruteOracleSql(minBp: Long): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+       |  FROM documents),
+       |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+       |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, common,
+       |       CAST((10000 * common) // (sa.sz + sb.sz - common) AS BIGINT) AS jaccard_bp
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = id1
+       |JOIN sz sb ON sb.doc_id = id2
+       |WHERE 10000 * common >= $minBp * (sa.sz + sb.sz - common)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d7_setsim_join",
+      (s, d) => setSimilarityPairs(t(s, d, "documents"), minBp = 5000),
+      Some(bruteOracleSql(5000)))
+  )
+}

@@ -148,6 +148,113 @@ object Iterative {
     scores
   }
 
+  /** Multi-source BFS shortest distances over a directed edge table
+    * (src, dst): for every node reachable from ANY source, the minimum hop
+    * count to reach it. The semi-naive frontier discipline of [[closure]]
+    * specialized to distances — because BFS explores in strictly increasing
+    * depth order, the FIRST time a node enters the frontier its depth IS
+    * its shortest distance, so the per-round work is one delta ⋈ edges
+    * equi-join + one distinct + one anti-join against the settled set;
+    * rows in flight are |frontier|, never |reachable|. Cycles terminate
+    * naturally (a revisited node is anti-joined away); maxDepth bounds
+    * adversarial inputs loudly rather than silently truncating: DISCOVERING
+    * a node beyond the bound throws, because "distances computed so far" is
+    * NOT the BFS answer for the unreached tail. (A frontier that merely
+    * exists at maxDepth but expands to nothing is a COMPLETED BFS — the
+    * check is on discovery, not on frontier liveness.)
+    *
+    * KG face: "how many hops from the root entity is every evolution-chain
+    * member" (reference's chains are depth-queried one entity at a time);
+    * training-data face: contamination blast radius — everything within k
+    * link hops of a flagged document set, in exactly k delta joins. */
+  def bfsDistances(edges0: DataFrame, sources: DataFrame,
+                   maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist.select("node")
+    var n = frontier.count()
+    var d = 0L
+    while (n > 0) {
+      d += 1
+      val next = frontier.alias("f")
+        .join(edges.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      n = next.count()
+      require(n == 0 || d <= maxDepth,
+        s"bfsDistances: $n new nodes discovered at depth $d > maxDepth=$maxDepth " +
+          "— raise the bound; a truncated BFS is not a BFS")
+      if (n > 0) dist = dist.unionByName(next.withColumn("dist", lit(d)))
+      frontier = next
+    }
+    dist
+  }
+
+  /** Single-source(s) WEIGHTED shortest paths over a directed edge table
+    * (src, dst, w) with non-negative long weights — [[bfsDistances]]
+    * generalized from hop counts to summed weights, i.e. distributed
+    * Bellman-Ford with the semi-naive delta discipline: each round relaxes
+    * ONLY the nodes whose distance improved last round (delta ⋈ edges,
+    * min per dst inside the round's candidates — map-side combinable —
+    * then an improvement join against the settled frame). Unlike BFS,
+    * first discovery is NOT final (a longer-hop lighter path can improve a
+    * settled node), so the per-round merge is a min over (old, candidate),
+    * and convergence = no improvement anywhere. With non-negative weights
+    * each node's distance is non-increasing and bounded below, and every
+    * improvement is witnessed by a simple path, so rounds ≤ the longest
+    * simple-path hop count — `maxIters` bounds adversarial inputs LOUDLY
+    * (a still-improving round at the bound throws; Bellman-Ford cut short
+    * is not shortest paths). Negative weights are rejected up front (one
+    * aggregate): semi-naive Bellman-Ford would still converge absent
+    * negative cycles, but "absent negative cycles" is not checkable
+    * without the full iteration, so the contract stays checkable.
+    *
+    * Each round: one shuffle keyed on dst (relax + min), one keyed on node
+    * (improvement join + re-min of the settled frame — re-checkpointed
+    * because unlike [[closure]]'s append-only `seen`, distances MUTATE).
+    * Rows in flight are |delta ⋈ edges|, never |graph| × rounds. */
+  def shortestPaths(edges0: DataFrame, sources: DataFrame,
+                    maxIters: Int = 64): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val edges = edges0.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .distinct().localCheckpoint()
+    val negatives = edges.filter(col("w") < 0).count()
+    require(negatives == 0,
+      s"shortestPaths: $negatives edges carry negative weights — this kernel's " +
+        "termination contract is non-negative weights (no checkable negative-cycle " +
+        "guarantee exists without running the full iteration)")
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var delta = dist
+    var n = delta.count()
+    var iter = 0
+    while (n > 0) {
+      iter += 1
+      val cand = delta.alias("f")
+        .join(edges.alias("e"), col("f.node") === col("e.src"))
+        .groupBy(col("e.dst").as("node"))
+        .agg(min(col("f.dist") + col("e.w")).as("cand"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint()
+      n = improved.count()
+      require(n == 0 || iter <= maxIters,
+        s"shortestPaths: still improving ($n nodes) at round $iter > " +
+          s"maxIters=$maxIters — raise the bound; truncated Bellman-Ford is " +
+          "not shortest paths")
+      if (n > 0) {
+        dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        delta = improved
+      }
+    }
+    dist
+  }
+
   /** GraphX alternative for long-id graphs (SURVEY §7.4: "GraphX or
     * pure-DataFrame — decide by benchmark"; the spark-graphx jar ships with
     * the runtime). Pregel-based, RDD-backed — the one sanctioned RDD use.

@@ -227,6 +227,70 @@ object Relational {
       (s, d) => Iterative.kcorePeel(graphEdges(s, d), k = 24, rounds = 8),
       Some(kcoreOracle(k = 24, rounds = 8))),
 
+    // F12: multi-source BFS shortest distances over the downward parent→child
+    // tree (dst = any orderkey > 1, src = floor(dst/2)), seeded at BOTH root
+    // children {2, 3} — every node's distance is the min over the two
+    // subtrees, the root (1) and 0 stay unreached (edges point down), and
+    // the oracle replays the frontier expansion as a recursive CTE + min
+    QueryDef("f12_bfs_distances",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        Iterative.bfsDistances(
+          o.filter(col("o_orderkey") > 1)
+            .select(floor(col("o_orderkey") / 2.0).cast("long").as("src"),
+              col("o_orderkey").cast("long").as("dst")),
+          o.filter(col("o_orderkey").isin(2, 3))
+            .select(col("o_orderkey").cast("long").as("node")),
+          maxDepth = 64)
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT CAST(floor(o_orderkey/2.0) AS BIGINT) AS src,
+                       CAST(o_orderkey AS BIGINT) AS dst
+                FROM orders WHERE o_orderkey > 1),
+              r(node, dist) AS (
+                SELECT CAST(o_orderkey AS BIGINT), CAST(0 AS BIGINT)
+                FROM orders WHERE o_orderkey IN (2, 3)
+                UNION
+                SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.node = e.src
+                WHERE r.dist < 64)
+              SELECT node, min(dist) AS dist FROM r GROUP BY node""")),
+
+    // F13: weighted shortest paths (semi-naive Bellman-Ford) over a DAG with
+    // COMPETING routes — every orderkey > 1 has a /2 parent edge (weight
+    // k%7+1) and a /3 parent edge (weight k%5+1), so a node's distance is a
+    // genuine min over many mixed paths; the oracle enumerates every path
+    // length via a recursive CTE (weights >= 1 ⇒ finite distinct (node, d)
+    // pairs ⇒ the UNION-dedup recursion terminates) and takes the min
+    QueryDef("f13_shortest_paths",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_orderkey") > 1)
+        def parent(div: Double, mod: Int) = o.select(
+          floor(col("o_orderkey") / div).cast("long").as("src"),
+          col("o_orderkey").cast("long").as("dst"),
+          (col("o_orderkey") % mod + 1).cast("long").as("w"))
+        Iterative.shortestPaths(
+          parent(2.0, 7).unionByName(parent(3.0, 5)),
+          t(s, d, "orders").filter(col("o_orderkey").isin(2, 3))
+            .select(col("o_orderkey").cast("long").as("node")),
+          maxIters = 64)
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT CAST(floor(o_orderkey/2.0) AS BIGINT) AS src,
+                       CAST(o_orderkey AS BIGINT) AS dst,
+                       CAST(o_orderkey % 7 + 1 AS BIGINT) AS w
+                FROM orders WHERE o_orderkey > 1
+                UNION ALL
+                SELECT CAST(floor(o_orderkey/3.0) AS BIGINT),
+                       CAST(o_orderkey AS BIGINT),
+                       CAST(o_orderkey % 5 + 1 AS BIGINT)
+                FROM orders WHERE o_orderkey > 1),
+              r(node, d) AS (
+                SELECT CAST(o_orderkey AS BIGINT), CAST(0 AS BIGINT)
+                FROM orders WHERE o_orderkey IN (2, 3)
+                UNION
+                SELECT e.dst, r.d + e.w FROM r JOIN e ON r.node = e.src)
+              SELECT node, min(d) AS dist FROM r GROUP BY node""")),
+
     // I3: connected components via iterative min-label propagation (the
     // reference's sameAs closure — inference/InferenceHandler.java:62-108 —
     // as CC, the north_star's "connected-components-style sameAs merging")

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.DeletionNeighborhood
+import graft.ops.Fuzzy
+
+/** [[graft.ops.Fuzzy]] + [[graft.functions.DeletionNeighborhood]] —
+  * signature-banded edit-distance joins. Kernel semantics (neighborhood
+  * membership, code-point deletions, the loud maxLen contract), a seeded
+  * completeness differential against the brute-force cross join for both
+  * k=1 and k=2, the e4 DuckDB oracle replay at sf0.001, and the plan pin
+  * (no nested-loop/cartesian anywhere in the fuzzy plan).
+  */
+class FuzzySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def neighborhood(s: String, k: Int, maxLen: Int = 64): Set[String] =
+    Seq(s).toDF("s")
+      .select(explode(DeletionNeighborhood(col("s"), k, maxLen)).as("v"))
+      .collect().map(_.getString(0)).toSet
+
+  test("deletion_neighborhood k=1: original + each single deletion, distinct") {
+    assert(neighborhood("abc", 1) == Set("abc", "bc", "ac", "ab"))
+    // repeated chars collapse: deleting either 'a' yields the same string
+    assert(neighborhood("aab", 1) == Set("aab", "ab", "aa"))
+    assert(neighborhood("", 1) == Set(""))
+    assert(neighborhood("x", 1) == Set("x", ""))
+  }
+
+  test("deletion_neighborhood k=2: all 0/1/2-deletion variants") {
+    assert(neighborhood("abcd", 2) == Set(
+      "abcd",
+      "bcd", "acd", "abd", "abc",
+      "cd", "bd", "bc", "ad", "ac", "ab"))
+  }
+
+  test("deletion_neighborhood deletes CODE POINTS (surrogate pairs intact)") {
+    val s = "a😀b" // a, U+1F600, b
+    assert(neighborhood(s, 1) == Set(s, "😀b", "ab", "a😀"))
+  }
+
+  test("deletion_neighborhood: loud failure beyond maxLen; k guard at build time") {
+    val ex = intercept[Exception] {
+      Seq("abcdefghij").toDF("s")
+        .select(DeletionNeighborhood(col("s"), 1, 5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("deletion_neighborhood")))
+    intercept[IllegalArgumentException](DeletionNeighborhood(col("s"), 3, 64))
+  }
+
+  test("SQL surface: deletion_neighborhood registered with literal args") {
+    graft.functions.register(spark)
+    val out = spark.sql(
+      "SELECT deletion_neighborhood('abc', 1, 64) AS n").collect()
+    assert(out.head.getSeq[String](0).toSet == Set("abc", "bc", "ac", "ab"))
+  }
+
+  test("editDistancePairs completeness: seeded corpus vs brute force, k=1 and k=2") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    def word(): String =
+      (0 until 3 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 300).map(i => (i.toLong, word())).toDF("id", "s")
+
+    Seq(1, 2).foreach { k =>
+      val fast = Fuzzy.editDistancePairs(docs, "id", "s", k = k)
+        .select("id1", "id2", "dist")
+      val brute = docs.alias("a").join(docs.alias("b"), col("a.id") < col("b.id"))
+        .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+        .filter(col("dist") <= k)
+        .select(col("a.id").as("id1"), col("b.id").as("id2"), col("dist"))
+      assert(DuckOracle.sparkRows(fast) == DuckOracle.sparkRows(brute),
+        s"fuzzy self-join must equal brute force at k=$k")
+    }
+  }
+
+  test("editDistanceJoin two-corpus form: typo'd mentions resolve to the dictionary") {
+    val dict = Seq((1L, "pikachu"), (2L, "charmander"), (3L, "squirtle"))
+      .toDF("ent_id", "label")
+    val mentions = Seq((10L, "pikchu"), (11L, "squirtle"), (12L, "bulbasaur"),
+      (13L, "charmandr"), (14L, "pikach"))
+      .toDF("m_id", "mention")
+    val out = Fuzzy.editDistanceJoin(
+        mentions, "m_id", "mention", dict, "ent_id", "label", k = 1)
+      .collect().map(r => (r.getAs[Long]("m_id"), r.getAs[Long]("ent_id"))).toSet
+    assert(out == Set((10L, 1L), (11L, 3L), (13L, 2L), (14L, 1L)))
+  }
+
+  test("e4 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW customer AS SELECT * FROM read_parquet('$sf/customer.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("e4_fuzzy_pairs")(spark, sf),
+        SparkEntry.oracleSql("e4_fuzzy_pairs"), "e4_fuzzy_pairs")
+    }
+  }
+
+  test("plan pin: the fuzzy join never nested-loops or goes cartesian") {
+    val p = SparkEntry.queries("e4_fuzzy_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join must stay equi-join on signatures:\n$p")
+  }
+}

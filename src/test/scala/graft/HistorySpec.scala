@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.History
+
+/** [[graft.ops.History]] — SCD2 interval build and single-aggregation
+  * snapshot diff. Hand-sized semantic cases (change compression, null
+  * value flips, tombstones, boundary inclusivity), the v1/v2 DuckDB
+  * oracle replay at sf0.001, and the plan pins the scale claims rest on
+  * (scd2 = ONE Exchange + ONE Sort; snapshotDiff = one aggregate, no
+  * join).
+  */
+class HistorySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scd2: change compression, interval chaining, open current row") {
+    val h = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 15L, "x"))
+      .toDF("k", "ts", "v")
+    val out = History.scd2(h, Seq("k"), "ts", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set(
+      (1L, "a", 10L, Some(30L)), // 20L observation compressed away (same value)
+      (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None),      // value returning opens a NEW interval
+      (2L, "x", 15L, None)))
+  }
+
+  test("scd2: null-safe change detection (value flips to null and back)") {
+    val h = Seq((1L, 1L, Some("a")), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some("a")))
+      .toDF("k", "ts", "v")
+    val out = History.scd2(h, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => (r.getLong(2), Option(r.getString(1)))).toSet
+    assert(out == Set((1L, Some("a")), (2L, None), (4L, Some("a"))))
+  }
+
+  test("scd2: guards — empty keys/values, reserved names") {
+    val h = Seq((1L, 1L, "a")).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException](History.scd2(h, Seq.empty, "ts", Seq("v")))
+    intercept[IllegalArgumentException](History.scd2(h, Seq("k"), "ts", Seq.empty))
+    intercept[IllegalArgumentException](
+      History.scd2(h.withColumn("valid_to", lit(1)), Seq("k"), "ts", Seq("v")))
+  }
+
+  test("snapshotDiff: added/changed/removed with tombstones, unchanged filtered") {
+    val h = Seq(
+      // k=1: present at t1=10 with "a", changed to "b" by t2=20
+      (1L, 5L, "a", false), (1L, 15L, "b", false),
+      // k=2: unchanged across the window -> filtered out
+      (2L, 5L, "x", false),
+      // k=3: added after t1
+      (3L, 12L, "c", false),
+      // k=4: deleted between t1 and t2 -> removed
+      (4L, 5L, "d", false), (4L, 18L, "d", true),
+      // k=5: created AND deleted inside the window -> never reported
+      (5L, 12L, "e", false), (5L, 14L, "e", true),
+      // k=6: only rows after t2 -> invisible
+      (6L, 25L, "f", false))
+      .toDF("k", "ts", "v", "del")
+    val out = History.snapshotDiff(h, Seq("k"), "ts", Seq("v"),
+        t1 = 10L, t2 = 20L, deleteCol = Some("del"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (1L, Some("a"), Some("b"), "changed"),
+      (3L, None, Some("c"), "added"),
+      (4L, Some("d"), None, "removed")))
+  }
+
+  test("snapshotDiff: inclusive cutoffs and revive-after-delete") {
+    val h = Seq(
+      (1L, 10L, "a", false),             // exactly at t1: counts as old state
+      (2L, 5L, "b", true), (2L, 20L, "b", false)) // deleted at t1, revived at t2
+      .toDF("k", "ts", "v", "del")
+    val out = History.snapshotDiff(h, Seq("k"), "ts", Seq("v"),
+        t1 = 10L, t2 = 20L, deleteCol = Some("del"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    // k=1 present at both with same value -> unchanged -> absent
+    assert(out == Set((2L, "added")))
+  }
+
+  test("snapshotDiff differential: seeded history vs two-snapshot full-outer form") {
+    val rnd = new scala.util.Random(7)
+    val h = (0 until 2000).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(500).toLong,
+        rnd.nextInt(5).toLong, rnd.nextInt(10) == 0)
+    }.toDF("k", "ts", "v", "del")
+      // (k, ts) unique: keep max (v, del) observation per instant
+      .groupBy("k", "ts")
+      .agg(max(struct(col("v"), col("del"))).as("o"))
+      .select(col("k"), col("ts"), col("o.v").as("v"), col("o.del").as("del"))
+    val (t1, t2) = (200L, 400L)
+
+    val fast = History.snapshotDiff(h, Seq("k"), "ts", Seq("v"), t1, t2,
+      deleteCol = Some("del"))
+
+    def stateAt(t: Long) = h.filter(col("ts") <= t)
+      .groupBy("k")
+      .agg(max(struct(col("ts"), col("del"), col("v"))).as("s"))
+      .filter(!col("s.del"))
+      .select(col("k"), col("s.v").as("v"))
+    val naive = stateAt(t1).alias("o").join(stateAt(t2).alias("n"), Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("o.v").isNull && col("n.v").isNotNull, "added")
+          .when(col("o.v").isNotNull && col("n.v").isNull, "removed")
+          .when(col("o.v") =!= col("n.v"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("k"), col("o.v").as("old_v"), col("n.v").as("new_v"), col("change_type"))
+
+    assert(DuckOracle.sparkRows(fast) == DuckOracle.sparkRows(naive))
+  }
+
+  test("v1/v2 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW events AS SELECT * FROM read_parquet('$sf/events.parquet')")
+      Seq("v1_scd2", "v2_snapshot_diff").foreach { q =>
+        DuckOracle.assertMatches(c,
+          SparkEntry.queries(q)(spark, sf), SparkEntry.oracleSql(q), q)
+      }
+    }
+  }
+
+  test("plan pins: scd2 one Exchange + one Sort; snapshotDiff agg-only, no join") {
+    val scd = SparkEntry.queries("v1_scd2")(spark, sf)
+    val ps = scd.queryExecution.executedPlan.toString
+    // eventHistory's pre-agg adds its own exchange; the scd2 build itself
+    // must add exactly ONE more (lag + filter + lead share it) and ONE sort
+    val ex = ps.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val sorts = ps.linesIterator.count(_.contains("Sort ["))
+    assert(ex == 2, s"pre-agg + scd2 = exactly two Exchanges, saw $ex:\n$ps")
+    assert(sorts == 1, s"lag/filter/lead must share ONE sort, saw $sorts:\n$ps")
+
+    val diff = SparkEntry.queries("v2_snapshot_diff")(spark, sf)
+    val pd = diff.queryExecution.executedPlan.toString
+    assert(!pd.contains("Join"), s"snapshotDiff must not join:\n$pd")
+    val exd = pd.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exd == 2, s"pre-agg + one conditional aggregation, saw $exd:\n$pd")
+  }
+}

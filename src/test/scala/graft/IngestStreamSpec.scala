@@ -34,6 +34,10 @@ class IngestStreamSpec extends AnyFunSuite {
   test("ingestStream: exact, cross-batch and within-batch dedup against the growing index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // pins are caller-owned (ManagedCache contract), so earlier suites
+    // legitimately leave theirs behind — clear them so the final
+    // pinned-count assert measures only THIS test's accumulation
+    graft.ops.ManagedCache.releaseAll(spark)
     val root = java.nio.file.Files.createTempDirectory("ingest-stream").toString
     val (corpusDir, indexDir, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
     val (a, b, d) = (mkText(1), mkText(2), mkText(4))
@@ -69,6 +73,7 @@ class IngestStreamSpec extends AnyFunSuite {
 
   test("ingestBatch: replaying a committed batch rewrites identical state (at-least-once safety)") {
     import spark.implicits._
+    graft.ops.ManagedCache.releaseAll(spark) // isolate from earlier suites
     val root = java.nio.file.Files.createTempDirectory("ingest-replay").toString
     val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
     val (a, b, d) = (mkText(11), mkText(12), mkText(14))
@@ -100,6 +105,9 @@ class IngestStreamSpec extends AnyFunSuite {
     val b3 = Seq((ts(7), 7L, "too short")).toDF("ts", "doc_id", "text")
     StreamPipeline.ingestBatch(spark, b3, 3L, corpusDir, indexDir)
     assert(corpusIds(corpusDir) == Set(1L, 2L, 5L, 7L))
+    // release discipline, direct-call form: every ingestBatch above pinned
+    // its signature frame under THIS session and must have released it
+    assert(graft.ops.ManagedCache.pinnedCount(spark) == 0)
   }
 
   test("ingestBatch: within-batch doc_id collision keeps one deterministic row") {

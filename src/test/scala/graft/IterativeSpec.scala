@@ -146,4 +146,108 @@ class IterativeSpec extends AnyFunSuite {
     assert(triMap(Iterative.kcorePeel(g, k = 3, rounds = 8)) ==
       Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  private def bfsMap(edges: Seq[(Long, Long)], sources: Seq[Long],
+                     maxDepth: Int = 64): Map[Long, Long] =
+    Iterative.bfsDistances(edges.toDF("src", "dst"),
+        sources.toDF("node"), maxDepth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsDistances: multi-source min distance; unreachable nodes absent; cycles terminate") {
+    // 1→2→3→4→1 cycle plus a branch 3→9; second source 7→8
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L),(3L,9L),(7L,8L))
+    assert(bfsMap(edges, Seq(1L)) ==
+      Map(1L->0L, 2L->1L, 3L->2L, 4L->3L, 9L->3L)) // 7, 8 unreachable
+    // multi-source: each node takes the min over the two frontiers, and a
+    // source reached from the other source keeps dist 0
+    assert(bfsMap(edges, Seq(4L, 3L)) ==
+      Map(4L->0L, 3L->0L, 1L->1L, 9L->1L, 2L->2L))
+  }
+
+  test("bfsDistances: maxDepth hit with a live frontier fails loudly, never truncates") {
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val e = intercept[IllegalArgumentException](bfsMap(chain, Seq(1L), maxDepth = 3))
+    assert(e.getMessage.contains("maxDepth"))
+    assert(bfsMap(chain, Seq(1L), maxDepth = 5)(6L) == 5L)
+  }
+
+  test("differential: bfsDistances vs in-JVM BFS on seeded random graphs") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(2000 + trial)
+      val n = 60
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val sources = Seq.fill(3)(rnd.nextInt(n).toLong).distinct
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val ref = scala.collection.mutable.Map[Long, Long](sources.map(_ -> 0L): _*)
+      var frontier = sources.toSet
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(ref.contains)
+        frontier.foreach(v => ref(v) = d)
+      }
+      assert(bfsMap(edges, sources) == ref.toMap, s"bfs mismatch on trial $trial")
+    }
+  }
+
+  private def ssspMap(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+                      maxIters: Int = 64): Map[Long, Long] =
+    Iterative.shortestPaths(edges.toDF("src", "dst", "w"),
+        sources.toDF("node"), maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortestPaths: later lighter path improves an already-settled node") {
+    // 1→2 (w=10) vs 1→3→4→2 (w=1+1+1): node 2 is reached at round 1 with 10
+    // and must IMPROVE to 3 at round 3 — first discovery is not final
+    val edges = Seq((1L,2L,10L), (1L,3L,1L), (3L,4L,1L), (4L,2L,1L))
+    assert(ssspMap(edges, Seq(1L)) == Map(1L->0L, 3L->1L, 4L->2L, 2L->3L))
+    // zero weights allowed; cycles with non-negative weights terminate
+    assert(ssspMap(Seq((1L,2L,0L), (2L,1L,0L), (2L,3L,5L)), Seq(1L)) ==
+      Map(1L->0L, 2L->0L, 3L->5L))
+  }
+
+  test("shortestPaths: negative weights rejected; maxIters failure is loud") {
+    intercept[IllegalArgumentException](
+      ssspMap(Seq((1L,2L,-1L)), Seq(1L)))
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1), 1L)).toSeq
+    val e = intercept[IllegalArgumentException](ssspMap(chain, Seq(1L), maxIters = 3))
+    assert(e.getMessage.contains("maxIters"))
+    assert(ssspMap(chain, Seq(1L), maxIters = 5)(6L) == 5L)
+  }
+
+  test("differential: shortestPaths vs in-JVM Dijkstra on seeded random weighted graphs") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(3000 + trial)
+      val n = 50
+      val edges = Seq.fill(180)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          rnd.nextInt(9).toLong))
+        .filter { case (a, b, _) => a != b }
+      val sources = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+      val ref = scala.collection.mutable.Map[Long, Long](sources.map(_ -> 0L): _*)
+      val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+        Ordering.by[(Long, Long), Long](_._1).reverse)
+      sources.foreach(s => pq.enqueue((0L, s)))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (ref(u) == d)
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (!ref.contains(v) || d + w < ref(v)) { ref(v) = d + w; pq.enqueue((d + w, v)) }
+          }
+      }
+      assert(ssspMap(edges, sources) == ref.toMap, s"sssp mismatch on trial $trial")
+    }
+  }
+
+  test("f13 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW orders AS SELECT * FROM read_parquet('/root/testdata/sf0.001/orders.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("f13_shortest_paths")(spark, "/root/testdata/sf0.001"),
+        SparkEntry.oracleSql("f13_shortest_paths"), "f13_shortest_paths")
+    }
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.SetSim
+
+/** [[graft.ops.SetSim]] — exact prefix-filtered set-similarity join.
+  * Rarity-order semantics, threshold guards, a seeded completeness
+  * differential against the brute-force all-shared-tokens join across
+  * several thresholds (the prefix + length filters must be LOSSLESS), the
+  * d7 DuckDB oracle replay at sf0.001, and the no-nested-loop plan pin.
+  */
+class SetSimSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rarityOrderedTokenSets: distinct non-empty tokens, rarest first") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the  dog")) // double space: empty token dropped
+      .toDF("doc_id", "text")
+    val out = SetSim.rarityOrderedTokenSets(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    // dfs: the=3, cat=2, sat/ran/dog=1 — rarest first, ties by token asc
+    assert(out(1L) == (List("sat", "cat", "the"), 3L))
+    assert(out(2L) == (List("ran", "cat", "the"), 3L))
+    assert(out(3L) == (List("dog", "the"), 2L))
+  }
+
+  test("setSimilarityPairs: hand case — prefix on rare tokens, exact threshold edge") {
+    val docs = Seq(
+      (1L, "a b c d"),   // {a,b,c,d}
+      (2L, "a b c e"),   // J(1,2) = 3/5 = 0.6
+      (3L, "x y z"),     // disjoint
+      (4L, "a b c d"))   // J(1,4) = 1
+      .toDF("doc_id", "text")
+    val at6000 = SetSim.setSimilarityPairs(docs, minBp = 6000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // J = 0.6 is INCLUDED at τ = 0.6 (>=, exact integer test)
+    assert(at6000 == Set((1L, 2L, 6000L), (1L, 4L, 10000L), (2L, 4L, 6000L)))
+    val at6001 = SetSim.setSimilarityPairs(docs, minBp = 6001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at6001 == Set((1L, 4L)))
+  }
+
+  test("setSimilarityPairs: empty docs never pair; threshold guard is loud") {
+    val docs = Seq((1L, ""), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    assert(SetSim.setSimilarityPairs(docs, minBp = 5000).count() == 0)
+    intercept[IllegalArgumentException](SetSim.setSimilarityPairs(docs, minBp = 0))
+    intercept[IllegalArgumentException](SetSim.setSimilarityPairs(docs, minBp = 10001))
+  }
+
+  test("completeness differential: prefix+length filters lossless vs brute force") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(): String = {
+      val n = 3 + rnd.nextInt(10)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val docs = (0 until 250).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    Seq(3000L, 5000L, 7000L, 9000L).foreach { bp =>
+      val fast = SetSim.setSimilarityPairs(docs, minBp = bp)
+        .select("id1", "id2", "common", "jaccard_bp")
+      val brute = tok.alias("a")
+        .join(tok.alias("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sa")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sb")), "id2")
+        .filter(lit(10000L) * col("common") >= lit(bp) * (col("sa") + col("sb") - col("common")))
+        .select(col("id1"), col("id2"), col("common"),
+          expr("(10000 * common) div (sa + sb - common)").as("jaccard_bp"))
+      assert(DuckOracle.sparkRows(fast) == DuckOracle.sparkRows(brute),
+        s"prefix-filtered join must equal brute force at minBp=$bp")
+    }
+  }
+
+  test("d7 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sf/documents.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("d7_setsim_join")(spark, sf),
+        SparkEntry.oracleSql("d7_setsim_join"), "d7_setsim_join")
+    }
+  }
+
+  test("plan pin: candidate generation stays an equi-join (no nested loop/cartesian)") {
+    val p = SparkEntry.queries("d7_setsim_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"set-sim join must stay equi-join on prefix tokens:\n$p")
+  }
+}
