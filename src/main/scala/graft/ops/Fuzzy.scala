@@ -74,6 +74,36 @@ object Fuzzy {
       .select("id1", "id2", "s1", "s2", "dist")
   }
 
+  /** Entity resolution: the full "which records are the same real-world
+    * entity" composition — [[editDistancePairs]] (typo-tolerant match
+    * edges) → [[graft.queries.Iterative.connectedComponents]] (transitive
+    * merge: A~B and B~C cluster A,B,C even when dist(A,C) > k — exactly the
+    * reference's sameAs-closure semantics applied to fuzzy matches) → a
+    * canonical survivor per cluster (min id — deterministic, the E1
+    * min-lineage discipline). Every input record comes back with its
+    * `entity_id` (cluster canonical) and `n_members`; singletons are their
+    * own entity. This is the KG-construction shape: mention tables in,
+    * merged entity table out.
+    *
+    * Scale: pairs is the signature-banded join (never all-pairs), CC runs
+    * pointer-doubled min-label over ONLY the matched nodes (clusters are
+    * tiny islands in a huge corpus — the CC input is |pairs|, not |docs|),
+    * and the final assignment is one left join + one cluster-size agg. */
+  def resolveEntities(docs: DataFrame, idCol: String, strCol: String,
+                      k: Int = 1, maxLen: Int = 64): DataFrame = {
+    val pairs = editDistancePairs(docs, idCol, strCol, k, maxLen)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val cc = graft.queries.Iterative.connectedComponents(pairs)
+    val assigned = docs.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("name"))
+      .join(cc.select(col("node").cast("long").as("id"),
+        col("component").cast("long").as("entity_id")), Seq("id"), "left")
+      .withColumn("entity_id", coalesce(col("entity_id"), col("id")))
+    val sizes = assigned.groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+    assigned.join(sizes, "entity_id")
+      .select(col("id"), col("name"), col("entity_id"), col("n_members"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // fuzzy self-match over customer names (distance <= 1): the oracle is
     // the brute-force cross join this operator exists to avoid — DuckDB
@@ -87,6 +117,32 @@ object Fuzzy {
                      a.c_name AS name1, b.c_name AS name2,
                      levenshtein(a.c_name, b.c_name) AS dist
               FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-              WHERE levenshtein(a.c_name, b.c_name) <= 1"""))
+              WHERE levenshtein(a.c_name, b.c_name) <= 1""")),
+
+    // full entity resolution over customer names: fuzzy edges → transitive
+    // CC merge → canonical id + cluster size for EVERY record; the oracle
+    // re-derives the clusters from the brute-force pair set with a
+    // recursive min-label CTE (the i3 discipline)
+    QueryDef("e5_entity_resolution",
+      (s, d) => resolveEntities(
+        t(s, d, "customer").select("c_custkey", "c_name"),
+        "c_custkey", "c_name", k = 1, maxLen = 64),
+      Some("""WITH RECURSIVE p AS (
+                SELECT a.c_custkey AS id1, b.c_custkey AS id2
+                FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+                WHERE levenshtein(a.c_name, b.c_name) <= 1),
+              u AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+              reach(node, m) AS (
+                SELECT a, a FROM u
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN u ON r.m = u.a),
+              cc AS (SELECT node, min(m) AS comp FROM reach GROUP BY node),
+              assigned AS (
+                SELECT CAST(c.c_custkey AS BIGINT) AS id, c.c_name AS name,
+                       CAST(coalesce(cc.comp, c.c_custkey) AS BIGINT) AS entity_id
+                FROM customer c LEFT JOIN cc ON cc.node = c.c_custkey)
+              SELECT id, name, entity_id,
+                     CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+              FROM assigned"""))
   )
 }

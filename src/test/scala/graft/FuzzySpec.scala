@@ -102,6 +102,32 @@ class FuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("resolveEntities: transitive chains merge, singletons survive, canonical is min id") {
+    val docs = Seq(
+      // chain: dist(aaaa, aaab)=1, dist(aaab, aabb)=1, but dist(aaaa, aabb)=2
+      // — the THREE must still form one entity (transitive CC merge)
+      (5L, "aaaa"), (2L, "aaab"), (9L, "aabb"),
+      (7L, "zzzz"),                 // singleton
+      (3L, "qqqq"), (4L, "qqqx"))   // a plain pair
+      .toDF("rec_id", "rec_name")
+    val out = Fuzzy.resolveEntities(docs, "rec_id", "rec_name", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (5L, 2L, 3L), (2L, 2L, 3L), (9L, 2L, 3L), // cluster canonical = min id 2
+      (7L, 7L, 1L),
+      (3L, 3L, 2L), (4L, 3L, 2L)))
+  }
+
+  test("e5 DuckDB oracle replay at sf0.001 (recursive-CTE cluster re-derivation)") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW customer AS SELECT * FROM read_parquet('$sf/customer.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("e5_entity_resolution")(spark, sf),
+        SparkEntry.oracleSql("e5_entity_resolution"), "e5_entity_resolution")
+    }
+  }
+
   test("plan pin: the fuzzy join never nested-loops or goes cartesian") {
     val p = SparkEntry.queries("e4_fuzzy_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
