@@ -255,6 +255,60 @@ object Iterative {
     dist
   }
 
+  /** Deterministic "random" walks over a directed edge table (src, dst) —
+    * the KG→training-data bridge: DeepWalk/node2vec-style walk corpora for
+    * embedding training, generated reproducibly (same graph + same seed =
+    * byte-identical corpus on any cluster, any partitioning — a REAL RNG
+    * here would make the training set non-reproducible and the operator
+    * untestable). The next hop from `node` at step `t` of walk `w` is
+    * neighbor number h60(seed:start:w:t:node) mod outdeg under the
+    * (src, dst)-ranked neighbor order.
+    *
+    * Scale shape: neighbors are ranked ONCE (one window pass keyed on src
+    * carries both rank and outdeg; checkpointed — the loop invariant).
+    * Each step is two |walkers|-row hash joins on the SAME key (node →
+    * degree lookup to compute the hash index, then the (src, rank)
+    * composite-key equi-join to fetch exactly ONE neighbor row) — never a
+    * join-all-neighbors-then-filter, which would fan out by outdeg and
+    * melt on hubs. Walks that reach a sink end early (inner join drops
+    * them), matching the reference semantics of walking until stuck.
+    * Output is flat (start, w, step, node) rows — `collect_list` over
+    * (start, w) gives sequences when a corpus file is the goal. */
+  def randomWalks(edges0: DataFrame, starts: DataFrame, nWalks: Int,
+                  walkLen: Int, seed: String): DataFrame = {
+    require(nWalks >= 1, s"nWalks must be >= 1: $nWalks")
+    require(walkLen >= 1, s"walkLen must be >= 1: $walkLen")
+    require(!seed.contains(":"), s"seed must not contain ':' (hash-input delimiter): $seed")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src").orderBy("dst")
+    val ranked = edges0.select(col("src"), col("dst")).distinct()
+      .withColumn("r", row_number().over(w) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    val degrees = ranked.select(col("src"), col("deg")).distinct().localCheckpoint()
+
+    var cur = starts.select(col("node")).distinct()
+      .select(col("node").as("start"),
+        explode(expr(s"sequence(0, ${nWalks - 1})")).as("w"),
+        lit(0).as("step"), col("node"))
+    val out = Seq.newBuilder[DataFrame]
+    out += cur
+    for (t <- 1 to walkLen) {
+      val hop = cur.join(degrees, col("node") === col("src"))
+        .withColumn("idx",
+          graft.ops.Text.h60(concat_ws(":", lit(seed), col("start"), col("w"),
+            lit(t), col("node"))) % col("deg"))
+        .select(col("start"), col("w"), col("node").as("at"), col("idx"))
+        .join(ranked,
+          col("at") === ranked("src") && col("idx") === ranked("r"))
+        .select(col("start"), col("w"), lit(t).as("step"), col("dst").as("node"))
+        .localCheckpoint()
+      out += hop
+      cur = hop
+    }
+    out.result().reduce(_.unionByName(_))
+  }
+
   /** GraphX alternative for long-id graphs (SURVEY §7.4: "GraphX or
     * pure-DataFrame — decide by benchmark"; the spark-graphx jar ships with
     * the runtime). Pregel-based, RDD-backed — the one sanctioned RDD use.

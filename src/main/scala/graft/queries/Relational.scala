@@ -291,6 +291,40 @@ object Relational {
                 SELECT e.dst, r.d + e.w FROM r JOIN e ON r.node = e.src)
               SELECT node, min(d) AS dist FROM r GROUP BY node""")),
 
+    // F14: deterministic random-walk corpus over the link graph — 3 walks of
+    // length 8 from every 97-divisible start node, next hop = h60-indexed
+    // neighbor under (src, dst) rank order; the oracle replays every hop in
+    // a recursive CTE with the identical md5-prefix arithmetic, so the walk
+    // corpus is proven byte-identical across engines (and therefore across
+    // cluster sizes/partitionings — the reproducible-training-set contract)
+    QueryDef("f14_random_walks",
+      (s, d) => Iterative.randomWalks(
+          graphEdges(s, d).select(col("a").as("src"), col("b").as("dst")),
+          graphEdges(s, d).filter(col("a") % 97 === 0).select(col("a").as("node")),
+          nWalks = 3, walkLen = 8, seed = "graft-f14")
+        .select(col("start"), col("w").cast("long").as("w"),
+          col("step").cast("long").as("step"), col("node")),
+      Some(s"""WITH RECURSIVE e AS (
+                 SELECT DISTINCT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+                 FROM ($graphEdgesSql)),
+               rk AS (
+                 SELECT src, dst,
+                        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+                        count(*) OVER (PARTITION BY src) AS deg
+                 FROM e),
+               st AS (SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0),
+               walk(start, w, step, node) AS (
+                 SELECT node, CAST(ws.w AS BIGINT), CAST(0 AS BIGINT), node
+                 FROM st CROSS JOIN (SELECT unnest(range(3)) AS w) ws
+                 UNION ALL
+                 SELECT wk.start, wk.w, wk.step + 1, rk.dst
+                 FROM walk wk JOIN rk ON rk.src = wk.node
+                  AND rk.r = CAST(concat('0x', substr(md5(
+                        concat('graft-f14', ':', wk.start, ':', wk.w, ':',
+                               wk.step + 1, ':', wk.node)), 1, 15)) AS BIGINT) % rk.deg
+                 WHERE wk.step < 8)
+               SELECT start, w, step, node FROM walk""")),
+
     // I3: connected components via iterative min-label propagation (the
     // reference's sameAs closure — inference/InferenceHandler.java:62-108 —
     // as CC, the north_star's "connected-components-style sameAs merging")

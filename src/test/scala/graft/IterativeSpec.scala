@@ -241,6 +241,57 @@ class IterativeSpec extends AnyFunSuite {
     }
   }
 
+  private def h60jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  test("randomWalks: deterministic, valid paths, sink termination — vs in-JVM replay") {
+    // 1→{2,3}, 2→{4}, 3→{1,4}; 4 is a sink (walks die there early)
+    val edges = Seq((1L,2L), (1L,3L), (2L,4L), (3L,1L), (3L,4L))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
+    val (nWalks, walkLen, seed) = (3, 6, "spec")
+    def replay(start: Long, w: Int): Seq[(Long, Int)] = {
+      var node = start
+      var path = Seq((node, 0))
+      var t = 1
+      var alive = true
+      while (alive && t <= walkLen) {
+        adj.get(node) match {
+          case Some(nbrs) =>
+            node = nbrs((h60jvm(s"$seed:$start:$w:$t:$node") % nbrs.length).toInt)
+            path :+= ((node, t)); t += 1
+          case None => alive = false
+        }
+      }
+      path
+    }
+    val expected = (for (st <- Seq(1L, 4L); w <- 0 until nWalks;
+                         (n, t) <- replay(st, w)) yield (st, w.toLong, t.toLong, n)).toSet
+    def run() = Iterative.randomWalks(edges.toDF("src", "dst"),
+        Seq(1L, 4L).toDF("node"), nWalks, walkLen, seed)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getLong(3))).toSet
+    val got = run()
+    assert(got == expected)
+    assert(run() == got, "same seed must reproduce the corpus byte-identically")
+    // start node 4 is a sink: its walks are exactly the step-0 rows
+    assert(got.count(_._1 == 4L) == nWalks)
+    intercept[IllegalArgumentException](
+      Iterative.randomWalks(edges.toDF("src", "dst"), Seq(1L).toDF("node"), 1, 1, "a:b"))
+  }
+
+  test("f14 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("f14_random_walks")(spark, "/root/testdata/sf0.001"),
+        SparkEntry.oracleSql("f14_random_walks"), "f14_random_walks")
+    }
+  }
+
   test("f13 DuckDB oracle replay at sf0.001") {
     DuckOracle.withConn { c =>
       DuckOracle.exec(c,
