@@ -68,7 +68,12 @@ object SetSim {
     require(minBp >= 1 && minBp <= 10000,
       s"setSimilarityPairs: minBp must be in [1, 10000], got $minBp " +
         "(0 would disable the prefix filter and go quadratic by design)")
-    val sets = rarityOrderedTokenSets(docs)
+    // the token-set frame feeds THREE consumers (the prefix explode and both
+    // verify sides) — pinned so the scan + df join + collect_list shuffle run
+    // once per action, not three times (the t5 triple-evaluation lesson).
+    // ManagedCache contract: caller releases (Verify/Bench releaseAll per
+    // query); blocks are MEMORY_AND_DISK and O(corpus tokens)
+    val sets = ManagedCache.pin(rarityOrderedTokenSets(docs))
     // prefix = first sz − ⌈τ·sz⌉ + 1 rarity-ordered tokens (ids only)
     val pref = sets.select(col("doc_id"), col("sz"),
       explode(slice(col("tokens"), lit(1),
