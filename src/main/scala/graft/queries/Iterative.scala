@@ -62,18 +62,26 @@ object Iterative {
     * via the anti-join (once every reachable pair is seen, the delta dries
     * up); maxDepth is a safety bound. */
   def closure(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // cleanLocalCheckpoint, not plain localCheckpoint: each round's delta
+    // rides BOTH the probe side of the next join AND the `seen` union that
+    // the anti-join checks — a checkpointed frame reused across those roles
+    // trips Catalyst's Union constraint rewrite (the preserved
+    // originConstraints keep stale attribute ids through relation
+    // deduplication; NoSuchElementException). The clean variant reuses the
+    // materialized blocks but strips the origin constraints/stats.
+    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
+    val edges = cleanLocalCheckpoint(
+      edges0.select(col("src"), col("dst")).distinct())
     var seen = edges
     var delta = edges
     var n = delta.count()
     var iter = 0
     while (n > 0 && iter < maxDepth) {
-      val next = delta.alias("d")
+      val next = cleanLocalCheckpoint(delta.alias("d")
         .join(edges.alias("e"), col("d.dst") === col("e.src"))
         .select(col("d.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-        .join(seen, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
+        .join(seen, Seq("src", "dst"), "left_anti"))
       n = next.count()
       if (n > 0) seen = seen.unionByName(next)
       delta = next
@@ -309,6 +317,29 @@ object Iterative {
     out.result().reduce(_.unionByName(_))
   }
 
+  /** Skip-gram training pairs from a walk corpus — the step after
+    * [[randomWalks]] in the embedding-training pipeline: every
+    * (center, context) co-occurrence within ±`window` steps of the same
+    * walk, with its multiplicity (`n_pairs`) so the training-set weighting
+    * survives compaction. One self-join per corpus keyed on the walk id —
+    * the band condition (1 ≤ Δstep ≤ window) rides the same-walk equi-join,
+    * so fan-out per row is ≤ window, never walk length — and one
+    * map-side-combinable count. Symmetric by construction (both directions
+    * emitted from the single ordered join). */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val a = walks.select(col("start"), col("w"), col("step").as("i"),
+      col("node").as("center"))
+    val b = walks.select(col("start"), col("w"), col("step").as("j"),
+      col("node").as("context"))
+    val fwd = a.join(b, Seq("start", "w"))
+      .filter(col("j") > col("i") && col("j") <= col("i") + window)
+      .select(col("center"), col("context"))
+    val sym = fwd.unionByName(
+      fwd.select(col("context").as("center"), col("center").as("context")))
+    sym.groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** GraphX alternative for long-id graphs (SURVEY §7.4: "GraphX or
     * pure-DataFrame — decide by benchmark"; the spark-graphx jar ships with
     * the runtime). Pregel-based, RDD-backed — the one sanctioned RDD use.
@@ -368,6 +399,91 @@ object Iterative {
       iter += 1
     }
     labels.select(col("node"), col("component"))
+  }
+
+  /** Incremental connected-components maintenance: given `labels` from a
+    * previous [[connectedComponents]] run over edge set E and a batch of
+    * NEW edges, produce exactly `connectedComponents(E ∪ delta)` — without
+    * ever re-iterating over E. The identity-graph ingest shape: sameAs
+    * merging as the corpus grows (streaming pages add equivalence edges;
+    * recomputing CC over a trillion-edge graph per micro-batch is the
+    * thing this avoids).
+    *
+    * Why it's exact: min-label CC labels each component with its minimum
+    * node id, so the component LABEL is itself a member node. Projecting
+    * each delta endpoint onto its current label (unseen nodes map to
+    * themselves) yields a component-level graph whose nodes are old labels
+    * ∪ brand-new ids; running CC on THAT merges exactly the components the
+    * delta connects, and the merged min over {old labels, new ids} is the
+    * global min of the merged member set — the label full CC would pick.
+    *
+    * Cost: the ITERATION runs on the component-level graph (O(|delta| +
+    * affected components) rows); the only full-size work is one final
+    * |labels|-row relabel join keyed on component — a single non-iterative
+    * shuffle, the unavoidable cost of emitting the maintained table. */
+  def connectedComponentsDelta(labels: DataFrame, delta0: DataFrame): DataFrame = {
+    val delta = delta0.select(col("a"), col("b")).distinct().localCheckpoint()
+    def side(c: String) = labels.select(col("node").as(c), col("component").as(s"c$c"))
+    val projected = delta
+      .join(side("a"), Seq("a"), "left")
+      .join(side("b"), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    val merged = connectedComponents(projected) // (node = old label | new id, component)
+    val remap = merged.select(col("node").as("component"), col("component").as("newc"))
+    val relabeled = labels.join(remap, Seq("component"), "left")
+      .select(col("node"), coalesce(col("newc"), col("component")).as("component"))
+    val endpoints = delta.select(col("a").as("node"))
+      .unionByName(delta.select(col("b").as("node"))).distinct()
+    val fresh = endpoints.join(labels.select("node"), Seq("node"), "left_anti")
+      .join(merged, Seq("node"))
+    relabeled.unionByName(fresh.select(col("node"), col("component")))
+  }
+
+  /** Incremental transitive-closure maintenance: given `closed` = the full
+    * reachability pairs of edge set E (from [[closure]]) and NEW edges,
+    * produce exactly `closure(E ∪ delta)` — semi-naive from the DELTA, so
+    * per-round join inputs are |new facts|, never |closure|: each round
+    * extends last round's new pairs one composition left and right through
+    * the accumulated relation, anti-joins the seen set, and stops when no
+    * new reachability appears. Paths threading MULTIPLE delta edges emerge
+    * across rounds (round k covers k delta-edge paths) — the fixpoint is
+    * the same either way because `closed` is already transitively closed.
+    * The subClassOf/evolvesFrom ingest shape: new ontology assertions
+    * arrive, the materialized closure updates without a full re-run. */
+  def closureDelta(closed: DataFrame, delta0: DataFrame,
+                   maxDepth: Int = 32): DataFrame = {
+    // cleanLocalCheckpoint throughout: `seen` rides three roles per round
+    // (forward probe, backward probe, anti-join side) — see [[closure]]'s
+    // note on the origin-constraint hazard of reusing a plain checkpoint
+    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
+    val base = cleanLocalCheckpoint(
+      closed.select(col("src"), col("dst")).distinct())
+    var delta = cleanLocalCheckpoint(
+      delta0.select(col("src"), col("dst")).distinct()
+        .join(base, Seq("src", "dst"), "left_anti"))
+    var seen = base.unionByName(delta)
+    var n = delta.count()
+    var iter = 0
+    while (n > 0 && iter < maxDepth) {
+      val fwd = cleanLocalCheckpoint(delta.alias("d")
+        .join(seen.alias("s"), col("d.dst") === col("s.src"))
+        .select(col("d.src").as("src"), col("s.dst").as("dst"))
+        .distinct()
+        .join(seen, Seq("src", "dst"), "left_anti"))
+      val bwd = cleanLocalCheckpoint(seen.alias("s")
+        .join(delta.alias("d"), col("s.dst") === col("d.src"))
+        .select(col("s.src").as("src"), col("d.dst").as("dst"))
+        .distinct()
+        .join(seen, Seq("src", "dst"), "left_anti")
+        .join(fwd, Seq("src", "dst"), "left_anti"))
+      val next = fwd.unionByName(bwd)
+      n = next.count()
+      if (n > 0) seen = seen.unionByName(next)
+      delta = cleanLocalCheckpoint(next)
+      iter += 1
+    }
+    seen
   }
 
   /** Per-node triangle counts by degree-ordered edge orientation — the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryDef.t
 
@@ -61,6 +61,37 @@ object Relational {
       col("l_partkey").cast("long").as("a"),
       (col("l_partkey") + 1 + (col("l_suppkey") * 3 + col("l_orderkey")) % 19)
         .cast("long").as("b"))
+
+  /** The f14/f16 walk corpus: 3 hash-deterministic walks of length 8 from
+    * every 97-divisible start node of the link graph. */
+  private def f14Walks(s: SparkSession, d: String): DataFrame =
+    Iterative.randomWalks(
+      graphEdges(s, d).select(col("a").as("src"), col("b").as("dst")),
+      graphEdges(s, d).filter(col("a") % 97 === 0).select(col("a").as("node")),
+      nWalks = 3, walkLen = 8, seed = "graft-f14")
+
+  /** The walk corpus replayed in DuckDB — shared verbatim by the f14 and
+    * f16 oracles so they cannot drift. */
+  private val randomWalkCtes: String =
+    s"""WITH RECURSIVE e AS (
+          SELECT DISTINCT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+          FROM ($graphEdgesSql)),
+        rk AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM e),
+        st AS (SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0),
+        walk(start, w, step, node) AS (
+          SELECT node, CAST(ws.w AS BIGINT), CAST(0 AS BIGINT), node
+          FROM st CROSS JOIN (SELECT unnest(range(3)) AS w) ws
+          UNION ALL
+          SELECT wk.start, wk.w, wk.step + 1, rk.dst
+          FROM walk wk JOIN rk ON rk.src = wk.node
+           AND rk.r = CAST(concat('0x', substr(md5(
+                 concat('graft-f14', ':', wk.start, ':', wk.w, ':',
+                        wk.step + 1, ':', wk.node)), 1, 15)) AS BIGINT) % rk.deg
+          WHERE wk.step < 8)"""
 
   /** Unrolled fixed-round k-core peel — each round references the previous
     * exactly once (doubled-edge table + window degrees), so DuckDB never
@@ -298,32 +329,29 @@ object Relational {
     // corpus is proven byte-identical across engines (and therefore across
     // cluster sizes/partitionings — the reproducible-training-set contract)
     QueryDef("f14_random_walks",
-      (s, d) => Iterative.randomWalks(
-          graphEdges(s, d).select(col("a").as("src"), col("b").as("dst")),
-          graphEdges(s, d).filter(col("a") % 97 === 0).select(col("a").as("node")),
-          nWalks = 3, walkLen = 8, seed = "graft-f14")
+      (s, d) => f14Walks(s, d)
         .select(col("start"), col("w").cast("long").as("w"),
           col("step").cast("long").as("step"), col("node")),
-      Some(s"""WITH RECURSIVE e AS (
-                 SELECT DISTINCT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
-                 FROM ($graphEdgesSql)),
-               rk AS (
-                 SELECT src, dst,
-                        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
-                        count(*) OVER (PARTITION BY src) AS deg
-                 FROM e),
-               st AS (SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0),
-               walk(start, w, step, node) AS (
-                 SELECT node, CAST(ws.w AS BIGINT), CAST(0 AS BIGINT), node
-                 FROM st CROSS JOIN (SELECT unnest(range(3)) AS w) ws
+      Some(s"$randomWalkCtes\nSELECT start, w, step, node FROM walk")),
+
+    // F16: skip-gram (center, context, multiplicity) training pairs from the
+    // f14 walk corpus, window ±2 — the embedding-training shape the walks
+    // exist for; the oracle extends the SAME walk CTEs (shared text, so the
+    // two oracles cannot drift) with the banded self-join + count
+    QueryDef("f16_skipgram_pairs",
+      (s, d) => Iterative.skipGramPairs(f14Walks(s, d), window = 2),
+      Some(s"""$randomWalkCtes,
+               pairs AS (
+                 SELECT x.node AS center, y.node AS context
+                 FROM walk x JOIN walk y
+                   ON x.start = y.start AND x.w = y.w
+                  AND y.step > x.step AND y.step <= x.step + 2),
+               sym AS (
+                 SELECT center, context FROM pairs
                  UNION ALL
-                 SELECT wk.start, wk.w, wk.step + 1, rk.dst
-                 FROM walk wk JOIN rk ON rk.src = wk.node
-                  AND rk.r = CAST(concat('0x', substr(md5(
-                        concat('graft-f14', ':', wk.start, ':', wk.w, ':',
-                               wk.step + 1, ':', wk.node)), 1, 15)) AS BIGINT) % rk.deg
-                 WHERE wk.step < 8)
-               SELECT start, w, step, node FROM walk""")),
+                 SELECT context, center FROM pairs)
+               SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM sym GROUP BY 1, 2""")),
 
     // I3: connected components via iterative min-label propagation (the
     // reference's sameAs closure — inference/InferenceHandler.java:62-108 —
@@ -350,6 +378,65 @@ object Relational {
                 SELECT r.node, u.b FROM reach r JOIN u ON r.m = u.a
               )
               SELECT node, min(m) AS component FROM reach GROUP BY node""")),
+
+    // I4: INCREMENTAL connected components — the i3 graph split into a base
+    // edge set and a "newly ingested" delta ((a+b) % 5 == 0); the base CC is
+    // maintained through connectedComponentsDelta and must equal full CC
+    // over the union, which is exactly what the oracle computes (the i3
+    // recursive CTE over ALL edges) — incremental ≡ recompute, proven
+    // cross-engine
+    QueryDef("i4_cc_incremental",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select((col("c_custkey") + 10000).cast("long").as("a"),
+            col("c_nationkey").cast("long").as("b"))
+        val nat = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("a"),
+            (col("n_regionkey") + 5000).cast("long").as("b"))
+        val edges = cust.unionByName(nat)
+        val isDelta = (col("a") + col("b")) % 5 === 0
+        Iterative.connectedComponentsDelta(
+          Iterative.connectedComponents(edges.filter(!isDelta)),
+          edges.filter(isDelta))
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT c_custkey+10000 AS a, CAST(c_nationkey AS BIGINT) AS b FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey AS BIGINT), n_regionkey+5000 FROM nation
+              ),
+              u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+              reach(node, m) AS (
+                SELECT a, a FROM u
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN u ON r.m = u.a
+              )
+              SELECT node, min(m) AS component FROM reach GROUP BY node""")),
+
+    // F15: INCREMENTAL transitive closure — the bounded parent-DAG edge set
+    // split by o_orderkey % 7 == 0 into base and delta; closureDelta extends
+    // the materialized base closure semi-naively from the delta and must
+    // equal the full closure over the union (the oracle's recursive CTE over
+    // ALL edges)
+    QueryDef("f15_closure_incremental",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderkey") > 1 && col("o_orderkey") <= 4000)
+        def edgesOf(f: Column) = o.filter(f).select(
+          floor(col("o_orderkey") / 2.0).cast("long").as("src"),
+          col("o_orderkey").cast("long").as("dst"))
+        Iterative.closureDelta(
+          Iterative.closure(edgesOf(col("o_orderkey") % 7 =!= 0)),
+          edgesOf(col("o_orderkey") % 7 === 0))
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT CAST(floor(o_orderkey/2.0) AS BIGINT) AS src,
+                       CAST(o_orderkey AS BIGINT) AS dst
+                FROM orders WHERE o_orderkey > 1 AND o_orderkey <= 4000),
+              r(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
+              SELECT src, dst FROM r""")),
 
     // G1: count distinct (reference completeness check: pokemon_queries.sparql:182-190)
     QueryDef("g1_count_distinct",

@@ -432,6 +432,45 @@ object StreamPipeline {
     * guard ever dedups them. Small-file buildup across many batches is a
     * compaction event (read corpus → rewrite k files), not a per-batch
     * cost. */
+  /** Streaming identity-graph maintenance: each micro-batch of new
+    * equivalence edges (a, b) — sameAs assertions, fuzzy-match pairs,
+    * near-dup links — updates the MATERIALIZED component labels through
+    * [[graft.queries.Iterative.connectedComponentsDelta]], so the merged
+    * identity state is always on disk without ever re-running CC over the
+    * full edge history. Labels are written as `labels_v=<batchId>` versions:
+    * the prior state is the greatest version BELOW this batch id, which
+    * makes the body replay-idempotent under foreachBatch's at-least-once
+    * contract (re-running batch b re-reads the same prior and rewrites the
+    * same bytes) — the ingestBatch discipline, applied to mutating state.
+    * Old versions are retention, not correctness: prune like any snapshot
+    * table. */
+  def identityIngestBatch(spark: SparkSession, newEdges: DataFrame,
+                          batchId: Long, labelsDir: String): Unit = {
+    val prior = priorLabels(spark, labelsDir, batchId)
+    val updated = prior match {
+      case Some(l) => graft.queries.Iterative.connectedComponentsDelta(l, newEdges)
+      case None => graft.queries.Iterative.connectedComponents(newEdges)
+    }
+    updated.select(col("node"), col("component")).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$labelsDir/labels_v=$batchId")
+  }
+
+  /** The maintained labels as of the newest committed version. */
+  def identityLabels(spark: SparkSession, labelsDir: String): DataFrame =
+    priorLabels(spark, labelsDir, Long.MaxValue).getOrElse(
+      spark.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("component"))
+        .limit(0))
+
+  private def priorLabels(spark: SparkSession, labelsDir: String,
+                          beforeBatch: Long): Option[DataFrame] = {
+    val versions = Option(new java.io.File(labelsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("labels_v="))
+      .map(_.getName.stripPrefix("labels_v=").toLong)
+      .filter(_ < beforeBatch)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$labelsDir/labels_v=${versions.max}"))
+  }
+
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                   corpusDir: String, indexDir: String,
                   minEstBp: Long = 3000): Unit = {

@@ -19,6 +19,28 @@ object GraftExpressionBridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** `localCheckpoint` that is safe to reuse on BOTH sides of later joins
+    * and inside unions: Spark's localCheckpoint preserves the original
+    * plan's constraints/stats on the LogicalRDD (`originConstraints` /
+    * `originStats`), but relation deduplication does NOT remap those
+    * constraints when it re-instances the relation's output attributes —
+    * so a checkpointed frame that lands in a Union after riding both sides
+    * of a self-referential join makes `Union.rewriteConstraints` throw
+    * NoSuchElementException on the stale attribute id. This rebuilds the
+    * checkpointed RDD as a bare LogicalRDD with FRESH output attributes and
+    * no origin constraints/stats — the blocks are reused (no recompute),
+    * only the plan node is replaced. The lost upstream constraints cost at
+    * most a missed inferred filter; iterative kernels re-filter explicitly
+    * anyway. */
+  def cleanLocalCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    val session = cp.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = cp.asInstanceOf[classic.Dataset[Row]].queryExecution
+    val fresh = qe.analyzed.output.map(_.newInstance())
+    classic.Dataset.ofRows(session,
+      execution.LogicalRDD(fresh, qe.toRdd)(session))
+  }
+
   /** Apply a SparkSessionExtensions function-injection body to a session's
     * registry — what Spark itself does for `spark.sql.extensions` at
     * session BUILD time (BaseSessionStateBuilder.functionRegistry →

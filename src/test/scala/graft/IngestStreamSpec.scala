@@ -124,4 +124,31 @@ class IngestStreamSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
     assert(rows.length == 1 && rows(0).getLong(0) == 9L && rows(0).getString(1) == x)
   }
+
+  test("identityIngestBatch: maintained labels == full CC; replays are idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("identity-ingest").toString
+    def labels(): Map[Long, Long] =
+      StreamPipeline.identityLabels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fullCc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.queries.Iterative.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(labels().isEmpty, "no versions yet -> empty labels")
+    val b1 = Seq((1L, 2L), (3L, 4L), (10L, 11L))
+    val b2 = Seq((2L, 3L), (20L, 21L)) // merges {1,2}+{3,4}; new island
+    StreamPipeline.identityIngestBatch(spark, b1.toDF("a", "b"), 1L, dir)
+    assert(labels() == fullCc(b1))
+    StreamPipeline.identityIngestBatch(spark, b2.toDF("a", "b"), 2L, dir)
+    val afterB2 = labels()
+    assert(afterB2 == fullCc(b1 ++ b2))
+    // at-least-once replay of batch 2: same prior (v1), same bytes out
+    StreamPipeline.identityIngestBatch(spark, b2.toDF("a", "b"), 2L, dir)
+    assert(labels() == afterB2)
+    // a STALE replay of batch 1 rewrites only v1 (from the empty prior);
+    // the newest version stays the batch-2 state
+    StreamPipeline.identityIngestBatch(spark, b1.toDF("a", "b"), 1L, dir)
+    assert(labels() == afterB2)
+  }
 }

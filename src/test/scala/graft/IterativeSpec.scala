@@ -241,6 +241,77 @@ class IterativeSpec extends AnyFunSuite {
     }
   }
 
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Iterative.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponentsDelta: merges, isolated new pairs, untouched components") {
+    val base = Seq((1L, 2L), (3L, 4L), (10L, 11L))
+    val labels = Iterative.connectedComponents(base.toDF("a", "b"))
+    // new edge 2-3 merges {1,2} with {3,4}; 20-21 is a brand-new island;
+    // {10,11} is untouched and must relabel to itself
+    val out = Iterative.connectedComponentsDelta(labels,
+        Seq((2L, 3L), (20L, 21L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
+      10L->10L, 11L->10L, 20L->20L, 21L->20L))
+  }
+
+  test("differential: connectedComponentsDelta(cc(E), D) == cc(E ∪ D) on seeded graphs") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val n = 80
+      def randEdges(m: Int) = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val e = randEdges(70)
+      val d = randEdges(25)
+      val incr = Iterative.connectedComponentsDelta(
+          Iterative.connectedComponents(e.toDF("a", "b")), d.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr == ccMap(e ++ d), s"cc-delta mismatch on trial $trial")
+    }
+  }
+
+  test("differential: closureDelta(closure(E), D) == closure(E ∪ D), multi-delta paths") {
+    // hand case first: base a→b, delta b→c AND c→d — the pair (a, d) needs a
+    // path threading TWO delta edges (emerges in round 2, never in round 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.get(1))).toSet
+    val hand = Iterative.closureDelta(
+      Iterative.closure(Seq(("a", "b")).toDF("src", "dst")),
+      Seq(("b", "c"), ("c", "d")).toDF("src", "dst"))
+    assert(pairs(hand) == pairs(Iterative.closure(
+      Seq(("a","b"), ("b","c"), ("c","d")).toDF("src", "dst"))))
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(5000 + trial)
+      val n = 30
+      def randEdges(m: Int) = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val e = randEdges(35)
+      val d = randEdges(15)
+      val incr = Iterative.closureDelta(
+        Iterative.closure(e.toDF("src", "dst")), d.toDF("src", "dst"))
+      assert(pairs(incr) == pairs(Iterative.closure((e ++ d).toDF("src", "dst"))),
+        s"closure-delta mismatch on trial $trial")
+    }
+  }
+
+  test("i4/f15 DuckDB oracle replay at sf0.001 (incremental ≡ full recompute)") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW customer AS SELECT * FROM read_parquet('/root/testdata/sf0.001/customer.parquet')")
+      DuckOracle.exec(c,
+        "CREATE VIEW nation AS SELECT * FROM read_parquet('/root/testdata/sf0.001/nation.parquet')")
+      DuckOracle.exec(c,
+        "CREATE VIEW orders AS SELECT * FROM read_parquet('/root/testdata/sf0.001/orders.parquet')")
+      Seq("i4_cc_incremental", "f15_closure_incremental").foreach { q =>
+        DuckOracle.assertMatches(c,
+          SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"),
+          SparkEntry.oracleSql(q), q)
+      }
+    }
+  }
+
   private def h60jvm(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -289,6 +360,35 @@ class IterativeSpec extends AnyFunSuite {
       DuckOracle.assertMatches(c,
         SparkEntry.queries("f14_random_walks")(spark, "/root/testdata/sf0.001"),
         SparkEntry.oracleSql("f14_random_walks"), "f14_random_walks")
+    }
+  }
+
+  test("skipGramPairs: banded same-walk co-occurrence with multiplicity, symmetric") {
+    // one walk 10→11→12→13, a second walk 20→10→11 (cross-walk pairs must
+    // NOT appear; repeated co-occurrence accumulates multiplicity)
+    val walks = Seq(
+      (1L, 0, 0, 10L), (1L, 0, 1, 11L), (1L, 0, 2, 12L), (1L, 0, 3, 13L),
+      (2L, 0, 0, 20L), (2L, 0, 1, 10L), (2L, 0, 2, 11L))
+      .toDF("start", "w", "step", "node")
+    val out = Iterative.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (10,11): walk1 Δ1 + walk2 Δ1 = 2; (10,12): Δ2 = 1; (11,13): Δ2 = 1;
+    // (20,10): Δ1; (20,11): Δ2; never (20,12) or Δ3 pairs like (10,13)
+    assert(out((10L, 11L)) == 2L && out((11L, 10L)) == 2L)
+    assert(out((10L, 12L)) == 1L && out((11L, 13L)) == 1L)
+    assert(out((20L, 10L)) == 1L && out((20L, 11L)) == 1L)
+    assert(!out.contains((10L, 13L)) && !out.contains((20L, 12L)))
+    assert(out.keySet == out.keySet.map(_.swap), "pair set must be symmetric")
+    intercept[IllegalArgumentException](Iterative.skipGramPairs(walks, window = 0))
+  }
+
+  test("f16 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("f16_skipgram_pairs")(spark, "/root/testdata/sf0.001"),
+        SparkEntry.oracleSql("f16_skipgram_pairs"), "f16_skipgram_pairs")
     }
   }
 
