@@ -108,6 +108,63 @@ object Sample {
     * lead the sort: two shard values can hash into one task, and a
     * pos-only sort would let the writer's own partition-column sort
     * scramble it). */
+  /** Exact global DENSE rank 0..n−1 by `orderCol` (distinct values assumed —
+    * duplicated keys would rank partition-order-dependently; the caller
+    * dedups first, as a vocabulary is by construction) — WITHOUT a
+    * single-partition sort. A plain `row_number() OVER (ORDER BY x)` moves
+    * the whole table to one task; a trillion-row vocabulary does not fit
+    * one task. Instead:
+    *
+    *  1. range-repartition by the key (Spark's sampled RangePartitioner —
+    *     the same exchange a global sort pays, but the follow-up work stays
+    *     parallel);
+    *  2. per-partition `row_number` windowed BY PARTITION ID (parallel,
+    *     each window sees one partition);
+    *  3. per-partition counts → cumulative offsets — a partition-count-sized
+    *     frame (≤ thousands of rows) broadcast back;
+    *  4. rank = offset + local row_number − 1.
+    *
+    * Rank values are IDENTICAL to the single-partition form (range
+    * partitioning is order-preserving across partition boundaries), so
+    * DuckDB's `row_number() OVER (ORDER BY x) − 1` replays it exactly.
+    *
+    * CONSTRUCTION-TIME JOB: the locally-numbered frame is localCheckpoint'ed
+    * before fan-out — `spark_partition_id()` is non-deterministic and the
+    * frame feeds BOTH the offsets aggregate and the final join; evaluated
+    * twice (AQE re-plans each subtree), the two sides can disagree on
+    * partition ids and corrupt the ranks. One materialization of the input
+    * (the same bytes a global sort would shuffle anyway) buys a consistent
+    * snapshot. */
+  /** The pre-checkpoint shape of [[globalRank]] — range partition +
+    * partition-LOCAL row_number (SampleSpec pins this plan: the big-table
+    * window must be keyed on __pid, never global). */
+  private[graft] def locallyNumbered(df: DataFrame, orderCol: String,
+                                     partitions: Int): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCol)
+    ranged.withColumn("__rn", row_number().over(w))
+  }
+
+  def globalRank(df: DataFrame, orderCol: String,
+                 partitions: Int = 0): DataFrame = {
+    val local = locallyNumbered(df, orderCol, partitions).localCheckpoint()
+    val offsets = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("__pid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__offset") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__offset")
+  }
+
   def shuffleShards(df: DataFrame, nShards: Int, salt: String = "graft-shuffle-v1",
                     idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")

@@ -340,6 +340,38 @@ object Iterative {
     sym.groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Deterministic negative sampling — the contrastive half of the
+    * embedding-training set: for every (center, context) pair, `nNeg`
+    * negatives drawn from the vocabulary by hash, negative j =
+    * vocab[h60(seed:center:context:j) mod |V|] under the node-sorted
+    * vocabulary rank. Same reproducibility contract as [[randomWalks]]:
+    * same pairs + vocab + seed = byte-identical negatives at any
+    * parallelism (collisions with the true pair are kept, as word2vec
+    * does — dropping them would make the negative COUNT content-dependent).
+    *
+    * Scale shape: the vocabulary ranks through
+    * [[graft.ops.Sample.globalRank]] (range partition + per-partition
+    * offsets — never a single-partition row_number); |V| rides a 1-row
+    * broadcast cross join (no driver action); the ×nNeg explode is bounded
+    * fan-out; the negative fetch is one equi-join on the rank. */
+  def negativeSamples(pairs: DataFrame, vocab: DataFrame, nNeg: Int,
+                      seed: String): DataFrame = {
+    require(nNeg >= 1, s"nNeg must be >= 1: $nNeg")
+    require(!seed.contains(":"), s"seed must not contain ':' (hash-input delimiter): $seed")
+    val ranked = graft.ops.Sample.globalRank(vocab.select(col("node")).distinct(), "node")
+    val vSize = ranked.agg(count(lit(1)).as("__vs"))
+    val probes = pairs.select(col("center"), col("context"))
+      .crossJoin(broadcast(vSize))
+      .select(col("center"), col("context"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${nNeg - 1} AS BIGINT))")).as("j"),
+        col("__vs"))
+      .withColumn("idx",
+        graft.ops.Text.h60(concat_ws(":", lit(seed), col("center"),
+          col("context"), col("j"))) % col("__vs"))
+    probes.join(ranked.select(col("rank").as("idx"), col("node").as("negative")), "idx")
+      .select(col("center"), col("context"), col("j"), col("negative"))
+  }
+
   /** GraphX alternative for long-id graphs (SURVEY §7.4: "GraphX or
     * pure-DataFrame — decide by benchmark"; the spark-graphx jar ships with
     * the runtime). Pregel-based, RDD-backed — the one sanctioned RDD use.

@@ -93,6 +93,19 @@ object Relational {
                         wk.step + 1, ':', wk.node)), 1, 15)) AS BIGINT) % rk.deg
           WHERE wk.step < 8)"""
 
+  /** The ±2-window skip-gram pair CTEs over `walk` — shared by the f16 and
+    * f17 oracles. */
+  private val skipGramCtes: String =
+    """pairs AS (
+         SELECT x.node AS center, y.node AS context
+         FROM walk x JOIN walk y
+           ON x.start = y.start AND x.w = y.w
+          AND y.step > x.step AND y.step <= x.step + 2),
+       sym AS (
+         SELECT center, context FROM pairs
+         UNION ALL
+         SELECT context, center FROM pairs)"""
+
   /** Unrolled fixed-round k-core peel — each round references the previous
     * exactly once (doubled-edge table + window degrees), so DuckDB never
     * re-evaluates the chain. */
@@ -340,18 +353,36 @@ object Relational {
     // two oracles cannot drift) with the banded self-join + count
     QueryDef("f16_skipgram_pairs",
       (s, d) => Iterative.skipGramPairs(f14Walks(s, d), window = 2),
-      Some(s"""$randomWalkCtes,
-               pairs AS (
-                 SELECT x.node AS center, y.node AS context
-                 FROM walk x JOIN walk y
-                   ON x.start = y.start AND x.w = y.w
-                  AND y.step > x.step AND y.step <= x.step + 2),
-               sym AS (
-                 SELECT center, context FROM pairs
-                 UNION ALL
-                 SELECT context, center FROM pairs)
+      Some(s"""$randomWalkCtes, $skipGramCtes
                SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
                FROM sym GROUP BY 1, 2""")),
+
+    // F17: deterministic hash negatives for the f16 pairs — the contrastive
+    // half of the training set; rank = node-sorted vocabulary position
+    // (globalRank's range-partitioned form ≡ DuckDB's plain row_number by
+    // construction), negative j = vocab[h60(seed:center:context:j) mod |V|]
+    QueryDef("f17_negative_samples",
+      (s, d) => {
+        val walks = f14Walks(s, d)
+        Iterative.negativeSamples(
+          Iterative.skipGramPairs(walks, window = 2).select("center", "context"),
+          walks.select(col("node")), nNeg = 2, seed = "graft-f17")
+      },
+      Some(s"""$randomWalkCtes, $skipGramCtes,
+               p AS (SELECT DISTINCT center, context FROM sym),
+               vocab AS (SELECT DISTINCT node FROM walk),
+               vrk AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rank
+                       FROM vocab),
+               v AS (SELECT count(*) AS vs FROM vocab),
+               probes AS (
+                 SELECT p.center, p.context, CAST(js.j AS BIGINT) AS j,
+                        CAST(concat('0x', substr(md5(concat(
+                          'graft-f17', ':', p.center, ':', p.context, ':', js.j)),
+                          1, 15)) AS BIGINT) % v.vs AS idx
+                 FROM p CROSS JOIN v
+                 CROSS JOIN (SELECT unnest(range(2)) AS j) js)
+               SELECT center, context, j, vrk.node AS negative
+               FROM probes JOIN vrk ON vrk.rank = probes.idx""")),
 
     // I3: connected components via iterative min-label propagation (the
     // reference's sameAs closure — inference/InferenceHandler.java:62-108 —

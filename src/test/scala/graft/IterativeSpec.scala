@@ -392,6 +392,36 @@ class IterativeSpec extends AnyFunSuite {
     }
   }
 
+  test("negativeSamples: deterministic hash negatives vs in-JVM replay") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("center", "context")
+    val vocab = Seq(10L, 20L, 30L, 40L, 50L).toDF("node")
+    val out = Iterative.negativeSamples(pairs, vocab, nNeg = 3, seed = "negspec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val sortedVocab = Seq(10L, 20L, 30L, 40L, 50L)
+    val expected = (for ((c, x) <- Seq((1L, 2L), (3L, 4L)); j <- 0L until 3L) yield
+      (c, x, j) -> sortedVocab((h60jvm(s"negspec:$c:$x:$j") % 5).toInt)).toMap
+    assert(out == expected)
+    // every pair gets exactly nNeg rows, and a re-run is byte-identical
+    assert(out.size == 6)
+    val again = Iterative.negativeSamples(pairs, vocab, nNeg = 3, seed = "negspec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException](
+      Iterative.negativeSamples(pairs, vocab, nNeg = 0, seed = "x"))
+    intercept[IllegalArgumentException](
+      Iterative.negativeSamples(pairs, vocab, nNeg = 1, seed = "a:b"))
+  }
+
+  test("f17 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("f17_negative_samples")(spark, "/root/testdata/sf0.001"),
+        SparkEntry.oracleSql("f17_negative_samples"), "f17_negative_samples")
+    }
+  }
+
   test("f13 DuckDB oracle replay at sf0.001") {
     DuckOracle.withConn { c =>
       DuckOracle.exec(c,

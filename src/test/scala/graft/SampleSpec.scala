@@ -91,4 +91,37 @@ class SampleSpec extends AnyFunSuite {
     val plan2 = Sample.splitAssign(docs, 1000, 500).queryExecution.executedPlan.toString
     assert(!plan2.contains("Exchange"), s"splitAssign must not shuffle:\n$plan2")
   }
+
+  test("globalRank: equals single-partition row_number, partitioning-independent") {
+    val rnd = new scala.util.Random(31)
+    val keys = rnd.shuffle((0L until 5000L).toList).take(3000)
+    val df = keys.map(k => (k, s"v$k")).toDF("node", "payload")
+    val expected = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    def ranks(d: org.apache.spark.sql.DataFrame, p: Int = 0): Map[Long, Long] =
+      Sample.globalRank(d, "node", p)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    val got = ranks(df)
+    assert(got == expected, "rank must be the dense 0..n-1 order position")
+    assert(ranks(df.repartition(17)) == expected, "independent of input partitioning")
+    assert(ranks(df, p = 7) == expected, "independent of range-partition count")
+    // payload columns ride along untouched
+    val row = Sample.globalRank(df, "node").filter(col("node") === keys.head)
+      .select("payload").collect()
+    assert(row.head.getString(0) == s"v${keys.head}")
+  }
+
+  test("globalRank: the big-table window is partition-local (no global-sort window)") {
+    val df = (0L until 1000L).map(k => (k, k)).toDF("node", "x")
+    // the checkpointed half carries the whole-table work — pin ITS shape:
+    // one range-partition exchange, row_number keyed on __pid (parallel);
+    // a refactor to a global row_number would show an empty partition spec
+    val plan = Sample.locallyNumbered(df, "node", 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"rank must range-partition the data:\n$plan")
+    val windowPartitionedByPid =
+      "Window \\[row_number\\(\\)[^\\n]*\\], \\[__pid".r.findFirstIn(plan).nonEmpty
+    assert(plan.contains("row_number()") && windowPartitionedByPid,
+      s"the row_number window must be partitioned by __pid:\n$plan")
+  }
 }
