@@ -442,6 +442,34 @@ object Text {
     * the DOMAIN, not the corpus) yields the threshold = smallest value whose
     * cumulative count reaches ceil(p·n/100) — the same integer rank rule as
     * g8_group_quantiles. Thresholds ride along as columns (audit trail). */
+  /** Curriculum binning — every document labeled with its quality-
+    * distribution bin 0..nBins−1 (data-mixing / curriculum-ordering input:
+    * "train on the cleanest decile first", "mix 2:1 from the top half").
+    * bin = ⌊nBins · rank_lt / n⌋ where rank_lt = how many documents score
+    * STRICTLY below this one — so equal scores always share a bin
+    * (partition-independent; a row_number tie-break would not be), and bin
+    * boundaries are exact corpus percentiles, not magic thresholds.
+    *
+    * Same scale discipline as [[calibratedQualityFilter]]: stop_bp's
+    * bounded [0, 10000] domain means the exact global rank needs one
+    * map-side-combinable histogram + a running sum over the ≤10,001-row
+    * histogram (window bounded by the DOMAIN, not the corpus) broadcast
+    * back — the corpus is never globally sorted. */
+  def curriculumBins(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2, 10000]: $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val q = ManagedCache.pin(
+      qualityScore(docs).select("doc_id", "n_tokens", "stop_bp"))
+    val hist = q.groupBy(col("stop_bp").as("v")).agg(count(lit(1)).as("c"))
+    val ranks = hist
+      .withColumn("cum", sum("c").over(Window.orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .select(col("v"), (col("cum") - col("c")).as("rank_lt"), col("n"))
+    q.join(broadcast(ranks), q("stop_bp") === ranks("v"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_bp"),
+        expr(s"($nBins * rank_lt) div n").as("bin"))
+  }
+
   def calibratedQualityFilter(docs: DataFrame, lowBp: Int = 10, highBp: Int = 90): DataFrame = {
     require(lowBp >= 0 && highBp <= 100 && lowBp <= highBp,
       s"need 0 <= lowBp <= highBp <= 100: $lowBp/$highBp")
@@ -1007,6 +1035,20 @@ object Text {
                SELECT doc_id, n_tokens, stop_bp, lo_thr, hi_thr
                FROM q, thr
                WHERE len_ok AND stop_bp BETWEEN lo_thr AND hi_thr""")),
+
+    // exact-percentile curriculum deciles: equal scores share a bin (strict-
+    // rank rule), boundaries are corpus percentiles; the histogram + running
+    // sum is the t21 discipline, the bin arithmetic pure integer
+    QueryDef("t28_curriculum_bins",
+      (s, d) => curriculumBins(t(s, d, "documents"), nBins = 10),
+      Some(s"""WITH q AS ($qualityScoreSql),
+               hist AS (SELECT stop_bp AS v, count(*) AS c FROM q GROUP BY stop_bp),
+               rk AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS rank_lt,
+                             sum(c) OVER () AS n
+                      FROM hist)
+               SELECT doc_id, n_tokens, stop_bp,
+                      CAST((10 * rank_lt) // n AS BIGINT) AS bin
+               FROM q JOIN rk ON rk.v = q.stop_bp""")),
 
     QueryDef("t3_lang_id",
       (s, d) => langId(t(s, d, "documents")),

@@ -545,4 +545,25 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Text.calibratedQualityFilter(docs, 60, 40))
     graft.ops.ManagedCache.releaseAll(spark)
   }
+
+  test("curriculumBins: exact-percentile bins, ties share a bin, partitioning-independent") {
+    // 10 docs with stop_bp = 500k (k=0..9), plus a DUPLICATE of k=3:
+    // 11 docs, rank_lt of the two bp=1500 docs is 3 for both → same bin
+    val base = (0 until 10).map { k =>
+      (k.toLong, (Seq.fill(k)("the") ++ Seq.fill(20 - k)("x")).mkString(" "))
+    }
+    val docs = (base :+ (10L, base(3)._2)).toDF("doc_id", "text")
+    def bins(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Text.curriculumBins(d, nBins = 5)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    val got = bins(docs)
+    // n=11, nBins=5: bin = (5 * rank_lt) div 11; ranks 0,1,2,3,3,5,6,...,10
+    val rankLt = Map(0L->0L, 1L->1L, 2L->2L, 3L->3L, 10L->3L, 4L->5L,
+      5L->6L, 6L->7L, 7L->8L, 8L->9L, 9L->10L)
+    assert(got == rankLt.view.mapValues(r => (5L * r) / 11L).toMap)
+    assert(got(3L) == got(10L), "equal scores must share a bin")
+    assert(bins(docs.repartition(7)) == got, "bins must not depend on partitioning")
+    intercept[IllegalArgumentException](Text.curriculumBins(docs, nBins = 1))
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
 }
