@@ -59,8 +59,11 @@ object Fuzzy {
     * signature explode computed ONCE and reused for both join sides. */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
                         k: Int = 1, maxLen: Int = 64): DataFrame = {
-    val sigs = docs.select(col(idCol).as("__id"),
-      explode(DeletionNeighborhood(col(strCol), k, maxLen)).as("__sig"))
+    // the signature explode feeds BOTH sides of the self-join; pinned so
+    // the deletion-neighborhood kernel runs once per action, not per side
+    // (ManagedCache contract: caller releases — Verify/Bench per query)
+    val sigs = ManagedCache.pin(docs.select(col(idCol).as("__id"),
+      explode(DeletionNeighborhood(col(strCol), k, maxLen)).as("__sig")))
     val cands = sigs.alias("a")
       .join(sigs.alias("b"),
         col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
