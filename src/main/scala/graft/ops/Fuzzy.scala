@@ -58,7 +58,16 @@ object Fuzzy {
     * one corpus. Same plan shape as [[editDistanceJoin]], with the
     * signature explode computed ONCE and reused for both join sides. */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
-                        k: Int = 1, maxLen: Int = 64): DataFrame = {
+                        k: Int = 1, maxLen: Int = 64): DataFrame =
+    editDistancePairsWithSigs(docs, idCol, strCol, k, maxLen)._1
+
+  /** [[editDistancePairs]] plus the pinned signature frame, for callers
+    * that must release the pin themselves (streaming ingest loops — a
+    * leaked pin per micro-batch is unbounded memory; one-shot query
+    * callers use [[editDistancePairs]] and release per query). */
+  private[graft] def editDistancePairsWithSigs(
+      docs: DataFrame, idCol: String, strCol: String,
+      k: Int, maxLen: Int): (DataFrame, DataFrame) = {
     // the signature explode feeds BOTH sides of the self-join; pinned so
     // the deletion-neighborhood kernel runs once per action, not per side
     // (ManagedCache contract: caller releases — Verify/Bench per query)
@@ -71,10 +80,11 @@ object Fuzzy {
       .distinct()
     val s1 = docs.select(col(idCol).as("id1"), col(strCol).as("s1"))
     val s2 = docs.select(col(idCol).as("id2"), col(strCol).as("s2"))
-    cands.join(s1, "id1").join(s2, "id2")
+    val pairs = cands.join(s1, "id1").join(s2, "id2")
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= k)
       .select("id1", "id2", "s1", "s2", "dist")
+    (pairs, sigs)
   }
 
   /** Entity resolution: the full "which records are the same real-world

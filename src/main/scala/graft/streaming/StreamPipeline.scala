@@ -455,6 +455,51 @@ object StreamPipeline {
       .write.mode("overwrite").parquet(s"$labelsDir/labels_v=$batchId")
   }
 
+  /** Entity resolution under CONTINUOUS ingest — the round-trip this
+    * library's pieces exist for: each micro-batch of (id, name) records
+    *
+    *  1. appends to the accumulated name table (`names/ingest_batch=<b>`,
+    *     the corpusDir discipline — replay overwrites the same dir);
+    *  2. generates typo-tolerant match edges with the signature-banded
+    *     edit-distance join ([[graft.ops.Fuzzy.editDistancePairs]] within
+    *     the batch, [[graft.ops.Fuzzy.editDistanceJoin]] batch × prior —
+    *     the PRIOR side never self-joins, so per-batch match work is
+    *     O(batch × bucket), not O(corpus²));
+    *  3. feeds those edges into [[identityIngestBatch]], so the maintained
+    *     component labels always reflect every match ever seen.
+    *
+    * After any prefix of batches, `identityLabels` equals
+    * `Fuzzy.resolveEntities` run on the full accumulated record set
+    * (IngestStreamSpec pins it) — streaming ingest ≡ batch recompute. */
+  def erIngestBatch(spark: SparkSession, records: DataFrame, batchId: Long,
+                    stateDir: String, k: Int = 1, maxLen: Int = 64): Unit = {
+    val namesDir = s"$stateDir/names"
+    val batch = records.select(col("id"), col("name"))
+      .dropDuplicates("id").localCheckpoint(true)
+    val priorParts = Option(new java.io.File(namesDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch=")
+        && f.getName != s"ingest_batch=$batchId")
+      .map(_.getAbsolutePath)
+    val (withinPairs, pinnedSigs) =
+      graft.ops.Fuzzy.editDistancePairsWithSigs(batch, "id", "name", k, maxLen)
+    try {
+      val within = withinPairs.select(col("id1").as("a"), col("id2").as("b"))
+      val cross = if (priorParts.isEmpty) within.limit(0) else {
+        val prior = spark.read.parquet(priorParts: _*)
+          .select(col("id").as("pid"), col("name").as("pname"))
+          // replays may re-ingest ids the prior set already carries — the
+          // self-pair (id = pid) is not an edge
+          .join(batch.select(col("id")), col("pid") === col("id"), "left_anti")
+        graft.ops.Fuzzy.editDistanceJoin(batch, "id", "name",
+            prior, "pid", "pname", k, maxLen)
+          .select(col("id").as("a"), col("pid").as("b"))
+      }
+      val edges = within.unionByName(cross).localCheckpoint(true)
+      batch.write.mode("overwrite").parquet(s"$namesDir/ingest_batch=$batchId")
+      identityIngestBatch(spark, edges, batchId, s"$stateDir/labels")
+    } finally graft.ops.ManagedCache.release(spark, pinnedSigs)
+  }
+
   /** The maintained labels as of the newest committed version. */
   def identityLabels(spark: SparkSession, labelsDir: String): DataFrame =
     priorLabels(spark, labelsDir, Long.MaxValue).getOrElse(

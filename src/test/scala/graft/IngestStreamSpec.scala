@@ -125,6 +125,44 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getLong(0) == 9L && rows(0).getString(1) == x)
   }
 
+  test("erIngestBatch: streaming entity resolution ≡ batch resolveEntities at every prefix") {
+    import spark.implicits._
+    graft.ops.ManagedCache.releaseAll(spark) // isolate the release assert below
+    val dir = java.nio.file.Files.createTempDirectory("er-ingest").toString
+    val b1 = Seq((1L, "pikachu"), (2L, "pikchu"), (3L, "squirtle"))
+    val b2 = Seq((4L, "pikach"), (5L, "bulbasaur"), (6L, "squirtl"))
+    def resolvedStreaming(records: Seq[(Long, String)]): Map[Long, Long] = {
+      val labels = StreamPipeline.identityLabels(spark, s"$dir/labels")
+        .select(col("node").as("id"), col("component"))
+      records.toDF("id", "name")
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("entity_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def resolvedBatch(records: Seq[(Long, String)]): Map[Long, Long] =
+      graft.ops.Fuzzy.resolveEntities(records.toDF("rec_id", "rec_name"),
+          "rec_id", "rec_name", k = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    StreamPipeline.erIngestBatch(spark, b1.toDF("id", "name"), 1L, dir)
+    assert(resolvedStreaming(b1) == resolvedBatch(b1))
+    StreamPipeline.erIngestBatch(spark, b2.toDF("id", "name"), 2L, dir)
+    val after2 = resolvedStreaming(b1 ++ b2)
+    assert(after2 == resolvedBatch(b1 ++ b2))
+    // the cross-batch typo chain actually merged: 4 ("pikach") joins the
+    // batch-1 {1, 2} cluster, 6 joins 3 — not everything is a singleton
+    assert(after2(4L) == after2(1L) && after2(2L) == after2(1L))
+    assert(after2(6L) == after2(3L) && after2(5L) == 5L)
+    // at-least-once replay leaves the state unchanged, and the ingest loop
+    // released its per-batch signature pins (resolveEntities above holds
+    // query-style pins by contract — cleared first so the count isolates
+    // the ingest path)
+    graft.ops.ManagedCache.releaseAll(spark)
+    StreamPipeline.erIngestBatch(spark, b2.toDF("id", "name"), 2L, dir)
+    assert(resolvedStreaming(b1 ++ b2) == after2)
+    assert(graft.ops.ManagedCache.pinnedCount(spark) == 0)
+  }
+
   test("identityIngestBatch: maintained labels == full CC; replays are idempotent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("identity-ingest").toString
