@@ -656,6 +656,57 @@ object Relational {
                      count(*) AS n
               FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
+    // G9: pivot — long→wide reshaping with an EXPLICIT value list (the
+    // deterministic form: Spark's value-discovering pivot adds a driver
+    // distinct scan and makes the schema data-dependent — a reshape whose
+    // columns depend on the data can't be planned, checked, or replayed at
+    // 100 TB); one shuffle, same as any groupBy, the pivot is a conditional
+    // aggregation per listed value (exactly what the oracle spells out)
+    QueryDef("g9_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+      Some("""SELECT o_orderpriority AS priority,
+                     count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                     count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                     count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+              FROM orders GROUP BY 1""")),
+
+    // K5: higher-order array-function census — transform / filter /
+    // aggregate / zip_with / exists over a derived array column, all inside
+    // whole-stage codegen (the lambda-expression surface a nested-data
+    // pipeline leans on); integer arithmetic end-to-end
+    QueryDef("k5_array_hof",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          expr("sequence(CAST(1 AS BIGINT), CAST(o_orderkey % 5 + 2 AS BIGINT))").as("xs"))
+        .select(col("o_orderkey"),
+          expr("CAST(aggregate(transform(xs, x -> x * x), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x) AS BIGINT)").as("sum_squares"),
+          expr("size(filter(xs, x -> x % 2 = 0))").cast("long").as("n_even"),
+          expr("aggregate(xs, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sum_xs"),
+          expr("CAST(aggregate(zip_with(xs, reverse(xs), (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)").as("dot_rev"),
+          expr("exists(xs, x -> x >= 6)").as("has_big")),
+      Some("""WITH base AS (
+                SELECT o_orderkey,
+                       range(1, CAST(o_orderkey % 5 + 2 AS BIGINT) + 1) AS xs
+                FROM orders WHERE o_orderkey <= 1000)
+              SELECT o_orderkey,
+                     CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_squares,
+                     CAST(len(list_filter(xs, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+                     CAST(list_sum(xs) AS BIGINT) AS sum_xs,
+                     CAST(list_sum(list_transform(generate_series(1, len(xs)),
+                       i -> xs[i] * xs[len(xs) + 1 - i])) AS BIGINT) AS dot_rev,
+                     len(list_filter(xs, x -> x >= 6)) > 0 AS has_big
+              FROM base""")),
+
     // G8: EXACT per-group quantiles by rank position (beyond the reference —
     // the quality-score calibration scan of a curation pipeline: the
     // thresholds fed to quality gates must be exact and engine-portable, so
