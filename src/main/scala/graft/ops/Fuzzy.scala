@@ -56,7 +56,14 @@ object Fuzzy {
 
   /** Self-join form: unordered pairs (id1 < id2) within distance `k` in
     * one corpus. Same plan shape as [[editDistanceJoin]], with the
-    * signature explode computed ONCE and reused for both join sides. */
+    * signature explode computed ONCE and reused for both join sides.
+    *
+    * PIN CONTRACT: the shared signature frame is ManagedCache-pinned and
+    * the CALLER releases it (`ManagedCache.releaseAll(spark)` per query —
+    * Verify/Bench do); loop callers that cannot releaseAll use
+    * [[editDistancePairsWithSigs]] and release the returned handle
+    * (erIngestBatch's discipline). [[resolveEntities]] inherits this
+    * contract. */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
                         k: Int = 1, maxLen: Int = 64): DataFrame =
     editDistancePairsWithSigs(docs, idCol, strCol, k, maxLen)._1
@@ -107,13 +114,16 @@ object Fuzzy {
     val pairs = editDistancePairs(docs, idCol, strCol, k, maxLen)
       .select(col("id1").as("a"), col("id2").as("b"))
     val cc = graft.queries.Iterative.connectedComponents(pairs)
-    val assigned = docs.select(col(idCol).cast("long").as("id"),
-        col(strCol).as("name"))
-      .join(cc.select(col("node").cast("long").as("id"),
-        col("component").cast("long").as("entity_id")), Seq("id"), "left")
+    // ids stay whatever type the caller uses (string record ids are the
+    // common ER case — a silent numeric cast would null them out); the
+    // cluster size is a window count so the docs ⋈ labels frame is
+    // evaluated ONCE (the e5 oracle's count(*) OVER form)
+    docs.select(col(idCol).as("id"), col(strCol).as("name"))
+      .join(cc.select(col("node").as("id"), col("component").as("entity_id")),
+        Seq("id"), "left")
       .withColumn("entity_id", coalesce(col("entity_id"), col("id")))
-    val sizes = assigned.groupBy("entity_id").agg(count(lit(1)).as("n_members"))
-    assigned.join(sizes, "entity_id")
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("entity_id")))
       .select(col("id"), col("name"), col("entity_id"), col("n_members"))
   }
 

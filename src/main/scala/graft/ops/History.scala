@@ -86,7 +86,11 @@ object History {
     require(keys.nonEmpty, "snapshotDiff: keys must be non-empty")
     require(valueCols.nonEmpty, "snapshotDiff: valueCols must be non-empty")
     require(t1 <= t2, s"snapshotDiff: t1 must be <= t2, got $t1 > $t2")
-    reservedCheck(history, Seq("__s1", "__s2", "change_type"), "snapshotDiff")
+    // __ts/__del are the obs-struct FIELD names: a value column named
+    // __del would otherwise collide inside the struct and make
+    // getField("__del") ambiguous instead of failing loudly here
+    reservedCheck(history,
+      Seq("__s1", "__s2", "__ts", "__del", "change_type"), "snapshotDiff")
     val obs = struct(
       col(tsCol).as("__ts")
         +: deleteCol.map(c => col(c).as("__del")).getOrElse(lit(false).as("__del"))

@@ -227,13 +227,24 @@ object Iterative {
   def shortestPaths(edges0: DataFrame, sources: DataFrame,
                     maxIters: Int = 64): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    // weights must already be integral — a silent cast would TRUNCATE
+    // fractional weights (w = 0.5 → 0) and compute wrong shortest paths;
+    // callers quantize explicitly (the repo's integer-cents discipline)
+    val wType = edges0.schema("w").dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"shortestPaths: weight column w must be an integral type, got " +
+        s"${wType.catalogString} — quantize explicitly (e.g. cents) so nothing " +
+        "truncates silently")
     val edges = edges0.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .distinct().localCheckpoint()
-    val negatives = edges.filter(col("w") < 0).count()
-    require(negatives == 0,
-      s"shortestPaths: $negatives edges carry negative weights — this kernel's " +
-        "termination contract is non-negative weights (no checkable negative-cycle " +
-        "guarantee exists without running the full iteration)")
+    // null weights would slip the `< 0` guard (null < 0 is null) and then
+    // poison the distance lattice with null candidates — counted and
+    // rejected in the same pass as negatives
+    val bad = edges.filter(col("w") < 0 || col("w").isNull).count()
+    require(bad == 0,
+      s"shortestPaths: $bad edges carry negative or null weights — this kernel's " +
+        "termination contract is non-negative, non-null weights (no checkable " +
+        "negative-cycle guarantee exists without running the full iteration)")
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var delta = dist
@@ -321,19 +332,24 @@ object Iterative {
     * [[randomWalks]] in the embedding-training pipeline: every
     * (center, context) co-occurrence within ±`window` steps of the same
     * walk, with its multiplicity (`n_pairs`) so the training-set weighting
-    * survives compaction. One self-join per corpus keyed on the walk id —
-    * the band condition (1 ≤ Δstep ≤ window) rides the same-walk equi-join,
-    * so fan-out per row is ≤ window, never walk length — and one
-    * map-side-combinable count. Symmetric by construction (both directions
-    * emitted from the single ordered join). */
+    * survives compaction. The offset Δ ∈ [1, window] is EXPLODED on the
+    * center side and the join key is the full (walk id, step+Δ): a
+    * composite equi-join that fetches each context row directly, so
+    * fan-out is exactly ≤ window at every stage — joining on the walk id
+    * alone and band-filtering AFTER would materialize L² rows per walk
+    * before dropping them, which at embedding-corpus walk lengths IS the
+    * shuffle. Symmetric by construction (both directions emitted from the
+    * single ordered join). */
   def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     val a = walks.select(col("start"), col("w"), col("step").as("i"),
       col("node").as("center"))
+      .select(col("start"), col("w"), col("i"), col("center"),
+        explode(expr(s"sequence(1, $window)")).as("__d"))
+      .withColumn("j", col("i") + col("__d"))
     val b = walks.select(col("start"), col("w"), col("step").as("j"),
       col("node").as("context"))
-    val fwd = a.join(b, Seq("start", "w"))
-      .filter(col("j") > col("i") && col("j") <= col("i") + window)
+    val fwd = a.join(b, Seq("start", "w", "j"))
       .select(col("center"), col("context"))
     val sym = fwd.unionByName(
       fwd.select(col("context").as("center"), col("center").as("context")))

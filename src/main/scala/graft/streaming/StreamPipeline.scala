@@ -451,7 +451,12 @@ object StreamPipeline {
       case Some(l) => graft.queries.Iterative.connectedComponentsDelta(l, newEdges)
       case None => graft.queries.Iterative.connectedComponents(newEdges)
     }
-    updated.select(col("node"), col("component")).localCheckpoint(true)
+    // no checkpoint before the write: the plan reads labels_v=<prior> and
+    // writes labels_v=<batchId> — different directories, no read-overwrite
+    // hazard — and every iterative frame inside the CC kernels is already
+    // checkpointed; a localCheckpoint here would hold a full |labels| copy
+    // in block storage per micro-batch until GC for no benefit
+    updated.select(col("node"), col("component"))
       .write.mode("overwrite").parquet(s"$labelsDir/labels_v=$batchId")
   }
 
@@ -476,9 +481,13 @@ object StreamPipeline {
     val namesDir = s"$stateDir/names"
     val batch = records.select(col("id"), col("name"))
       .dropDuplicates("id").localCheckpoint(true)
+    // prior = STRICTLY earlier batches (the priorLabels rule, not a mere
+    // self-exclusion): a stale replay of batch b must see the same prior it
+    // saw originally — treating LATER batches as prior would rewrite
+    // labels_v=b with edges to the future, breaking replay byte-idempotence
     val priorParts = Option(new java.io.File(namesDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch=")
-        && f.getName != s"ingest_batch=$batchId")
+        && f.getName.stripPrefix("ingest_batch=").toLong < batchId)
       .map(_.getAbsolutePath)
     val (withinPairs, pinnedSigs) =
       graft.ops.Fuzzy.editDistancePairsWithSigs(batch, "id", "name", k, maxLen)
@@ -494,7 +503,10 @@ object StreamPipeline {
             prior, "pid", "pname", k, maxLen)
           .select(col("id").as("a"), col("pid").as("b"))
       }
-      val edges = within.unionByName(cross).localCheckpoint(true)
+      // edges stays lazy: connectedComponentsDelta checkpoints its delta
+      // input itself, and the name-table write below targets THIS batch's
+      // dir while the edge plan reads only strictly-earlier dirs
+      val edges = within.unionByName(cross)
       batch.write.mode("overwrite").parquet(s"$namesDir/ingest_batch=$batchId")
       identityIngestBatch(spark, edges, batchId, s"$stateDir/labels")
     } finally graft.ops.ManagedCache.release(spark, pinnedSigs)

@@ -118,6 +118,14 @@ class FuzzySpec extends AnyFunSuite {
       (3L, 3L, 2L), (4L, 3L, 2L)))
   }
 
+  test("resolveEntities: string record ids resolve generically (no silent numeric cast)") {
+    val docs = Seq(("r5", "aaaa"), ("r2", "aaab"), ("r9", "zzzz"))
+      .toDF("rec_id", "rec_name")
+    val out = Fuzzy.resolveEntities(docs, "rec_id", "rec_name", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(("r5", "r2", 2L), ("r2", "r2", 2L), ("r9", "r9", 1L)))
+  }
+
   test("e5 DuckDB oracle replay at sf0.001 (recursive-CTE cluster re-derivation)") {
     DuckOracle.withConn { c =>
       DuckOracle.exec(c,

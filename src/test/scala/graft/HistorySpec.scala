@@ -47,6 +47,11 @@ class HistorySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](History.scd2(h, Seq("k"), "ts", Seq.empty))
     intercept[IllegalArgumentException](
       History.scd2(h.withColumn("valid_to", lit(1)), Seq("k"), "ts", Seq("v")))
+    // the obs-struct FIELD names are reserved too: a value column named
+    // __del would collide inside the struct instead of failing loudly
+    intercept[IllegalArgumentException](
+      History.snapshotDiff(h.withColumnRenamed("v", "__del"),
+        Seq("k"), "ts", Seq("__del"), 1L, 2L))
   }
 
   test("snapshotDiff: added/changed/removed with tombstones, unchanged filtered") {

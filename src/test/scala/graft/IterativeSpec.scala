@@ -211,6 +211,15 @@ class IterativeSpec extends AnyFunSuite {
   test("shortestPaths: negative weights rejected; maxIters failure is loud") {
     intercept[IllegalArgumentException](
       ssspMap(Seq((1L,2L,-1L)), Seq(1L)))
+    // fractional weights must be rejected, never silently truncated; null
+    // weights must not slip the negative guard
+    intercept[IllegalArgumentException](
+      Iterative.shortestPaths(
+        Seq((1L, 2L, 0.5)).toDF("src", "dst", "w"), Seq(1L).toDF("node")))
+    intercept[IllegalArgumentException](
+      Iterative.shortestPaths(
+        Seq((1L, 2L, Some(1L)), (2L, 3L, Option.empty[Long]))
+          .toDF("src", "dst", "w"), Seq(1L).toDF("node")))
     val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1), 1L)).toSeq
     val e = intercept[IllegalArgumentException](ssspMap(chain, Seq(1L), maxIters = 3))
     assert(e.getMessage.contains("maxIters"))
