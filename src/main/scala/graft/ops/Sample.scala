@@ -108,6 +108,31 @@ object Sample {
     * lead the sort: two shard values can hash into one task, and a
     * pos-only sort would let the writer's own partition-column sort
     * scramble it). */
+  /** Exactly-n-per-stratum sample — the EVAL-SET construction shape ("500
+    * held-out documents per language", "1000 records per source"), where a
+    * fraction-based sample ([[stratifiedSample]]) can only hit the target
+    * count in expectation. Rows rank within their stratum by the salted
+    * content hash (deterministic, partitioning-independent, unbiased —
+    * hash order is uncorrelated with any data order; ties impossible for
+    * distinct ids since the full id breaks them) and the first n per
+    * stratum survive. Unlike bp sampling this is NOT append-stable — a
+    * grown corpus re-ranks, by definition of "exactly n" — which is the
+    * documented trade; pin the sample by writing it out.
+    *
+    * One hash-partitioned window per stratum (parallel; a stratum is never
+    * forced into one partition beyond the window's own keying). */
+  def exactStratifiedSample(df: DataFrame, strataCol: String, nPerStratum: Int,
+                            salt: String = "graft-exact-strat-v1",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(nPerStratum >= 1, s"nPerStratum must be >= 1: $nPerStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
   /** Exact global DENSE rank 0..n−1 by `orderCol` (distinct values assumed —
     * duplicated keys would rank partition-order-dependently; the caller
     * dedups first, as a vocabulary is by construction) — WITHOUT a
@@ -201,6 +226,17 @@ object Sample {
       (s, d) => hashSample(t(s, d, "documents"), bp = 2500),
       Some(s"""SELECT $DocCols FROM documents
                WHERE ${bucketSql("doc_id", "graft-sample-v1")} < 2500""")),
+
+    // exactly-30-per-language eval split: hash-ranked within stratum, the
+    // oracle replays the same window over the identical md5 bucket
+    QueryDef("p7_exact_stratified",
+      (s, d) => exactStratifiedSample(t(s, d, "documents"), "lang", 30),
+      Some(s"""SELECT $DocCols FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ${bucketSql("doc_id", "graft-exact-strat-v1")}, doc_id) AS rn
+                 FROM documents)
+               WHERE rn <= 30""")),
 
     QueryDef("p2_stratified_sample",
       (s, d) => stratifiedSample(t(s, d, "documents"), "lang",

@@ -92,6 +92,22 @@ class SampleSpec extends AnyFunSuite {
     assert(!plan2.contains("Exchange"), s"splitAssign must not shuffle:\n$plan2")
   }
 
+  test("exactStratifiedSample: exactly n per stratum, deterministic, partitioning-independent") {
+    def ids(d: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      Sample.exactStratifiedSample(d, "lang", 40)
+        .collect().groupBy(_.getString(2)).view
+        .mapValues(_.map(_.getLong(0)).toSet).toMap
+    val got = ids(docs)
+    // 2000 docs: 400 zh, 1600 en — both strata have > 40, so exactly 40 each
+    assert(got("zh").size == 40 && got("en").size == 40)
+    assert(ids(docs.repartition(13)) == got, "sample must not depend on partitioning")
+    // a stratum smaller than n yields the whole stratum
+    val small = docs.limit(0).unionByName(docs.filter(col("doc_id") < 10))
+    val all = Sample.exactStratifiedSample(small, "lang", 40).count()
+    assert(all == 10)
+    intercept[IllegalArgumentException](Sample.exactStratifiedSample(docs, "lang", 0))
+  }
+
   test("globalRank: equals single-partition row_number, partitioning-independent") {
     val rnd = new scala.util.Random(31)
     val keys = rnd.shuffle((0L until 5000L).toList).take(3000)
