@@ -70,10 +70,34 @@ object Sample {
                   salt: String = "graft-split-v1", idCol: String = "doc_id"): DataFrame = {
     require(testBp >= 0 && valBp >= 0 && testBp + valBp <= BpScale,
       s"test+val must fit in [0, $BpScale]: $testBp + $valBp")
-    val b = bucket(col(idCol), salt)
-    df.withColumn("split",
-      when(b < testBp, "test").when(b < testBp + valBp, "val").otherwise("train"))
+    df.withColumn("split", splitOf(col(idCol), testBp, valBp, salt))
   }
+
+  /** The split decision as a pure COLUMN function of the id — usable
+    * anywhere a row carries the id, without joining the assignment table
+    * (hash splits have no assignment table; that is the point). */
+  def splitOf(id: Column, testBp: Int, valBp: Int,
+              salt: String = "graft-split-v1"): Column = {
+    val b = bucket(id, salt)
+    when(b < testBp, "test").when(b < testBp + valBp, "val").otherwise("train")
+  }
+
+  /** Split-leakage audit: near-duplicate pairs that STRADDLE a split
+    * boundary — the eval-contamination a hash split cannot prevent (two
+    * near-identical documents hash independently, so one can land in train
+    * and its twin in test; t10/t16 audit cross-SOURCE overlap, this audits
+    * the split itself). `pairs` is any near-dup pair frame (MinHash LSH,
+    * SimHash, winnow — anything with two id columns); because the split is
+    * a pure function of the id ([[splitOf]]), the audit is a MAP over the
+    * pairs — no join against an assignment table, no extra shuffle at any
+    * corpus size. Returns the offending pairs with both splits attached. */
+  def splitLeakage(pairs: DataFrame, testBp: Int, valBp: Int,
+                   aCol: String = "a", bCol: String = "b",
+                   salt: String = "graft-split-v1"): DataFrame =
+    pairs
+      .withColumn("split_a", splitOf(col(aCol), testBp, valBp, salt))
+      .withColumn("split_b", splitOf(col(bCol), testBp, valBp, salt))
+      .filter(col("split_a") =!= col("split_b"))
 
   /** Weighted corpus mixing: each named source contributes its own
     * deterministic bp-sample, tagged with `mix_source`, unioned by name.
@@ -282,6 +306,28 @@ object Sample {
                FROM (SELECT *,
                             CAST(concat('0x', substr(md5('graft-shuffle-v1:' ||
                               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
-                     FROM documents)"""))
+                     FROM documents)""")),
+
+    // split-leakage audit: the d2 MinHash near-dup pairs, kept only where
+    // the two ends land in DIFFERENT splits of the p3 assignment — the
+    // oracle replays the full composition (pair CTEs + per-end split
+    // re-derivation), so a drifted hash, banding, or threshold on EITHER
+    // side shows as a mismatch
+    QueryDef("p8_split_leakage",
+      (s, d) => splitLeakage(
+        Dedup.minhashLshPairs(t(s, d, "documents"), minEstBp = 1500),
+        testBp = 1000, valBp = 500),
+      Some {
+        def splitCase(idExpr: String) =
+          s"""CASE WHEN ${bucketSql(idExpr, "graft-split-v1")} < 1000 THEN 'test'
+                   WHEN ${bucketSql(idExpr, "graft-split-v1")} < 1500 THEN 'val'
+                   ELSE 'train' END"""
+        s"""WITH ${Dedup.minhashPairsCtes(minEstBp = 1500, src = "documents")}
+            SELECT a, b, est_jaccard_bp,
+                   ${splitCase("a")} AS split_a,
+                   ${splitCase("b")} AS split_b
+            FROM mh_pairs
+            WHERE ${splitCase("a")} <> ${splitCase("b")}"""
+      })
   )
 }

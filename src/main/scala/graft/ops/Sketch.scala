@@ -102,6 +102,69 @@ object Sketch {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
 
+  // ───────────────────── log₂ histogram quantiles ─────────────────────
+
+  /** Mergeable log₂ histogram of a non-negative integer measure: bucket =
+    * bit-length of the value (length of its binary representation — an
+    * INTEGER log₂, never float log), state = per-bucket count. At most 64
+    * buckets regardless of corpus size, so the sketch geometry — not the
+    * data — bounds every downstream step. Merge shards with [[histMerge]];
+    * quantiles with [[histQuantiles]] (answer exact to a factor of 2 — the
+    * right fidelity for corpus monitoring: "p99 doc length grew a bucket"
+    * is the alert, not its third digit). Values ≤ 0 collapse into bucket 1
+    * (`bin(0)` = "0"), keeping the builder total. */
+  def histBuckets(df: DataFrame, valueCol: String): DataFrame =
+    df.select(
+        length(bin(greatest(col(valueCol).cast("long"), lit(0L)))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-shard histograms in ONE pass: like [[histBuckets]] but keyed by a
+    * shard column (source, day, crawl) — the shape a partitioned corpus
+    * actually sketches with, one aggregation for ALL shards instead of a
+    * job per shard. Merging away the shard key ([[histMerge]]) equals the
+    * global [[histBuckets]] (SketchSpec pins it). */
+  def histBucketsBy(df: DataFrame, valueCol: String, shardCol: String): DataFrame =
+    df.select(col(shardCol).as("shard"),
+        length(bin(greatest(col(valueCol).cast("long"), lit(0L)))).cast("long").as("bucket"))
+      .groupBy("shard", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram shards: union + re-sum. Associative and commutative by
+    * construction — per-executor partial sketches combine in any order,
+    * the property that keeps a 100 TB aggregation counters-on-the-wire.
+    * Accepts separate sketch frames and/or [[histBucketsBy]] output (any
+    * non-(bucket, cnt) columns are merge keys to drop). */
+  def histMerge(shards: Seq[DataFrame]): DataFrame = {
+    require(shards.nonEmpty, "histMerge needs at least one shard")
+    shards.map(_.select("bucket", "cnt")).reduce(_.unionByName(_))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile read-out: for each q (percent), the smallest bucket whose
+    * cumulative count reaches q% of the total, plus that bucket's exclusive
+    * value upper bound 2^bucket. Integer arithmetic throughout (cum·100 ≥
+    * q·total — no division). The window sort is over ≤ 64 rows by sketch
+    * geometry, so the single-partition window is bounded, not a scale
+    * hazard. */
+  def histQuantiles(buckets: DataFrame, qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 100),
+      s"quantile percents must be in [1, 100]: $qPcts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket")
+    val cum = buckets
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qs = buckets.sparkSession.range(1)
+      .select(explode(typedLit(qPcts.map(_.toLong))).as("q_pct"))
+    cum.crossJoin(qs)
+      .filter(col("cum") * 100 >= col("q_pct") * col("total"))
+      .groupBy("q_pct").agg(min("bucket").as("bucket"))
+      // the scala functions.shiftleft only takes a literal shift; the SQL
+      // form accepts a column
+      .withColumn("ub", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+  }
+
   // ──────────────────────────── QueryDefs ────────────────────────────
 
   private def tokensOf(docs: DataFrame): DataFrame =
@@ -161,6 +224,31 @@ object Sketch {
             SELECT bucket,
                    CAST(max(CASE $whens ELSE ${restBits + 1} END) AS BIGINT) AS max_rho
             FROM parts GROUP BY bucket"""
-      })
+      }),
+
+    // log₂-histogram quantiles of document length, built as PER-SOURCE
+    // shards and merged — the query exercises the merge law, not just the
+    // builder (shard-then-merge must equal the global build; SketchSpec
+    // pins the equality, the oracle replays the global form)
+    QueryDef("k6_hist_quantiles",
+      (s, d) => {
+        val shards = histBucketsBy(t(s, d, "documents"), "n_chars", "source")
+        histQuantiles(histMerge(Seq(shards)), Seq(50, 90, 99))
+      },
+      Some("""WITH b AS (
+                SELECT CAST(length(bin(greatest(n_chars, 0))) AS BIGINT) AS bucket,
+                       count(*) AS cnt
+                FROM documents GROUP BY 1),
+              c AS (
+                SELECT bucket,
+                       sum(cnt) OVER (ORDER BY bucket) AS cum,
+                       sum(cnt) OVER () AS total
+                FROM b)
+              SELECT q_pct,
+                     CAST(min(bucket) AS BIGINT) AS bucket,
+                     CAST(1 AS BIGINT) << CAST(min(bucket) AS INT) AS ub
+              FROM c CROSS JOIN (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct) qs
+              WHERE cum * 100 >= q_pct * total
+              GROUP BY q_pct"""))
   )
 }

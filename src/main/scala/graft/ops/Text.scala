@@ -264,6 +264,39 @@ object Text {
         expr("rarity_sum div n_tokens").as("rarity_mean"))
   }
 
+  /** Per-document distinctive terms, TF-IDF style: score every (doc, term)
+    * by tf·(1/df) in integer-rational form — score_ppm = tf·10⁶ div df —
+    * and keep each document's top `k` by (score desc, term asc). The float
+    * log idf stays OUT of the cross-engine surface (the [[Sketch]]
+    * discipline); the rational surrogate preserves the property that makes
+    * the ranking useful — corpus-common terms sink, locally-frequent rare
+    * terms rise. Topic tagging, dedup-cluster labeling, and index keyword
+    * extraction all consume exactly this shape.
+    *
+    * Scale shape (the [[rarityScore]] discipline): the text collapses FIRST
+    * to the per-(doc, term) tf frame (one map-side-combinable shuffle); df
+    * re-aggregates FROM tf (one row per (doc, term), so count(*) per term
+    * IS the document frequency — the text is never re-scanned); verdicts
+    * join back on the term key; the top-k window shuffles ids+scores on
+    * doc_id only. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_ppm"), asc("term"))
+    tf.join(df, "term")
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("rank").cast("long").as("rank"))
+  }
+
   /** Bigram-surprisal quality scoring — the n-gram LM perplexity filter in
     * integer-exact form (one step up from [[rarityScore]]'s unigram
     * surprisal): per document, the summed conditional surprisal of its
@@ -1200,6 +1233,29 @@ object Text {
       Some("""SELECT doc_id,
                      CAST(strlen(text) AS BIGINT) AS n_bytes,
                      CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_cp
-              FROM documents"""))
+              FROM documents""")),
+
+    // per-doc distinctive terms: tf/df pipeline + per-doc top-3 window,
+    // integer-rational score (tf·1e6 div df) replayed exactly
+    QueryDef("t29_tfidf_terms",
+      (s, d) => tfidfTopTerms(t(s, d, "documents"), k = 3),
+      Some("""WITH tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term <> ''
+                GROUP BY doc_id, term),
+              dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                        FROM tf GROUP BY term),
+              scored AS (
+                SELECT doc_id, term, tf, df,
+                       CAST(tf * 1000000 // df AS BIGINT) AS score_ppm
+                FROM tf JOIN dfreq USING (term))
+              SELECT doc_id, term, tf, df, score_ppm,
+                     CAST(rank AS BIGINT) AS rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_ppm DESC, term) AS rank
+                    FROM scored)
+              WHERE rank <= 3"""))
   )
 }

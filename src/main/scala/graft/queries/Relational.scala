@@ -577,6 +577,80 @@ object Relational {
                      (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
               FROM sx GROUP BY user_id, sess_idx""")),
 
+    // Rolling time-window aggregates (beyond the reference — rate limiting,
+    // trailing activity counts, drift windows): a VALUE-based RANGE frame
+    // over integer microseconds, one shuffle on user_id, no self-join (the
+    // naive form is events ⋈ events on a time band — O(n·w); the window
+    // frame is one sorted pass). Frame = (t - 1h, t]: RANGE peers at equal
+    // us are included on both engines, and the per-row floor(value*100)
+    // quantization keeps the rolling sum an order-independent integer.
+    QueryDef("w3_rolling",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = 3600L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-(hourUs - 1L), 0L)
+        t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("cents", floor(col("value") * 100))
+          .select(col("event_id"), col("user_id"), col("us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum("cents").over(w).as("cents_1h"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+                     count(*) OVER w AS n_1h,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""")),
+
+    // Ordered-funnel analysis (beyond the reference): per user, the first
+    // view, the first click STRICTLY AFTER that view, and the first
+    // purchase strictly after that click — the sequential-completion
+    // semantics a flat per-type min() gets wrong (a click before the first
+    // view must not count). Three filtered per-user aggregations chained by
+    // user_id equi-joins — each step's frame is one row per user, so every
+    // join is an aggregate-to-aggregate hash join on the same key, never a
+    // self-join of the raw events. Integer microseconds throughout.
+    QueryDef("w4_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+        def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String) =
+          ev.filter(col("event_type") === evType).join(prev, "user_id")
+            .filter(col("us") > col(prevCol))
+            .groupBy("user_id").agg(min("us").as(outCol))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("v_us"))
+        val c = firstAfter("click", v, "v_us", "c_us")
+        val p = firstAfter("purchase", c, "c_us", "p_us")
+        ev.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left_outer")
+          .join(c.select("user_id", "c_us"), Seq("user_id"), "left_outer")
+          .join(p.select("user_id", "p_us"), Seq("user_id"), "left_outer")
+          .withColumn("depth",
+            when(col("p_us").isNotNull, 3L).when(col("c_us").isNotNull, 2L)
+              .when(col("v_us").isNotNull, 1L).otherwise(0L))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+              v AS (SELECT user_id, min(us) AS v_us FROM ev
+                    WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT ev.user_id, min(us) AS c_us FROM ev
+                    JOIN v ON v.user_id = ev.user_id
+                    WHERE event_type = 'click' AND us > v_us GROUP BY ev.user_id),
+              p AS (SELECT ev.user_id, min(us) AS p_us FROM ev
+                    JOIN c ON c.user_id = ev.user_id
+                    WHERE event_type = 'purchase' AND us > c_us GROUP BY ev.user_id)
+              SELECT u.user_id, v_us, c_us, p_us,
+                     CAST(CASE WHEN p_us IS NOT NULL THEN 3
+                               WHEN c_us IS NOT NULL THEN 2
+                               WHEN v_us IS NOT NULL THEN 1
+                               ELSE 0 END AS BIGINT) AS depth
+              FROM (SELECT DISTINCT user_id FROM ev) u
+              LEFT JOIN v USING (user_id)
+              LEFT JOIN c USING (user_id)
+              LEFT JOIN p USING (user_id)""")),
+
     // J: declarative constraint validation as count-if predicates
     // (reference SHACL shapes: pokemon-shapes.ttl:6-67, SURVEY §2-J)
     QueryDef("j1_validation",

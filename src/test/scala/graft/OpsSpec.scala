@@ -566,4 +566,25 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Text.curriculumBins(docs, nBins = 1))
     graft.ops.ManagedCache.releaseAll(spark)
   }
+
+  test("tfidfTopTerms: hand-computed scores, rank ties broken by term, corpus terms sink") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "the bird flew")).toDF("doc_id", "text")
+    val got = Text.tfidfTopTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    // doc 1: tf(the)=2 df=3 -> 666666; cat/mat/on tf=1 df=1 -> 1000000;
+    //        sat tf=1 df=2 -> 500000. top2 by (score desc, term asc) = cat, mat
+    assert(got(1L) === Seq(("cat", 1000000L), ("mat", 1000000L)))
+    // doc 2: dog 1000000, sat 500000, the 333333
+    assert(got(2L) === Seq(("dog", 1000000L), ("sat", 500000L)))
+    // doc 3: bird/flew 1000000 (tie -> term asc), the 333333
+    assert(got(3L) === Seq(("bird", 1000000L), ("flew", 1000000L)))
+    // empty tokens never count; k guard
+    val e = Text.tfidfTopTerms(Seq((9L, "a  b")).toDF("doc_id", "text"), k = 5)
+    assert(e.filter(col("term") === "").count() === 0)
+    intercept[IllegalArgumentException](Text.tfidfTopTerms(docs, k = 0))
+  }
 }

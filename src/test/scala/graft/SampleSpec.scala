@@ -140,4 +140,27 @@ class SampleSpec extends AnyFunSuite {
     assert(plan.contains("row_number()") && windowPartitionedByPid,
       s"the row_number window must be partitioned by __pid:\n$plan")
   }
+
+  test("splitLeakage: exactly the cross-split pairs, splits matching splitAssign, no join") {
+    val pairs = (0L until 400L).map(i => (i, i + 400L, 5000L + i))
+      .toDF("a", "b", "est_jaccard_bp")
+    val leaked = Sample.splitLeakage(pairs, testBp = 1000, valBp = 500)
+    // independent expectation: join the pairs against the p3 assignment table
+    val assign = Sample.splitAssign(docs, testBp = 1000, valBp = 500)
+      .select(col("doc_id"), col("split"))
+    val expected = pairs
+      .join(assign.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+      .join(assign.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b")
+      .filter(col("sa") =!= col("sb"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val got = leaked.select("a", "b", "split_a", "split_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got === expected, "leakage must be the cross-split subset with splitAssign's labels")
+    assert(expected.nonEmpty, "fixture must actually exercise the straddle case")
+    // the audit is a MAP over the pairs: no join, no extra exchange
+    val plan = leaked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"splitLeakage must not join an assignment table:\n$plan")
+    assert(!plan.contains("Exchange"), s"splitLeakage must add no shuffle:\n$plan")
+  }
 }

@@ -64,4 +64,44 @@ class SketchSpec extends AnyFunSuite {
     val est = Sketch.hllEstimate(Sketch.hllBuckets((1 to 100).map(i => s"v$i").toDF("id"), "id"))
     assert(math.abs(est - 100) / 100.0 < 0.1, s"small-range estimate $est vs 100")
   }
+
+  test("hist: sharded build + merge ≡ global build; merge of split frames too") {
+    val vals = (1L to 1000L).map(v => (v, s"src${v % 7}")).toDF("v", "shard")
+    val global = Sketch.histBuckets(vals, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedBy = Sketch.histMerge(Seq(Sketch.histBucketsBy(vals, "v", "shard")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mergedBy === global, "per-shard one-pass build must merge to the global sketch")
+    val halves = Seq(vals.filter(col("v") <= 400), vals.filter(col("v") > 400))
+      .map(Sketch.histBuckets(_, "v"))
+    val mergedFrames = Sketch.histMerge(halves)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mergedFrames === global, "frame-wise merge must equal the global sketch")
+    // bucket = bit length: 1..1000 spans buckets 1 (value 1) through 10 (512-1000)
+    assert(global.keySet === (1L to 10L).toSet)
+    assert(global(10L) === 489L, "bucket 10 holds 512..1000")
+  }
+
+  test("hist quantiles: returns EXACTLY the bucket of the ceil-percentile value; ub = 2^bucket") {
+    val n = 1000
+    val vals = (1L to n.toLong).toDF("v")
+    val sk = Sketch.histBuckets(vals, "v")
+    val qs = Sketch.histQuantiles(sk, Seq(50, 90, 99)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for ((q, bucket, ub) <- qs) {
+      // smallest bucket with cum*100 >= q*total == the bucket holding the
+      // ceil(q*n/100)-th smallest value (bucketization is monotone)
+      val exact = math.ceil(q * n / 100.0).toLong // values are 1..n, so the p-th smallest IS p
+      val expectBucket = 64L - java.lang.Long.numberOfLeadingZeros(exact)
+      assert(bucket === expectBucket, s"q=$q: bucket $bucket vs bit-length of $exact")
+      assert(ub === (1L << bucket), s"q=$q: ub must be 2^bucket")
+      assert(exact < ub && exact >= ub / 2, s"q=$q: factor-of-2 guarantee")
+    }
+    // non-positive values collapse into bucket 1, keeping the builder total
+    val z = Sketch.histBuckets(Seq(0L, -5L, 1L).toDF("v"), "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z === Map(1L -> 3L))
+    intercept[IllegalArgumentException](Sketch.histQuantiles(sk, Seq(0)))
+    intercept[IllegalArgumentException](Sketch.histMerge(Seq.empty))
+  }
 }

@@ -154,4 +154,62 @@ class TemporalSpec extends AnyFunSuite {
     assert(pr.contains("BroadcastHashJoin") || pr.contains("SortMergeJoin") ||
       pr.contains("ShuffledHashJoin"), s"no hash/merge join found:\n$pr")
   }
+
+  test("w3_rolling differential: the RANGE frame equals the naive band self-join at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w3_rolling")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // naive semantics: for each event, every event of the same user in
+    // (t - 1h, t] — the O(n·w) band self-join the window frame replaces
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * 100).as("cents"))
+    val expected = ev.as("l").join(ev.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.us") > col("l.us") - expr("3600000000") && col("r.us") <= col("l.us"))
+      .groupBy(col("l.event_id"))
+      .agg(count(lit(1)).as("n"), sum(col("r.cents")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === expected.size)
+    assert(got === expected, "rolling frame must equal the band self-join")
+  }
+
+  test("w4_funnel differential: sequential first-view/click/purchase vs an in-JVM fold") {
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      def firstAfter(t: String, after: Option[Long]): Option[Long] = after.flatMap(a =>
+        es.filter(e => e._2 == t && e._3 > a).map(_._3).sorted.headOption)
+      val v = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val c = firstAfter("click", v)
+      val p = firstAfter("purchase", c)
+      u -> (v, c, p, if (p.isDefined) 3L else if (c.isDefined) 2L else if (v.isDefined) 1L else 0L)
+    }
+    val got = SparkEntry.queries("w4_funnel")(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getLong(0) -> (opt(1), opt(2), opt(3), r.getLong(4))
+    }.toMap
+    assert(got === expected, "funnel must match the per-user sequential fold")
+    assert(expected.values.exists(_._4 == 3L), "fixture must exercise a completed funnel")
+  }
+
+  test("w4_funnel: planted abandonment — a click BEFORE the first view must not count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w4funnel").toString
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    Seq(
+      (1L, "view", t(10)), (1L, "click", t(20)), (1L, "purchase", t(30)), // depth 3
+      (2L, "click", t(5)), (2L, "view", t(10)),                           // depth 1 (click precedes view)
+      (3L, "view", t(10)), (3L, "purchase", t(15)), (3L, "click", t(20)), // depth 2 (purchase precedes click)
+      (4L, "error", t(7))                                                 // depth 0
+    ).toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("w4_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L),
+      "a flat per-type min() would score user 2 as depth 2 and user 3 as depth 3")
+  }
 }
