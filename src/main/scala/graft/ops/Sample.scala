@@ -99,6 +99,39 @@ object Sample {
       .withColumn("split_b", splitOf(col(bCol), testBp, valBp, salt))
       .filter(col("split_a") =!= col("split_b"))
 
+  /** Temperature-flattened corpus mixing (α = 1/2): draw a `totalTarget`-row
+    * training mix whose per-stratum shares are proportional to √n instead of
+    * n — the standard move that keeps a dominant language/source from
+    * drowning the tail without discarding its bulk entirely (sampling
+    * p_i ∝ n_i^α, here with the one α whose weights stay integer-exact:
+    * floor(√n), IEEE sqrt being exact on perfect squares and correctly
+    * rounded below 2^52). Per-stratum take = min(n_i, totalTarget·w_i div
+    * Σw); rows are chosen by salted-hash rank within the stratum (the
+    * [[exactStratifiedSample]] machinery), so the draw is deterministic,
+    * partition-independent, and append-stable in rank.
+    *
+    * Scale shape: one count aggregation (map-side combinable, one row per
+    * stratum), one tiny Σw aggregate, thresholds re-attached by BROADCAST
+    * join (strata are domain-bounded — languages, sources), and one
+    * hash-partitioned window per stratum for the rank. No collect, no
+    * per-stratum jobs. */
+  def temperatureMix(df: DataFrame, strataCol: String, totalTarget: Long,
+                     salt: String = "graft-temp-v1", idCol: String = "doc_id"): DataFrame = {
+    require(totalTarget >= 1, s"totalTarget must be >= 1: $totalTarget")
+    val cnt = df.groupBy(col(strataCol).as("__stratum")).agg(count(lit(1)).as("__n"))
+    val wgt = cnt.withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val th = wgt.crossJoin(wgt.agg(sum("__w").as("__sw")))
+      .withColumn("__take_n", least(col("__n"), expr(s"$totalTarget * __w div __sw")))
+      .select(col("__stratum"), col("__take_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(th), col(strataCol) === col("__stratum"))
+      .filter(col("__rn") <= col("__take_n"))
+      .drop("__rn", "__stratum", "__take_n")
+  }
+
   /** Weighted corpus mixing: each named source contributes its own
     * deterministic bp-sample, tagged with `mix_source`, unioned by name.
     * Per-source salts decorrelate the draws (a row in two sources is decided
@@ -328,6 +361,25 @@ object Sample {
                    ${splitCase("b")} AS split_b
             FROM mh_pairs
             WHERE ${splitCase("a")} <> ${splitCase("b")}"""
-      })
+      }),
+
+    // temperature-flattened language mix (α = 1/2): per-language take counts
+    // derived from integer-exact floor(sqrt) weights, rows chosen by salted
+    // hash rank — the oracle re-derives counts, weights, thresholds, AND the
+    // per-row rank, so share arithmetic and row selection are both pinned
+    QueryDef("p9_temperature_mix",
+      (s, d) => temperatureMix(t(s, d, "documents"), "lang", totalTarget = 300),
+      Some(s"""WITH c AS (SELECT lang AS stratum, count(*) AS n
+                          FROM documents GROUP BY 1),
+               w AS (SELECT stratum, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+               th AS (SELECT stratum,
+                             least(n, 300 * w // (SELECT sum(w) FROM w)) AS take_n
+                      FROM w),
+               r AS (SELECT *, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ${bucketSql("doc_id", "graft-temp-v1")}, doc_id) AS rn
+                     FROM documents)
+               SELECT $DocCols FROM r JOIN th ON th.stratum = r.lang
+               WHERE rn <= take_n"""))
   )
 }

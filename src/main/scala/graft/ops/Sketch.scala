@@ -165,6 +165,77 @@ object Sketch {
       .withColumn("ub", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
   }
 
+  // ───────────────────────── k-minimum-values ─────────────────────────
+
+  /** KMV distinct sketch: the k smallest DISTINCT [[Text.h60]] hashes of a
+    * value column. The sketch a corpus-overlap question actually needs —
+    * unlike HLL, two KMV sketches support set ALGEBRA ([[kmvOverlap]]:
+    * union, intersection, Jaccard), because the k minima of the union are
+    * computable from the per-set minima alone. State is k hashes (driver-
+    * bounded by construction, like the IVF codebook); the build is one
+    * map-side-combinable distinct + a TakeOrdered — no global sort at any
+    * corpus size. Estimate with [[kmvEstimate]]; an unsaturated sketch
+    * (fewer than k distinct values) is EXACT. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    df.select(Text.h60(col(valueCol).cast("string")).as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Merge KMV sketches (same k): k smallest of the distinct union.
+    * Associative and commutative; the result is EXACTLY the sketch a
+    * single pass over the concatenated inputs would build, so per-shard
+    * sketches compose loss-free. */
+  def kmvMerge(shards: Seq[DataFrame], k: Int): DataFrame = {
+    require(shards.nonEmpty, "kmvMerge needs at least one shard")
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    shards.map(_.select("h")).reduce(_.unionByName(_))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Distinct-count estimate from a KMV sketch (driver-side; the sketch is
+    * ≤ k rows by construction). Unsaturated sketch → exact count; saturated
+    * → (k−1)·2^60 / h_k (h60's range is [0, 2^60)), in BigInt so the
+    * numerator never overflows. */
+  def kmvEstimate(sketch: DataFrame, k: Int): Long = {
+    val hs = sketch.orderBy("h").collect().map(_.getLong(0))
+    if (hs.length < k) hs.length.toLong
+    else ((BigInt(k - 1) << 60) / BigInt(hs.last)).toLong
+  }
+
+  /** Set algebra over two KMV sketches — one row:
+    * (n_a, n_b, union_k, u_kth, n_both, union_est, jaccard_bp, inter_est).
+    * The k smallest hashes of A ∪ B are a uniform random sample of the
+    * union (each element's hash is uniform), so the fraction of them
+    * present in BOTH sketches estimates Jaccard; intersection =
+    * Jaccard × |union|. All integer arithmetic (bp fractions, `div`), so
+    * the whole read-out replays exactly in DuckDB; when the union sketch
+    * is unsaturated (union_k < k) every output is EXACT, not an estimate.
+    * Every frame involved is ≤ k rows — the joins are broadcast-sized by
+    * construction. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val u = kmvMerge(Seq(a, b), k)
+    val num = (BigInt(k - 1) << 60).toString // > 2^63 for k > 8: DECIMAL
+    u.join(a.select(col("h"), lit(1L).as("in_a")), Seq("h"), "left_outer")
+      .join(b.select(col("h"), lit(1L).as("in_b")), Seq("h"), "left_outer")
+      .agg(count(lit(1)).as("union_k"), max(col("h")).as("u_kth"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_both"))
+      .crossJoin(a.agg(count(lit(1)).as("n_a")))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .withColumn("union_est",
+        when(col("union_k") < k, col("union_k"))
+          .otherwise(expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) div u_kth AS BIGINT)")))
+      .withColumn("jaccard_bp",
+        when(col("union_k") === 0, 0L)
+          .otherwise(expr("n_both * 10000 div union_k")))
+      .withColumn("inter_est",
+        when(col("union_k") === 0, 0L)
+          .otherwise(expr("n_both * union_est div union_k")))
+      .select("n_a", "n_b", "union_k", "u_kth", "n_both",
+        "union_est", "jaccard_bp", "inter_est")
+  }
+
   // ──────────────────────────── QueryDefs ────────────────────────────
 
   private def tokensOf(docs: DataFrame): DataFrame =
@@ -249,6 +320,49 @@ object Sketch {
                      CAST(1 AS BIGINT) << CAST(min(bucket) AS INT) AS ub
               FROM c CROSS JOIN (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct) qs
               WHERE cum * 100 >= q_pct * total
-              GROUP BY q_pct"""))
+              GROUP BY q_pct""")),
+
+    // KMV set algebra: distinct-user overlap between two event types — the
+    // cross-corpus overlap question HLL cannot answer. The oracle replays
+    // the ENTIRE read-out (both sketches, the merged top-k, the membership
+    // tags, and the integer estimate arithmetic incl. the >64-bit numerator
+    // via HUGEINT), so a drifted hash, limit, or estimator shows as a
+    // mismatch
+    QueryDef("k7_kmv_overlap",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def sk(tp: String) =
+          kmvSketch(ev.filter(col("event_type") === tp), "user_id", 256)
+        kmvOverlap(sk("view"), sk("click"), 256)
+      },
+      Some {
+        def skCte(tp: String) =
+          s"""SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events WHERE event_type = '$tp' ORDER BY 1 LIMIT 256"""
+        val num = (BigInt(255) << 60).toString
+        s"""WITH a AS (${skCte("view")}), b AS (${skCte("click")}),
+              u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+                    ORDER BY h LIMIT 256),
+              tag AS (SELECT u.h,
+                        CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                             THEN 1 ELSE 0 END AS in_both
+                      FROM u LEFT JOIN a ON a.h = u.h LEFT JOIN b ON b.h = u.h),
+              agg AS (SELECT count(*) AS union_k, max(h) AS u_kth,
+                             CAST(sum(in_both) AS BIGINT) AS n_both
+                      FROM tag),
+              est AS (SELECT union_k, u_kth, n_both,
+                        CAST(CASE WHEN union_k < 256 THEN union_k
+                             ELSE CAST(CAST('$num' AS HUGEINT) // u_kth AS BIGINT)
+                             END AS BIGINT) AS union_est
+                      FROM agg)
+            SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+                   CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+                   union_k, u_kth, n_both, union_est,
+                   CASE WHEN union_k = 0 THEN 0
+                        ELSE n_both * 10000 // union_k END AS jaccard_bp,
+                   CASE WHEN union_k = 0 THEN 0
+                        ELSE n_both * union_est // union_k END AS inter_est
+            FROM est"""
+      })
   )
 }

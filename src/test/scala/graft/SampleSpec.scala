@@ -141,6 +141,42 @@ class SampleSpec extends AnyFunSuite {
       s"the row_number window must be partitioned by __pid:\n$plan")
   }
 
+  test("temperatureMix: √n-proportional take counts, deterministic, partitioning-independent") {
+    // 1600 en / 400 zh → weights floor(√n) = 40 / 20, target 300 → 200 en + 100 zh.
+    // Raw-proportional mixing would give zh only 60 of 300 (20%); α=1/2
+    // flattening lifts it to a third — the point of the operator.
+    val got = Sample.temperatureMix(docs, "lang", totalTarget = 300)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 200L, "zh" -> 100L))
+    val a = got.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sample.temperatureMix(docs.repartition(13), "lang", 300)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "mix must not depend on partitioning")
+    intercept[IllegalArgumentException](Sample.temperatureMix(docs, "lang", 0))
+  }
+
+  test("temperatureMix: a stratum smaller than its share contributes all its rows") {
+    // zh shrunk to 10 rows (doc_id % 5 == 0, < 50): weights 40 en / 3 zh,
+    // Σw = 43 → zh share = 300*3 div 43 = 20 > 10 ⇒ take all 10 zh
+    val skewed = docs.filter(col("lang") === "en" || col("doc_id") < 50)
+    val byLang = Sample.temperatureMix(skewed, "lang", 300)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") === 10L, s"undersized stratum must be taken whole: $byLang")
+    assert(byLang("en") === 279L, s"en take = 300*40 div 43 = 279: $byLang")
+  }
+
+  test("p9_temperature_mix replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')")
+      val df = SparkEntry.queries("p9_temperature_mix")(spark, "/root/testdata/sf0.001")
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("p9_temperature_mix"), "p9_temperature_mix")
+    }
+  }
+
   test("splitLeakage: exactly the cross-split pairs, splits matching splitAssign, no join") {
     val pairs = (0L until 400L).map(i => (i, i + 400L, 5000L + i))
       .toDF("a", "b", "est_jaccard_bp")

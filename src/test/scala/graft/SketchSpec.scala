@@ -82,6 +82,67 @@ class SketchSpec extends AnyFunSuite {
     assert(global(10L) === 489L, "bucket 10 holds 512..1000")
   }
 
+  test("KMV: unsaturated sketch is exact; shard merge ≡ whole-corpus sketch") {
+    val ids = (1 to 100).map(i => s"u$i")
+    val sk = Sketch.kmvSketch(ids.toDF("id"), "id", 256)
+    assert(Sketch.kmvEstimate(sk, 256) === 100L, "unsaturated KMV must be exact")
+    val (s1, s2) = ids.splitAt(30)
+    // s2 re-includes some of s1 — merge must dedup across shards too
+    val merged = Sketch.kmvMerge(Seq(
+      Sketch.kmvSketch(s1.toDF("id"), "id", 256),
+      Sketch.kmvSketch((s2 ++ s1.take(10)).toDF("id"), "id", 256)), 256)
+    assert(merged.collect().map(_.getLong(0)).sorted.toSeq ===
+      sk.collect().map(_.getLong(0)).sorted.toSeq,
+      "merge of shard sketches must equal the whole-corpus sketch")
+    intercept[IllegalArgumentException](Sketch.kmvSketch(ids.toDF("id"), "id", 1))
+    intercept[IllegalArgumentException](Sketch.kmvMerge(Seq.empty, 256))
+  }
+
+  test("KMV: saturated estimate within 15% at k=256; duplicates don't inflate") {
+    val n = 20000
+    val ids = ((1 to n) ++ (1 to n)).map(i => s"id-$i").toDF("id")
+    val est = Sketch.kmvEstimate(Sketch.kmvSketch(ids, "id", 256), 256)
+    assert(math.abs(est - n).toDouble / n < 0.15, s"KMV estimate $est vs true $n")
+  }
+
+  test("KMV overlap: unsaturated sketches give EXACT set algebra") {
+    // A = 1..60, B = 41..100 → |A∩B| = 20, |A∪B| = 100, J = 0.2
+    def sk(r: Range) = Sketch.kmvSketch(r.map(i => s"v$i").toDF("id"), "id", 256)
+    val row = Sketch.kmvOverlap(sk(1 to 60), sk(41 to 100), 256).collect().head
+    assert(row.getAs[Long]("n_a") === 60L && row.getAs[Long]("n_b") === 60L)
+    assert(row.getAs[Long]("union_k") === 100L)
+    assert(row.getAs[Long]("n_both") === 20L)
+    assert(row.getAs[Long]("union_est") === 100L, "unsaturated union is exact")
+    assert(row.getAs[Long]("jaccard_bp") === 2000L)
+    assert(row.getAs[Long]("inter_est") === 20L)
+    // disjoint sets: zero overlap, never negative or null
+    val d = Sketch.kmvOverlap(sk(1 to 50), sk(200 to 249), 256).collect().head
+    assert(d.getAs[Long]("n_both") === 0L && d.getAs[Long]("jaccard_bp") === 0L
+      && d.getAs[Long]("inter_est") === 0L)
+  }
+
+  test("KMV overlap: saturated Jaccard near truth on a large known-overlap pair") {
+    // A = 1..30000, B = 15001..45000 → J = 15000/45000 = 1/3, |A∩B| = 15000
+    def sk(r: Range) = Sketch.kmvSketch(r.map(i => s"w$i").toDF("id"), "id", 512)
+    val row = Sketch.kmvOverlap(sk(1 to 30000), sk(15001 to 45000), 512).collect().head
+    val j = row.getAs[Long]("jaccard_bp").toDouble / 10000.0
+    assert(math.abs(j - 1.0 / 3) < 0.08, s"jaccard $j vs 0.333")
+    val u = row.getAs[Long]("union_est").toDouble
+    assert(math.abs(u - 45000) / 45000 < 0.15, s"union_est $u vs 45000")
+    val i = row.getAs[Long]("inter_est").toDouble
+    assert(math.abs(i - 15000) / 15000 < 0.25, s"inter_est $i vs 15000")
+  }
+
+  test("k7_kmv_overlap replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW events AS SELECT * FROM read_parquet('/root/testdata/sf0.001/events.parquet')")
+      val df = SparkEntry.queries("k7_kmv_overlap")(spark, "/root/testdata/sf0.001")
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("k7_kmv_overlap"), "k7_kmv_overlap")
+    }
+  }
+
   test("hist quantiles: returns EXACTLY the bucket of the ceil-percentile value; ub = 2^bucket") {
     val n = 1000
     val vals = (1L to n.toLong).toDF("v")
