@@ -209,6 +209,47 @@ object Temporal {
                  FROM events WHERE event_type = 'purchase')
                SELECT e.incident_id, e.err_user, e.lo, e.hi,
                       p.event_id, p.user_id, p.us, p.value
-               FROM e JOIN p ON p.us BETWEEN e.lo AND e.hi"""))
+               FROM e JOIN p ON p.us BETWEEN e.lo AND e.hi""")),
+
+    // last-touch attribution: each purchase attributed to the user's most
+    // recent click within a 10-minute lookback — the as-of join composed
+    // with a horizon mask (out-of-horizon or absent matches null out, the
+    // conversion row itself stays visible as unattributed). Same one-
+    // Exchange plan as f10; the mask is a map-only projection on top
+    QueryDef("w5_attribution",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("us").as("click_us"))
+          .agg(max("value").as("click_value"))
+          .withColumn("__rts", col("click_us"))
+        val j = asOfJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "us", rightTs = "__rts")
+        val in = col("click_us").isNotNull &&
+          col("click_us") >= col("us") - IncidentUs
+        j.withColumn("attr_click_us", when(in, col("click_us")))
+          .withColumn("attr_click_value", when(in, col("click_value")))
+          .withColumn("attributed", when(in, 1L).otherwise(0L))
+          .drop("click_us", "click_value")
+      },
+      Some(s"""WITH p AS (
+                 SELECT event_id, user_id, epoch_us(ts) AS us, value
+                 FROM events WHERE event_type = 'purchase'),
+               c AS (
+                 SELECT user_id, epoch_us(ts) AS click_us,
+                        max(value) AS click_value
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+               SELECT p.event_id, p.user_id, p.us, p.value,
+                      CASE WHEN c.click_us >= p.us - $IncidentUs
+                           THEN c.click_us END AS attr_click_us,
+                      CASE WHEN c.click_us >= p.us - $IncidentUs
+                           THEN c.click_value END AS attr_click_value,
+                      CAST(CASE WHEN c.click_us IS NOT NULL
+                                 AND c.click_us >= p.us - $IncidentUs
+                                THEN 1 ELSE 0 END AS BIGINT) AS attributed
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.us >= c.click_us"""))
   )
 }

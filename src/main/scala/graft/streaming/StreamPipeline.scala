@@ -100,6 +100,37 @@ object StreamPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("repo", "path", "commit")
 
+  /** Watermarked stream-stream interval join (the attribution shape): each
+    * `left` row pairs with the same-key `right` rows whose event time falls
+    * in `[left.ts - lookback, left.ts]`. BOTH sides carry event-time
+    * watermarks AND the join condition bounds the two times against each
+    * other — together that is exactly what lets Spark bound the join
+    * state: a buffered right row is evictable once the left watermark
+    * passes `r.ts + lookback`, a buffered left row once the right
+    * watermark passes its `ts`, so state tracks the lookback horizon, not
+    * the stream history. `joinType` may be `inner` or `left_outer`; outer
+    * results for unmatched left rows emit only when the watermark has
+    * passed the point where a match could still arrive (correct, not
+    * late-data-lossy). Right columns come back prefixed `r_` (the key too:
+    * dropped, it equals the left key). Rows later than the watermark on
+    * either side are dropped by contract — the batch join is the parity
+    * oracle for everything on time (StreamingSpec). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         key: String = "user_id",
+                         lookback: String = "10 minutes",
+                         watermark: String = "20 minutes",
+                         joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"intervalJoinStream: unsupported joinType $joinType")
+    val r = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c")).withWatermark("r_ts", watermark)
+    val l = left.withWatermark("ts", watermark)
+    val cond = col(key) === col(s"r_$key") &&
+      col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+      col("r_ts") <= col("ts")
+    l.join(r, cond, joinType).drop(s"r_$key")
+  }
+
   /** Incremental re-extraction gate: of a stream of page revisions, pass
     * through ONLY those whose content sha changed since the last revision
     * of the same (repo, path) — the streaming analogue of the batch

@@ -373,4 +373,88 @@ class StreamingSpec extends AnyFunSuite {
     assert((got2 -- want2).forall(r => pokRe.findPrefixOf(r).isEmpty),
       s"extra pokemon-subject rows survived: ${(got2 -- want2).take(3)}")
   }
+
+  private def tsAt(hhmm: String) =
+    java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("stream-stream interval join: inner results equal the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val lRows = Seq((tsAt("10:10"), "u1", 1.0), (tsAt("10:30"), "u1", 2.0),
+      (tsAt("10:15"), "u2", 3.0))
+    val rRows = Seq((tsAt("10:05"), "u1", 10.0), (tsAt("10:09"), "u1", 11.0),
+      (tsAt("10:25"), "u1", 12.0), (tsAt("10:14"), "u2", 13.0),
+      (tsAt("10:03"), "u2", 14.0), (tsAt("10:08"), "u3", 15.0))
+    val out = StreamPipeline.intervalJoinStream(
+      lIn.toDF().toDF("ts", "user_id", "value"),
+      rIn.toDF().toDF("ts", "user_id", "value"),
+      "user_id", "10 minutes", "20 minutes")
+    val q = out.writeStream.format("memory").queryName("ij_inner")
+      .outputMode("append").start()
+    try {
+      lIn.addData(lRows: _*); rIn.addData(rRows: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2),
+          r.getTimestamp(3).toString, r.getDouble(4))
+      val got = spark.table("ij_inner")
+        .select("ts", "user_id", "value", "r_ts", "r_value")
+        .collect().map(key).toSet
+      // the SAME operator over batch frames (watermarks are no-ops there)
+      // is the parity oracle
+      val want = StreamPipeline.intervalJoinStream(
+        lRows.toDF("ts", "user_id", "value"),
+        rRows.toDF("ts", "user_id", "value"),
+        "user_id", "10 minutes", "20 minutes")
+        .select("ts", "user_id", "value", "r_ts", "r_value")
+        .collect().map(key).toSet
+      assert(got == want, s"stream/batch diverged: got $got want $want")
+      assert(got.size == 4) // u1@10:10←{10:05,10:09}, u1@10:30←10:25, u2@10:15←10:14
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: left-outer emits null match only after " +
+    "the watermark passes; late rows on either side are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val rIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = StreamPipeline.intervalJoinStream(
+      lIn.toDF().toDF("ts", "user_id", "value"),
+      rIn.toDF().toDF("ts", "user_id", "value"),
+      "user_id", "5 minutes", "10 minutes", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      // an unmatched left row: a match could still arrive until the right
+      // watermark passes its ts, so nothing may emit yet
+      lIn.addData((tsAt("10:00"), "u1", 1.0))
+      rIn.addData((tsAt("10:00"), "u9", 99.0)) // different key, seeds right watermark
+      q.processAllAvailable()
+      assert(spark.table("ij_outer").isEmpty,
+        "outer row emitted before the watermark allowed it")
+      // advance BOTH watermarks past 10:00 (+ lookback) → the null-extended
+      // row must surface (eviction happens in the batch after the
+      // watermark update, hence the second nudge)
+      lIn.addData((tsAt("10:40"), "u8", 0.0))
+      rIn.addData((tsAt("10:40"), "u8", 0.0))
+      q.processAllAvailable()
+      lIn.addData((tsAt("10:41"), "u8", 0.0))
+      rIn.addData((tsAt("10:41"), "u8", 0.0))
+      q.processAllAvailable()
+      val nullRows = spark.table("ij_outer")
+        .filter(col("user_id") === "u1" && col("r_ts").isNull).count()
+      assert(nullRows == 1, s"expected exactly one null-extended u1 row, got $nullRows")
+      // late data beyond the watermark (now ~10:31): a right row that WOULD
+      // have matched u1@10:00, and a late left row — both must be dropped
+      val before = spark.table("ij_outer").count()
+      rIn.addData((tsAt("09:58"), "u1", 50.0))
+      lIn.addData((tsAt("09:59"), "u1", 51.0))
+      q.processAllAvailable()
+      assert(spark.table("ij_outer").count() == before,
+        "late rows beyond the watermark produced output")
+    } finally q.stop()
+  }
 }
