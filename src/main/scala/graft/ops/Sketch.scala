@@ -236,6 +236,68 @@ object Sketch {
         "union_est", "jaccard_bp", "inter_est")
   }
 
+  /** Per-group KMV sketches in ONE job: for every distinct value of
+    * `groupCol`, the k smallest distinct [[Text.h60]] hashes of `valueCol`.
+    * The N-corpus form of [[kmvSketch]] — one distinct on (group, hash)
+    * plus one per-group rank window, instead of N separate TakeOrdered
+    * jobs (the corpora are scanned ONCE, together). Output: (corpus, h). */
+  def kmvSketchPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(groupCol).as("corpus"),
+        Text.h60(col(valueCol).cast("string")).as("h")).distinct()
+    val w = Window.partitionBy("corpus").orderBy("h")
+    d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Pairwise overlap matrix across N corpora from their KMV sketches
+    * ALONE — the 50-source corpus-audit shape at 100 TB: the corpora are
+    * touched once ([[kmvSketchPerGroup]]); every frame here is sketch-
+    * geometry-sized (≤ N·k rows), so the full Jaccard/intersection matrix
+    * costs nothing against the data. Pair expansion is two broadcast hash
+    * EQUI-joins on the pair endpoints (never a nested-loop OR-join), then
+    * the same per-pair union-top-k + membership read-out as [[kmvOverlap]],
+    * all in integer arithmetic. One row per unordered pair (ca < cb):
+    * (ca, cb, n_a, n_b, union_k, u_kth, n_both, union_est, jaccard_bp,
+    * inter_est); pairs whose union sketch is unsaturated are EXACT. */
+  def kmvOverlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = sketches.groupBy("corpus").agg(count(lit(1)).as("n"))
+    val cs = sketches.select("corpus").distinct()
+    val pairs = cs.toDF("ca").join(cs.toDF("cb"), col("ca") < col("cb"))
+    val aSide = sketches.join(broadcast(pairs), col("corpus") === col("ca"))
+      .select(col("ca"), col("cb"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val bSide = sketches.join(broadcast(pairs), col("corpus") === col("cb"))
+      .select(col("ca"), col("cb"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val memb = aSide.unionByName(bSide)
+      .groupBy("ca", "cb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val w = Window.partitionBy("ca", "cb").orderBy("h")
+    val num = (BigInt(k - 1) << 60).toString // > 2^63 for k > 8: DECIMAL
+    memb.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).as("union_k"), max("h").as("u_kth"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .join(broadcast(sizes.toDF("ca", "n_a")), "ca")
+      .join(broadcast(sizes.toDF("cb", "n_b")), "cb")
+      .withColumn("union_est",
+        when(col("union_k") < k, col("union_k"))
+          .otherwise(expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) div u_kth AS BIGINT)")))
+      .withColumn("jaccard_bp",
+        when(col("union_k") === 0, 0L)
+          .otherwise(expr("n_both * 10000 div union_k")))
+      .withColumn("inter_est",
+        when(col("union_k") === 0, 0L)
+          .otherwise(expr("n_both * union_est div union_k")))
+      .select("ca", "cb", "n_a", "n_b", "union_k", "u_kth", "n_both",
+        "union_est", "jaccard_bp", "inter_est")
+  }
+
   // ──────────────────────────── QueryDefs ────────────────────────────
 
   private def tokensOf(docs: DataFrame): DataFrame =
@@ -363,6 +425,57 @@ object Sketch {
                    CASE WHEN union_k = 0 THEN 0
                         ELSE n_both * union_est // union_k END AS inter_est
             FROM est"""
+      }),
+
+    // N-corpus KMV overlap matrix: one row per unordered event-type pair
+    // with the full set-algebra read-out — the oracle replays the per-
+    // corpus sketches, the equi-join pair expansion, the per-pair union
+    // top-k and every integer estimate, so the entire matrix is pinned
+    QueryDef("k8_kmv_matrix",
+      (s, d) => kmvOverlapMatrix(
+        kmvSketchPerGroup(t(s, d, "events"), "event_type", "user_id", 128),
+        128),
+      Some {
+        val num = (BigInt(127) << 60).toString
+        s"""WITH s0 AS (SELECT DISTINCT event_type AS corpus,
+                          CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                        FROM events),
+              s AS (SELECT corpus, h FROM (
+                      SELECT corpus, h,
+                             row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+                      FROM s0) WHERE rn <= 128),
+              sizes AS (SELECT corpus, count(*) AS n FROM s GROUP BY 1),
+              cs AS (SELECT DISTINCT corpus FROM s),
+              pairs AS (SELECT x.corpus AS ca, y.corpus AS cb
+                        FROM cs x JOIN cs y ON x.corpus < y.corpus),
+              mu AS (SELECT p.ca, p.cb, s.h, 1 AS in_a, 0 AS in_b
+                     FROM s JOIN pairs p ON s.corpus = p.ca
+                     UNION ALL
+                     SELECT p.ca, p.cb, s.h, 0 AS in_a, 1 AS in_b
+                     FROM s JOIN pairs p ON s.corpus = p.cb),
+              memb AS (SELECT ca, cb, h, max(in_a) AS in_a, max(in_b) AS in_b
+                       FROM mu GROUP BY 1, 2, 3),
+              topk AS (SELECT * FROM (
+                         SELECT *, row_number() OVER (
+                           PARTITION BY ca, cb ORDER BY h) AS rn
+                         FROM memb) WHERE rn <= 128),
+              agg AS (SELECT ca, cb, count(*) AS union_k, max(h) AS u_kth,
+                             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+                      FROM topk GROUP BY 1, 2),
+              est AS (SELECT ca, cb, union_k, u_kth, n_both,
+                        CAST(CASE WHEN union_k < 128 THEN union_k
+                             ELSE CAST(CAST('$num' AS HUGEINT) // u_kth AS BIGINT)
+                             END AS BIGINT) AS union_est
+                      FROM agg)
+            SELECT e.ca, e.cb, za.n AS n_a, zb.n AS n_b,
+                   e.union_k, e.u_kth, e.n_both, e.union_est,
+                   CASE WHEN union_k = 0 THEN 0
+                        ELSE n_both * 10000 // union_k END AS jaccard_bp,
+                   CASE WHEN union_k = 0 THEN 0
+                        ELSE n_both * union_est // union_k END AS inter_est
+            FROM est e
+            JOIN sizes za ON za.corpus = e.ca
+            JOIN sizes zb ON zb.corpus = e.cb"""
       })
   )
 }

@@ -143,6 +143,48 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV matrix: every pair row equals the two-sketch kmvOverlap read-out") {
+    // three corpora with staggered overlaps, one tagged frame
+    val rows = (1 to 60).map(i => ("A", s"v$i")) ++
+      (41 to 100).map(i => ("B", s"v$i")) ++
+      (91 to 120).map(i => ("C", s"v$i"))
+    val df = rows.toDF("corpus", "id")
+    val sketches = Sketch.kmvSketchPerGroup(df, "corpus", "id", 256)
+    val matrix = Sketch.kmvOverlapMatrix(sketches, 256).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(matrix.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    for (((ca, cb), got) <- matrix) {
+      def sk(c: String) = Sketch.kmvSketch(
+        df.filter(col("corpus") === c).select("id"), "id", 256)
+      val want = Sketch.kmvOverlap(sk(ca), sk(cb), 256).collect().head.toSeq
+      assert(got === want, s"pair ($ca,$cb): matrix $got vs kmvOverlap $want")
+    }
+    // unsaturated → exact: A∩B = 20 of 100, B∩C = 10 of 90, A∩C = 0
+    assert(matrix(("A", "B"))(5) === 100L) // union_est
+    assert(matrix(("A", "B"))(6) === 2000L) // jaccard_bp
+    assert(matrix(("B", "C"))(4) === 10L) // n_both
+    assert(matrix(("A", "C"))(6) === 0L) // jaccard_bp
+    // per-group sketch builder ≡ the single-corpus builder, corpus by corpus
+    for (c <- Seq("A", "B", "C")) {
+      val grouped = sketches.filter(col("corpus") === c).select("h")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val single = Sketch.kmvSketch(
+        df.filter(col("corpus") === c).select("id"), "id", 256)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(grouped === single, s"corpus $c sketch diverged")
+    }
+  }
+
+  test("k8_kmv_matrix replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW events AS SELECT * FROM read_parquet('/root/testdata/sf0.001/events.parquet')")
+      val df = SparkEntry.queries("k8_kmv_matrix")(spark, "/root/testdata/sf0.001")
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("k8_kmv_matrix"), "k8_kmv_matrix")
+    }
+  }
+
   test("hist quantiles: returns EXACTLY the bucket of the ceil-percentile value; ub = 2^bucket") {
     val n = 1000
     val vals = (1L to n.toLong).toDF("v")
