@@ -24,6 +24,8 @@ object SparkEntry {
       graft.ops.Similarity.defs ++
       graft.ops.Dedup.defs ++
       graft.ops.Bloom.defs ++
+      graft.ops.Dsir.defs ++
+      graft.ops.InvertedIndex.defs ++
       graft.ops.Bpe.defs ++
       graft.ops.Sample.defs ++
       graft.ops.Layout.defs ++

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023, arXiv:2302.03169): pick the raw-corpus documents whose hashed
+  * n-gram distribution looks most like a small TARGET domain (the "give me
+  * the 5% of Common Crawl that reads like Wikipedia" selection step that
+  * precedes pretraining). Both corpora are modeled as bags of hashed
+  * features (unigrams + bigrams → `buckets` cells via the repo-wide
+  * portable h60); a document's importance weight is its summed per-feature
+  * log-likelihood ratio log p̂(f) − log q̂(f) under add-one-smoothed bucket
+  * models p̂ (target) and q̂ (raw).
+  *
+  * Integer discipline (what makes the t30 oracle exact): the log-ratio is
+  * kept in WHOLE BITS via integer bit length — never float log, which is
+  * not correctly-rounded across engines. With bitlen(x) = floor(log2 x)+1:
+  *
+  *   score(b) = bitlen(tc_b + 1) − bitlen(rc_b + 1)
+  *            + bitlen(R + buckets) − bitlen(T + buckets)
+  *
+  * i.e. log((tc_b+1)/(T+buckets)) − log((rc_b+1)/(R+buckets)) with each
+  * factor floored SEPARATELY. The separated form (not
+  * bitlen((tc+1)·(R+buckets)) − bitlen((rc+1)·(T+buckets))) is deliberate:
+  * every term fits in 63 bits at ANY corpus scale, whereas the product form
+  * overflows BIGINT once tc·R crosses 2⁶³ (≈10¹³ feature occurrences per
+  * side — real at the 10¹²-file scale this library targets). Cost: ±1 bit
+  * of floor error per term on an already whole-bit proxy.
+  *
+  * Plan shape (the 100 TB story): each corpus is tokenized+hashed in ONE
+  * scan; the raw per-doc term-frequency frame is pinned (ManagedCache) and
+  * reused as both the per-doc score source and the raw bucket-count source,
+  * so raw text crosses the wire once. Bucket-count aggregates are map-side
+  * combinable and ≤ `buckets` rows; the score table is ≤ `buckets` rows and
+  * BROADCAST back to the doc frame — the Zipf-hot buckets are bounded
+  * because the join carries per-doc TERM FREQUENCIES, not raw occurrences
+  * (the rarityScore discipline). Selection is a TakeOrdered top-k, never a
+  * global sort.
+  */
+object Dsir {
+
+  /** Default hashed-feature space (2¹⁶ cells — the DSIR paper's 10⁴–10⁵
+    * range; collisions are part of the model, not an error). */
+  val DefaultBuckets: Int = 1 << 16
+
+  /** Per-doc hashed feature occurrences: unigrams + bigrams of whitespace
+    * tokens, each mapped to h60(feature) % buckets. One map-only pass —
+    * the `size < 2` guard matters: sequence(1, 0) DESCENDS and would throw
+    * under ANSI on single-token docs. */
+  private def featureBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("feats", expr(
+        """concat(toks,
+          |  CASE WHEN size(toks) < 2 THEN CAST(array() AS array<string>)
+          |       ELSE transform(sequence(1, size(toks) - 1),
+          |              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END)"""
+          .stripMargin))
+      .select(col("doc_id"),
+        explode(expr(s"transform(feats, f -> ${Text.h60Sql("f")} % $buckets)")).as("bucket"))
+
+  /** Importance score for EVERY raw document: (doc_id, n_feats, dsir_bits).
+    * `dsir_bits` is the summed whole-bit log-likelihood ratio (may be
+    * negative — off-target docs score below zero); `n_feats` the document's
+    * total feature occurrences (2·tokens − 1), the normalizer a caller can
+    * divide by for a length-independent variant. */
+  def dsirScores(raw: DataFrame, target: DataFrame,
+                 buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets >= 2, s"dsirScores: buckets must be >= 2, got $buckets")
+    // pinned: consumed twice (raw bucket counts + per-doc scoring) — one
+    // corpus scan, not two (the t5 pinned-frame discipline)
+    val tf = ManagedCache.pin(
+      featureBuckets(raw, buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).cast("long").as("tf")))
+    val rc = tf.groupBy("bucket").agg(sum("tf").cast("long").as("rc"))
+    val tc = featureBuckets(target, buckets)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("tc"))
+    val totals = rc.agg(sum("rc").cast("long").as("r_tot"))
+      .crossJoin(tc.agg(coalesce(sum("tc"), lit(0L)).cast("long").as("t_tot")))
+    // only buckets PRESENT in raw can contribute to a raw doc's score, so
+    // the score table is a left join from the raw counts (target-only
+    // buckets are irrelevant; absent target counts smooth to tc = 0)
+    val scoreTable = rc
+      .join(broadcast(tc), Seq("bucket"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (length(bin(col("tc") + 1)) - length(bin(col("rc") + 1))
+          + length(bin(col("r_tot") + lit(buckets.toLong)))
+          - length(bin(col("t_tot") + lit(buckets.toLong)))).cast("long")
+          .as("score_bits"))
+    tf.join(broadcast(scoreTable), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_feats"),
+        sum(col("tf") * col("score_bits")).cast("long").as("dsir_bits"))
+  }
+
+  /** The selection step: top-k raw documents by importance weight,
+    * deterministic boundary tie-break (dsir_bits desc, doc_id asc).
+    * The paper resamples ∝ weight with Gumbel noise; the deterministic
+    * top-k is the reproducible variant (swap in a salted-hash Gumbel key
+    * via [[Sample]] if sampling diversity matters more than determinism). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int = 100,
+                 buckets: Int = DefaultBuckets): DataFrame = {
+    require(k >= 1, s"dsirSelect: k must be >= 1, got $k")
+    dsirScores(raw, target, buckets)
+      .orderBy(desc("dsir_bits"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Full DuckDB replay of scores + selection: same md5-based h60, same
+    * add-one bucket models, same whole-bit arithmetic via printf('%b'). */
+  private[ops] def dsirOracleSql(targetWhere: String, k: Int,
+                                 buckets: Int): String = {
+    def h(v: String) = s"CAST(concat('0x', substr(md5($v),1,15)) AS BIGINT)"
+    val feats =
+      "list_concat(tk, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))"
+    s"""WITH rawb AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        tgtb AS (SELECT string_split(text, ' ') AS tk FROM documents WHERE $targetWhere),
+        rawf AS (SELECT doc_id, unnest($feats) AS f FROM rawb),
+        tgtf AS (SELECT unnest($feats) AS f FROM tgtb),
+        tf AS (SELECT doc_id, ${h("f")} % $buckets AS bucket,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM rawf GROUP BY 1, 2),
+        rc AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS rc FROM tf GROUP BY 1),
+        tc AS (SELECT ${h("f")} % $buckets AS bucket,
+                      CAST(count(*) AS BIGINT) AS tc
+               FROM tgtf GROUP BY 1),
+        tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rc) AS r_tot,
+                       (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tc) AS t_tot),
+        st AS (SELECT r.bucket,
+                      CAST(length(printf('%b', coalesce(t.tc, 0) + 1)) AS BIGINT)
+                    - CAST(length(printf('%b', r.rc + 1)) AS BIGINT)
+                    + CAST(length(printf('%b', r_tot + $buckets)) AS BIGINT)
+                    - CAST(length(printf('%b', t_tot + $buckets)) AS BIGINT) AS score_bits
+               FROM rc r LEFT JOIN tc t USING (bucket) CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+               CAST(sum(tf * score_bits) AS BIGINT) AS dsir_bits
+        FROM tf JOIN st USING (bucket)
+        GROUP BY doc_id ORDER BY dsir_bits DESC, doc_id LIMIT $k"""
+  }
+
+  /** Driver queries: DSIR selection over the documents table with two
+    * sources standing in as the target domain. */
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("t30_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        dsirSelect(docs, docs.filter("source IN ('src1', 'src2')"), k = 50)
+      },
+      Some(dsirOracleSql("source IN ('src1', 'src2')", k = 50,
+        buckets = DefaultBuckets))))
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+import graft.store.TableIO
+
+/** Staged inverted index for text retrieval — the build-once / query-many
+  * shape [[Text.bm25Search]] lacks: bm25Search re-tokenizes the whole corpus
+  * per query (correct for one-off audits, wrong for a serving surface). At
+  * 100 TB an index build is one corpus scan whose output is ~tokens-sized
+  * postings; every query after that touches ONLY the postings rows for its
+  * terms (parquet predicate pushdown on `token` + row-group min/max pruning
+  * — the postings are written token-clustered for exactly that) plus a
+  * 1-row stats table. The corpus text column is never read again.
+  *
+  * This mirrors the staged-ANN discipline (Similarity.ivfIndex): the build
+  * is checkpointed behind a content fingerprint via [[TableIO.stage]], so a
+  * re-run skip-reads, a corpus edit retrains, and a killed build re-executes
+  * (manifest written only after commit).
+  *
+  * Parity contract (pinned in InvertedIndexSpec): `bm25SearchIndexed` over
+  * an index of corpus C returns EXACTLY `Text.bm25Search(C, …)` — same
+  * integer fixed-point arithmetic via the shared [[Text.bm25Rank]] tail, so
+  * the t31 driver oracle recomputes from the raw corpus in DuckDB while the
+  * Spark side serves from the staged index: a green row proves index
+  * fidelity end-to-end.
+  */
+object InvertedIndex {
+
+  /** Staged index handle: `postings` (token, doc_id, dl, tf) clustered by
+    * token; `stats` the 1-row (n_docs, total_dl). */
+  final case class TextIndex(postings: DataFrame, stats: DataFrame)
+
+  /** Build (or skip-read) the index at `dir`, keyed on `fingerprint`.
+    * Postings are repartitioned by token and sorted within partitions so
+    * each parquet file covers a narrow token range — that sort is what
+    * turns the per-query `token IN (…)` pushdown into row-group pruning
+    * instead of a full postings scan. Returns (index, skippedBoth). */
+  def buildTextIndex(spark: SparkSession, docs: DataFrame, dir: String,
+                     fingerprint: String): (TextIndex, Boolean) = {
+    val (postings, sk1) = TableIO.stage(spark, s"$dir/postings", fingerprint) {
+      docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"),
+          explode(split(col("text"), " ")).as("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .repartition(col("token"))
+        .sortWithinPartitions("token", "doc_id")
+    }
+    val (stats, sk2) = TableIO.stage(spark, s"$dir/stats", fingerprint) {
+      docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dl").cast("long").as("total_dl"))
+    }
+    (TextIndex(postings, stats), sk1 && sk2)
+  }
+
+  /** BM25 top-k from the staged index: postings filtered to the query terms
+    * (pushed to the parquet scan), df from the ≤|terms| surviving groups
+    * broadcast back, stats a 1-row broadcast — identical results to
+    * [[Text.bm25Search]] on the indexed corpus, without re-reading it. */
+  def bm25SearchIndexed(index: TextIndex, terms: Seq[String], k: Int = 20,
+                        k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchIndexed: need at least one query term")
+    require(k >= 1, s"bm25SearchIndexed: k must be >= 1, got $k")
+    val qTerms = terms.distinct
+    val tf = index.postings
+      .filter(col("token").isin(qTerms: _*))
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    Text.bm25Rank(tf, index.stats, k, k1Milli, bMilli)
+  }
+
+  // ---- driver staging (the stagedIvf discipline: content-fingerprinted,
+  // memo bounded, stage dir outlives the JVM) ----
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, TextIndex]()
+  private val sessionIds =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  private def stagedIndex(s: SparkSession, d: String): TextIndex = {
+    val sid = sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    val docs = t(s, d, "documents")
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+      sys.props("java.io.tmpdir") + "/graft-stages") + s"/textidx_$safe"
+    if (memo.size > 8) memo.clear()
+    // content fingerprint, not row count: a regenerated corpus with the
+    // same count must rebuild, not serve stale postings
+    val fp = s"$d;${TableIO.fingerprintOf(docs)}"
+    memo.computeIfAbsent(s"$sid:$dir:$fp", _ =>
+      buildTextIndex(s, docs, dir, fingerprint = fp)._1)
+  }
+
+  /** Driver query: BM25 from the staged index; the oracle recomputes the
+    * same ranking from the raw corpus (index-fidelity check). */
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("t31_bm25_indexed",
+      (s, d) => bm25SearchIndexed(stagedIndex(s, d),
+        terms = Seq("join", "filter", "shuffle")),
+      Some(Text.bm25OracleSql(terms = Seq("join", "filter", "shuffle"),
+        k = 20, k1m = 1200, bm = 750))))
+}

@@ -147,6 +147,44 @@ object Temporal {
         points.columns.map(c => col(s"p.$c")): _*)
   }
 
+  /** One week in microseconds — the w6 cohort bucket. */
+  val WeekUs: Long = 604800000000L
+
+  /** Cohort retention matrix: `ev` carries (user_id, us) event occurrences
+    * (integer microseconds — the repo-wide time axis); users are bucketed
+    * into cohorts by the `bucketUs` period of their FIRST event, and each
+    * (cohort, offset) cell counts the cohort's users active `offset`
+    * periods later, absolute and in basis points of the cohort size.
+    * Integer bucket arithmetic only (`div`/`//`) — calendar week-start
+    * conventions differ across engines.
+    *
+    * Plan: ONE shuffle on user_id (the min-bucket window), a distinct on
+    * the already-collapsed (cohort, offset, user) frame, one aggregation;
+    * the cohort-size join is agg-to-agg on a cohort-count-sized frame
+    * (every cohort has an offset-0 row by construction — the user's own
+    * first bucket — so the inner join drops nothing). No events self-join:
+    * the naive encoding joins raw events to per-user firsts, re-shuffling
+    * the corpus twice. */
+  def cohortRetention(ev: DataFrame, bucketUs: Long = WeekUs): DataFrame = {
+    require(bucketUs > 0, s"cohortRetention: bucketUs must be positive, got $bucketUs")
+    val active = ev
+      .select(col("user_id"), expr(s"us div $bucketUs").as("week"))
+      .withColumn("cohort_week",
+        min("week").over(Window.partitionBy("user_id")))
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+    val ret = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val sizes = ret.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    ret.join(sizes, "cohort_week")
+      .withColumn("retention_bp",
+        expr("n_users * 10000 div cohort_size"))
+      .select("cohort_week", "week_offset", "n_users", "retention_bp")
+  }
+
   private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     // TIMESTAMP_NTZ -> TIMESTAMP reinterprets as UTC (session TZ), exactly
     // DuckDB's epoch_us on the naive value — the w2_sessionize discipline
@@ -250,6 +288,28 @@ object Temporal {
                                  AND c.click_us >= p.us - $IncidentUs
                                 THEN 1 ELSE 0 END AS BIGINT) AS attributed
                FROM p ASOF LEFT JOIN c
-                 ON p.user_id = c.user_id AND p.us >= c.click_us"""))
+                 ON p.user_id = c.user_id AND p.us >= c.click_us""")),
+
+    // cohort retention: users bucketed by first-activity week, then the
+    // classic retention matrix — how many of each cohort are active o weeks
+    // later, absolute and in basis points of the cohort size
+    QueryDef("w6_cohort_retention",
+      (s, d) => cohortRetention(eventsUs(s, d)),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+                         FROM events),
+              f AS (SELECT user_id, week,
+                           min(week) OVER (PARTITION BY user_id) AS cohort_week
+                    FROM e),
+              a AS (SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
+                           user_id
+                    FROM f),
+              r AS (SELECT cohort_week, week_offset,
+                           CAST(count(*) AS BIGINT) AS n_users
+                    FROM a GROUP BY 1, 2),
+              c0 AS (SELECT cohort_week, n_users AS cohort_size
+                     FROM r WHERE week_offset = 0)
+              SELECT r.cohort_week, r.week_offset, r.n_users,
+                     CAST(r.n_users * 10000 // c0.cohort_size AS BIGINT) AS retention_bp
+              FROM r JOIN c0 USING (cohort_week)"""))
   )
 }

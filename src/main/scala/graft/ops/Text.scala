@@ -343,6 +343,56 @@ object Text {
         expr("surprisal_bits div n_bigrams").as("mean_bits"))
   }
 
+  /** PMI collocations — the top-k adjacent word pairs that co-occur far
+    * more than their marginals predict (the classic corpus-association
+    * mine: multi-word expressions, named-entity fragments, boilerplate
+    * phrases worth a tokenizer merge or a stop-phrase list). PMI is scored
+    * on the bigram event space: with N total bigrams, c12 the pair count
+    * and c1/c2 the first-/second-slot marginals,
+    *
+    *   pmi(w1,w2) = log2( c12·N / (c1·c2) )
+    *
+    * kept in WHOLE BITS as bitlen(c12) + bitlen(N) − bitlen(c1) − bitlen(c2)
+    * with each factor floored SEPARATELY — the [[Dsir]] overflow discipline:
+    * every term fits in 63 bits at any corpus scale, whereas bitlen(c12·N)
+    * overflows BIGINT once the product crosses 2⁶³ (±1 bit of floor error
+    * per factor on an already whole-bit proxy). `minCount` drops the
+    * hapax pairs whose PMI is maximal by accident (the standard guard).
+    *
+    * Scale shape: ONE corpus shuffle (the map-side-combinable (w1,w2)
+    * count); both marginals and the total re-aggregate FROM the pinned
+    * pair-count frame, so the text is scanned once and the model tables are
+    * vocab-sized. The marginal joins are agg-to-agg on vocab-sized frames —
+    * NOT forced broadcast (a 100 TB unigram vocab is not driver-small; AQE
+    * broadcasts when it measures small). Selection is a TakeOrdered top-k
+    * with a total tie-break ((w1,w2) is unique), never a global sort. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount must be >= 1, got $minCount")
+    require(k >= 1, s"pmiCollocations: k must be >= 1, got $k")
+    val grams = docs
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr("sequence(1, size(tk) - 1)")).as("i"), col("tk"))
+      .select(expr("element_at(tk, i)").as("w1"),
+        expr("element_at(tk, CAST(i + 1 AS INT))").as("w2"))
+    // pinned: three consumers (the scored frame + both marginals + N) —
+    // without the pin each would re-run the corpus-wide count
+    val c12 = ManagedCache.pin(
+      grams.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12")))
+    val r1 = c12.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
+    val s2 = c12.groupBy("w2").agg(sum("c12").cast("long").as("c2"))
+    val n = c12.agg(sum("c12").cast("long").as("n_bigrams"))
+    c12.filter(col("c12") >= minCount)
+      .join(r1, "w1").join(s2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_bits",
+        (length(bin(col("c12"))) + length(bin(col("n_bigrams")))
+          - length(bin(col("c1"))) - length(bin(col("c2")))).cast("long"))
+      .orderBy(desc("pmi_bits"), desc("c12"), asc("w1"), asc("w2"))
+      .select("w1", "w2", "c12", "c1", "c2", "pmi_bits")
+      .limit(k)
+  }
+
   /** BM25-ranked keyword search: the top-k documents for a bag of query
     * terms — the retrieval surface over the corpus (c1 is the boolean
     * contains-filter; this is the RANKED form an eval-set miner or
@@ -378,6 +428,15 @@ object Text {
         explode(split(col("text"), " ")).as("token"))
       .filter(col("token").isin(qTerms: _*))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, totals, k, k1Milli, bMilli)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25Search]] (tf from a corpus scan)
+    * and [[InvertedIndex.bm25SearchIndexed]] (tf from staged postings) —
+    * one arithmetic, two sources, no drift. `tf` must carry
+    * (doc_id, dl, token, tf); `totals` is the 1-row (n_docs, total_dl). */
+  private[ops] def bm25Rank(tf: DataFrame, totals: DataFrame, k: Int,
+                            k1Milli: Long, bMilli: Long): DataFrame = {
     val dfPerTerm = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfPerTerm), "token")
       .crossJoin(broadcast(totals))
@@ -397,7 +456,7 @@ object Text {
 
   /** DuckDB replay of [[bm25Search]] — same fixed-point arithmetic, with
     * `//` for div and printf('%b') for the idf bit length. */
-  private def bm25OracleSql(terms: Seq[String], k: Int,
+  private[ops] def bm25OracleSql(terms: Seq[String], k: Int,
                             k1m: Long, bm: Long): String = {
     val inList = terms.distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
@@ -1046,6 +1105,26 @@ object Text {
                      CAST(sum(tf * bits) AS BIGINT) AS surprisal_bits,
                      CAST(sum(tf * bits) // sum(tf) AS BIGINT) AS mean_bits
               FROM scored GROUP BY doc_id""")),
+
+    // PMI collocations: whole-bit pointwise mutual information over the
+    // bigram event space, marginals + total re-derived from the pair-count
+    // CTE exactly as the Spark side derives them from the pinned frame
+    QueryDef("t32_pmi_collocations",
+      (s, d) => pmiCollocations(t(s, d, "documents"), minCount = 5, k = 50),
+      Some("""WITH base AS (SELECT string_split(text,' ') AS tk FROM documents
+                            WHERE len(string_split(text,' ')) >= 2),
+              idx AS (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i FROM base),
+              bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM idx),
+              pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+              r1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+              s2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM pc GROUP BY 1),
+              n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM pc)
+              SELECT w1, w2, c12, c1, c2,
+                     CAST(length(printf('%b', c12)) + length(printf('%b', n_bigrams))
+                        - length(printf('%b', c1)) - length(printf('%b', c2)) AS BIGINT) AS pmi_bits
+              FROM pc JOIN r1 USING (w1) JOIN s2 USING (w2) CROSS JOIN n
+              WHERE c12 >= 5
+              ORDER BY pmi_bits DESC, c12 DESC, w1, w2 LIMIT 50""")),
 
     // BM25 ranked keyword search (integer fixed-point; idf via bit length):
     // the retrieval surface — top-k docs for a term bag, fully replayed

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dsir
+
+/** DSIR importance resampling: a seeded differential against an independent
+  * in-JVM reference (plain Scala maps, same md5 h60 + whole-bit arithmetic),
+  * domain-affinity semantics, the t30 driver oracle replayed in DuckDB, a
+  * broadcast-join plan pin, and loud argument validation. */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- independent reference implementation (no Spark, no SQL) ----
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def feats(text: String): Seq[String] = {
+    val tk = text.split(" ", -1).toSeq
+    tk ++ tk.sliding(2).withFilter(_.size == 2).map(p => p(0) + " " + p(1))
+  }
+
+  private def bitlen(x: Long): Long = {
+    require(x >= 1)
+    64L - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  /** (doc_id -> (n_feats, dsir_bits)) exactly as Dsir.dsirScores defines. */
+  private def refScores(raw: Seq[(Long, String)], target: Seq[String],
+                        buckets: Int): Map[Long, (Long, Long)] = {
+    val rawTf: Map[(Long, Long), Long] = raw
+      .flatMap { case (id, tx) => feats(tx).map(f => (id, h60(f) % buckets)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rc = rawTf.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val tc = target.flatMap(tx => feats(tx).map(f => h60(f) % buckets))
+      .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val rTot = rc.values.sum
+    val tTot = tc.values.sum
+    val score: Map[Long, Long] = rc.map { case (b, r) =>
+      b -> (bitlen(tc.getOrElse(b, 0L) + 1) - bitlen(r + 1)
+        + bitlen(rTot + buckets) - bitlen(tTot + buckets))
+    }
+    rawTf.toSeq
+      .map { case ((id, b), tf) => id -> (tf, tf * score(b)) }
+      .groupBy(_._1)
+      .map { case (id, xs) =>
+        id -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+      }
+  }
+
+  private val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+
+  test("dsirScores ≡ independent in-JVM reference on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val raw = (1L to 40L).map(id =>
+      (id, Seq.fill(3 + rnd.nextInt(20))(pool(rnd.nextInt(pool.size))).mkString(" ")))
+    val target = (1 to 8).map(_ =>
+      Seq.fill(5 + rnd.nextInt(10))(pool(rnd.nextInt(4))).mkString(" "))
+    // small bucket space on purpose: collisions must agree too
+    val buckets = 64
+    val got = Dsir.dsirScores(raw.toDF("doc_id", "text"),
+        target.map(Tuple1(_)).toDF("text").withColumn("doc_id",
+          org.apache.spark.sql.functions.lit(0L)), buckets)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refScores(raw, target, buckets))
+  }
+
+  test("a target-domain document outranks an off-domain one") {
+    import spark.implicits._
+    val target = Seq((0L, "alpha beta alpha gamma beta alpha"),
+      (1L, "beta alpha gamma alpha")).toDF("doc_id", "text")
+    val raw = Seq((10L, "alpha beta gamma alpha beta"),
+      (20L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val ranked = Dsir.dsirSelect(raw, target, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(10L, 20L))
+  }
+
+  test("single-token documents survive the bigram guard") {
+    import spark.implicits._
+    val one = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val got = Dsir.dsirScores(one, one).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L) // 1 unigram, 0 bigrams
+  }
+
+  test("t30 driver oracle replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sfDir/documents.parquet')")
+      val df = SparkEntry.queries("t30_dsir_select")(spark, sfDir)
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("t30_dsir_select"), "t30_dsir_select")
+    }
+  }
+
+  test("plan: score table broadcasts; no nested-loop join") {
+    import spark.implicits._
+    val raw = (1L to 30L).map(i => (i, s"alpha beta gamma doc$i")).toDF("doc_id", "text")
+    val plan = Dsir.dsirScores(raw, raw.limit(5))
+      .queryExecution.executedPlan.toString
+    // the bucket-keyed score join must be a broadcast HASH join (the ≤buckets
+    // score table never shuffles the doc frame); the only nested-loop shapes
+    // allowed are the 1-row broadcast totals cross joins
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("argument validation is loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Dsir.dsirScores(docs, docs, buckets = 1) }
+    intercept[IllegalArgumentException] { Dsir.dsirSelect(docs, docs, k = 0) }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{InvertedIndex, Text}
+
+/** Staged inverted index: exact parity with the scan-time bm25Search,
+  * train-once staging semantics (skip / fingerprint-keyed rebuild), the
+  * token-pushdown plan pin, and the t31 driver oracle replayed in DuckDB. */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def fixtureDocs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("join", "filter", "shuffle", "scan", "agg", "sort",
+      "hash", "merge", "spill", "batch", "row", "col")
+    (1L to 60L).map(id =>
+      (id, Seq.fill(4 + rnd.nextInt(25))(pool(rnd.nextInt(pool.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25SearchIndexed ≡ bm25Search on the same corpus (several term sets)") {
+    val docs = fixtureDocs
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    val (idx, skipped) = InvertedIndex.buildTextIndex(spark, docs, dir, "fp1")
+    assert(!skipped)
+    for (terms <- Seq(Seq("join"), Seq("join", "spill", "col"),
+        Seq("shuffle", "nosuchterm"), Seq("scan", "agg", "sort", "hash"))) {
+      val fromIndex = InvertedIndex.bm25SearchIndexed(idx, terms, k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val fromScan = Text.bm25Search(docs, terms, k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fromIndex == fromScan, s"parity broke for terms=$terms")
+    }
+  }
+
+  test("staging skips on re-run and rebuilds on fingerprint change") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx-skip").toString
+    val (_, sk0) = InvertedIndex.buildTextIndex(spark, docs, dir, "v1")
+    assert(!sk0)
+    // warm re-run with the same fingerprint: both stages skip, and the
+    // compute closure must NOT run (poison corpus would fail loudly)
+    val poison = Seq((9L, "x")).toDF("doc_id", "text")
+      .withColumn("text", org.apache.spark.sql.functions.expr(
+        "CASE WHEN doc_id > 0 THEN raise_error('stage must skip') ELSE text END"))
+    val (idx1, sk1) = InvertedIndex.buildTextIndex(spark, poison, dir, "v1")
+    assert(sk1)
+    assert(idx1.postings.count() == 6) // "a b c" + "b c d" = 3 + 3 postings
+    // fingerprint change recomputes from the new corpus
+    val docs2 = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val (idx2, sk2) = InvertedIndex.buildTextIndex(spark, docs2, dir, "v2")
+    assert(!sk2)
+    assert(idx2.postings.count() == 2)
+    assert(idx2.stats.collect()(0).getLong(0) == 2L)
+  }
+
+  test("plan: token filter reaches the postings scan; no re-tokenization") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, "join filter shuffle scan"))
+      .toSeq.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx-plan").toString
+    val (idx, _) = InvertedIndex.buildTextIndex(spark, docs, dir, "fp")
+    val plan = InvertedIndex.bm25SearchIndexed(idx, Seq("join", "scan"))
+      .queryExecution.executedPlan.toString
+    // the IN predicate is pushed to the parquet source — the scan reads
+    // only matching row groups, never the whole postings table
+    assert(plan.contains("PushedFilters") && plan.contains("In(token"),
+      s"token pushdown missing:\n$plan")
+    // serving from the index never tokenizes text (no split in the plan)
+    assert(!plan.contains("split("), "indexed search must not re-tokenize")
+  }
+
+  test("t31 driver oracle replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sfDir/documents.parquet')")
+      val df = SparkEntry.queries("t31_bm25_indexed")(spark, sfDir)
+      DuckOracle.assertMatches(c, df,
+        SparkEntry.oracleSql("t31_bm25_indexed"), "t31_bm25_indexed")
+    }
+  }
+
+  test("argument validation is loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx-args").toString
+    val (idx, _) = InvertedIndex.buildTextIndex(spark, docs, dir, "fp")
+    intercept[IllegalArgumentException] {
+      InvertedIndex.bm25SearchIndexed(idx, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      InvertedIndex.bm25SearchIndexed(idx, Seq("a"), k = 0)
+    }
+  }
+}

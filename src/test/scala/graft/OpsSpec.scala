@@ -587,4 +587,45 @@ class OpsSpec extends AnyFunSuite {
     assert(e.filter(col("term") === "").count() === 0)
     intercept[IllegalArgumentException](Text.tfidfTopTerms(docs, k = 0))
   }
+
+  test("pmiCollocations: hand-computed whole-bit PMI, marginals over ALL pairs, tie-break") {
+    // bigrams: doc1 (a,b),(b,a),(a,b),(b,c); doc2 (a,b),(b,x); doc3 none
+    // c12(a,b)=3, others 1; N=6; c1(a)=3, c1(b)=3; c2(b)=3, c2(a|c|x)=1
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = Text.pmiCollocations(tiny, minCount = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every pair: bitlen(c12)+bitlen(6)-bitlen(c1)-bitlen(c2)
+    // (a,b): 2+3-2-2=1; (b,a)/(b,c)/(b,x): 1+3-2-1=1 — all tie at 1 bit,
+    // so ordering falls to (c12 desc, w1, w2): (a,b) first, then lexicographic
+    assert(got.toSeq == Seq(
+      ("a", "b", 3L, 3L, 3L, 1L),
+      ("b", "a", 1L, 3L, 1L, 1L),
+      ("b", "c", 1L, 3L, 1L, 1L),
+      ("b", "x", 1L, 3L, 1L, 1L)))
+    // minCount filters the OUTPUT but the marginals still see every pair
+    val filtered = Text.pmiCollocations(tiny, minCount = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(filtered.toSeq == Seq(("a", "b", 3L, 3L)))
+    intercept[IllegalArgumentException](Text.pmiCollocations(tiny, minCount = 0))
+    intercept[IllegalArgumentException](Text.pmiCollocations(tiny, k = 0))
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
+
+  test("t32 PMI oracle replays in DuckDB at sf0.001; plan is a TakeOrdered top-k") {
+    val sf = "/root/testdata/sf0.001"
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$sf/documents.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("t32_pmi_collocations")(spark, sf),
+        SparkEntry.oracleSql("t32_pmi_collocations"), "t32_pmi_collocations")
+    }
+    val plan = SparkEntry.queries("t32_pmi_collocations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$plan")
+    graft.ops.ManagedCache.releaseAll(spark)
+  }
 }

@@ -212,4 +212,35 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L),
       "a flat per-type min() would score user 2 as depth 2 and user 3 as depth 3")
   }
+
+  test("cohortRetention: hand-computed matrix, within-week dup collapses, bp arithmetic") {
+    import spark.implicits._
+    val wk = Temporal.WeekUs
+    val ev = Seq(
+      (1L, 0L * wk + 5L), (1L, 1L * wk + 1L), (1L, 3L * wk), (1L, 3L * wk + 7L),
+      (2L, 1L * wk + 2L), (2L, 2L * wk + 2L),
+      (3L, 10L)).toDF("user_id", "us")
+    val got = Temporal.cohortRetention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // cohort week 0 = users {1, 3}, size 2; user 1 active at offsets {0,1,3}
+    // (two week-3 events count once), user 3 only at 0
+    assert(got((0L, 0L)) == ((2L, 10000L)))
+    assert(got((0L, 1L)) == ((1L, 5000L)))
+    assert(got((0L, 3L)) == ((1L, 5000L)))
+    // cohort week 1 = user 2 alone, active at offsets {0, 1}
+    assert(got((1L, 0L)) == ((1L, 10000L)))
+    assert(got((1L, 1L)) == ((1L, 10000L)))
+    assert(got.size == 5)
+    intercept[IllegalArgumentException](Temporal.cohortRetention(ev, bucketUs = 0L))
+  }
+
+  test("w6 cohort retention oracle replays in DuckDB at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW events AS SELECT * FROM read_parquet('$sf/events.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("w6_cohort_retention")(spark, sf),
+        SparkEntry.oracleSql("w6_cohort_retention"), "w6_cohort_retention")
+    }
+  }
 }
