@@ -121,6 +121,35 @@ object Bpe {
     df
   }
 
+  /** Tokenizer fertility audit: per-source subwords-per-word in milli units
+    * under a trained model — THE acceptance metric for a tokenizer rollout
+    * (fertility ≫ 1000 on a language/source means its text fragments into
+    * shards and trains poorly; comparing sources exposes who the vocabulary
+    * under-serves). Integer arithmetic end-to-end: fertility_milli =
+    * 1000·Σ tf·n_syms div Σ tf.
+    *
+    * Scale shape: the corpus collapses ONCE to per-source word frequencies
+    * (map-side-combinable (source, word) shuffle); the model segments the
+    * VOCABULARY, not the corpus (tokenization is per-word — the t27
+    * reasoning), so the kernel passes run over vocab-sized rows; per-word
+    * subword counts join back onto TERM FREQUENCIES (the rarityScore
+    * Zipf-hot-key discipline: a stopword's join rows are bounded by source
+    * count, not occurrences) and one aggregation per source closes it. */
+  def fertilityBySource(docs: DataFrame, model: Model): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).cast("long").as("tf"))
+    val syms = segmentWords(tf.select("word").distinct(), model)
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    tf.join(syms, "word")
+      .groupBy("source")
+      .agg(sum("tf").cast("long").as("n_words"),
+        sum(expr("tf * n_syms")).cast("long").as("n_subwords"))
+      .withColumn("fertility_milli", expr("n_subwords * 1000 div n_words"))
+      .select("source", "n_words", "n_subwords", "fertility_milli")
+  }
+
   // ---- staged query surface ---------------------------------------------
 
   /** Train-once staging for the t25 entry: the merge table persists behind
@@ -162,6 +191,15 @@ object Bpe {
           .select(col("word"), col("syms"),
             size(col("syms")).cast("long").as("n_syms"))
       },
+      None),
+
+    // per-source fertility under the staged model — rows-only for the
+    // driver (iterative merges feed it); BpeSpec recomputes the whole
+    // report from the independent in-JVM encoder and DuckDB replays the
+    // aggregation arithmetic given the per-word subword counts
+    QueryDef("t33_bpe_fertility",
+      (s, d) => fertilityBySource(t(s, d, "documents"),
+        modelOf(stagedMerges(s, d, nMerges = 40))),
       None)
   )
 }

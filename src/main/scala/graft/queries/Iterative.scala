@@ -631,4 +631,52 @@ object Iterative {
     }
     degreesOf(und)
   }
+
+  /** Synchronized label-propagation communities (LPA): `rounds` rounds of
+    * "adopt the most frequent label among your neighbors" over the
+    * undirected graph, labels initialized to the node id. Detects DENSITY
+    * communities — the grouping connected components cannot express (CC
+    * merges everything reachable; LPA splits a connected graph along its
+    * sparse cuts — the domain/topic clusters a data-mixing pipeline groups
+    * by). Deterministic by construction: synchronized rounds (not the
+    * paper's asynchronous visit order, which is schedule-dependent) and a
+    * total argmax tie-break (count desc, label asc), so the same graph
+    * gives the same labels on any cluster/partitioning — the property that
+    * makes the result replayable cross-engine. Fixed round count, not
+    * convergence-tested (the kcorePeel reasoning: synchronous LPA can
+    * 2-cycle on bipartite structures, so "until stable" is not a
+    * terminating contract; compose calls and compare if needed). Returns
+    * (node, lbl) for every non-isolated node.
+    *
+    * Scale: the doubled edge list is loop-invariant (checkpointed once);
+    * each round is one labels ⋈ edges equi-join on the neighbor id + a
+    * map-side-combinable (node, lbl) count + a per-node argmax whose
+    * fan-in is bounded by the node's distinct neighbor labels (≤ degree;
+    * AQE splits residual hub skew) — O(rounds) shuffles of O(m) rows,
+    * never O(rounds × n²). Lineage localCheckpoints on the kcore cadence. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 4,
+                       checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1 && checkpointEvery >= 1,
+      s"need rounds >= 1, checkpointEvery >= 1: $rounds/$checkpointEvery")
+    val und = normalizeUndirected(edges0)
+    val dbl = und.select(col("x").as("node"), col("y").as("nbr"))
+      .unionByName(und.select(col("y").as("node"), col("x").as("nbr")))
+      .localCheckpoint()
+    var labels = dbl.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (r <- 1 to rounds) {
+      val next = dbl
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        // argmax with a TOTAL tie-break: min over (-count, label) ≡
+        // (most frequent, then smallest label) — struct ordering is
+        // lexicographic in both engines
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("s"))
+        .select(col("node"), col("s").getField("l").as("lbl"))
+      labels =
+        if (r % checkpointEvery == 0 || r == rounds) next.localCheckpoint() else next
+    }
+    labels
+  }
 }

@@ -124,6 +124,25 @@ object Relational {
         SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM d$rounds GROUP BY u"""
   }
 
+  /** f18 oracle: every synchronized LPA round unrolled — per round the
+    * neighbor-label counts, the per-node max via a window, and the min-label
+    * tie-break, exactly the Spark kernel's min(struct(-c, lbl)) argmax. */
+  private def lpaOracle(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT d.node, l.lbl, count(*) AS c
+                  FROM dbl d JOIN l${r - 1} l ON l.node = d.nbr GROUP BY 1, 2),
+          l$r AS (SELECT node, min(lbl) AS lbl FROM (
+                    SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS mc
+                    FROM c$r) t WHERE c = mc GROUP BY node)"""
+    }.mkString(",\n          ")
+    s"""WITH e AS ($graphEdgesSql),
+        und AS (SELECT DISTINCT least(a,b) AS x, greatest(a,b) AS y FROM e WHERE a<>b),
+        dbl AS (SELECT x AS node, y AS nbr FROM und UNION ALL SELECT y, x FROM und),
+        l0 AS (SELECT DISTINCT node, node AS lbl FROM dbl),
+        $chain
+        SELECT node, lbl FROM l$rounds"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // C1/C3: filter + projection — predicate reaches the parquet scan
@@ -270,6 +289,13 @@ object Relational {
     QueryDef("f9_kcore",
       (s, d) => Iterative.kcorePeel(graphEdges(s, d), k = 24, rounds = 8),
       Some(kcoreOracle(k = 24, rounds = 8))),
+
+    // F18: synchronized label-propagation communities (4 rounds) on the same
+    // link graph — density communities where i3's CC gives connectivity;
+    // the oracle unrolls every round (count + window-max + min tie-break)
+    QueryDef("f18_label_propagation",
+      (s, d) => Iterative.labelPropagation(graphEdges(s, d), rounds = 4),
+      Some(lpaOracle(rounds = 4))),
 
     // F12: multi-source BFS shortest distances over the downward parent→child
     // tree (dst = any orderkey > 1, src = floor(dst/2)), seeded at BOTH root

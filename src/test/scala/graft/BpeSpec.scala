@@ -160,6 +160,29 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("t33 fertility report equals the independent encoder's per-source arithmetic") {
+    val docs = QueryDef.t(spark, sfDir, "documents")
+    val wc = Bpe.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = refBpe(wc, nMerges = 40, minPairCount = 2)
+      .map { case (_, l, r, _) => (l, r) }
+    val symsLen: Map[String, Long] =
+      wc.keysIterator.map(w => w -> refSegment(w, merges).length.toLong).toMap
+    // per-source word/subword totals folded in-JVM from the raw corpus
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for (r <- docs.select("source", "text").collect();
+         w <- r.getString(1).split(" ") if w.nonEmpty) {
+      val (nw, ns) = agg.getOrElse(r.getString(0), (0L, 0L))
+      agg(r.getString(0)) = (nw + 1L, ns + symsLen(w))
+    }
+    val got = SparkEntry.queries("t33_bpe_fertility")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == agg.keySet)
+    for ((src, (nw, ns)) <- agg)
+      assert(got(src) == ((nw, ns, ns * 1000L / nw)),
+        s"source $src: got ${got(src)}, want ($nw, $ns, ${ns * 1000L / nw})")
+  }
+
   test("t25 staged entry: deterministic across calls, DuckDB replays round-1 counts") {
     val q = SparkEntry.queries("t25_bpe_merges")
     // parquet read-back order is arbitrary — rank is the order column

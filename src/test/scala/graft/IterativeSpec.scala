@@ -440,4 +440,56 @@ class IterativeSpec extends AnyFunSuite {
         SparkEntry.oracleSql("f13_shortest_paths"), "f13_shortest_paths")
     }
   }
+
+  test("labelPropagation: triangle + pendant converges to the min label; hand rounds") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1: round-by-round sync LPA with the
+    // (count desc, label asc) tie-break — hand-traced:
+    // l1 = (1→2, 2→1, 3→1, 4→1); l2 = (1→1, 2→1, 3→1, 4→2);
+    // l3 = all 1; l4 stays all 1 (converged)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("a", "b")
+    def lbls(rounds: Int) =
+      Iterative.labelPropagation(edges, rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbls(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(lbls(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(lbls(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // two disjoint triangles: each converges to its own min id — the split
+    // CC cannot express needs a sparse cut, disconnection is the degenerate case
+    val two = edges.unionByName(
+      Seq((10L, 11L), (11L, 12L), (12L, 10L)).toDF("a", "b"))
+    val out = Iterative.labelPropagation(two, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(10L, 11L, 12L).map(out) == Set(10L))
+    // partitioning independence (the determinism contract)
+    val rep = Iterative.labelPropagation(two.repartition(7), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == out)
+    intercept[IllegalArgumentException](Iterative.labelPropagation(edges, rounds = 0))
+  }
+
+  test("labelPropagation splits a barbell along its sparse cut (what CC cannot)") {
+    import spark.implicits._
+    // two 4-cliques joined by one bridge edge: CC reports ONE component;
+    // LPA keeps two dense communities
+    def clique(ids: Seq[Long]) = ids.combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L))
+      :+ ((4L, 5L))).toDF("a", "b")
+    val out = Iterative.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L, 4L).map(out)
+    val right = Set(5L, 6L, 7L, 8L).map(out)
+    assert(left.size == 1 && right.size == 1 && left != right,
+      s"barbell must split into two uniform communities, got $out")
+  }
+
+  test("f18 DuckDB oracle replay at sf0.001") {
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+      DuckOracle.assertMatches(c,
+        SparkEntry.queries("f18_label_propagation")(spark, "/root/testdata/sf0.001"),
+        SparkEntry.oracleSql("f18_label_propagation"), "f18_label_propagation")
+    }
+  }
 }
