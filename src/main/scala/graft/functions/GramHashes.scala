@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class GramHashes(child: Expression, k: Int)
     extends UnaryExpression {
 
-  require(k >= 2, s"gram_hashes k must be >= 2, got $k")
+  // k = 1 is the degenerate per-token hash (the DSIR unigram feature
+  // stream); the sliding-window semantics below hold for it unchanged
+  require(k >= 1, s"gram_hashes k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -326,6 +326,43 @@ object KgQueries {
         concat_ws("|", array_sort(collect_set(col("iri")))).as("members"))
       .orderBy(desc("cluster_size"), asc("canonId"))
 
+  /** VoID-style schema summary: (subject class, predicate, object class)
+    * triple counts over the inference-enriched graph — the structural
+    * profile a consumer reads BEFORE writing queries (which predicates
+    * connect which classes, with what cardinality; the class-link dataset
+    * statistics of the VoID vocabulary). Object classification: IRI objects
+    * by their rdf:type (multi-typed nodes contribute one row per class —
+    * standard linkset semantics; untyped IRIs report `iri:untyped`),
+    * literals by language tag (`@ja`), else datatype, else `plain`.
+    *
+    * Scale: the type table is entity-sized, the two classification joins
+    * are plain equi-joins on subj/objLex (AQE broadcasts when small), the
+    * roll-up is one map-side-combinable aggregation over class-pair
+    * cardinality — never over entities. */
+  def schemaSummary(t: DataFrame): DataFrame = {
+    val types = t.filter(col("pred") === V.RdfType && col("objIsIri"))
+      .select(col("subj").as("n"), col("objLex").as("c")).distinct()
+    val base = t.filter(col("pred") =!= V.RdfType)
+      .select("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+      .join(types.select(col("n").as("subj"), col("c").as("subj_class")),
+        Seq("subj"), "left_outer")
+      .na.fill("iri:untyped", Seq("subj_class"))
+    val lits = base.filter(!col("objIsIri"))
+      .withColumn("obj_class",
+        when(col("objLang") =!= "", concat(lit("@"), col("objLang")))
+          .when(col("objDtype") =!= "", col("objDtype"))
+          .otherwise(lit("plain")))
+    val iris = base.filter(col("objIsIri"))
+      .join(types.select(col("n").as("objLex"), col("c").as("obj_class")),
+        Seq("objLex"), "left_outer")
+      .na.fill("iri:untyped", Seq("obj_class"))
+    lits.select("subj_class", "pred", "obj_class")
+      .unionByName(iris.select("subj_class", "pred", "obj_class"))
+      .groupBy("subj_class", "pred", "obj_class")
+      .agg(count(lit(1)).as("n_triples"))
+      .orderBy("subj_class", "pred", "obj_class")
+  }
+
   /** DISTINCT label GROUP_CONCAT variant (reference: pokemon_queries.sparql:206-216). */
   def distinctLabelConcat(t: DataFrame): DataFrame =
     t.filter(col("pred") === V.RdfsLabel)
@@ -402,6 +439,8 @@ object KgQueries {
       (s, _) => sharedCharacteristicPairs(s, inferred(s)), None),
     QueryDef("kg_q_sameas_clusters", (s, _) => sameAsClustersFromComponents(components(s)), None),
     QueryDef("kg_q_distinct_labels", (s, _) => distinctLabelConcat(triples(s)), None),
+    // VoID-style class-link profile over the inference-enriched graph
+    QueryDef("kg_q_schema_summary", (s, _) => schemaSummary(inferred(s)), None),
     // SQL surface: corpus query 1 via spark.sql over registered views
     QueryDef("kg_q_sql_overview", (s, _) => {
       Views.register(s, triples(s))

@@ -47,10 +47,25 @@ object Dsir {
   val DefaultBuckets: Int = 1 << 16
 
   /** Per-doc hashed feature occurrences: unigrams + bigrams of whitespace
-    * tokens, each mapped to h60(feature) % buckets. One map-only pass —
-    * the `size < 2` guard matters: sequence(1, 0) DESCENDS and would throw
-    * under ANSI on single-token docs. */
-  private def featureBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    * tokens, each mapped to h60(feature) % buckets. One map-only pass over
+    * the native [[graft.functions.GramHashes]] kernel (k=1 tokens, k=2
+    * space-joined bigrams — the same md5 input strings as the HOF form, so
+    * the DuckDB oracle is untouched); the per-feature expression-tree md5
+    * (interpreted conv/substring over exploded rows) was the t30 hot spot —
+    * the kernel form follows the winnow/shingle rewrite. */
+  private[graft] def featureBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(concat(
+          graft.functions.GramHashes(col("text"), 1),
+          graft.functions.GramHashes(col("text"), 2))).as("h"))
+      .select(col("doc_id"), (col("h") % buckets).as("bucket"))
+
+  /** The HOF formulation of [[featureBuckets]] — kept as the executable
+    * spec the kernel form is parity-pinned against (DsirSpec); the `size <
+    * 2` guard matters: sequence(1, 0) DESCENDS and would throw under ANSI
+    * on single-token docs. */
+  private[graft] def featureBucketsHof(docs: DataFrame, buckets: Int): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("feats", expr(

@@ -72,6 +72,21 @@ class DsirSpec extends AnyFunSuite {
     assert(got == refScores(raw, target, buckets))
   }
 
+  test("native GramHashes feature stream ≡ HOF formulation (incl. degenerate docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = ((1L to 30L).map(id =>
+      (id, Seq.fill(1 + rnd.nextInt(15))(pool(rnd.nextInt(pool.size))).mkString(" ")))
+      :+ ((98L, ""))    // empty text -> one "" token
+      :+ ((99L, "solo")) // single token: no bigrams
+      ).toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("doc_id", "bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counts(Dsir.featureBuckets(docs, 64))
+      == counts(Dsir.featureBucketsHof(docs, 64)))
+  }
+
   test("a target-domain document outranks an off-domain one") {
     import spark.implicits._
     val target = Seq((0L, "alpha beta alpha gamma beta alpha"),

@@ -137,6 +137,29 @@ class KgOracleSpec extends AnyFunSuite {
           LEFT JOIN (SELECT DISTINCT subj FROM t WHERE pred = '${V.RdfsLabel}') l USING (subj)""")
   }
 
+  test("kg_q_schema_summary vs DuckDB") {
+    check("kg_q_schema_summary", KgQueries.schemaSummary(inf),
+      s"""WITH ty AS (SELECT DISTINCT subj AS n, objLex AS c
+                      FROM inf WHERE pred = '${V.RdfType}' AND objIsIri),
+          b AS (SELECT coalesce(t.c, 'iri:untyped') AS subj_class,
+                       i.pred, i.objIsIri, i.objLex, i.objDtype, i.objLang
+                FROM inf i LEFT JOIN ty t ON t.n = i.subj
+                WHERE i.pred <> '${V.RdfType}'),
+          lits AS (SELECT subj_class, pred,
+                          CASE WHEN objLang <> '' THEN '@' || objLang
+                               WHEN objDtype <> '' THEN objDtype
+                               ELSE 'plain' END AS obj_class
+                   FROM b WHERE NOT objIsIri),
+          iris AS (SELECT b.subj_class, b.pred,
+                          coalesce(t.c, 'iri:untyped') AS obj_class
+                   FROM b LEFT JOIN ty t ON t.n = b.objLex
+                   WHERE b.objIsIri)
+          SELECT subj_class, pred, obj_class,
+                 CAST(count(*) AS BIGINT) AS n_triples
+          FROM (SELECT * FROM lits UNION ALL SELECT * FROM iris)
+          GROUP BY 1, 2, 3""")
+  }
+
   test("kg_q_distinct_labels vs DuckDB") {
     check("kg_q_distinct_labels", KgQueries.distinctLabelConcat(base),
       s"""SELECT objLang AS lang, CAST(count(*) AS BIGINT) AS n_distinct,
