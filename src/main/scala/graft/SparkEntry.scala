@@ -37,7 +37,8 @@ object SparkEntry {
       graft.ops.SetSim.defs ++
       graft.ops.Curate.defs ++
       graft.ops.Multimodal.defs ++
-      graft.kg.KgQueries.defs
+      graft.kg.KgQueries.defs ++
+      graft.kg.CodeGraph.defs
 
   /** Flagship: the KG construction pipeline end-to-end on the golden fixture
     * corpus (driver smoke-checks rows>0). */

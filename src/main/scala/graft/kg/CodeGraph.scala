@@ -1,0 +1,229 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+
+/** KG construction over SOURCE CODE — the north rule's actual input domain
+  * ("Iceberg tables of source-code repositories", BASELINE.json input_hint:
+  * (repo, path, commit, lang, content)). The wikitext pipeline replays the
+  * reference's semantics on that table shape; this module is the code-native
+  * extraction a 10^12-file corpus would run beside it: per-language
+  * import/definition extraction → (subj, pred, obj) triples in the same
+  * six-column schema as [[graft.model.Triple]], so every downstream stage
+  * (Turtle sink, validation, corpus queries, inference kernels) composes
+  * unchanged.
+  *
+  * Plan shape at scale (the part that must survive 10^12 files):
+  *  - extraction is ONE narrow pass per file — lang-dispatched
+  *    `regexp_extract_all` (codegen'd, no UDF) + explode; no shuffle until
+  *    aggregation, and the `lang`/`content` prefilters sit against the scan;
+  *  - module ownership (module → owning repo) is one row per FILE, i.e.
+  *    corpus-sized, so the import-resolution join shuffles on `module` —
+  *    hash-partitioned equi-join, partial-agg-friendly; at fixture/bench
+  *    scale AQE broadcasts the ownership side automatically (it is tiny),
+  *    which is exactly the "hot dictionaries use broadcast" rule;
+  *  - repo-level dependency edges aggregate (src_repo, dst_repo) with
+  *    map-side combine — output is O(repos²) bounded, never file-scaled;
+  *  - content sha256 is emitted per file (the north rule's per-row lineage
+  *    invariant) as a triple, so row-level provenance travels WITH the graph.
+  *
+  * Heuristic scope, stated plainly: `import`/`from` line anchors and
+  * `def`/`class`-keyword definitions — the DBpedia-style extraction depth
+  * (the reference's infobox regexes are the same class of extractor), not a
+  * compiler front-end. Unresolvable imports (stdlib, external deps) simply
+  * find no owner in the resolution join (left semi drops them from repo
+  * edges; they still appear as `imports` triples for fan-in analysis).
+  */
+object CodeGraph {
+
+  /** Code-KG vocabulary — its own namespace; the golden wikitext vocabulary
+    * in [[graft.model.Vocab]] stays reference-faithful. */
+  object V {
+    val Base      = "http://example.org/code/"
+    val FileClass = Base + "File"
+    val RdfType   = graft.model.Vocab.RdfType
+    val InRepo    = Base + "inRepo"
+    val Lang      = Base + "lang"
+    val Sha256    = Base + "sha256"
+    val Imports   = Base + "imports"
+    val Defines   = Base + "defines"
+    val DefinedIn = Base + "definedIn"
+    val DependsOn = Base + "dependsOn"
+    def repoIri(r: Column): Column = concat(lit(Base + "repo/"), r)
+    def fileIri(r: Column, p: Column, c: Column): Column =
+      concat(lit(Base + "file/"), r, lit("/"), p, lit("@"), c)
+    def moduleIri(m: Column): Column = concat(lit(Base + "module/"), m)
+  }
+
+  /** `src/pkg/mod.py` → `pkg.mod`: the module a file DEFINES, derived from
+    * its path (strip the one leading source root + the language extension,
+    * path separators become dots). Anchored regexes: single-match in both
+    * engines, so Spark's replace-all and DuckDB's replace-first agree. */
+  private def moduleOfPath(path: Column): Column =
+    translate(
+      regexp_replace(regexp_replace(path, "^src/", ""),
+        "\\.(py|scala|java)$", ""),
+      "/", ".")
+
+  /** Import targets per file, lang-dispatched. One anchor regex serves all
+    * three languages (python `import x` / `from x import y`, scala/java
+    * `import x.y`): the capture stops at the first non-[\w.] char, so java's
+    * trailing `;` and python's ` import y` tail never leak into the module. */
+  private val importsOf: Column =
+    when(col("lang").isin("python", "scala", "java"),
+      regexp_extract_all(col("content"),
+        lit("(?m)^\\s*(?:import|from)\\s+([\\w.]+)"), lit(1)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Defined symbols per file: keyword-anchored per language. */
+  private val definesOf: Column =
+    when(col("lang") === "python",
+      regexp_extract_all(col("content"), lit("(?m)^(?:def|class)\\s+(\\w+)"), lit(1)))
+      .when(col("lang") === "scala",
+        regexp_extract_all(col("content"),
+          lit("(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)"), lit(1)))
+      .when(col("lang") === "java",
+        regexp_extract_all(col("content"),
+          lit("(?m)(?:class|interface|enum)\\s+(\\w+)"), lit(1)))
+      .otherwise(array().cast("array<string>"))
+
+  private def T(subj: Column, pred: String, objIsIri: Boolean, objLex: Column)
+  : Column = struct(subj.as("subj"), lit(pred).as("pred"),
+    lit(objIsIri).as("objIsIri"), objLex.as("objLex"),
+    lit("").as("objDtype"), lit("").as("objLang"))
+
+  /** Per-file triples (no cross-file resolution): type, repo membership,
+    * lang, content sha256 (the per-row lineage invariant), imports (module
+    * IRIs — resolvable or not), defined symbols, and module-definedIn-repo
+    * for files under a source root. One narrow pass + one explode. */
+  def fileTriples(pages: DataFrame): DataFrame = {
+    val file = V.fileIri(col("repo"), col("path"), col("commit"))
+    val repo = V.repoIri(col("repo"))
+    val base = pages
+      .filter(col("lang").isin("python", "scala", "java"))
+      .select(
+        array(
+          T(file, V.RdfType, objIsIri = true, lit(V.FileClass)),
+          T(file, V.InRepo, objIsIri = true, repo),
+          T(file, V.Lang, objIsIri = false, col("lang")),
+          T(file, V.Sha256, objIsIri = false, sha2(col("content"), 256)),
+          when(col("path").startsWith("src/"),
+            T(V.moduleIri(moduleOfPath(col("path"))), V.DefinedIn,
+              objIsIri = true, repo)).otherwise(lit(null))
+        ).as("fixed"),
+        transform(importsOf, m =>
+          T(file, V.Imports, objIsIri = true, V.moduleIri(m))).as("imp"),
+        transform(definesOf, d =>
+          T(file, V.Defines, objIsIri = false, d)).as("defs"))
+      .select(explode(array_compact(
+        concat(col("fixed"), col("imp"), col("defs")))).as("t"))
+      .select(col("t.*"))
+    base.dropDuplicates("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+  }
+
+  /** Repo-level dependency edges: file imports module M ∧ M is defined in
+    * repo B ∧ file's repo A ≠ B → (A dependsOn B), weighted by the number
+    * of distinct importing files. The resolution join shuffles on `module`
+    * (both sides corpus-scaled at 10^12 files; AQE broadcasts the ownership
+    * side when it is small), then ONE partial-aggregable groupBy on the
+    * O(repos²)-bounded edge set. */
+  def repoDeps(pages: DataFrame): DataFrame = {
+    val t = fileTriples(pages)
+    val owns = t.filter(col("pred") === V.DefinedIn)
+      .select(col("subj").as("module"), col("objLex").as("dst_repo"))
+      .distinct()
+    val imports = t.filter(col("pred") === V.Imports)
+      .select(col("subj").as("file"), col("objLex").as("module"))
+    val inRepo = t.filter(col("pred") === V.InRepo)
+      .select(col("subj").as("file"), col("objLex").as("src_repo"))
+    imports.join(owns, "module")
+      .join(inRepo, "file")
+      .filter(col("src_repo") =!= col("dst_repo"))
+      .groupBy("src_repo", "dst_repo")
+      .agg(countDistinct(col("file")).as("n_files"))
+      .orderBy("src_repo", "dst_repo")
+  }
+
+  /** Dependency edges AS triples (src dependsOn dst), composing with the
+    * Turtle sink / inference kernels (e.g. transitive dependsOn closure via
+    * [[graft.queries.Iterative]]'s semi-naive kernel). */
+  def depTriples(pages: DataFrame): DataFrame =
+    repoDeps(pages).select(
+      col("src_repo").as("subj"), lit(V.DependsOn).as("pred"),
+      lit(true).as("objIsIri"), col("dst_repo").as("objLex"),
+      lit("").as("objDtype"), lit("").as("objLang"))
+
+  /** Cross-repo module fan-in: how many distinct files OUTSIDE the owning
+    * repo import each module — the hub-module census (the skew signal: a
+    * 10^12-file corpus has log-utility-like modules imported from
+    * everywhere; downstream joins on `module` salt on exactly these). */
+  def moduleFanIn(pages: DataFrame): DataFrame = {
+    val t = fileTriples(pages)
+    val owns = t.filter(col("pred") === V.DefinedIn)
+      .select(col("subj").as("module"), col("objLex").as("owner"))
+      .distinct()
+    val imports = t.filter(col("pred") === V.Imports)
+      .select(col("subj").as("file"), col("objLex").as("module"))
+    val inRepo = t.filter(col("pred") === V.InRepo)
+      .select(col("subj").as("file"), col("objLex").as("src_repo"))
+    imports.join(inRepo, "file")
+      .join(owns, Seq("module"), "left_outer")
+      .filter(col("owner").isNull || col("owner") =!= col("src_repo"))
+      .groupBy("module")
+      .agg(countDistinct(col("file")).as("n_importers"))
+      .orderBy(desc("n_importers"), asc("module"))
+  }
+
+  // ---- deterministic synthetic corpus (tests / verify; no external data) ----
+
+  /** Deterministic code corpus in the input_hint shape: `nRepos` repos ×
+    * `modsPerRepo` modules, langs cycling python/scala/java, plus one
+    * markdown README per repo (negative row: no extraction). Imports are
+    * seeded cross-repo (module j of repo (i+1)%n; module (j+1)%m of repo
+    * (i+j)%n) plus an unresolvable `std.util`, so ownership resolution,
+    * self-edge exclusion and unresolved-import behavior are all exercised. */
+  def corpus(spark: SparkSession, nRepos: Int = 6, modsPerRepo: Int = 4)
+  : DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until nRepos
+      j <- 0 until modsPerRepo
+    } yield {
+      val lang = Seq("python", "scala", "java")((i + j) % 3)
+      val ext = Map("python" -> "py", "scala" -> "scala", "java" -> "java")(lang)
+      val repo = s"repo_$i"
+      val path = s"src/pkg_$i/mod_$j.$ext"
+      val imp1 = s"pkg_${(i + 1) % nRepos}.mod_$j"
+      val imp2 = s"pkg_${(i + j) % nRepos}.mod_${(j + 1) % modsPerRepo}"
+      val content = lang match {
+        case "python" =>
+          s"'''module pkg_$i.mod_$j'''\nimport std.util\nimport $imp1\nfrom $imp2 import helper\n" +
+            s"def fn_${i}_$j(x):\n    return x + 1\n" +
+            s"class Cls_${i}_$j:\n    pass\n"
+        case "scala" =>
+          s"package pkg_$i\nimport std.util\nimport $imp1\nimport $imp2\n" +
+            s"object mod_$j {\n  def fn_${i}_$j(x: Int): Int = x + 1\n}\n" +
+            s"class Cls_${i}_$j\n"
+        case _ =>
+          s"package pkg_$i;\nimport std.util;\nimport $imp1;\nimport $imp2;\n" +
+            s"public class Cls_${i}_$j {\n  int fn_${i}_$j(int x) { return x + 1; }\n}\n"
+      }
+      (repo, path, WikitextParser.sha256Hex(repo + "/" + path + "#code=42")
+        .substring(0, 12), lang, content)
+    }
+    val readmes = (0 until nRepos).map { i =>
+      val repo = s"repo_$i"
+      (repo, "README.md", WikitextParser.sha256Hex(repo + "/README.md#code=42")
+        .substring(0, 12), "markdown", s"# $repo\nimport nothing — prose only.\n")
+    }
+    (rows ++ readmes).toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // fixture-input entries (rows-only for the driver, like every kg_*);
+    // CodeGraphSpec carries full DuckDB replays of all three
+    QueryDef("kg_code_triples", (s, _) => fileTriples(corpus(s)), None),
+    QueryDef("kg_code_deps", (s, _) => repoDeps(corpus(s)), None),
+    QueryDef("kg_code_fanin", (s, _) => moduleFanIn(corpus(s)), None))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.CodeGraph
+
+/** Code-native KG extraction (north rule input domain: source-code repos) —
+  * every query replayed in DuckDB from the same corpus parquet (regex
+  * extraction, module-path derivation, ownership join, sha256 lineage all
+  * re-derived independently), plus structural hand counts.
+  */
+class CodeGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private val dir = "target/duck-oracle-codegraph"
+  private lazy val setup: Unit =
+    CodeGraph.corpus(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/pages")
+
+  private def check(name: String, df: org.apache.spark.sql.DataFrame, sql: String): Unit = {
+    setup
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.assertMatches(c, df, sql, name)
+    }
+  }
+
+  // shared SQL fragments (the independent re-derivation of the extraction)
+  private val B = "http://example.org/code/"
+  private val fCte =
+    s"""f AS (SELECT '${B}file/' || repo || '/' || path || '@' || "commit" AS file,
+                    '${B}repo/' || repo AS repoiri, *
+             FROM pages WHERE lang IN ('python','scala','java')),
+        impx AS (SELECT file, repoiri,
+                   '${B}module/' || unnest(regexp_extract_all(content,
+                      '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1)) AS module
+                 FROM f),
+        owns AS (SELECT DISTINCT
+                   '${B}module/' || replace(regexp_replace(regexp_replace(path,
+                      '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                   repoiri AS owner
+                 FROM f WHERE path LIKE 'src/%')"""
+
+  test("kg_code_triples vs DuckDB (full extraction replay)") {
+    check("kg_code_triples", CodeGraph.fileTriples(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          fixed AS (
+            SELECT file AS subj, '${graft.model.Vocab.RdfType}' AS pred,
+                   TRUE AS objIsIri, '${B}File' AS objLex FROM f
+            UNION ALL SELECT file, '${B}inRepo', TRUE, repoiri FROM f
+            UNION ALL SELECT file, '${B}lang', FALSE, lang FROM f
+            UNION ALL SELECT file, '${B}sha256', FALSE, sha256(content) FROM f
+            UNION ALL SELECT module, '${B}definedIn', TRUE, owner
+                      FROM (SELECT '${B}module/' ||
+                              replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                                '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                              repoiri AS owner
+                            FROM f WHERE path LIKE 'src/%')),
+          imp AS (SELECT file AS subj, '${B}imports' AS pred, TRUE AS objIsIri,
+                         module AS objLex FROM impx),
+          defs AS (SELECT file AS subj, '${B}defines' AS pred, FALSE AS objIsIri,
+                     unnest(CASE
+                       WHEN lang = 'python' THEN regexp_extract_all(content,
+                         '(?m)^(?:def|class)\\s+(\\w+)', 1)
+                       WHEN lang = 'scala' THEN regexp_extract_all(content,
+                         '(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)', 1)
+                       ELSE regexp_extract_all(content,
+                         '(?m)(?:class|interface|enum)\\s+(\\w+)', 1) END) AS objLex
+                   FROM f)
+          SELECT DISTINCT subj, pred, objIsIri, objLex,
+                 '' AS objDtype, '' AS objLang
+          FROM (SELECT * FROM fixed UNION ALL SELECT * FROM imp
+                UNION ALL SELECT * FROM defs)""")
+  }
+
+  test("kg_code_deps vs DuckDB (ownership-resolution replay)") {
+    check("kg_code_deps", CodeGraph.repoDeps(CodeGraph.corpus(spark)),
+      s"""WITH $fCte
+          SELECT i.repoiri AS src_repo, o.owner AS dst_repo,
+                 count(DISTINCT i.file) AS n_files
+          FROM impx i JOIN owns o ON o.module = i.module
+          WHERE i.repoiri <> o.owner
+          GROUP BY 1, 2""")
+  }
+
+  test("kg_code_fanin vs DuckDB (cross-repo module fan-in replay)") {
+    check("kg_code_fanin", CodeGraph.moduleFanIn(CodeGraph.corpus(spark)),
+      s"""WITH $fCte
+          SELECT i.module, count(DISTINCT i.file) AS n_importers
+          FROM impx i LEFT JOIN owns o ON o.module = i.module
+          WHERE o.owner IS NULL OR o.owner <> i.repoiri
+          GROUP BY 1""")
+  }
+
+  test("structural counts: 24 code files, 240 triples, markdown excluded") {
+    val corpus = CodeGraph.corpus(spark)
+    assert(corpus.count() === 30) // 24 code files + 6 READMEs
+    val t = CodeGraph.fileTriples(corpus).cache()
+    try {
+      // per file: 5 fixed (type/inRepo/lang/sha256/definedIn) + 3 imports;
+      // defines: python 2, scala 3 (object+def+class), java 1 -> 8*(8+2)+8*(8+3)+8*(8+1)
+      assert(t.count() === 240)
+      // the README's "import nothing" prose line must extract NOTHING
+      assert(t.filter(col("subj").contains("README")).count() === 0)
+      // unresolved imports (std.util) appear as imports triples...
+      assert(t.filter(col("pred") === CodeGraph.V.Imports &&
+        col("objLex") === s"${CodeGraph.V.Base}module/std.util").count() === 24)
+      // ...but never produce a dependency edge (no owner)
+      val deps = CodeGraph.repoDeps(corpus)
+      assert(deps.filter(col("dst_repo").contains("std")).count() === 0)
+      // self-imports are excluded from repo edges by construction
+      assert(deps.filter(col("src_repo") === col("dst_repo")).count() === 0)
+    } finally t.unpersist()
+  }
+
+  test("depTriples compose with the six-column triple schema (Turtle sink)") {
+    val dt = CodeGraph.depTriples(CodeGraph.corpus(spark))
+    assert(dt.columns.toSeq ===
+      Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang"))
+    // round-trips through the Turtle serializer unchanged
+    val ttl = graft.store.TurtleIO.lines(dt)
+    assert(ttl.count() === dt.count())
+  }
+}
