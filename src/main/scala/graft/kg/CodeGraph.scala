@@ -175,6 +175,60 @@ object CodeGraph {
       .orderBy(desc("n_importers"), asc("module"))
   }
 
+  /** Transitive repo-dependency reachability over [[repoDeps]] edges via the
+    * shared semi-naive kernel ([[graft.queries.Iterative.closure]]) — the
+    * blast-radius / build-order query ("everything repo A transitively pulls
+    * in"). Same delta-join iteration as the KG subClassOf closure; cost is
+    * O(diameter) rounds over an O(repos²)-bounded edge set, never
+    * file-scaled. */
+  def depClosure(pages: DataFrame): DataFrame =
+    graft.queries.Iterative.closure(
+      repoDeps(pages).select(col("src_repo").as("src"), col("dst_repo").as("dst")))
+
+  /** Vendored/copied-file census: content digests that appear in MORE THAN
+    * ONE repo — the cross-repo exact-duplication signal a code corpus
+    * dedups on (vendored libraries dominate naive per-file sampling). ONE
+    * map-side-combinable shuffle keyed on sha256; the digest triple from
+    * [[fileTriples]] carries the same value, so this census joins back to
+    * the graph for free. */
+  def vendoredFiles(pages: DataFrame): DataFrame =
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(sha2(col("content"), 256).as("sha256"), col("repo"))
+      .groupBy("sha256")
+      .agg(countDistinct(col("repo")).as("n_repos"),
+        count(lit(1)).as("n_files"),
+        concat_ws("|", array_sort(collect_set(col("repo")))).as("repos"))
+      .filter(col("n_repos") > 1)
+
+  // license-detection patterns, priority-ordered (first hit wins); the
+  // RE2 ∩ java.util.regex common subset so the DuckDB oracle replays them
+  private[graft] val LicensePatterns: Seq[(String, String)] = Seq(
+    "apache-2.0" -> ("Licensed under the Apache License, Version 2\\.0" +
+      "|SPDX-License-Identifier: Apache-2\\.0"),
+    "mit" -> ("SPDX-License-Identifier: MIT" +
+      "|Permission is hereby granted, free of charge"),
+    "gpl-3.0" -> ("GNU General Public License" +
+      "|SPDX-License-Identifier: GPL-3\\.0"))
+
+  /** Per-repo license census — the license-compliance gate a training-data
+    * pipeline runs before ingesting code. Detection scans only the file
+    * HEADER (first 512 chars: license headers lead the file; bounding the
+    * scan keeps regex cost flat in file size), first pattern wins, no hit =
+    * 'unknown'. Narrow map + one partial-aggregable (repo, license)
+    * shuffle. */
+  def licenseCensus(pages: DataFrame): DataFrame = {
+    val head = substring(col("content"), 1, 512)
+    val lic = LicensePatterns
+      .foldLeft(when(lit(false), lit("")): Column) { case (acc, (name, pat)) =>
+        acc.when(head.rlike(pat), lit(name))
+      }.otherwise(lit("unknown"))
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), lic.as("license"))
+      .groupBy("repo", "license")
+      .agg(count(lit(1)).as("n_files"))
+      .orderBy("repo", "license")
+  }
+
   // ---- deterministic synthetic corpus (tests / verify; no external data) ----
 
   /** Deterministic code corpus in the input_hint shape: `nRepos` repos ×
@@ -196,7 +250,14 @@ object CodeGraph {
       val path = s"src/pkg_$i/mod_$j.$ext"
       val imp1 = s"pkg_${(i + 1) % nRepos}.mod_$j"
       val imp2 = s"pkg_${(i + j) % nRepos}.mod_${(j + 1) % modsPerRepo}"
-      val content = lang match {
+      // license header cycles by repo: apache phrase / MIT SPDX / none
+      val cm = if (lang == "python") "#" else "//"
+      val header = i % 3 match {
+        case 0 => s"$cm Licensed under the Apache License, Version 2.0\n"
+        case 1 => s"$cm SPDX-License-Identifier: MIT\n"
+        case _ => ""
+      }
+      val content = header + (lang match {
         case "python" =>
           s"'''module pkg_$i.mod_$j'''\nimport std.util\nimport $imp1\nfrom $imp2 import helper\n" +
             s"def fn_${i}_$j(x):\n    return x + 1\n" +
@@ -208,16 +269,24 @@ object CodeGraph {
         case _ =>
           s"package pkg_$i;\nimport std.util;\nimport $imp1;\nimport $imp2;\n" +
             s"public class Cls_${i}_$j {\n  int fn_${i}_$j(int x) { return x + 1; }\n}\n"
-      }
+      })
       (repo, path, WikitextParser.sha256Hex(repo + "/" + path + "#code=42")
         .substring(0, 12), lang, content)
+    }
+    // one byte-identical vendored file per repo (cross-repo dup signal;
+    // header-free on purpose: a per-repo header would break the dup)
+    val vendored = (0 until nRepos).map { i =>
+      val repo = s"repo_$i"
+      (repo, "vendor/lib_util.py",
+        WikitextParser.sha256Hex(repo + "/vendor/lib_util.py#code=42")
+          .substring(0, 12), "python", "def util():\n    return 42\n")
     }
     val readmes = (0 until nRepos).map { i =>
       val repo = s"repo_$i"
       (repo, "README.md", WikitextParser.sha256Hex(repo + "/README.md#code=42")
         .substring(0, 12), "markdown", s"# $repo\nimport nothing — prose only.\n")
     }
-    (rows ++ readmes).toDF("repo", "path", "commit", "lang", "content")
+    (rows ++ vendored ++ readmes).toDF("repo", "path", "commit", "lang", "content")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -225,5 +294,8 @@ object CodeGraph {
     // CodeGraphSpec carries full DuckDB replays of all three
     QueryDef("kg_code_triples", (s, _) => fileTriples(corpus(s)), None),
     QueryDef("kg_code_deps", (s, _) => repoDeps(corpus(s)), None),
-    QueryDef("kg_code_fanin", (s, _) => moduleFanIn(corpus(s)), None))
+    QueryDef("kg_code_fanin", (s, _) => moduleFanIn(corpus(s)), None),
+    QueryDef("kg_code_dep_closure", (s, _) => depClosure(corpus(s)), None),
+    QueryDef("kg_code_vendored", (s, _) => vendoredFiles(corpus(s)), None),
+    QueryDef("kg_code_license", (s, _) => licenseCensus(corpus(s)), None))
 }

@@ -92,14 +92,17 @@ class CodeGraphSpec extends AnyFunSuite {
           GROUP BY 1""")
   }
 
-  test("structural counts: 24 code files, 240 triples, markdown excluded") {
+  test("structural counts: 30 code files, 270 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
-    assert(corpus.count() === 30) // 24 code files + 6 READMEs
+    assert(corpus.count() === 36) // 24 src files + 6 vendored + 6 READMEs
     val t = CodeGraph.fileTriples(corpus).cache()
     try {
-      // per file: 5 fixed (type/inRepo/lang/sha256/definedIn) + 3 imports;
-      // defines: python 2, scala 3 (object+def+class), java 1 -> 8*(8+2)+8*(8+3)+8*(8+1)
-      assert(t.count() === 240)
+      // per src file: 5 fixed (type/inRepo/lang/sha256/definedIn) + 3 imports;
+      // defines: python 2, scala 3 (object+def+class), java 1
+      //   -> 8*(8+2)+8*(8+3)+8*(8+1) = 240
+      // per vendored file (not under src/, no imports): 4 fixed + 1 define
+      //   -> 6*5 = 30
+      assert(t.count() === 270)
       // the README's "import nothing" prose line must extract NOTHING
       assert(t.filter(col("subj").contains("README")).count() === 0)
       // unresolved imports (std.util) appear as imports triples...
@@ -111,6 +114,67 @@ class CodeGraphSpec extends AnyFunSuite {
       // self-imports are excluded from repo edges by construction
       assert(deps.filter(col("src_repo") === col("dst_repo")).count() === 0)
     } finally t.unpersist()
+  }
+
+  test("kg_code_dep_closure vs DuckDB (recursive-CTE reachability replay)") {
+    check("kg_code_dep_closure", CodeGraph.depClosure(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte,
+          deps AS (SELECT DISTINCT i.repoiri AS src, o.owner AS dst
+                   FROM impx i JOIN owns o ON o.module = i.module
+                   WHERE i.repoiri <> o.owner),
+          reach(src, dst) AS (
+            SELECT src, dst FROM deps
+            UNION
+            SELECT r.src, d.dst FROM reach r JOIN deps d ON d.src = r.dst)
+          SELECT src, dst FROM reach""")
+  }
+
+  test("kg_code_vendored vs DuckDB (cross-repo digest census replay)") {
+    check("kg_code_vendored", CodeGraph.vendoredFiles(CodeGraph.corpus(spark)),
+      """SELECT sha256(content) AS sha256,
+                count(DISTINCT repo) AS n_repos,
+                count(*) AS n_files,
+                array_to_string(list_sort(list_distinct(list(repo))), '|') AS repos
+         FROM pages WHERE lang IN ('python', 'scala', 'java')
+         GROUP BY 1 HAVING count(DISTINCT repo) > 1""")
+  }
+
+  test("kg_code_license vs DuckDB (header-pattern census replay)") {
+    val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
+    check("kg_code_license", CodeGraph.licenseCensus(CodeGraph.corpus(spark)),
+      s"""SELECT repo,
+                 CASE WHEN regexp_matches(substr(content, 1, 512), '$p0') THEN '$n0'
+                      WHEN regexp_matches(substr(content, 1, 512), '$p1') THEN '$n1'
+                      WHEN regexp_matches(substr(content, 1, 512), '$p2') THEN '$n2'
+                      ELSE 'unknown' END AS license,
+                 count(*) AS n_files
+          FROM pages WHERE lang IN ('python', 'scala', 'java')
+          GROUP BY 1, 2""")
+  }
+
+  test("license census hand check: header cycle + header-free vendored file") {
+    val got = CodeGraph.licenseCensus(CodeGraph.corpus(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // repos 0,3: apache headers on the 4 src files; 1,4: MIT; 2,5: none;
+    // every repo's vendored lib_util.py is header-free -> unknown
+    for (i <- Seq(0, 3)) {
+      assert(got((s"repo_$i", "apache-2.0")) === 4L)
+      assert(got((s"repo_$i", "unknown")) === 1L)
+    }
+    for (i <- Seq(1, 4)) {
+      assert(got((s"repo_$i", "mit")) === 4L)
+      assert(got((s"repo_$i", "unknown")) === 1L)
+    }
+    for (i <- Seq(2, 5)) assert(got((s"repo_$i", "unknown")) === 5L)
+    assert(!got.keySet.exists(_._2 == "gpl-3.0"), "no GPL text in the corpus")
+  }
+
+  test("vendored census hand check: one digest across all six repos") {
+    val rows = CodeGraph.vendoredFiles(CodeGraph.corpus(spark)).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(1) === 6L && rows(0).getLong(2) === 6L)
+    assert(rows(0).getString(3) ===
+      (0 until 6).map(i => s"repo_$i").mkString("|"))
   }
 
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
