@@ -200,6 +200,39 @@ object CodeGraph {
         concat_ws("|", array_sort(collect_set(col("repo")))).as("repos"))
       .filter(col("n_repos") > 1)
 
+  /** Symbol-level cross-reference for python-style `from M import S`:
+    * resolve S against the symbols DEFINED by files under module M →
+    * (src_file, module, symbol, def_file). Both captures come from the one
+    * regex (group 1 = module, group 2 = symbol; the two extract-alls zip
+    * positionally — Spark `arrays_zip`, DuckDB parallel unnest), and
+    * resolution is ONE hash equi-join on (module, symbol) — both sides
+    * corpus-scaled at 10^12 files, partial-pruned by the lang/prefix
+    * filters feeding them. Imports of symbols the target module never
+    * defines (or that only a non-capturing language's heuristic misses)
+    * simply drop out of the inner join — same unresolved-reference
+    * semantics as [[repoDeps]]. */
+  def symbolXref(pages: DataFrame): DataFrame = {
+    val pat = "(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)"
+    val refs = pages.filter(col("lang") === "python")
+      .select(
+        V.fileIri(col("repo"), col("path"), col("commit")).as("src_file"),
+        explode(arrays_zip(
+          regexp_extract_all(col("content"), lit(pat), lit(1)),
+          regexp_extract_all(col("content"), lit(pat), lit(2)))).as("z"))
+      .select(col("src_file"),
+        col("z").getField("0").as("module"), col("z").getField("1").as("symbol"))
+    val defs = pages
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(
+        V.fileIri(col("repo"), col("path"), col("commit")).as("def_file"),
+        moduleOfPath(col("path")).as("module"),
+        explode(definesOf).as("symbol"))
+    refs.join(defs, Seq("module", "symbol"))
+      .filter(col("src_file") =!= col("def_file"))
+      .select("src_file", "module", "symbol", "def_file")
+  }
+
   // license-detection patterns, priority-ordered (first hit wins); the
   // RE2 ∩ java.util.regex common subset so the DuckDB oracle replays them
   private[graft] val LicensePatterns: Seq[(String, String)] = Seq(
@@ -259,7 +292,8 @@ object CodeGraph {
       }
       val content = header + (lang match {
         case "python" =>
-          s"'''module pkg_$i.mod_$j'''\nimport std.util\nimport $imp1\nfrom $imp2 import helper\n" +
+          s"'''module pkg_$i.mod_$j'''\nimport std.util\nimport $imp1\n" +
+            s"from $imp2 import fn_${(i + j) % nRepos}_${(j + 1) % modsPerRepo}\n" +
             s"def fn_${i}_$j(x):\n    return x + 1\n" +
             s"class Cls_${i}_$j:\n    pass\n"
         case "scala" =>
@@ -297,5 +331,6 @@ object CodeGraph {
     QueryDef("kg_code_fanin", (s, _) => moduleFanIn(corpus(s)), None),
     QueryDef("kg_code_dep_closure", (s, _) => depClosure(corpus(s)), None),
     QueryDef("kg_code_vendored", (s, _) => vendoredFiles(corpus(s)), None),
-    QueryDef("kg_code_license", (s, _) => licenseCensus(corpus(s)), None))
+    QueryDef("kg_code_license", (s, _) => licenseCensus(corpus(s)), None),
+    QueryDef("kg_code_xref", (s, _) => symbolXref(corpus(s)), None))
 }

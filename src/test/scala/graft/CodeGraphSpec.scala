@@ -177,6 +177,37 @@ class CodeGraphSpec extends AnyFunSuite {
       (0 until 6).map(i => s"repo_$i").mkString("|"))
   }
 
+  test("kg_code_xref vs DuckDB (from-import symbol resolution replay)") {
+    check("kg_code_xref", CodeGraph.symbolXref(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          refs AS (SELECT file AS src_file,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 1)) AS module,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 2)) AS symbol
+                   FROM f WHERE lang = 'python'),
+          dfs AS (SELECT file AS def_file,
+                    replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                      '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                    unnest(CASE
+                      WHEN lang = 'python' THEN regexp_extract_all(content,
+                        '(?m)^(?:def|class)\\s+(\\w+)', 1)
+                      WHEN lang = 'scala' THEN regexp_extract_all(content,
+                        '(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)', 1)
+                      ELSE regexp_extract_all(content,
+                        '(?m)(?:class|interface|enum)\\s+(\\w+)', 1) END) AS symbol
+                  FROM f WHERE path LIKE 'src/%')
+          SELECT r.src_file, r.module, r.symbol, d.def_file
+          FROM refs r JOIN dfs d USING (module, symbol)
+          WHERE r.src_file <> d.def_file""")
+  }
+
+  test("xref hand check: 6 resolved; java-target imports drop out (fn not captured)") {
+    val rows = CodeGraph.symbolXref(CodeGraph.corpus(spark)).collect()
+    assert(rows.length === 6, rows.mkString("\n"))
+    assert(rows.forall(_.getString(2).startsWith("fn_")))
+  }
+
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
     val dt = CodeGraph.depTriples(CodeGraph.corpus(spark))
     assert(dt.columns.toSeq ===

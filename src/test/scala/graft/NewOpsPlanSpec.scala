@@ -49,4 +49,30 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-doc bigram tf must partial-aggregate map-side:\n$p")
   }
+
+  test("kg_code_triples: extraction is narrow — the dedup owns the only Exchange") {
+    val p = plan("kg_code_triples")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"extraction must be one narrow pass + one dedup shuffle, saw $exchanges:\n$p")
+  }
+
+  test("kg_code_deps: resolution is equi-joins only, never a nested loop") {
+    val p = plan("kg_code_deps")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"module/file resolution must stay equi-join:\n$p")
+  }
+
+  test("kg_code_license: census partial-aggregates map-side") {
+    val p = plan("kg_code_license")
+    assert(p.contains("partial_count"),
+      s"(repo, license) counts must map-side combine:\n$p")
+  }
+
+  test("t34/t35: the structural gates are pure map stages — no Exchange") {
+    for (q <- Seq("t34_line_stats", "t35_secret_scan")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
 }
