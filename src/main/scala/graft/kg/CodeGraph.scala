@@ -233,6 +233,120 @@ object CodeGraph {
       .select("src_file", "module", "symbol", "def_file")
   }
 
+  /** Repo-centrality PageRank over the [[repoDeps]] dependency graph: a
+    * repo's rank is the damped sum of its dependers' rank — "which repos
+    * does the corpus structurally lean on", the prioritization signal a
+    * license-audit / vendoring-cleanup pass ranks its worklist by. Runs on
+    * the SAME integer-scaled kernel as f7 ([[graft.queries.Iterative.pageRank]]:
+    * scale 1e6, damping in basis points, floor division), so the DuckDB
+    * replay is exact — no float in either engine. Sink repos (depended on,
+    * depending on nothing resolvable) get a SELF-LOOP first: the kernel
+    * contracts outdeg ≥ 1 for every scored node (a dangling node silently
+    * leaks its mass and vanishes from the output), and for dependency
+    * centrality the sinks are exactly the most-depended-on leaves the query
+    * exists to surface — retaining their mass on themselves is the honest
+    * deterministic choice, and it is replayed in the oracle. Cost shape:
+    * the edge set is O(repos²)-bounded (never file-scaled), so ten rounds
+    * of score ⋈ edges are driver-cheap at any corpus size. */
+  def depPageRank(pages: DataFrame, iters: Int = 10): DataFrame =
+    graft.queries.Iterative.pageRank(
+      withSinkSelfLoops(repoDeps(pages)
+        .select(col("src_repo").as("src"), col("dst_repo").as("dst"))),
+      iters = iters)
+
+  /** (src, dst) edges plus a (d, d) self-loop for every node that appears
+    * as dst but never as src — the [[depPageRank]] sink treatment. */
+  private[graft] def withSinkSelfLoops(e: DataFrame): DataFrame =
+    e.unionByName(
+      e.select(col("dst")).except(e.select(col("src").as("dst")))
+        .select(col("dst").as("src"), col("dst")))
+
+  /** Circular-dependency census: strongly connected components of the
+    * [[repoDeps]] graph ([[graft.queries.Iterative.stronglyConnectedComponents]]
+    * — mutual reachability over the shared semi-naive closure), aggregated
+    * to the nontrivial groups (size > 1). Repos inside one group cannot be
+    * built / versioned / deprecated independently — the census a monorepo
+    * migration or build-order pass runs first, and the condensation
+    * prerequisite for any topological scheduling. Cost is bounded by the
+    * O(repos²) edge set, never file-scaled. */
+  def depCycles(pages: DataFrame): DataFrame =
+    graft.queries.Iterative.stronglyConnectedComponents(
+        repoDeps(pages).select(col("src_repo").as("src"), col("dst_repo").as("dst")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_repos"),
+        concat_ws("|", array_sort(collect_set(col("node")))).as("repos"))
+      .filter(col("n_repos") > 1)
+
+  /** Snapshot delta keyed on the north rule's per-row lineage invariant:
+    * a row is UNCHANGED iff (repo, path, commit, sha256(content)) matches
+    * across snapshots — content equality checked through the same digest
+    * the graph carries as a triple. Returns (stale prev rows, fresh cur
+    * rows): a changed file appears in both (old row stale, new row fresh),
+    * an added file only in fresh, a removed file only in stale. Two hash
+    * anti-joins on the composite key; no content comparison, no parse. */
+  private[graft] def snapshotDelta(prev: DataFrame, cur: DataFrame)
+  : (DataFrame, DataFrame) = {
+    val key = Seq("repo", "path", "commit", "_sha")
+    val p = prev.withColumn("_sha", sha2(col("content"), 256))
+    val c = cur.withColumn("_sha", sha2(col("content"), 256))
+    (p.join(c, key, "left_anti").drop("_sha"),
+      c.join(p, key, "left_anti").drop("_sha"))
+  }
+
+  /** Incremental extraction across snapshots: triples(cur) computed WITHOUT
+    * re-parsing unchanged files — at 10^12 files the daily delta is orders
+    * of magnitude smaller than the corpus, and extraction (the only
+    * CPU-heavy stage) must run on delta rows only. Exactness argument:
+    * [[fileTriples]] is deterministic per input row and the per-row triple
+    * sets are disjoint across files (every subject IRI embeds the file's
+    * repo/path/commit; the one module-subject triple is 1:1 with its file's
+    * path), so retracting fileTriples(stale rows) from prevTriples leaves
+    * exactly triples(unchanged), and adding fileTriples(fresh rows) lands
+    * on triples(cur) — CodeGraphSpec differential-proves incremental ≡
+    * full recompute. Cost: parse on |delta| rows; the splice is one
+    * anti-join of prevTriples against the (delta-sized, broadcastable)
+    * retraction set — the same one full-size non-iterative shuffle the
+    * incremental CC/closure kernels pay to emit their maintained tables. */
+  def incrementalFileTriples(prevTriples: DataFrame, prev: DataFrame,
+                             cur: DataFrame): DataFrame = {
+    val (stale, fresh) = snapshotDelta(prev, cur)
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    prevTriples.join(fileTriples(stale), cols, "left_anti")
+      .unionByName(fileTriples(fresh))
+  }
+
+  /** Comment/whitespace normalization for clone detection: line comments
+    * (`#`, `//`) stripped, whitespace runs collapsed to one space, ends
+    * trimmed. The whitespace class is spelled explicitly ([ \t\n\x0B\f\r])
+    * so java.util.regex and RE2/DuckDB agree byte-for-byte (java's \s
+    * includes U+000B, RE2's does not). Heuristic at the extractor's depth:
+    * a # or // inside a string literal is stripped too — same contract as
+    * the import/define regexes above. */
+  private[graft] def normalizeCode(content: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(content, "(?m)(#|//).*$", ""),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Code files as (doc_id, text) docs with [[normalizeCode]] applied —
+    * the input frame the clone index is built over. */
+  private[graft] def normalizedDocs(pages: DataFrame): DataFrame =
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(V.fileIri(col("repo"), col("path"), col("commit")).as("doc_id"),
+        normalizeCode(col("content")).as("text"))
+
+  /** Type-1 / near-Type-1 clone pairs: the winnowed-fingerprint near-dup
+    * join ([[graft.ops.Text.winnowNearDupPairs]], MOSS scheme) over
+    * NORMALIZED content — catches the reformatted / comment-edited /
+    * license-header-swapped copies the exact-digest census
+    * ([[vendoredFiles]]) is blind to, which at 10^12 files is most of the
+    * vendoring (copies rarely stay byte-identical). Scale shape is t8's:
+    * one narrow winnow pass (native kernel), ids-only fp equi-join, df cap
+    * bounding boilerplate fingerprints (shared headers, idiom lines) by
+    * construction, map-side-combinable pair count. */
+  def clonePairs(pages: DataFrame, w: Int = 4, minShared: Long = 2,
+                 maxDf: Option[Long] = None): DataFrame =
+    graft.ops.Text.winnowNearDupPairs(normalizedDocs(pages), w, minShared, maxDf)
+
   // license-detection patterns, priority-ordered (first hit wins); the
   // RE2 ∩ java.util.regex common subset so the DuckDB oracle replays them
   private[graft] val LicensePatterns: Seq[(String, String)] = Seq(
@@ -320,7 +434,51 @@ object CodeGraph {
       (repo, "README.md", WikitextParser.sha256Hex(repo + "/README.md#code=42")
         .substring(0, 12), "markdown", s"# $repo\nimport nothing — prose only.\n")
     }
-    (rows ++ vendored ++ readmes).toDF("repo", "path", "commit", "lang", "content")
+    // two reformatted copies of one generator (repo_0 / repo_3, both in the
+    // apache header cohort): byte-DIFFERENT (comments, blank lines,
+    // indentation) but identical after normalizeCode — the clone-pair
+    // signal vendoredFiles cannot see (distinct sha256 digests)
+    val clones = Seq(
+      ("repo_0", "# Licensed under the Apache License, Version 2.0\n" +
+        "# generator utility\nimport os\n\ndef gen(n):\n    out = []\n" +
+        "    for i in range(n):\n        out.append(i * i + 1)\n    return out\n"),
+      ("repo_3", "# Licensed under the Apache License, Version 2.0\n" +
+        "#   generator utility  (vendored copy; reformatted)\n\n\nimport os\n\n\n" +
+        "def gen(n):\n        out = []\n        for i in range(n):\n" +
+        "                out.append(i * i + 1)\n        return out\n")
+    ).map { case (repo, content) =>
+      (repo, "tools/gen.py", WikitextParser.sha256Hex(repo + "/tools/gen.py#code=42")
+        .substring(0, 12), "python", content)
+    }
+    (rows ++ vendored ++ clones ++ readmes)
+      .toDF("repo", "path", "commit", "lang", "content")
+  }
+
+  /** Deterministic PREVIOUS snapshot for the incremental-extraction entry:
+    * [[corpus]] with (a) repo_0's tools/gen.py absent (ADDED in cur),
+    * (b) repo_1's src/pkg_1/mod_0.scala at an older commit with different
+    * content (CHANGED in cur), (c) one legacy file cur no longer carries
+    * (REMOVED in cur). Everything else is row-identical, so the delta is
+    * exactly {2 stale, 2 fresh}. */
+  private[graft] def prevSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val changedPath = "src/pkg_1/mod_0.scala"
+    val legacy = Seq(("repo_5", "old/legacy.py",
+      WikitextParser.sha256Hex("repo_5/old/legacy.py#code=41").substring(0, 12),
+      "python", "def legacy():\n    return 0\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    corpus(spark)
+      .filter(!(col("repo") === "repo_0" && col("path") === "tools/gen.py"))
+      .withColumn("content",
+        when(col("repo") === "repo_1" && col("path") === changedPath,
+          concat(col("content"), lit("// dropped in the next commit\n")))
+          .otherwise(col("content")))
+      .withColumn("commit",
+        when(col("repo") === "repo_1" && col("path") === changedPath,
+          lit(WikitextParser.sha256Hex(s"repo_1/$changedPath#code=41")
+            .substring(0, 12)))
+          .otherwise(col("commit")))
+      .unionByName(legacy)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -332,5 +490,12 @@ object CodeGraph {
     QueryDef("kg_code_dep_closure", (s, _) => depClosure(corpus(s)), None),
     QueryDef("kg_code_vendored", (s, _) => vendoredFiles(corpus(s)), None),
     QueryDef("kg_code_license", (s, _) => licenseCensus(corpus(s)), None),
-    QueryDef("kg_code_xref", (s, _) => symbolXref(corpus(s)), None))
+    QueryDef("kg_code_xref", (s, _) => symbolXref(corpus(s)), None),
+    QueryDef("kg_code_pagerank", (s, _) => depPageRank(corpus(s)), None),
+    QueryDef("kg_code_clones", (s, _) => clonePairs(corpus(s)), None),
+    QueryDef("kg_code_cycles", (s, _) => depCycles(corpus(s)), None),
+    QueryDef("kg_code_delta", (s, _) => {
+      val prev = prevSnapshot(s)
+      incrementalFileTriples(fileTriples(prev), prev, corpus(s))
+    }, None))
 }

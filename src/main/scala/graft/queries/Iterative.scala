@@ -534,6 +534,39 @@ object Iterative {
     seen
   }
 
+  /** Strongly connected components by MUTUAL REACHABILITY over the
+    * materialized [[closure]]: u and v share a component iff u→*v AND
+    * v→*u; each node's component id is the minimum node of its mutual set
+    * (itself included, so trivial single-node SCCs label themselves). The
+    * cycle census of a DIRECTED dependency graph — repos locked in circular
+    * dependency groups must version/build/migrate together, and no
+    * topological build order exists until they are condensed.
+    *
+    * Honest scale envelope: this materializes the transitive closure —
+    * O(Σ reach(v)) pairs — which is the RIGHT kernel for the
+    * O(repos)-node dependency/ontology graphs it serves (the edge set is
+    * bounded by construction, never file-scaled), not for a billion-node
+    * page graph (that wants forward-backward coloring, trading closure
+    * space for O(#SCC) sequential rounds; out of scope until an input
+    * needs it). The closure is the shared semi-naive kernel; the mutual
+    * filter is ONE self-join of the closure on the swapped pair
+    * (hash-partitioned on the composite key), and the min-label aggregate
+    * is map-side combinable. */
+  def stronglyConnectedComponents(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
+    val e = edges0.select(col("src"), col("dst")).distinct()
+    val c = closure(e, maxDepth)
+    val mutual = c.alias("f").join(c.alias("b"),
+        col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+      .select(col("f.src").as("node"), col("f.dst").as("peer"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    nodes.join(mutual, Seq("node"), "left")
+      .groupBy("node")
+      // least() skips the null min(peer) of cycle-free nodes in BOTH
+      // engines; the peer set of a cycle member includes itself (u→*u)
+      .agg(least(min(col("peer")), col("node")).as("component"))
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation — the
     * clustering-structure scan of a link graph (hub/community detection on
     * the KG; duplicate-cluster shape analysis on a near-dup graph).

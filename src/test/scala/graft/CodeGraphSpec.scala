@@ -92,9 +92,10 @@ class CodeGraphSpec extends AnyFunSuite {
           GROUP BY 1""")
   }
 
-  test("structural counts: 30 code files, 270 triples, markdown excluded") {
+  test("structural counts: 32 code files, 282 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
-    assert(corpus.count() === 36) // 24 src files + 6 vendored + 6 READMEs
+    // 24 src files + 6 vendored + 2 clone files + 6 READMEs
+    assert(corpus.count() === 38)
     val t = CodeGraph.fileTriples(corpus).cache()
     try {
       // per src file: 5 fixed (type/inRepo/lang/sha256/definedIn) + 3 imports;
@@ -102,7 +103,9 @@ class CodeGraphSpec extends AnyFunSuite {
       //   -> 8*(8+2)+8*(8+3)+8*(8+1) = 240
       // per vendored file (not under src/, no imports): 4 fixed + 1 define
       //   -> 6*5 = 30
-      assert(t.count() === 270)
+      // per clone file (tools/, not src/): 4 fixed + 1 import (os) + 1 define
+      //   -> 2*6 = 12
+      assert(t.count() === 282)
       // the README's "import nothing" prose line must extract NOTHING
       assert(t.filter(col("subj").contains("README")).count() === 0)
       // unresolved imports (std.util) appear as imports triples...
@@ -155,10 +158,11 @@ class CodeGraphSpec extends AnyFunSuite {
   test("license census hand check: header cycle + header-free vendored file") {
     val got = CodeGraph.licenseCensus(CodeGraph.corpus(spark)).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // repos 0,3: apache headers on the 4 src files; 1,4: MIT; 2,5: none;
-    // every repo's vendored lib_util.py is header-free -> unknown
+    // repos 0,3: apache headers on the 4 src files + the tools/gen.py clone;
+    // 1,4: MIT; 2,5: none; every repo's vendored lib_util.py is header-free
+    // -> unknown
     for (i <- Seq(0, 3)) {
-      assert(got((s"repo_$i", "apache-2.0")) === 4L)
+      assert(got((s"repo_$i", "apache-2.0")) === 5L)
       assert(got((s"repo_$i", "unknown")) === 1L)
     }
     for (i <- Seq(1, 4)) {
@@ -206,6 +210,157 @@ class CodeGraphSpec extends AnyFunSuite {
     val rows = CodeGraph.symbolXref(CodeGraph.corpus(spark)).collect()
     assert(rows.length === 6, rows.mkString("\n"))
     assert(rows.forall(_.getString(2).startsWith("fn_")))
+  }
+
+  test("kg_code_pagerank vs DuckDB (unrolled integer-PageRank replay)") {
+    // the kernel's fixed-point arithmetic unrolled round by round — base
+    // and damping interpolated from the same integers the Spark side uses
+    // (Iterative.pageRank defaults), self-loop sink treatment included
+    val (iters, scale, dampBp) = (10, 1000000L, 8500)
+    val base = ((10000L - dampBp) * scale) / 10000L
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+            SELECT n.node,
+                   CAST($base + ($dampBp * coalesce(s.inc, 0)) // 10000 AS BIGINT) AS score
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(pr${i - 1}.score // e.outdeg) AS inc
+              FROM pr${i - 1} JOIN e ON pr${i - 1}.node = e.src
+              GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n          ")
+    check("kg_code_pagerank", CodeGraph.depPageRank(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          deps AS (SELECT DISTINCT i.repoiri AS src, o.owner AS dst
+                   FROM impx i JOIN owns o ON o.module = i.module
+                   WHERE i.repoiri <> o.owner),
+          raw AS (SELECT src, dst FROM deps
+                  UNION
+                  SELECT dst, dst FROM deps
+                  WHERE dst NOT IN (SELECT src FROM deps)),
+          e AS (SELECT raw.src, raw.dst, d.outdeg
+                FROM raw JOIN (SELECT src, count(*) AS outdeg
+                               FROM raw GROUP BY src) d USING (src)),
+          nodes AS (SELECT DISTINCT src AS node FROM raw),
+          pr0 AS (SELECT node, CAST($scale AS BIGINT) AS score FROM nodes),
+          $rounds
+          SELECT node, score FROM pr$iters""")
+  }
+
+  test("depPageRank sink handling: self-loop retains the leaf's mass") {
+    import spark.implicits._
+    // a -> b, b a sink: without the self-loop the kernel would drop b (and
+    // leak its mass); with it, hand-computed fixed point after round 2:
+    //   a = base = 150000 (no in-edges)
+    //   b = base + 0.85*(score(a)/1 + score(b)/1) = 150000 + 1700000·...
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val got = graft.queries.Iterative
+      .pageRank(CodeGraph.withSinkSelfLoops(e), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 150000L, "b" -> 1850000L))
+  }
+
+  test("kg_code_clones vs DuckDB (normalized winnow near-dup replay)") {
+    import graft.ops.Text
+    check("kg_code_clones", CodeGraph.clonePairs(CodeGraph.corpus(spark)),
+      s"""WITH f AS (SELECT '${B}file/' || repo || '/' || path || '@' || "commit" AS doc_id, *
+                     FROM pages WHERE lang IN ('python','scala','java')),
+          norm AS (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(content,
+                       '(?m)(#|//).*$$', '', 'g'),
+                       '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
+                   FROM f),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM norm),
+          hs AS (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                     i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+                 FROM toks),
+          fps AS (SELECT doc_id,
+                    unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(hs) - 3, 0)),
+                      i -> list_min(hs[i:i+3])))) AS fp
+                  FROM hs),
+          kept AS (SELECT fps.doc_id, fps.fp FROM fps
+                   JOIN (SELECT fp FROM fps GROUP BY fp
+                         HAVING count(*) <= least(${Text.DefaultShingleDfCap},
+                           greatest(${Text.DefaultShingleDfFloor},
+                             (SELECT (count(*) + ${Text.DefaultShingleDfDen - 1}) // ${Text.DefaultShingleDfDen}
+                              FROM norm)))) keep ON fps.fp = keep.fp)
+          SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+          FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2""")
+  }
+
+  test("clone hand check: reformatted gen.py pair found; digest census blind to it") {
+    val corpus = CodeGraph.corpus(spark)
+    val pairs = CodeGraph.clonePairs(corpus).collect()
+    val clone = pairs.filter(r => r.getString(0).contains("tools/gen.py")
+      && r.getString(1).contains("tools/gen.py"))
+    assert(clone.length === 1, pairs.mkString("\n"))
+    // identical normalized text -> EVERY winnowed fingerprint is shared
+    val nFp = graft.ops.Text.winnowedFingerprints(
+      CodeGraph.normalizedDocs(corpus)
+        .filter(col("doc_id").contains("repo_0/tools/gen.py"))).count()
+    assert(nFp >= 2 && clone(0).getLong(2) === nFp)
+    // the exact sha256 census can NOT see the pair (distinct digests): the
+    // only multi-repo digest row stays the byte-identical lib_util.py
+    val vend = CodeGraph.vendoredFiles(corpus).collect()
+    assert(vend.length === 1 && !vend(0).getString(3).contains("gen"))
+  }
+
+  test("kg_code_cycles vs DuckDB (mutual-reachability SCC census replay)") {
+    check("kg_code_cycles", CodeGraph.depCycles(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte,
+          deps AS (SELECT DISTINCT i.repoiri AS src, o.owner AS dst
+                   FROM impx i JOIN owns o ON o.module = i.module
+                   WHERE i.repoiri <> o.owner),
+          reach(src, dst) AS (
+            SELECT src, dst FROM deps
+            UNION
+            SELECT r.src, d.dst FROM reach r JOIN deps d ON d.src = r.dst),
+          mutual AS (SELECT f.src AS node, f.dst AS peer
+                     FROM reach f JOIN reach b
+                       ON f.src = b.dst AND f.dst = b.src),
+          nodes AS (SELECT src AS node FROM deps UNION SELECT dst FROM deps),
+          comp AS (SELECT n.node,
+                          least(coalesce(min(m.peer), n.node), n.node) AS component
+                   FROM nodes n LEFT JOIN mutual m USING (node)
+                   GROUP BY n.node)
+          SELECT component, count(*) AS n_repos,
+                 array_to_string(list_sort(list(node)), '|') AS repos
+          FROM comp GROUP BY 1 HAVING count(*) > 1""")
+  }
+
+  test("SCC hand check: two cycles + dag tail + trivial node") {
+    import spark.implicits._
+    // a→b→c→a (3-cycle), d→e→d (2-cycle), c→d (one-way bridge: must NOT
+    // merge the cycles), f→a (trivial SCC)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "d"),
+      ("c", "d"), ("f", "a")).toDF("src", "dst")
+    val got = graft.queries.Iterative.stronglyConnectedComponents(e)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "f"))
+    // the fixture dep graph (i → i+1..i+3 mod 6) is one strongly connected
+    // group of all six repos
+    val census = CodeGraph.depCycles(CodeGraph.corpus(spark)).collect()
+    assert(census.length === 1 && census(0).getLong(1) === 6L)
+  }
+
+  test("kg_code_delta: incremental ≡ full recompute; parse touches the delta only") {
+    val cur = CodeGraph.corpus(spark)
+    val prev = CodeGraph.prevSnapshot(spark)
+    val (stale, fresh) = CodeGraph.snapshotDelta(prev, cur)
+    // changed mod_0@old-commit + removed legacy.py are stale;
+    // changed mod_0@new-commit + added tools/gen.py are fresh
+    assert(stale.count() === 2 && fresh.count() === 2)
+    assert(stale.filter(col("path") === "old/legacy.py").count() === 1)
+    assert(fresh.filter(col("path") === "tools/gen.py").count() === 1)
+    val inc = CodeGraph.incrementalFileTriples(
+      CodeGraph.fileTriples(prev), prev, cur).cache()
+    try {
+      val full = CodeGraph.fileTriples(cur)
+      assert(inc.count() === full.count())
+      assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
+    } finally inc.unpersist()
   }
 
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
