@@ -261,6 +261,59 @@ object CodeGraph {
       e.select(col("dst")).except(e.select(col("src").as("dst")))
         .select(col("dst").as("src"), col("dst")))
 
+  /** Callsite symbols per file: every `name(` occurrence AFTER stripping
+    * the definition-keyword prefixes (`def foo` / `class Foo` / …), so a
+    * definition's own name doesn't read as a call of itself. Stripping +
+    * extraction instead of lookbehind on purpose: RE2 (the DuckDB replay
+    * engine) has no lookbehind, and the replace+extract pair is in the
+    * common regex subset. Heuristic depth as everywhere in this module:
+    * method receivers drop (`out.append(` captures `append`), stdlib calls
+    * simply resolve to nothing, and a definition form the strip doesn't
+    * know (java methods) self-reports as a callsite but resolves nowhere. */
+  private val callsitesOf: Column =
+    regexp_extract_all(
+      regexp_replace(col("content"),
+        "(?m)^\\s*(?:def|class|object|trait|interface|enum)\\s+\\w+", ""),
+      lit("([A-Za-z_]\\w*)\\("), lit(1))
+
+  /** Approximate call graph at file granularity: callsites resolved
+    * (a) INTRA-REPO against every symbol the repo defines (name-scoped —
+    * the monorepo navigation shape), and (b) CROSS-REPO through the
+    * from-import symbol resolution ([[symbolXref]] — a call of a symbol
+    * the file explicitly imported). Returns (src_file, symbol, def_file,
+    * via) with via ∈ {intra, import}; unresolved callsites (stdlib,
+    * receivers, heuristic misses) drop out of the inner joins, same
+    * contract as [[repoDeps]].
+    *
+    * Scale shape: extraction is one narrow codegen'd pass; resolution is
+    * two hash equi-joins on (repo, symbol) / (src_file, symbol). The skew
+    * key at 10^12 files is the COMMON SYMBOL NAME (`main`, `get`, `run`
+    * defined everywhere) — exactly the boilerplate-df shape the dedup
+    * family bounds, so a production run caps symbol document frequency the
+    * same way (the census to size that cap is one groupBy away); the
+    * fixture graph is uniform so no cap is wired here. */
+  def callEdges(pages: DataFrame): DataFrame = {
+    val base = pages.filter(col("lang").isin("python", "scala", "java"))
+    val calls = base.select(
+        V.fileIri(col("repo"), col("path"), col("commit")).as("src_file"),
+        col("repo"), explode(callsitesOf).as("symbol"))
+      .distinct()
+    val rdefs = base.select(col("repo"),
+        V.fileIri(col("repo"), col("path"), col("commit")).as("def_file"),
+        explode(definesOf).as("symbol"))
+      .distinct()
+    val intra = calls.join(rdefs, Seq("repo", "symbol"))
+      .filter(col("src_file") =!= col("def_file"))
+      .select(col("src_file"), col("symbol"), col("def_file"),
+        lit("intra").as("via"))
+    val imported = calls
+      .join(symbolXref(pages).select("src_file", "symbol", "def_file"),
+        Seq("src_file", "symbol"))
+      .select(col("src_file"), col("symbol"), col("def_file"),
+        lit("import").as("via"))
+    intra.unionByName(imported).distinct()
+  }
+
   /** Circular-dependency census: strongly connected components of the
     * [[repoDeps]] graph ([[graft.queries.Iterative.stronglyConnectedComponents]]
     * — mutual reachability over the shared semi-naive closure), aggregated
@@ -276,6 +329,31 @@ object CodeGraph {
       .agg(count(lit(1)).as("n_repos"),
         concat_ws("|", array_sort(collect_set(col("node")))).as("repos"))
       .filter(col("n_repos") > 1)
+
+  /** Build-order layers: condense the [[repoDeps]] graph by its strongly
+    * connected components (a cyclic group builds as ONE unit or not at
+    * all), project edges onto components (dropping intra-group edges),
+    * then layer the resulting DAG by longest path to a sink
+    * ([[graft.queries.Iterative.topoLayers]]). Layer 0 = leaf dependencies
+    * (build first), and the max layer is the critical-path length of any
+    * full-corpus build/migration. Returns (repo, component, layer) —
+    * repos sharing a component share a wave by construction. All stages
+    * are bounded by the O(repos²) edge set. */
+  def buildLayers(pages: DataFrame): DataFrame = {
+    val e = repoDeps(pages)
+      .select(col("src_repo").as("src"), col("dst_repo").as("dst"))
+    val scc = graft.queries.Iterative.stronglyConnectedComponents(e)
+    val bySrc = scc.select(col("node").as("src"), col("component").as("csrc"))
+    val byDst = scc.select(col("node").as("dst"), col("component").as("cdst"))
+    val condensed = e.join(bySrc, "src").join(byDst, "dst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val layers = graft.queries.Iterative.topoLayers(condensed)
+    scc.join(layers, scc("component") === layers("node"), "left")
+      .select(scc("node").as("repo"), col("component"),
+        coalesce(col("layer"), lit(0L)).as("layer"))
+  }
 
   /** Snapshot delta keyed on the north rule's per-row lineage invariant:
     * a row is UNCHANGED iff (repo, path, commit, sha256(content)) matches
@@ -409,10 +487,14 @@ object CodeGraph {
           s"'''module pkg_$i.mod_$j'''\nimport std.util\nimport $imp1\n" +
             s"from $imp2 import fn_${(i + j) % nRepos}_${(j + 1) % modsPerRepo}\n" +
             s"def fn_${i}_$j(x):\n    return x + 1\n" +
-            s"class Cls_${i}_$j:\n    pass\n"
+            s"class Cls_${i}_$j:\n    pass\n" +
+            // callsite of the from-imported symbol (resolves via the xref)
+            s"ans = fn_${(i + j) % nRepos}_${(j + 1) % modsPerRepo}(7)\n"
         case "scala" =>
           s"package pkg_$i\nimport std.util\nimport $imp1\nimport $imp2\n" +
-            s"object mod_$j {\n  def fn_${i}_$j(x: Int): Int = x + 1\n}\n" +
+            s"object mod_$j {\n  def fn_${i}_$j(x: Int): Int = x + 1\n" +
+            // intra-repo callsite (mod (j+2) of the SAME repo defines it)
+            s"  val z = fn_${i}_${(j + 2) % modsPerRepo}(3)\n}\n" +
             s"class Cls_${i}_$j\n"
         case _ =>
           s"package pkg_$i;\nimport std.util;\nimport $imp1;\nimport $imp2;\n" +
@@ -494,6 +576,8 @@ object CodeGraph {
     QueryDef("kg_code_pagerank", (s, _) => depPageRank(corpus(s)), None),
     QueryDef("kg_code_clones", (s, _) => clonePairs(corpus(s)), None),
     QueryDef("kg_code_cycles", (s, _) => depCycles(corpus(s)), None),
+    QueryDef("kg_code_calls", (s, _) => callEdges(corpus(s)), None),
+    QueryDef("kg_code_layers", (s, _) => buildLayers(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

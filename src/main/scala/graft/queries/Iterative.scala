@@ -567,6 +567,52 @@ object Iterative {
       .agg(least(min(col("peer")), col("node")).as("component"))
   }
 
+  /** Topological layers of a DAG: layer(v) = 0 for sinks (no out-edges),
+    * else 1 + max(layer of out-neighbors) — the longest path from v to a
+    * sink. Read as a BUILD ORDER over a `dependsOn` graph: everything in
+    * layer k can build as soon as layers < k are done, and the layer count
+    * is the critical-path length (the schedule's minimum number of
+    * sequential waves). REQUIRES a DAG: a cycle never reaches a fixpoint,
+    * so the loop fails LOUDLY at `maxDepth` instead of silently emitting
+    * wrong layers — condense cycles first
+    * ([[stronglyConnectedComponents]] + component projection, the
+    * [[graft.kg.CodeGraph.buildLayers]] composition).
+    *
+    * Fixpoint form, not semi-naive, on purpose: each round re-derives
+    * every node's layer from its out-neighbors (one edges ⋈ layers join +
+    * a map-side-combinable max per src + the convergence count), which is
+    * O(edges) per round × O(depth) rounds — the right trade for the
+    * O(repos²)-bounded condensed graphs this serves, where a round is one
+    * small shuffle and the bookkeeping of delta tracking would dominate.
+    * localCheckpoint per round truncates lineage as in every kernel here. */
+  def topoLayers(edges0: DataFrame, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var layers = nodes.withColumn("layer", lit(0L)).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      require(iter < maxDepth,
+        s"topoLayers: no fixpoint after $maxDepth rounds — the input has a " +
+          "cycle; condense SCCs first (stronglyConnectedComponents)")
+      val next = nodes.join(
+          e.join(layers, e("dst") === layers("node"))
+            .groupBy(e("src").as("node"))
+            .agg((max(col("layer")) + 1L).as("l")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("l"), lit(0L)).as("layer"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(layers.alias("o"), Seq("node"))
+        .filter(col("n.layer") =!= col("o.layer")).count()
+      layers = next
+      iter += 1
+    }
+    layers
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation — the
     * clustering-structure scan of a link graph (hub/community detection on
     * the KG; duplicate-cluster shape analysis on a near-dup graph).

@@ -363,6 +363,137 @@ class CodeGraphSpec extends AnyFunSuite {
     } finally inc.unpersist()
   }
 
+  test("kg_code_calls vs DuckDB (strip-then-extract callsite resolution replay)") {
+    check("kg_code_calls", CodeGraph.callEdges(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          calls AS (SELECT DISTINCT file AS src_file, repoiri,
+                      unnest(regexp_extract_all(
+                        regexp_replace(content,
+                          '(?m)^\\s*(?:def|class|object|trait|interface|enum)\\s+\\w+',
+                          '', 'g'),
+                        '([A-Za-z_]\\w*)\\(', 1)) AS symbol
+                    FROM f),
+          rdefs AS (SELECT DISTINCT repoiri, file AS def_file,
+                      unnest(CASE
+                        WHEN lang = 'python' THEN regexp_extract_all(content,
+                          '(?m)^(?:def|class)\\s+(\\w+)', 1)
+                        WHEN lang = 'scala' THEN regexp_extract_all(content,
+                          '(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)', 1)
+                        ELSE regexp_extract_all(content,
+                          '(?m)(?:class|interface|enum)\\s+(\\w+)', 1) END) AS symbol
+                    FROM f),
+          refs AS (SELECT file AS src_file,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 1)) AS module,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 2)) AS symbol
+                   FROM f WHERE lang = 'python'),
+          dfs AS (SELECT file AS def_file,
+                    replace(regexp_replace(regexp_replace(path,
+                      '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                    unnest(CASE
+                      WHEN lang = 'python' THEN regexp_extract_all(content,
+                        '(?m)^(?:def|class)\\s+(\\w+)', 1)
+                      WHEN lang = 'scala' THEN regexp_extract_all(content,
+                        '(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)', 1)
+                      ELSE regexp_extract_all(content,
+                        '(?m)(?:class|interface|enum)\\s+(\\w+)', 1) END) AS symbol
+                  FROM f WHERE path LIKE 'src/%'),
+          xref AS (SELECT r.src_file, r.symbol, d.def_file
+                   FROM refs r JOIN dfs d USING (module, symbol)
+                   WHERE r.src_file <> d.def_file)
+          SELECT DISTINCT src_file, symbol, def_file, via FROM (
+            SELECT c.src_file, c.symbol, d.def_file, 'intra' AS via
+            FROM calls c JOIN rdefs d
+              ON c.repoiri = d.repoiri AND c.symbol = d.symbol
+            WHERE c.src_file <> d.def_file
+            UNION ALL
+            SELECT c.src_file, c.symbol, x.def_file, 'import' AS via
+            FROM calls c JOIN xref x
+              ON c.src_file = x.src_file AND c.symbol = x.symbol)""")
+  }
+
+  test("call-graph hand check: 4 scala intra + 2 python self-repo intra; 6 via import") {
+    val rows = CodeGraph.callEdges(CodeGraph.corpus(spark)).collect()
+    val (intra, imp) = rows.partition(_.getString(3) == "intra")
+    // each scala file (i,j) calls fn_i_{(j+2)%4}; the callee's lang is
+    // (i + (j+2)%4) % 3, so the j∈{2,3} wraparound lands on JAVA mods whose
+    // method defs the extractor doesn't capture -> those 4 drop, leaving
+    // scala intra edges only for (0,1)(3,1)(1,0)(4,0); python mods of
+    // repos 0 and 3 (j=0) import from their own repo -> 2 more intra
+    assert(intra.length === 6, intra.mkString("\n"))
+    // the imported-symbol calls resolve exactly where the xref resolved (6)
+    assert(imp.length === 6, imp.mkString("\n"))
+    // unresolved callsites (stdlib, method receivers) never appear
+    assert(!rows.exists(r => Set("range", "append", "print").contains(r.getString(1))))
+    // java method defs self-report as callsites (the strip doesn't know
+    // java method syntax) but resolve nowhere -> no java source edges
+    assert(!rows.exists(_.getString(0).contains(".java@")))
+  }
+
+  test("kg_code_layers vs DuckDB (SCC condensation + longest-path walk replay)") {
+    check("kg_code_layers", CodeGraph.buildLayers(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte,
+          deps AS (SELECT DISTINCT i.repoiri AS src, o.owner AS dst
+                   FROM impx i JOIN owns o ON o.module = i.module
+                   WHERE i.repoiri <> o.owner),
+          reach(src, dst) AS (
+            SELECT src, dst FROM deps
+            UNION
+            SELECT r.src, d.dst FROM reach r JOIN deps d ON d.src = r.dst),
+          mutual AS (SELECT f.src AS node, f.dst AS peer
+                     FROM reach f JOIN reach b
+                       ON f.src = b.dst AND f.dst = b.src),
+          gnodes AS (SELECT src AS node FROM deps UNION SELECT dst FROM deps),
+          comp AS (SELECT n.node,
+                          least(coalesce(min(m.peer), n.node), n.node) AS component
+                   FROM gnodes n LEFT JOIN mutual m USING (node)
+                   GROUP BY n.node),
+          ce AS (SELECT DISTINCT cs.component AS src, cd.component AS dst
+                 FROM deps d
+                 JOIN comp cs ON cs.node = d.src
+                 JOIN comp cd ON cd.node = d.dst
+                 WHERE cs.component <> cd.component),
+          walk(node, cur, depth) AS (
+            SELECT component, component, 0
+            FROM (SELECT DISTINCT component FROM comp)
+            UNION ALL
+            SELECT w.node, ce.dst, w.depth + 1 FROM walk w JOIN ce ON ce.src = w.cur),
+          lay AS (SELECT node, max(depth) AS layer FROM walk GROUP BY node)
+          SELECT c.node AS repo, c.component,
+                 CAST(coalesce(l.layer, 0) AS BIGINT) AS layer
+          FROM comp c LEFT JOIN lay l ON l.node = c.component""")
+  }
+
+  test("buildLayers hand check: condensed DAG layers by longest path to a sink") {
+    import spark.implicits._
+    // crafted graph from the SCC hand case: components a={a,b,c}, d={d,e},
+    // f={f}; condensed edges a→d, f→a; layers: d-group 0, a-group 1, f 2
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "d"),
+      ("c", "d"), ("f", "a")).toDF("src", "dst")
+    val scc = graft.queries.Iterative.stronglyConnectedComponents(e)
+    val bySrc = scc.select(col("node").as("src"), col("component").as("csrc"))
+    val byDst = scc.select(col("node").as("dst"), col("component").as("cdst"))
+    val ce = e.join(bySrc, "src").join(byDst, "dst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val lay = graft.queries.Iterative.topoLayers(ce)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lay === Map("d" -> 0L, "a" -> 1L, "f" -> 2L))
+    // the fixture's six repos form ONE cycle group -> a single wave
+    val fixture = CodeGraph.buildLayers(CodeGraph.corpus(spark)).collect()
+    assert(fixture.length === 6 && fixture.forall(_.getLong(2) === 0L))
+  }
+
+  test("topoLayers fails loudly on a cyclic input") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.Iterative.topoLayers(cyc, maxDepth = 8)
+    }
+    assert(ex.getMessage.contains("condense SCCs first"))
+  }
+
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
     val dt = CodeGraph.depTriples(CodeGraph.corpus(spark))
     assert(dt.columns.toSeq ===
