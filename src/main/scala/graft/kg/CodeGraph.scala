@@ -425,6 +425,76 @@ object CodeGraph {
                  maxDf: Option[Long] = None): DataFrame =
     graft.ops.Text.winnowNearDupPairs(normalizedDocs(pages), w, minShared, maxDf)
 
+  /** File-level canonicalization — the north star's "connected-components-
+    * style sameAs merging" in the CODE domain: the sameAs evidence is
+    * (a) exact duplication (equal content sha256 — the vendored copies) and
+    * (b) normalized clones ([[clonePairs]] — reformatted/header-swapped
+    * copies), undirected; min-label CC
+    * ([[graft.queries.Iterative.connectedComponents]]) collapses every
+    * duplicate cluster to one deterministic canonical file (the
+    * lexicographic-min IRI — the same min-survivor discipline as the
+    * triple dedup). Exact-dup edges are emitted as a STAR per digest
+    * (every copy → the group min, via one map-side-combinable groupBy +
+    * join), never a clique — same components, O(group) instead of
+    * O(group²) edges, which is what survives a digest shared by a million
+    * vendored copies. Files with no duplicate evidence are their own
+    * canonical. Returns (file, canonical). */
+  def canonicalFiles(pages: DataFrame, w: Int = 4, minShared: Long = 2,
+                     maxDf: Option[Long] = None): DataFrame = {
+    val files = pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(V.fileIri(col("repo"), col("path"), col("commit")).as("file"),
+        sha2(col("content"), 256).as("sha"))
+    val mins = files.groupBy("sha").agg(min(col("file")).as("canon"))
+    val exact = files.join(mins, "sha")
+      .filter(col("file") =!= col("canon"))
+      .select(col("file").as("a"), col("canon").as("b"))
+    val clones = clonePairs(pages, w, minShared, maxDf).select(col("a"), col("b"))
+    val cc = graft.queries.Iterative.connectedComponents(
+      exact.unionByName(clones))
+    files.select(col("file").as("node")).distinct()
+      .join(cc, Seq("node"), "left")
+      .select(col("node").as("file"),
+        coalesce(col("component"), col("node")).as("canonical"))
+  }
+
+  /** Staged, resumable materialization of the code KG — the north rule's
+    * "graph materialize, resumable from checkpoint with per-partition
+    * lineage + metrics" for the code domain, on the same
+    * [[graft.store.TableIO.stage]] fingerprint discipline as the wiki
+    * pipeline (manifest per stage; a re-run with an unchanged fingerprint
+    * skips every completed stage; a changed fingerprint recomputes).
+    * Stages: triples (carrying the per-file sha256 lineage triple), repo
+    * dependency edges, their transitive closure, file canonicalization,
+    * and per-partition metrics. Returns the stage names that were SKIPPED
+    * (all five on a warm re-run). */
+  def materialize(spark: SparkSession, pages: DataFrame, outDir: String,
+                  fingerprint: String): Seq[String] = {
+    import graft.store.TableIO
+    val skipped = Seq.newBuilder[String]
+    val (triplesDf, s1) =
+      TableIO.stage(spark, s"$outDir/code_triples", fingerprint)(fileTriples(pages))
+    if (s1) skipped += "code_triples"
+    val (depsDf, s2) =
+      TableIO.stage(spark, s"$outDir/code_deps", fingerprint)(repoDeps(pages))
+    if (s2) skipped += "code_deps"
+    val (_, s3) = TableIO.stage(spark, s"$outDir/code_dep_closure", fingerprint) {
+      graft.queries.Iterative.closure(
+        depsDf.select(col("src_repo").as("src"), col("dst_repo").as("dst")))
+    }
+    if (s3) skipped += "code_dep_closure"
+    val (_, s4) =
+      TableIO.stage(spark, s"$outDir/code_canonical", fingerprint)(canonicalFiles(pages))
+    if (s4) skipped += "code_canonical"
+    val (_, s5) = TableIO.stage(spark, s"$outDir/code_metrics", fingerprint) {
+      triplesDf.groupBy(spark_partition_id().as("partId"))
+        .agg(count(lit(1)).as("rows"),
+          approx_count_distinct(col("subj")).as("approxSubjects"))
+        .withColumn("stage", lit("code_triples"))
+    }
+    if (s5) skipped += "code_metrics"
+    skipped.result()
+  }
+
   // license-detection patterns, priority-ordered (first hit wins); the
   // RE2 ∩ java.util.regex common subset so the DuckDB oracle replays them
   private[graft] val LicensePatterns: Seq[(String, String)] = Seq(
@@ -578,6 +648,7 @@ object CodeGraph {
     QueryDef("kg_code_cycles", (s, _) => depCycles(corpus(s)), None),
     QueryDef("kg_code_calls", (s, _) => callEdges(corpus(s)), None),
     QueryDef("kg_code_layers", (s, _) => buildLayers(corpus(s)), None),
+    QueryDef("kg_code_canonical", (s, _) => canonicalFiles(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -258,35 +258,41 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(got === Map("a" -> 150000L, "b" -> 1850000L))
   }
 
-  test("kg_code_clones vs DuckDB (normalized winnow near-dup replay)") {
+  // the clone-detection replay fragments (normalization → 3-gram winnow →
+  // df cap), shared by the clones and canonicalization tests; assumes the
+  // fCte `f` view is in scope
+  private val cloneCtes = {
     import graft.ops.Text
+    s"""norm AS (SELECT file AS doc_id,
+                   trim(regexp_replace(regexp_replace(content,
+                     '(?m)(#|//).*$$', '', 'g'),
+                     '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
+                 FROM f),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM norm),
+        hs AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                   i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
+               FROM toks),
+        fps AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(hs) - 3, 0)),
+                    i -> list_min(hs[i:i+3])))) AS fp
+                FROM hs),
+        kept AS (SELECT fps.doc_id, fps.fp FROM fps
+                 JOIN (SELECT fp FROM fps GROUP BY fp
+                       HAVING count(*) <= least(${Text.DefaultShingleDfCap},
+                         greatest(${Text.DefaultShingleDfFloor},
+                           (SELECT (count(*) + ${Text.DefaultShingleDfDen - 1}) // ${Text.DefaultShingleDfDen}
+                            FROM norm)))) keep ON fps.fp = keep.fp)"""
+  }
+  private val clonePairSelect =
+    """SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+       FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+  test("kg_code_clones vs DuckDB (normalized winnow near-dup replay)") {
     check("kg_code_clones", CodeGraph.clonePairs(CodeGraph.corpus(spark)),
-      s"""WITH f AS (SELECT '${B}file/' || repo || '/' || path || '@' || "commit" AS doc_id, *
-                     FROM pages WHERE lang IN ('python','scala','java')),
-          norm AS (SELECT doc_id,
-                     trim(regexp_replace(regexp_replace(content,
-                       '(?m)(#|//).*$$', '', 'g'),
-                       '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
-                   FROM f),
-          toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM norm),
-          hs AS (SELECT doc_id,
-                   list_transform(generate_series(1, greatest(len(tk)-2, 0)),
-                     i -> CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),1,15)) AS BIGINT)) AS hs
-                 FROM toks),
-          fps AS (SELECT doc_id,
-                    unnest(list_distinct(list_transform(
-                      generate_series(1, greatest(len(hs) - 3, 0)),
-                      i -> list_min(hs[i:i+3])))) AS fp
-                  FROM hs),
-          kept AS (SELECT fps.doc_id, fps.fp FROM fps
-                   JOIN (SELECT fp FROM fps GROUP BY fp
-                         HAVING count(*) <= least(${Text.DefaultShingleDfCap},
-                           greatest(${Text.DefaultShingleDfFloor},
-                             (SELECT (count(*) + ${Text.DefaultShingleDfDen - 1}) // ${Text.DefaultShingleDfDen}
-                              FROM norm)))) keep ON fps.fp = keep.fp)
-          SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
-          FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
-          GROUP BY 1, 2 HAVING count(*) >= 2""")
+      s"WITH $fCte, $cloneCtes $clonePairSelect")
   }
 
   test("clone hand check: reformatted gen.py pair found; digest census blind to it") {
@@ -492,6 +498,62 @@ class CodeGraphSpec extends AnyFunSuite {
       graft.queries.Iterative.topoLayers(cyc, maxDepth = 8)
     }
     assert(ex.getMessage.contains("condense SCCs first"))
+  }
+
+  test("kg_code_canonical vs DuckDB (digest-star + clone CC canonicalization replay)") {
+    check("kg_code_canonical", CodeGraph.canonicalFiles(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte, $cloneCtes,
+          filesha AS (SELECT file, sha256(content) AS sha FROM f),
+          mins AS (SELECT sha, min(file) AS canon FROM filesha GROUP BY sha),
+          exact AS (SELECT fs.file AS a, m.canon AS b
+                    FROM filesha fs JOIN mins m USING (sha)
+                    WHERE fs.file <> m.canon),
+          cl AS ($clonePairSelect),
+          alledges AS (SELECT a, b FROM exact UNION ALL SELECT a, b FROM cl),
+          und AS (SELECT a, b FROM alledges UNION SELECT b, a FROM alledges),
+          reach(n, m) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m)
+          SELECT fs.file, least(fs.file, coalesce(min(r.m), fs.file)) AS canonical
+          FROM filesha fs LEFT JOIN reach r ON r.n = fs.file
+          GROUP BY fs.file""")
+  }
+
+  test("canonicalFiles hand check: vendored star + clone pair collapse; singletons self") {
+    val got = CodeGraph.canonicalFiles(CodeGraph.corpus(spark)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // every code file appears exactly once
+    assert(got.size === 32)
+    // the six byte-identical lib_util copies collapse to repo_0's
+    val libCanon = got.filter(_._1.contains("lib_util")).values.toSet
+    assert(libCanon === Set(s"${CodeGraph.V.Base}file/repo_0/vendor/lib_util.py@" +
+      got.keys.find(k => k.contains("repo_0/vendor")).get.split("@")(1)))
+    // the byte-different, normalization-identical gen.py pair shares one canonical
+    val genCanon = got.filter(_._1.contains("tools/gen.py")).values.toSet
+    assert(genCanon.size === 1 && genCanon.head.contains("repo_0/tools/gen.py"))
+    // min-label: a canonical is never lexicographically above its member
+    assert(got.forall { case (f, c) => c <= f })
+  }
+
+  test("materialize: staged code-KG build resumes (all stages skip on warm re-run)") {
+    val dir = "target/code-kg-materialize"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val pages = CodeGraph.corpus(spark)
+    val cold = CodeGraph.materialize(spark, pages, dir, "fp-r5-a")
+    assert(cold.isEmpty, s"cold run must compute every stage: $cold")
+    for (st <- Seq("code_triples", "code_deps", "code_dep_closure",
+      "code_canonical", "code_metrics"))
+      assert(new java.io.File(s"$dir/$st").exists(), st)
+    val warm = CodeGraph.materialize(spark, pages, dir, "fp-r5-a")
+    assert(warm.toSet === Set("code_triples", "code_deps", "code_dep_closure",
+      "code_canonical", "code_metrics"))
+    // fingerprint change -> full recompute
+    val changed = CodeGraph.materialize(spark, pages, dir, "fp-r5-b")
+    assert(changed.isEmpty)
+    // the staged triple table round-trips exactly
+    val staged = spark.read.parquet(s"$dir/code_triples")
+    assert(staged.count() === CodeGraph.fileTriples(pages).count())
   }
 
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
