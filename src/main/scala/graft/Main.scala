@@ -8,11 +8,16 @@ import graft.kg.{Fixtures, Pipeline}
   *
   * Usage: runMain graft.Main <outDir> [k]
   *        runMain graft.Main <outDir> --input <pagesParquetDir>
+  *        runMain graft.Main <outDir> [k] --code [--input <dir>]
   *   outDir — checkpoint/output root (stages: emitted, triples, metrics,
   *            vertices, edges)
   *   k      — corpus scale factor (k fixture variants; default 1 = golden)
   *   --input — run over a REAL corpus: a parquet directory of input_hint
   *            rows (repo, path, commit, lang, content)
+  *   --code  — run the CODE-KG materialization instead (CodeGraph.materialize:
+  *            triples / deps / closure / canonicalization / metrics stages
+  *            over the same input_hint table shape; fixture corpus scales
+  *            as 6·k repos)
   *   --tsv   — opt-in multilingual label enrichment from a long-format TSV
   *            dictionary (the reference's MultilingualDataHandler stage with
   *            CORRECTED keying — Enrich.scala; off by default because the
@@ -50,10 +55,11 @@ object Main {
     * without spinning up a SparkSession). */
   private[graft] final case class CliArgs(outDir: String, k: Int,
                                           inputDir: Option[String],
-                                          tsvPath: Option[String])
+                                          tsvPath: Option[String],
+                                          code: Boolean = false)
 
   private[graft] val usage =
-    "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>]"
+    "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>] [--code]"
 
   private[graft] def parseArgs(args: Array[String]): CliArgs = {
     def optArg(name: String): Option[String] =
@@ -68,9 +74,17 @@ object Main {
       }
     val inputDir = optArg("--input")
     val tsvPath = optArg("--tsv")
+    val code = args.count(_ == "--code") match {
+      case 0 => false
+      case 1 => true
+      case _ => sys.error(s"--code given more than once ($usage)")
+    }
+    if (code && tsvPath.isDefined)
+      sys.error(s"--tsv applies to the wiki pipeline, not --code ($usage)")
     val positional = {
       val flagIdx = Seq("--input", "--tsv").flatMap(n =>
-        args.indexOf(n) match { case -1 => Nil; case i => Seq(i, i + 1) }).toSet
+        args.indexOf(n) match { case -1 => Nil; case i => Seq(i, i + 1) }).toSet ++
+        (args.indexOf("--code") match { case -1 => Set.empty[Int]; case i => Set(i) })
       args.indices.filterNot(flagIdx).map(args)
     }
     // anything '--'-prefixed left over is an unknown (or mis-placed) flag —
@@ -86,7 +100,8 @@ object Main {
     }.getOrElse(1)
     if (positional.length > 2)
       sys.error(s"unexpected arguments: ${positional.drop(2).mkString(", ")} ($usage)")
-    CliArgs(positional.headOption.getOrElse("target/kg-out"), k, inputDir, tsvPath)
+    CliArgs(positional.headOption.getOrElse("target/kg-out"), k, inputDir,
+      tsvPath, code)
   }
 
   /** Opt-in TSV label enrichment as its own checkpointed stage: rdfs:label@lang
@@ -113,8 +128,38 @@ object Main {
     case None => (base, Nil)
   }
 
+  /** The --code path: staged code-KG materialization over an input_hint
+    * table (real --input corpus, or the deterministic fixture corpus scaled
+    * by k: 6·k repos). Same fingerprint policy as the wiki pipeline (config
+    * key for deterministic fixtures, content digest for real input). */
+  private def runCode(spark: SparkSession, outDir: String, k: Int,
+                      inputDir: Option[String], env: Option[String],
+                      t0: Long): Unit = {
+    val (pages, fingerprint, desc) = inputDir match {
+      case Some(in) =>
+        val p = spark.read.parquet(in)
+        (p, fingerprintFor(p, s"code-input-v1;$in", realInput = true, env),
+          s"real code corpus at $in")
+      case None =>
+        val p = graft.kg.CodeGraph.corpus(spark, nRepos = 6 * k)
+        (p, fingerprintFor(p, s"code-fixtures-v1;k=$k", realInput = false, env),
+          s"${6 * k} repos (k=$k)")
+    }
+    val skipped = graft.kg.CodeGraph.materialize(spark, pages, outDir, fingerprint)
+    val triples = spark.read.parquet(s"$outDir/code_triples")
+    val canonical = spark.read.parquet(s"$outDir/code_canonical")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(s"[graft] code corpus: $desc")
+    println(s"[graft] code triples: ${triples.count()} distinct")
+    println(s"[graft] canonical file clusters: " +
+      s"${canonical.select("canonical").distinct().count()} over ${canonical.count()} files")
+    println(s"[graft] stages skipped (checkpoint resume): " +
+      (if (skipped.isEmpty) "none" else skipped.mkString(", ")))
+    println(f"[graft] wall: $secs%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
-    val CliArgs(outDir, k, inputDir, tsvPath) = parseArgs(args)
+    val CliArgs(outDir, k, inputDir, tsvPath, code) = parseArgs(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     // north_rule: "run via spark-submit on a multi-executor cluster" — when
     // spark-submit provides a master (or one is set in spark-defaults),
@@ -135,6 +180,11 @@ object Main {
     val t0 = System.nanoTime()
     import spark.implicits._
     val env = sys.env.get("SPARK_GRAFT_CONTENT_FP")
+    if (code) {
+      runCode(spark, outDir, k, inputDir, env, t0)
+      spark.stop()
+      return
+    }
     val (pages, fingerprint, corpusDesc) = inputDir match {
       case Some(in) =>
         val p = spark.read.parquet(in).as[graft.model.PageRow]

@@ -60,6 +60,19 @@ class MainSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unexpected arguments"))
   }
 
+  test("parseArgs: --code mode, positionals/flags compose; --tsv conflicts") {
+    assert(Main.parseArgs(Array("/tmp/out", "3", "--code")) ===
+      Main.CliArgs("/tmp/out", 3, None, None, code = true))
+    assert(Main.parseArgs(Array("--code", "/tmp/out", "--input", "/corpus")) ===
+      Main.CliArgs("/tmp/out", 1, Some("/corpus"), None, code = true))
+    val e1 = intercept[RuntimeException](
+      Main.parseArgs(Array("/tmp/out", "--code", "--code")))
+    assert(e1.getMessage.contains("more than once"))
+    val e2 = intercept[RuntimeException](
+      Main.parseArgs(Array("/tmp/out", "--code", "--tsv", "/d.tsv")))
+    assert(e2.getMessage.contains("--tsv applies to the wiki pipeline"))
+  }
+
   // ---- enrichStage --------------------------------------------------------
 
   /** Minimal triple set with one schema:identifier row (all labelTriples
