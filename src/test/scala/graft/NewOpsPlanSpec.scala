@@ -69,6 +69,34 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"(repo, license) counts must map-side combine:\n$p")
   }
 
+  test("kg_code_clones: the fingerprint self-join ships (doc_id, fp) only") {
+    // the normalized text must never ride the fp exchange — fingerprints
+    // are the index, payloads stay at the scan (same discipline as d2's
+    // ids-only banded shuffle)
+    val lines = plan("kg_code_clones").linesIterator.toIndexedSeq
+    val fpExchanges = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning") && l.contains("fp#") => i
+    }
+    assert(fpExchanges.nonEmpty, s"expected an fp exchange:\n${lines.mkString("\n").take(2000)}")
+    fpExchanges.foreach { i =>
+      val child = lines.lift(i + 1).getOrElse("")
+      assert(!child.contains("text#"),
+        s"normalized text rides the fp shuffle: $child")
+    }
+  }
+
+  test("kg_code_calls: callsite resolution is equi-joins only") {
+    val p = plan("kg_code_calls")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"symbol resolution must stay equi-join:\n$p")
+  }
+
+  test("kg_code_canonical: no nested-loop anywhere in the canonicalization splice") {
+    val p = plan("kg_code_canonical")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"file->component relabel must stay equi-join:\n$p")
+  }
+
   test("t34/t35: the structural gates are pure map stages — no Exchange") {
     for (q <- Seq("t34_line_stats", "t35_secret_scan")) {
       val p = plan(q)
