@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling probe for the CODE-KG extraction path — the file-scaled stage
+  * (parse → triple emit → distinct dedup) that dominates a 10^12-file run.
+  * The graph-sized stages (dep closure, CC canonicalization, layers) are
+  * O(repos)-bounded and iterative: at fixture scale their cost is
+  * sequential driver-job overhead, which under-reports scaling that
+  * amortizes away at real size — so this probe times the stage whose cost
+  * actually grows with the corpus.
+  *
+  * Usage: SPARK_GRAFT_CPUS=<n> runMain graft.CodeScaleBench [k] [reps]
+  * Prints one JSON line: corpus size, triple count, per-rep extract
+  * seconds (min over reps), triples/sec. Run at two SPARK_GRAFT_CPUS
+  * levels on the SAME k to evidence the N→4N criterion for the code
+  * domain (BENCH/BASELINE.md records the pair). The corpus is built once
+  * and persisted to parquet FIRST, so generation (driver-side, serial by
+  * construction — it is a fixture synthesizer, not pipeline work) never
+  * pollutes the timed region, and every rep reads the same files.
+  */
+object CodeScaleBench {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(2000)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-code-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"/tmp/graft-code-scale-corpus-k$k"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      graft.kg.CodeGraph.corpus(spark, nRepos = 6 * k)
+        .repartition(32).write.mode("overwrite").parquet(dir)
+    }
+    val pages = spark.read.parquet(dir)
+
+    var triples = 0L
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      triples = graft.kg.CodeGraph.fileTriples(pages).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = times.min
+    println(f"""{"bench":"code_extract","k":$k,"cpus":$cpus,"files":${pages.count()},""" +
+      f""""triples":$triples,"sec":$best%.2f,""" +
+      f""""all_secs":[${times.map(t => f"$t%.2f").mkString(",")}],""" +
+      f""""triples_per_sec":${(triples / best).toLong}}""")
+    spark.stop()
+  }
+}

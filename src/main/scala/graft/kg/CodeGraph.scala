@@ -495,6 +495,30 @@ object CodeGraph {
     skipped.result()
   }
 
+  /** Identifier census with subword splitting: every lexical identifier,
+    * camelCase boundaries broken (`parseHTTPResponse` → parse, http,
+    * response via the two standard boundary rules: lower/digit→Upper and
+    * UPPER→Upper+lower), snake_case split on underscores, lowercased,
+    * counted corpus-wide — the table a code-corpus tokenizer training or
+    * identifier-quality audit reads. Language keywords are identifiers
+    * lexically and are reported as such (the census describes the corpus;
+    * callers filter). One narrow extraction pass (codegen'd
+    * regexp_extract_all + two boundary regexp_replace), one explode, ONE
+    * map-side-combinable (token) shuffle — frequency skew (`x`, `i`,
+    * `def`) sits in the partial aggregation, where it combines away. */
+  def identifierCensus(pages: DataFrame): DataFrame = {
+    val idents = explode(regexp_extract_all(col("content"),
+      lit("([A-Za-z_][A-Za-z0-9_]*)"), lit(1)))
+    val camel1 = regexp_replace(col("ident"), "([a-z0-9])([A-Z])", "$1 $2")
+    val camel2 = regexp_replace(camel1, "([A-Z])([A-Z][a-z])", "$1 $2")
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(idents.as("ident"))
+      .select(explode(split(lower(camel2), "[_ ]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // license-detection patterns, priority-ordered (first hit wins); the
   // RE2 ∩ java.util.regex common subset so the DuckDB oracle replays them
   private[graft] val LicensePatterns: Seq[(String, String)] = Seq(
@@ -649,6 +673,7 @@ object CodeGraph {
     QueryDef("kg_code_calls", (s, _) => callEdges(corpus(s)), None),
     QueryDef("kg_code_layers", (s, _) => buildLayers(corpus(s)), None),
     QueryDef("kg_code_canonical", (s, _) => canonicalFiles(corpus(s)), None),
+    QueryDef("kg_code_idents", (s, _) => identifierCensus(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -556,6 +556,34 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(staged.count() === CodeGraph.fileTriples(pages).count())
   }
 
+  test("kg_code_idents vs DuckDB (subword identifier census replay)") {
+    check("kg_code_idents", CodeGraph.identifierCensus(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          idents AS (SELECT unnest(regexp_extract_all(content,
+                       '([A-Za-z_][A-Za-z0-9_]*)', 1)) AS ident
+                     FROM f),
+          toks AS (SELECT unnest(string_split_regex(lower(
+                     regexp_replace(regexp_replace(ident,
+                       '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                       '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g')), '[_ ]+')) AS token
+                   FROM idents)
+          SELECT token, count(*) AS n FROM toks
+          WHERE token <> '' GROUP BY token""")
+  }
+
+  test("identifier splitting hand check: camel boundaries, acronyms, snake_case") {
+    import spark.implicits._
+    val df = Seq(("r", "p.py", "c", "python",
+      "parseHTTPResponse = my_var_2 + XMLHttpRequest"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = CodeGraph.identifierCensus(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // parseHTTPResponse -> parse http response; my_var_2 -> my var 2
+    // (digits stay attached to their subword); XMLHttpRequest -> xml http request
+    assert(got === Map("parse" -> 1L, "http" -> 2L, "response" -> 1L,
+      "my" -> 1L, "var" -> 1L, "2" -> 1L, "xml" -> 1L, "request" -> 1L))
+  }
+
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
     val dt = CodeGraph.depTriples(CodeGraph.corpus(spark))
     assert(dt.columns.toSeq ===
