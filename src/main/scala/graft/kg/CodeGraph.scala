@@ -495,6 +495,25 @@ object CodeGraph {
     skipped.result()
   }
 
+  /** Module-ownership ambiguity census: modules DEFINED (path-derived) in
+    * more than one repo — the vendored/forked-module signal that makes the
+    * [[repoDeps]] resolution join fan out (an import of an ambiguous module
+    * produces one candidate edge per claimant, which is the honest
+    * representation, but a consumer ranking dependencies wants the
+    * ambiguity surfaced, not averaged away). One map-side-combinable
+    * (module) shuffle over the file-scaled ownership rows; output is
+    * bounded by the ambiguous-module count. Returns (module, n_owners,
+    * owners sorted '|'-joined). */
+  def moduleConflicts(pages: DataFrame): DataFrame =
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("module"),
+        V.repoIri(col("repo")).as("owner"))
+      .groupBy("module")
+      .agg(countDistinct(col("owner")).as("n_owners"),
+        concat_ws("|", array_sort(collect_set(col("owner")))).as("owners"))
+      .filter(col("n_owners") > 1)
+
   /** Identifier census with subword splitting: every lexical identifier,
     * camelCase boundaries broken (`parseHTTPResponse` → parse, http,
     * response via the two standard boundary rules: lower/digit→Upper and
@@ -626,7 +645,18 @@ object CodeGraph {
       (repo, "tools/gen.py", WikitextParser.sha256Hex(repo + "/tools/gen.py#code=42")
         .substring(0, 12), "python", content)
     }
-    (rows ++ vendored ++ clones ++ readmes)
+    // a module-ownership CONFLICT: repos 1 and 4 both define
+    // src/common/strutil.py (forked copies, byte-different comments so the
+    // digest census stays silent; 4 normalized tokens — below the winnow
+    // floor — so the clone index stays silent too; un-imported, so dep
+    // edges are unaffected). Only moduleConflicts surfaces it.
+    val forks = Seq("repo_1", "repo_4").map { repo =>
+      (repo, "src/common/strutil.py",
+        WikitextParser.sha256Hex(repo + "/src/common/strutil.py#code=42")
+          .substring(0, 12), "python",
+        s"# variant: $repo fork\ndef strip_prefix(s):\n    return s\n")
+    }
+    (rows ++ vendored ++ clones ++ forks ++ readmes)
       .toDF("repo", "path", "commit", "lang", "content")
   }
 
@@ -674,6 +704,7 @@ object CodeGraph {
     QueryDef("kg_code_layers", (s, _) => buildLayers(corpus(s)), None),
     QueryDef("kg_code_canonical", (s, _) => canonicalFiles(corpus(s)), None),
     QueryDef("kg_code_idents", (s, _) => identifierCensus(corpus(s)), None),
+    QueryDef("kg_code_conflicts", (s, _) => moduleConflicts(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -92,10 +92,10 @@ class CodeGraphSpec extends AnyFunSuite {
           GROUP BY 1""")
   }
 
-  test("structural counts: 32 code files, 282 triples, markdown excluded") {
+  test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
-    // 24 src files + 6 vendored + 2 clone files + 6 READMEs
-    assert(corpus.count() === 38)
+    // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs
+    assert(corpus.count() === 40)
     val t = CodeGraph.fileTriples(corpus).cache()
     try {
       // per src file: 5 fixed (type/inRepo/lang/sha256/definedIn) + 3 imports;
@@ -105,7 +105,8 @@ class CodeGraphSpec extends AnyFunSuite {
       //   -> 6*5 = 30
       // per clone file (tools/, not src/): 4 fixed + 1 import (os) + 1 define
       //   -> 2*6 = 12
-      assert(t.count() === 282)
+      // per fork file (src/, no imports): 5 fixed + 1 define -> 2*6 = 12
+      assert(t.count() === 294)
       // the README's "import nothing" prose line must extract NOTHING
       assert(t.filter(col("subj").contains("README")).count() === 0)
       // unresolved imports (std.util) appear as imports triples...
@@ -167,7 +168,8 @@ class CodeGraphSpec extends AnyFunSuite {
     }
     for (i <- Seq(1, 4)) {
       assert(got((s"repo_$i", "mit")) === 4L)
-      assert(got((s"repo_$i", "unknown")) === 1L)
+      // vendored lib_util + the header-free strutil fork
+      assert(got((s"repo_$i", "unknown")) === 2L)
     }
     for (i <- Seq(2, 5)) assert(got((s"repo_$i", "unknown")) === 5L)
     assert(!got.keySet.exists(_._2 == "gpl-3.0"), "no GPL text in the corpus")
@@ -524,7 +526,7 @@ class CodeGraphSpec extends AnyFunSuite {
     val got = CodeGraph.canonicalFiles(CodeGraph.corpus(spark)).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     // every code file appears exactly once
-    assert(got.size === 32)
+    assert(got.size === 34)
     // the six byte-identical lib_util copies collapse to repo_0's
     val libCanon = got.filter(_._1.contains("lib_util")).values.toSet
     assert(libCanon === Set(s"${CodeGraph.V.Base}file/repo_0/vendor/lib_util.py@" +
@@ -582,6 +584,30 @@ class CodeGraphSpec extends AnyFunSuite {
     // (digits stay attached to their subword); XMLHttpRequest -> xml http request
     assert(got === Map("parse" -> 1L, "http" -> 2L, "response" -> 1L,
       "my" -> 1L, "var" -> 1L, "2" -> 1L, "xml" -> 1L, "request" -> 1L))
+  }
+
+  test("kg_code_conflicts vs DuckDB (multi-owner module census replay)") {
+    check("kg_code_conflicts", CodeGraph.moduleConflicts(CodeGraph.corpus(spark)),
+      s"""SELECT '${B}module/' || replace(regexp_replace(regexp_replace(path,
+                   '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                 count(DISTINCT '${B}repo/' || repo) AS n_owners,
+                 array_to_string(list_sort(list_distinct(list('${B}repo/' || repo))), '|') AS owners
+          FROM pages
+          WHERE lang IN ('python', 'scala', 'java') AND path LIKE 'src/%'
+          GROUP BY 1 HAVING count(DISTINCT '${B}repo/' || repo) > 1""")
+  }
+
+  test("module-conflict hand check: only the forked strutil; dep edges untouched") {
+    val rows = CodeGraph.moduleConflicts(CodeGraph.corpus(spark)).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0).endsWith("module/common.strutil"))
+    assert(rows(0).getLong(1) === 2L)
+    assert(rows(0).getString(2) ===
+      s"${CodeGraph.V.Base}repo/repo_1|${CodeGraph.V.Base}repo/repo_4")
+    // nothing imports the conflicted module — ownership alone creates no
+    // dependency edges and no fan-in row
+    assert(CodeGraph.moduleFanIn(CodeGraph.corpus(spark))
+      .filter(col("module").contains("strutil")).count() === 0)
   }
 
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
