@@ -292,6 +292,76 @@ object StreamPipeline {
       .start()
   }
 
+  /** Streaming CODE ingestion → live code-KG maintenance: the same
+    * changed-content gate keyed on (repo, path) feeds
+    * [[graft.kg.CodeGraph.fileTriples]] per micro-batch, and the delta
+    * upserts into the live Turtle graph with retraction of the superseded
+    * revision's facts ([[graft.store.TurtleIO.mergeUpsert]]).
+    *
+    * The code-specific wrinkle vs [[streamToGraph]]: a FILE subject IRI
+    * embeds its commit, so a revision's stale triples live under the
+    * PREVIOUS commit's subject — ownership is derived from the live graph
+    * by (repo, path) parse of the file IRIs (the batch's key set is
+    * micro-batch-small and rides a broadcast semi-join), not from the
+    * delta's own subjects. MODULE subjects (the commit-free, path-derived
+    * `definedIn` triples) are deliberately NOT owned: a module may be
+    * legitimately defined by OTHER repos (the [[graft.kg.CodeGraph.moduleConflicts]]
+    * shape), and owning the module subject would retract a co-owner's
+    * fact when one fork revises — the revision re-emits its own
+    * definedIn identically, so it upserts as a no-op instead. lang
+    * derives from the path extension (the gate's rev shape doesn't carry
+    * it). Deletions are out of band (no tombstones in the rev stream) —
+    * same contract as the wiki stream. At-least-once foreachBatch × the
+    * content-idempotent sink converges to fileTriples over the latest
+    * accepted revision of every path, kill/rerun-safe (checkpointed gate
+    * state). */
+  def codeStreamToGraph(pages: Dataset[PageRev], graphDir: String,
+                        checkpointDir: String, watermark: String = "1 hour",
+                        stateTtlMs: Long = 3600L * 1000,
+                        compactFileThreshold: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val langOf =
+      when(col("path").endsWith(".py"), "python")
+        .when(col("path").endsWith(".scala"), "scala")
+        .when(col("path").endsWith(".java"), "java")
+        .otherwise("other")
+    val fileBase = graft.kg.CodeGraph.V.Base + "file/"
+    val fileIriPat = "^" + java.util.regex.Pattern.quote(fileBase) +
+      "([^/]+)/(.+)@[^@]+$"
+    changedPagesOnly(pages, watermark, stateTtlMs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[ChangedPage], _: Long) =>
+        graft.store.TurtleIO.recover(graphDir)
+        val rows = batch.toDF()
+          .withColumn("lang", langOf)
+          .select("repo", "path", "commit", "lang", "content")
+        val live =
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(graphDir))) None
+          else Some(graft.store.TurtleIO.parse(spark, graphDir).persist())
+        try {
+          val frozen = graft.kg.CodeGraph.fileTriples(rows).localCheckpoint()
+          val keys = batch.toDF().select(col("repo"), col("path")).distinct()
+          val ownedLive = live.map { lv =>
+            lv.select(col("subj")).distinct()
+              .filter(col("subj").startsWith(fileBase))
+              .withColumn("repo", regexp_extract(col("subj"), fileIriPat, 1))
+              .withColumn("path", regexp_extract(col("subj"), fileIriPat, 2))
+              .join(broadcast(keys), Seq("repo", "path"), "left_semi")
+              .select("subj")
+          }.getOrElse(Seq.empty[String].toDF("subj"))
+          val owned = ownedLive.unionByName(
+            frozen.filter(col("subj").startsWith(fileBase)).select("subj"))
+          graft.store.TurtleIO.mergeUpsert(spark, frozen, graphDir, owned,
+            compactFileThreshold, live)
+        } finally live.foreach(_.unpersist())
+      }
+      .start()
+  }
+
   /** name→ndex dictionary from the parsed live graph: schema:name literals
     * of pokemon subjects, the ndex being the subject-IRI suffix. */
   private def liveGraphDict(live: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

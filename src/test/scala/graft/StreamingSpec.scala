@@ -246,6 +246,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("codeStreamToGraph: revision retracts the old commit's subject; co-owner survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageRev
+    import graft.kg.CodeGraph
+    import graft.store.TurtleIO
+    val root = java.nio.file.Files.createTempDirectory("code-stream").toString
+    val graphDir = s"$root/code-graph.ttl"
+    val ckpt = s"$root/ckpt"
+    // two repos fork the SAME module path (the moduleConflicts shape), plus
+    // an ordinary file that batch 2 revises under a new commit
+    val aV1 = ("repo_a", "src/common/u.py", "ca1", "def u_a():\n    return 1\n")
+    val b1 = ("repo_b", "src/common/u.py", "cb1", "def u_b():\n    return 2\n")
+    val mV1 = ("repo_a", "src/pkg/m.py", "cm1", "import os\ndef f():\n    pass\n")
+    val mV2 = ("repo_a", "src/pkg/m.py", "cm2", "import os\nimport sys\ndef f():\n    pass\ndef g():\n    pass\n")
+    def rev(r: (String, String, String, String), t: Long) =
+      PageRev(new java.sql.Timestamp(t), r._1, r._2, r._3, r._4)
+
+    val input = MemoryStream[PageRev]
+    val q = StreamPipeline.codeStreamToGraph(input.toDS(), graphDir, ckpt)
+    try {
+      input.addData(Seq(rev(aV1, 1000L), rev(b1, 1000L), rev(mV1, 1000L)))
+      q.processAllAvailable()
+      input.addData(Seq(rev(mV2, 2000L), rev(aV1, 2000L).copy(
+        commit = "ca2", content = "def u_a():\n    return 1\ndef u_a2():\n    return 3\n")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val got = TurtleIO.parse(spark, graphDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    // expected: fileTriples over the LATEST revision of every path
+    val latest = Seq(
+      ("repo_a", "src/common/u.py", "ca2", "python",
+        "def u_a():\n    return 1\ndef u_a2():\n    return 3\n"),
+      ("repo_b", "src/common/u.py", "cb1", "python", "def u_b():\n    return 2\n"),
+      ("repo_a", "src/pkg/m.py", "cm2", "python",
+        "import os\nimport sys\ndef f():\n    pass\ndef g():\n    pass\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val want = CodeGraph.fileTriples(latest)
+      .select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
+    assert(got == want, "streamed code graph must equal batch extraction over " +
+      s"latest revisions (missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)})")
+    // the superseded commits' subjects are fully retracted
+    assert(!got.exists(s => s.contains("@ca1") || s.contains("@cm1")))
+    // the conflicted module keeps BOTH owners after repo_a's revision —
+    // module subjects are not owned, so repo_b's definedIn survived
+    val owners = TurtleIO.parse(spark, graphDir)
+      .filter(col("subj") === s"${CodeGraph.V.Base}module/common.u" &&
+        col("pred") === CodeGraph.V.DefinedIn)
+      .select("objLex").collect().map(_.getString(0)).toSet
+    assert(owners === Set(s"${CodeGraph.V.Base}repo/repo_a",
+      s"${CodeGraph.V.Base}repo/repo_b"))
+  }
+
   test("streamToGraph: two micro-batches + a restart equal the batch pipeline's graph") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
