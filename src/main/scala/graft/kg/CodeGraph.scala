@@ -495,6 +495,37 @@ object CodeGraph {
     skipped.result()
   }
 
+  /** API-surface usage census: every symbol a repo EXPORTS (defined under
+    * its source root) with the count of distinct files OUTSIDE the repo
+    * that reference it — through the from-import xref (explicit use) or a
+    * resolved cross-repo callsite. Zero-use exports are kept (LEFT join,
+    * not the xref's inner join): the dead-export census is the point — a
+    * deprecation/tree-shaking pass reads exactly the zeros, and a packaging
+    * pass reads the heavy tail. Counting distinct REFERENCING FILES (not
+    * occurrences) keeps the aggregate map-side-combinable and skew-bounded:
+    * a hub symbol's fan-in collapses in partial aggregation. */
+  def apiSurface(pages: DataFrame): DataFrame = {
+    val exports = pages.filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(V.repoIri(col("repo")).as("repo_iri"),
+        V.fileIri(col("repo"), col("path"), col("commit")).as("def_file"),
+        explode(definesOf).as("symbol"))
+      .distinct()
+    val fileRepo = pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(V.fileIri(col("repo"), col("path"), col("commit")).as("src_file"),
+        V.repoIri(col("repo")).as("src_repo"))
+    val uses = symbolXref(pages)
+      .join(fileRepo, "src_file")
+      .select(col("def_file"), col("symbol"), col("src_file"), col("src_repo"))
+    // externality is decided INSIDE the aggregate, not by a post-join
+    // filter: an export whose only references are intra-repo must surface
+    // as 0, not vanish with its filtered group
+    exports.join(uses, Seq("def_file", "symbol"), "left")
+      .groupBy(col("repo_iri"), col("def_file"), col("symbol"))
+      .agg(countDistinct(when(col("src_repo") =!= col("repo_iri"),
+        col("src_file"))).as("n_external_refs"))
+  }
+
   /** Module-ownership ambiguity census: modules DEFINED (path-derived) in
     * more than one repo — the vendored/forked-module signal that makes the
     * [[repoDeps]] resolution join fan out (an import of an ambiguous module
@@ -705,6 +736,7 @@ object CodeGraph {
     QueryDef("kg_code_canonical", (s, _) => canonicalFiles(corpus(s)), None),
     QueryDef("kg_code_idents", (s, _) => identifierCensus(corpus(s)), None),
     QueryDef("kg_code_conflicts", (s, _) => moduleConflicts(corpus(s)), None),
+    QueryDef("kg_code_api", (s, _) => apiSurface(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -610,6 +610,63 @@ class CodeGraphSpec extends AnyFunSuite {
       .filter(col("module").contains("strutil")).count() === 0)
   }
 
+  test("kg_code_api vs DuckDB (export usage census replay, zeros kept)") {
+    check("kg_code_api", CodeGraph.apiSurface(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          defsrc AS (SELECT repoiri, file, path, lang, content FROM f
+                     WHERE path LIKE 'src/%'),
+          exports AS (SELECT DISTINCT repoiri AS repo_iri, file AS def_file,
+                        unnest(CASE
+                          WHEN lang = 'python' THEN regexp_extract_all(content,
+                            '(?m)^(?:def|class)\\s+(\\w+)', 1)
+                          WHEN lang = 'scala' THEN regexp_extract_all(content,
+                            '(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)', 1)
+                          ELSE regexp_extract_all(content,
+                            '(?m)(?:class|interface|enum)\\s+(\\w+)', 1) END) AS symbol
+                      FROM defsrc),
+          refs AS (SELECT file AS src_file,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 1)) AS module,
+                     unnest(regexp_extract_all(content,
+                       '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 2)) AS symbol
+                   FROM f WHERE lang = 'python'),
+          dfs AS (SELECT file AS def_file,
+                    replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                      '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                    unnest(CASE
+                      WHEN lang = 'python' THEN regexp_extract_all(content,
+                        '(?m)^(?:def|class)\\s+(\\w+)', 1)
+                      WHEN lang = 'scala' THEN regexp_extract_all(content,
+                        '(?m)^\\s*(?:def|class|object|trait)\\s+(\\w+)', 1)
+                      ELSE regexp_extract_all(content,
+                        '(?m)(?:class|interface|enum)\\s+(\\w+)', 1) END) AS symbol
+                  FROM f WHERE path LIKE 'src/%'),
+          xref AS (SELECT r.src_file, r.symbol, d.def_file
+                   FROM refs r JOIN dfs d USING (module, symbol)
+                   WHERE r.src_file <> d.def_file),
+          filerepo AS (SELECT file AS src_file, repoiri AS src_repo FROM f),
+          uses AS (SELECT x.def_file, x.symbol, x.src_file, fr.src_repo
+                   FROM xref x JOIN filerepo fr USING (src_file))
+          SELECT e.repo_iri, e.def_file, e.symbol,
+                 count(DISTINCT CASE WHEN u.src_repo <> e.repo_iri
+                                     THEN u.src_file END) AS n_external_refs
+          FROM exports e LEFT JOIN uses u
+            ON u.def_file = e.def_file AND u.symbol = e.symbol
+          GROUP BY 1, 2, 3""")
+  }
+
+  test("api-surface hand check: zeros kept, intra-repo refs count as zero") {
+    val rows = CodeGraph.apiSurface(CodeGraph.corpus(spark)).collect()
+    // exports: 8 python src files x2 + 8 scala x3 + 8 java x1 + 2 forks x1
+    assert(rows.length === 50)
+    // exactly the 4 cross-repo from-import resolutions carry a reference
+    assert(rows.map(_.getLong(3)).sum === 4L)
+    // fn_0_1 / fn_3_1 ARE referenced — but only from their own repo (the
+    // j=0 python mods of repos 0 and 3): externally they are dead exports
+    val intraOnly = rows.filter(r => Set("fn_0_1", "fn_3_1")(r.getString(2)))
+    assert(intraOnly.length === 2 && intraOnly.forall(_.getLong(3) === 0L))
+  }
+
   test("depTriples compose with the six-column triple schema (Turtle sink)") {
     val dt = CodeGraph.depTriples(CodeGraph.corpus(spark))
     assert(dt.columns.toSeq ===
