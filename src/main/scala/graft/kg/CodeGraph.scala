@@ -51,8 +51,22 @@ object CodeGraph {
     val DefinedIn = Base + "definedIn"
     val DependsOn = Base + "dependsOn"
     def repoIri(r: Column): Column = concat(lit(Base + "repo/"), r)
+    /** Percent-encode the delimiter a segment must not contain ('%' first,
+      * so the encoding is injective and decodable): the repo segment ends
+      * at the first '/', the path/commit segments at the one '@' — a
+      * GitHub-style repo id 'org/name' or an '@'-bearing path would
+      * otherwise make two distinct (repo, path, commit) keys collide into
+      * ONE file IRI (merging two files' triples) and break the streaming
+      * retraction parse. Identity for ids without '%'/'/'/'@'. */
+    private def encRepo(r: Column): Column =
+      regexp_replace(regexp_replace(r, "%", "%25"), "/", "%2F")
+    private def encAt(c: Column): Column =
+      regexp_replace(regexp_replace(c, "%", "%25"), "@", "%40")
     def fileIri(r: Column, p: Column, c: Column): Column =
-      concat(lit(Base + "file/"), r, lit("/"), p, lit("@"), c)
+      concat(lit(Base + "file/"), encRepo(r), lit("/"), encAt(p), lit("@"), encAt(c))
+    /** (repo, path) in fileIri-segment encoding — the join key against
+      * repo/path captures parsed OUT of a file IRI. */
+    def fileIriKey(r: Column, p: Column): (Column, Column) = (encRepo(r), encAt(p))
     def moduleIri(m: Column): Column = concat(lit(Base + "module/"), m)
   }
 
@@ -128,8 +142,14 @@ object CodeGraph {
     * (both sides corpus-scaled at 10^12 files; AQE broadcasts the ownership
     * side when it is small), then ONE partial-aggregable groupBy on the
     * O(repos²)-bounded edge set. */
-  def repoDeps(pages: DataFrame): DataFrame = {
-    val t = fileTriples(pages)
+  def repoDeps(pages: DataFrame): DataFrame =
+    repoDepsFromTriples(fileTriples(pages))
+
+  /** [[repoDeps]] over an ALREADY-MATERIALIZED triples table — the form
+    * [[materialize]] uses so the staged code_deps derives from the staged
+    * code_triples instead of re-running the file-scaled parse+dedup pass
+    * (the dominant cost) a second time per cold build. */
+  def repoDepsFromTriples(t: DataFrame): DataFrame = {
     val owns = t.filter(col("pred") === V.DefinedIn)
       .select(col("subj").as("module"), col("objLex").as("dst_repo"))
       .distinct()
@@ -371,26 +391,50 @@ object CodeGraph {
       c.join(p, key, "left_anti").drop("_sha"))
   }
 
+  /** All module-definedIn-repo triples of a snapshot, from a NARROW
+    * (repo, path, lang) column scan — no content read, no parse. Shared by
+    * [[fileTriples]]' incremental splice: the definedIn triple is the ONE
+    * triple not 1:1 with a file (moduleOfPath strips the extension and maps
+    * both '/' and '.' to '.', so e.g. src/pkg/mod.py and src/pkg/mod.scala
+    * in one repo assert the SAME triple), so it is maintained by exact
+    * recompute over keys, never by per-file retraction. */
+  private def definedInTriples(pages: DataFrame): DataFrame =
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(
+        V.moduleIri(moduleOfPath(col("path"))).as("subj"),
+        lit(V.DefinedIn).as("pred"), lit(true).as("objIsIri"),
+        V.repoIri(col("repo")).as("objLex"),
+        lit("").as("objDtype"), lit("").as("objLang"))
+      .distinct()
+
   /** Incremental extraction across snapshots: triples(cur) computed WITHOUT
     * re-parsing unchanged files — at 10^12 files the daily delta is orders
     * of magnitude smaller than the corpus, and extraction (the only
-    * CPU-heavy stage) must run on delta rows only. Exactness argument:
-    * [[fileTriples]] is deterministic per input row and the per-row triple
-    * sets are disjoint across files (every subject IRI embeds the file's
-    * repo/path/commit; the one module-subject triple is 1:1 with its file's
-    * path), so retracting fileTriples(stale rows) from prevTriples leaves
-    * exactly triples(unchanged), and adding fileTriples(fresh rows) lands
-    * on triples(cur) — CodeGraphSpec differential-proves incremental ≡
-    * full recompute. Cost: parse on |delta| rows; the splice is one
-    * anti-join of prevTriples against the (delta-sized, broadcastable)
-    * retraction set — the same one full-size non-iterative shuffle the
-    * incremental CC/closure kernels pay to emit their maintained tables. */
+    * CPU-heavy stage) must run on delta rows only. Exactness argument, in
+    * two parts: (a) every triple EXCEPT definedIn has a subject IRI that
+    * embeds the file's (repo, path, commit) — injectively, per the
+    * percent-encoded [[V.fileIri]] — so those triple sets are disjoint
+    * across files and retracting fileTriples(stale rows) from prevTriples
+    * leaves exactly triples(unchanged files); (b) the definedIn triple is
+    * NOT 1:1 with a file (two files can assert the same module-owner pair —
+    * see [[definedInTriples]]), so per-file retraction could delete a
+    * triple an unchanged file still asserts; it is instead recomputed
+    * exactly from cur's (repo, path, lang) columns — a narrow, parse-free,
+    * column-pruned scan (no `content` I/O), which preserves the
+    * no-re-parse contract even though it touches every key row.
+    * CodeGraphSpec differential-proves incremental ≡ full recompute,
+    * including the colliding-definedIn case. Cost: parse on |delta| rows;
+    * the splice is one anti-join of prevTriples against the (delta-sized,
+    * broadcastable) retraction set plus the narrow key scan. */
   def incrementalFileTriples(prevTriples: DataFrame, prev: DataFrame,
                              cur: DataFrame): DataFrame = {
     val (stale, fresh) = snapshotDelta(prev, cur)
     val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
-    prevTriples.join(fileTriples(stale), cols, "left_anti")
-      .unionByName(fileTriples(fresh))
+    val nonDef = (t: DataFrame) => t.filter(col("pred") =!= V.DefinedIn)
+    nonDef(prevTriples).join(nonDef(fileTriples(stale)), cols, "left_anti")
+      .unionByName(nonDef(fileTriples(fresh)))
+      .unionByName(definedInTriples(cur))
   }
 
   /** Comment/whitespace normalization for clone detection: line comments
@@ -475,7 +519,8 @@ object CodeGraph {
       TableIO.stage(spark, s"$outDir/code_triples", fingerprint)(fileTriples(pages))
     if (s1) skipped += "code_triples"
     val (depsDf, s2) =
-      TableIO.stage(spark, s"$outDir/code_deps", fingerprint)(repoDeps(pages))
+      TableIO.stage(spark, s"$outDir/code_deps", fingerprint)(
+        repoDepsFromTriples(triplesDf))
     if (s2) skipped += "code_deps"
     val (_, s3) = TableIO.stage(spark, s"$outDir/code_dep_closure", fingerprint) {
       graft.queries.Iterative.closure(

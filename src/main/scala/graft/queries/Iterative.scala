@@ -60,7 +60,11 @@ object Iterative {
     * (reference: inference/InferenceHandler.java:36-60). Returns distinct
     * (src, dst) reachability pairs (input edges included). Cycles terminate
     * via the anti-join (once every reachable pair is seen, the delta dries
-    * up); maxDepth is a safety bound. */
+    * up); maxDepth is a COST bound that fails LOUDLY when hit with a live
+    * delta — a silently truncated closure is a wrong answer (an SCC census
+    * over it under-merges, a blast-radius query under-reports), and no
+    * caller of a *closure* wants bounded-depth reachability implicitly
+    * (use [[bfsDistances]] with an explicit horizon for that). */
   def closure(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
     // cleanLocalCheckpoint, not plain localCheckpoint: each round's delta
     // rides BOTH the probe side of the next join AND the `seen` union that
@@ -87,6 +91,9 @@ object Iterative {
       delta = next
       iter += 1
     }
+    require(n == 0, s"closure: delta still live ($n new pairs) after " +
+      s"maxDepth=$maxDepth rounds — raise maxDepth; refusing to return a " +
+      "silently truncated closure")
     seen
   }
 
@@ -531,6 +538,9 @@ object Iterative {
       delta = cleanLocalCheckpoint(next)
       iter += 1
     }
+    require(n == 0, s"closureDelta: delta still live ($n new pairs) after " +
+      s"maxDepth=$maxDepth rounds — raise maxDepth; refusing to return a " +
+      "silently truncated closure")
     seen
   }
 
@@ -590,13 +600,20 @@ object Iterative {
     val e = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // a DAG's longest path has < |nodes| edges, so the fixpoint arrives
+    // within |nodes|+1 rounds — only past THAT bound is "the input has a
+    // cycle" a proof, not a guess (a legitimate 100-wave build DAG needs
+    // more than the old flat 64 rounds and must not be misdiagnosed).
+    // maxDepth stays as caller-supplied extra headroom, never a lower cap.
+    val cycleBound = math.max(maxDepth.toLong, nodes.count() + 1L)
     var layers = nodes.withColumn("layer", lit(0L)).localCheckpoint()
     var changed = 1L
-    var iter = 0
+    var iter = 0L
     while (changed > 0) {
-      require(iter < maxDepth,
-        s"topoLayers: no fixpoint after $maxDepth rounds — the input has a " +
-          "cycle; condense SCCs first (stronglyConnectedComponents)")
+      require(iter < cycleBound,
+        s"topoLayers: no fixpoint after $cycleBound rounds (≥ node count + " +
+          "1, which proves a cycle) — condense SCCs first " +
+          "(stronglyConnectedComponents)")
       val next = nodes.join(
           e.join(layers, e("dst") === layers("node"))
             .groupBy(e("src").as("node"))

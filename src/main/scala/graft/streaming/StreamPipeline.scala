@@ -344,7 +344,12 @@ object StreamPipeline {
           else Some(graft.store.TurtleIO.parse(spark, graphDir).persist())
         try {
           val frozen = graft.kg.CodeGraph.fileTriples(rows).localCheckpoint()
-          val keys = batch.toDF().select(col("repo"), col("path")).distinct()
+          // keys in fileIri-SEGMENT encoding ('%'/'/'/'@' percent-encoded),
+          // matching what the regex parses OUT of live subjects — a raw
+          // 'org/name' repo would otherwise never match its own IRI and the
+          // superseded revision's facts would silently accumulate forever
+          val (kr, kp) = graft.kg.CodeGraph.V.fileIriKey(col("repo"), col("path"))
+          val keys = batch.toDF().select(kr.as("repo"), kp.as("path")).distinct()
           val ownedLive = live.map { lv =>
             lv.select(col("subj")).distinct()
               .filter(col("subj").startsWith(fileBase))

@@ -28,7 +28,9 @@ class CodeGraphSpec extends AnyFunSuite {
   // shared SQL fragments (the independent re-derivation of the extraction)
   private val B = "http://example.org/code/"
   private val fCte =
-    s"""f AS (SELECT '${B}file/' || repo || '/' || path || '@' || "commit" AS file,
+    s"""f AS (SELECT '${B}file/' || replace(replace(repo, '%', '%25'), '/', '%2F')
+                    || '/' || replace(replace(path, '%', '%25'), '@', '%40')
+                    || '@' || replace(replace("commit", '%', '%25'), '@', '%40') AS file,
                     '${B}repo/' || repo AS repoiri, *
              FROM pages WHERE lang IN ('python','scala','java')),
         impx AS (SELECT file, repoiri,
@@ -369,6 +371,43 @@ class CodeGraphSpec extends AnyFunSuite {
       assert(inc.count() === full.count())
       assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
     } finally inc.unpersist()
+  }
+
+  test("incremental: deleting one of two same-module files keeps the shared definedIn") {
+    import spark.implicits._
+    // moduleOfPath is non-injective: both files assert (module/m.a definedIn
+    // repo_x); dropping the .py must NOT retract the triple the unchanged
+    // .scala file still asserts
+    val py = ("repo_x", "src/m/a.py", "c1", "python", "def f():\n    pass\n")
+    val sc = ("repo_x", "src/m/a.scala", "c2", "scala", "object a {\n  def g(x: Int): Int = x\n}\n")
+    val prev = Seq(py, sc).toDF("repo", "path", "commit", "lang", "content")
+    val cur = Seq(sc).toDF("repo", "path", "commit", "lang", "content")
+    val inc = CodeGraph.incrementalFileTriples(CodeGraph.fileTriples(prev), prev, cur)
+    val full = CodeGraph.fileTriples(cur)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
+    assert(inc.filter(col("pred") === CodeGraph.V.DefinedIn).count() === 1)
+  }
+
+  test("fileIri is injective for delimiter-bearing (repo, path, commit) keys") {
+    import spark.implicits._
+    // without percent-encoding, rows 1+2 collide ('org/name','src/a.py' vs
+    // 'org','name/src/a.py') and rows 3+4 collide ('b@x','y' vs 'b','x@y')
+    val rows = Seq(
+      ("org/name", "src/a.py", "c1", "python", "def f():\n    pass\n"),
+      ("org", "name/src/a.py", "c1", "python", "def f():\n    pass\n"),
+      ("r", "b@x.py", "y1", "python", "def g():\n    pass\n"),
+      ("r", "b.py", "x@y1", "python", "def g():\n    pass\n"),
+      ("p%2Fq", "src/c.py", "c9", "python", "def h():\n    pass\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val subj = CodeGraph.fileTriples(rows)
+      .filter(col("pred") === CodeGraph.V.RdfType)
+      .select("subj").collect().map(_.getString(0))
+    assert(subj.length === 5 && subj.distinct.length === 5,
+      s"file IRIs must be injective: ${subj.mkString(", ")}")
+    // '%' is encoded first, so a repo already containing '%2F' cannot
+    // collide with an encoded '/': p%2Fq → p%252Fq ≠ p%2Fq ← p/q
+    assert(subj.exists(_.contains("file/p%252Fq/")))
+    assert(subj.exists(_.contains("file/org%2Fname/")))
   }
 
   test("kg_code_calls vs DuckDB (strip-then-extract callsite resolution replay)") {

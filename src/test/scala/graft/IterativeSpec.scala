@@ -171,6 +171,33 @@ class IterativeSpec extends AnyFunSuite {
     assert(bfsMap(chain, Seq(1L), maxDepth = 5)(6L) == 5L)
   }
 
+  test("closure/closureDelta: maxDepth hit with a live delta fails loudly, never truncates") {
+    // a 10-node chain needs 9 composition rounds — at maxDepth=3 the delta
+    // is still live and a silent return would be a WRONG closure (missing
+    // the long-range pairs), so both kernels must throw instead
+    val chain = (1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException](
+      Iterative.closure(chain, maxDepth = 3).count())
+    assert(e1.getMessage.contains("truncated"))
+    assert(Iterative.closure(chain).count() === 45L) // 10*9/2 pairs
+    val base = Seq((1L, 2L)).toDF("src", "dst")
+    val delta = (2L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    val e2 = intercept[IllegalArgumentException](
+      Iterative.closureDelta(Iterative.closure(base), delta, maxDepth = 2).count())
+    assert(e2.getMessage.contains("truncated"))
+    assert(Iterative.closureDelta(Iterative.closure(base), delta).count() === 45L)
+  }
+
+  test("topoLayers: a DAG deeper than the flat default converges (no cycle misdiagnosis)") {
+    // 70-edge chain: longest path 70 > the old flat 64-round bound, which
+    // used to abort with 'the input has a cycle' on this acyclic input —
+    // the cycle proof bound now scales with the node count
+    val deep = (1L to 71L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    val lay = Iterative.topoLayers(deep)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lay(71L) === 0L && lay(1L) === 70L && lay.size === 71)
+  }
+
   test("differential: bfsDistances vs in-JVM BFS on seeded random graphs") {
     for (trial <- 1 to 3) {
       val rnd = new scala.util.Random(2000 + trial)

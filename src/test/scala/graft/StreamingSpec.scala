@@ -301,6 +301,41 @@ class StreamingSpec extends AnyFunSuite {
       s"${CodeGraph.V.Base}repo/repo_b"))
   }
 
+  test("codeStreamToGraph: slash-bearing repo id still retracts its superseded revision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageRev
+    import graft.kg.CodeGraph
+    import graft.store.TurtleIO
+    val root = java.nio.file.Files.createTempDirectory("code-stream-slash").toString
+    val graphDir = s"$root/code-graph.ttl"
+    val ckpt = s"$root/ckpt"
+    // GitHub-style repo id: the file IRI percent-encodes the '/' so the
+    // live-subject parse recovers (repo, path) exactly — pre-fix, the parse
+    // split at the repo's '/', the ownership join never matched, and the
+    // old commit's facts accumulated beside the new ones
+    val v1 = PageRev(new java.sql.Timestamp(1000L), "org/app", "src/pkg/m.py",
+      "c1", "import os\ndef f():\n    pass\n")
+    val v2 = PageRev(new java.sql.Timestamp(2000L), "org/app", "src/pkg/m.py",
+      "c2", "import sys\ndef f():\n    pass\ndef g():\n    pass\n")
+    val input = MemoryStream[PageRev]
+    val q = StreamPipeline.codeStreamToGraph(input.toDS(), graphDir, ckpt)
+    try {
+      input.addData(Seq(v1)); q.processAllAvailable()
+      input.addData(Seq(v2)); q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val got = TurtleIO.parse(spark, graphDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    val want = CodeGraph.fileTriples(
+      Seq(("org/app", "src/pkg/m.py", "c2", "python", v2.content))
+        .toDF("repo", "path", "commit", "lang", "content"))
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    assert(got == want, s"superseded c1 facts must be retracted " +
+      s"(missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)})")
+    assert(!got.exists(_.contains("@c1")))
+  }
+
   test("streamToGraph: two micro-batches + a restart equal the batch pipeline's graph") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
