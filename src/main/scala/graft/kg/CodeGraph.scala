@@ -195,6 +195,87 @@ object CodeGraph {
       .orderBy(desc("n_importers"), asc("module"))
   }
 
+  /** Dead-module census: modules defined under a source root that NO file in
+    * the corpus imports (intra-repo imports count as usage) — the
+    * dead-code-candidate list a repo-hygiene sweep starts from. `owns` and
+    * the distinct imported-module set are both module-scaled (≪ files; the
+    * distinct is map-side combinable), so the anti-join is a small-keyed
+    * shuffle AQE turns into a broadcast at any realistic module/file ratio.
+    * Entry points and reflective loads are invisible to an import-anchor
+    * extractor, so this is a CANDIDATE list, same heuristic depth as the
+    * rest of the extraction. */
+  def deadModules(pages: DataFrame): DataFrame = {
+    val t = fileTriples(pages)
+    val owns = t.filter(col("pred") === V.DefinedIn)
+      .select(col("subj").as("module"), col("objLex").as("owner"))
+      .distinct()
+    val imported = t.filter(col("pred") === V.Imports)
+      .select(col("objLex").as("module")).distinct()
+    owns.join(imported, Seq("module"), "left_anti")
+      .orderBy("module", "owner")
+  }
+
+  /** External-dependency census: imported modules NO in-corpus repo defines,
+    * per (repo, module) with the distinct importing-file count — the
+    * requirements-manifest mining query (stdlib + third-party packages fall
+    * out of the ownership anti-join; at 10^12 files this is how a corpus
+    * derives its aggregate dependency footprint). The anti-join's right side
+    * is the module-scaled ownership set (broadcastable); the groupBy is
+    * partial-agg-friendly on (repo, module). */
+  def externalImports(pages: DataFrame): DataFrame = {
+    val t = fileTriples(pages)
+    val owns = t.filter(col("pred") === V.DefinedIn)
+      .select(col("subj").as("module")).distinct()
+    val imports = t.filter(col("pred") === V.Imports)
+      .select(col("subj").as("file"), col("objLex").as("module"))
+    val inRepo = t.filter(col("pred") === V.InRepo)
+      .select(col("subj").as("file"), col("objLex").as("repo"))
+    imports.join(owns, Seq("module"), "left_anti")
+      .join(inRepo, "file")
+      .groupBy("repo", "module")
+      .agg(countDistinct(col("file")).as("n_files"))
+      .orderBy("repo", "module")
+  }
+
+  /** Repo-pair similarity by shared imports: Jaccard over each repo's
+    * DISTINCT imported-module set, in basis points (integer arithmetic, so
+    * the DuckDB replay is exact). Ubiquitous modules are excluded first: a
+    * module imported by more than `maxDfBp`/10000 of importing repos (floor,
+    * min 1) carries no similarity signal and is exactly the hub key that
+    * would blow the self-join up to O(repos²) pairs — the same
+    * document-frequency cap the text-similarity family uses
+    * ([[graft.ops.Text]] dfCapFilter), here over repo-level sets. Sizes and
+    * the Jaccard denominator are computed over the CAPPED universe, so the
+    * score is self-consistent. The df census and the pair join both shuffle
+    * on `module`; the cap bounds per-module fan-out by construction. */
+  def repoImportSimilarity(pages: DataFrame, maxDfBp: Long = 8000): DataFrame = {
+    val t = fileTriples(pages)
+    val rm = t.filter(col("pred") === V.Imports)
+      .select(col("subj"), col("objLex").as("module"))
+      .join(t.filter(col("pred") === V.InRepo)
+        .select(col("subj"), col("objLex").as("repo")), "subj")
+      .select(col("repo"), col("module"))
+      .distinct()
+    val dfc = rm.groupBy("module").agg(count(lit(1)).as("df"))
+    val nRepos = rm.select(countDistinct(col("repo")).as("n"))
+    val keep = rm.join(dfc, "module")
+      .crossJoin(broadcast(nRepos))
+      .filter(col("df") <= greatest(lit(1L), expr(s"($maxDfBp * n) div 10000")))
+      .select(col("repo"), col("module"))
+    val sz = keep.groupBy("repo").agg(count(lit(1)).as("sz"))
+    val pairs = keep.as("a")
+      .join(keep.as("b"),
+        col("a.module") === col("b.module") && col("a.repo") < col("b.repo"))
+      .groupBy(col("a.repo").as("repo1"), col("b.repo").as("repo2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.select(col("repo").as("repo1"), col("sz").as("sz1")), "repo1")
+      .join(sz.select(col("repo").as("repo2"), col("sz").as("sz2")), "repo2")
+      .select(col("repo1"), col("repo2"), col("common"),
+        expr("(10000 * common) div (sz1 + sz2 - common)").as("jaccard_bp"))
+      .orderBy("repo1", "repo2")
+  }
+
   /** Transitive repo-dependency reachability over [[repoDeps]] edges via the
     * shared semi-naive kernel ([[graft.queries.Iterative.closure]]) — the
     * blast-radius / build-order query ("everything repo A transitively pulls
@@ -782,6 +863,9 @@ object CodeGraph {
     QueryDef("kg_code_idents", (s, _) => identifierCensus(corpus(s)), None),
     QueryDef("kg_code_conflicts", (s, _) => moduleConflicts(corpus(s)), None),
     QueryDef("kg_code_api", (s, _) => apiSurface(corpus(s)), None),
+    QueryDef("kg_code_dead", (s, _) => deadModules(corpus(s)), None),
+    QueryDef("kg_code_external", (s, _) => externalImports(corpus(s)), None),
+    QueryDef("kg_code_reposim", (s, _) => repoImportSimilarity(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -94,6 +94,84 @@ class CodeGraphSpec extends AnyFunSuite {
           GROUP BY 1""")
   }
 
+  test("kg_code_dead vs DuckDB (defined-but-never-imported replay)") {
+    check("kg_code_dead", CodeGraph.deadModules(CodeGraph.corpus(spark)),
+      s"""WITH $fCte
+          SELECT module, owner FROM owns
+          WHERE module NOT IN (SELECT module FROM impx)
+          ORDER BY 1, 2""")
+  }
+
+  test("dead-module hand check: only the un-imported fork module, both owners") {
+    // every pkg_i.mod_j is imported via the (i+1)%n seeding; common.strutil
+    // (the fork-conflict module) is defined under src/ by repos 1 and 4 but
+    // imported nowhere — the one dead candidate, listed once per owner
+    val dead = CodeGraph.deadModules(CodeGraph.corpus(spark)).collect()
+    assert(dead.length === 2)
+    assert(dead.forall(_.getString(0) ===
+      s"${CodeGraph.V.Base}module/common.strutil"))
+    assert(dead.map(_.getString(1)).sorted.toSeq === Seq(
+      s"${CodeGraph.V.Base}repo/repo_1", s"${CodeGraph.V.Base}repo/repo_4"))
+  }
+
+  test("kg_code_external vs DuckDB (unowned-import manifest replay)") {
+    check("kg_code_external", CodeGraph.externalImports(CodeGraph.corpus(spark)),
+      s"""WITH $fCte
+          SELECT repoiri AS repo, module, count(DISTINCT file) AS n_files
+          FROM impx
+          WHERE module NOT IN (SELECT module FROM owns)
+          GROUP BY 1, 2
+          ORDER BY 1, 2""")
+  }
+
+  test("external-import hand check: std.util everywhere, os only in the clone repos") {
+    // std.util: all 4 src files of each of the 6 repos; os: tools/gen.py in
+    // repo_0 and repo_3 only — 8 (repo, module) rows total, nothing else
+    // leaks (from-imports resolve to owned pkg modules)
+    val ext = CodeGraph.externalImports(CodeGraph.corpus(spark))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(ext.length === 8)
+    val su = ext.filter(_._2 == s"${CodeGraph.V.Base}module/std.util")
+    assert(su.length === 6 && su.forall(_._3 === 4L))
+    val os = ext.filter(_._2 == s"${CodeGraph.V.Base}module/os")
+    assert(os.map(_._1).sorted.toSeq === Seq(
+      s"${CodeGraph.V.Base}repo/repo_0", s"${CodeGraph.V.Base}repo/repo_3") &&
+      os.forall(_._3 === 1L))
+  }
+
+  test("kg_code_reposim vs DuckDB (df-capped repo-pair Jaccard replay)") {
+    check("kg_code_reposim", CodeGraph.repoImportSimilarity(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          rm AS (SELECT DISTINCT repoiri AS repo, module FROM impx),
+          dfc AS (SELECT module, count(*) AS df FROM rm GROUP BY 1),
+          nr AS (SELECT count(DISTINCT repo) AS n FROM rm),
+          keep AS (SELECT rm.repo, rm.module
+                   FROM rm JOIN dfc USING (module), nr
+                   WHERE dfc.df <= greatest(1, (8000 * nr.n) // 10000)),
+          sz AS (SELECT repo, count(*) AS sz FROM keep GROUP BY 1),
+          pairs AS (SELECT a.repo AS repo1, b.repo AS repo2, count(*) AS common
+                    FROM keep a JOIN keep b
+                      ON a.module = b.module AND a.repo < b.repo
+                    GROUP BY 1, 2)
+          SELECT p.repo1, p.repo2, p.common,
+                 (10000 * p.common) // (s1.sz + s2.sz - p.common) AS jaccard_bp
+          FROM pairs p JOIN sz s1 ON s1.repo = p.repo1
+                       JOIN sz s2 ON s2.repo = p.repo2
+          ORDER BY 1, 2""")
+  }
+
+  test("reposim hand check: hub module excluded; ordered pairs; bp bounded") {
+    // std.util (df 6 of 6 repos > the 80% cap of 4) must contribute to NO
+    // pair — with it, all 15 repo pairs would share a module; without it,
+    // similarity comes only from the seeded pkg-module overlaps
+    val sim = CodeGraph.repoImportSimilarity(CodeGraph.corpus(spark))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sim.nonEmpty && sim.length < 15,
+      s"the std.util hub would connect all 15 pairs; got ${sim.length}")
+    assert(sim.forall(p => p._1 < p._2))
+    assert(sim.forall(p => p._4 > 0L && p._4 <= 10000L && p._3 >= 1L))
+  }
+
   test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
     // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs
