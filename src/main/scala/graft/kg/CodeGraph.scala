@@ -276,6 +276,31 @@ object CodeGraph {
       .orderBy("repo1", "repo2")
   }
 
+  /** Comment-density census per (repo, lang): files, total lines, comment
+    * lines (line-anchored markers — `#` for python; line-comment,
+    * block-open and block-interior `*` prefixes for scala/java; a block
+    * line WITHOUT a leading `*` is out of a line-regex's scope, stated
+    * plainly), and density in basis points —
+    * the StarCoder-class curation signal beside
+    * [[graft.ops.Text.lineStats]]. Map-only `regexp_count` against the
+    * scan (no explode — a 10^12-file corpus never materializes per-line
+    * rows) feeding one partial-aggregable groupBy; integer bp arithmetic so
+    * the DuckDB replay is exact. */
+  def commentCensus(pages: DataFrame): DataFrame = {
+    val pat = when(col("lang") === "python", lit("(?m)^[ \\t]*#"))
+      .otherwise(lit("(?m)^[ \\t]*(?://|/\\*|\\*)"))
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("lang"),
+        size(split(col("content"), "\n")).cast("long").as("lines"),
+        regexp_count(col("content"), pat).cast("long").as("comments"))
+      .groupBy("repo", "lang")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("lines")).as("total_lines"),
+        sum(col("comments")).as("comment_lines"),
+        expr("(10000 * sum(comments)) div sum(lines)").as("comment_bp"))
+      .orderBy("repo", "lang")
+  }
+
   /** Transitive repo-dependency reachability over [[repoDeps]] edges via the
     * shared semi-naive kernel ([[graft.queries.Iterative.closure]]) — the
     * blast-radius / build-order query ("everything repo A transitively pulls
@@ -866,6 +891,7 @@ object CodeGraph {
     QueryDef("kg_code_dead", (s, _) => deadModules(corpus(s)), None),
     QueryDef("kg_code_external", (s, _) => externalImports(corpus(s)), None),
     QueryDef("kg_code_reposim", (s, _) => repoImportSimilarity(corpus(s)), None),
+    QueryDef("kg_code_comments", (s, _) => commentCensus(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

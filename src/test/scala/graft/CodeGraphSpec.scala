@@ -172,6 +172,35 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(sim.forall(p => p._4 > 0L && p._4 <= 10000L && p._3 >= 1L))
   }
 
+  test("kg_code_comments vs DuckDB (comment-density census replay)") {
+    check("kg_code_comments", CodeGraph.commentCensus(CodeGraph.corpus(spark)),
+      s"""WITH c AS (
+            SELECT repo, lang, len(string_split(content, chr(10))) AS lines,
+                   len(regexp_extract_all(content, '(?m)^[ \\t]*#')) AS comments
+            FROM pages WHERE lang = 'python'
+            UNION ALL
+            SELECT repo, lang, len(string_split(content, chr(10))),
+                   len(regexp_extract_all(content, '(?m)^[ \\t]*(?://|/\\*|\\*)'))
+            FROM pages WHERE lang IN ('scala', 'java'))
+          SELECT repo, lang, count(*) AS n_files,
+                 CAST(sum(lines) AS BIGINT) AS total_lines,
+                 CAST(sum(comments) AS BIGINT) AS comment_lines,
+                 CAST((10000 * sum(comments)) // sum(lines) AS BIGINT) AS comment_bp
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  test("comment-density hand check: repo_0 python files counted line by line") {
+    // mod_0.py / mod_3.py: 11 split-lines (trailing '' counts), 1 '#' header;
+    // vendor/lib_util.py: 3 lines, 0 comments; tools/gen.py: 10 lines, 2
+    // comments -> 4 files, 35 lines, 4 comment lines, 40000 div 35 = 1142 bp
+    val row = CodeGraph.commentCensus(CodeGraph.corpus(spark))
+      .filter(col("repo") === "repo_0" && col("lang") === "python")
+      .collect()
+    assert(row.length === 1)
+    assert((row(0).getLong(2), row(0).getLong(3), row(0).getLong(4),
+      row(0).getLong(5)) === ((4L, 35L, 4L, 1142L)))
+  }
+
   test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
     // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs
