@@ -456,6 +456,45 @@ object CodeGraph {
         concat_ws("|", array_sort(collect_set(col("node")))).as("repos"))
       .filter(col("n_repos") > 1)
 
+  /** Module-granularity dependency edges: importing file's OWN module (its
+    * src-rooted path, so only files that define a module emit edges) →
+    * imported module, kept when the target is defined in-corpus, weighted
+    * by distinct importing files. The finer build graph a monorepo
+    * refactor works at — repo-level edges ([[repoDeps]]) can look acyclic
+    * while two modules inside the repos form a cycle, and vice versa. The
+    * ownership set is module-scaled (broadcastable); the edge aggregate is
+    * partial-agg-friendly and bounded by O(modules²), never file-scaled. */
+  def moduleDeps(pages: DataFrame): DataFrame = {
+    val code = pages.filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+    val owned = code
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("dst_module"))
+      .distinct()
+    val refs = code.select(
+        V.moduleIri(moduleOfPath(col("path"))).as("src_module"),
+        V.fileIri(col("repo"), col("path"), col("commit")).as("file"),
+        explode(importsOf).as("m"))
+      .select(col("src_module"), col("file"),
+        V.moduleIri(col("m")).as("dst_module"))
+    refs.join(owned, "dst_module")
+      .filter(col("src_module") =!= col("dst_module"))
+      .groupBy("src_module", "dst_module")
+      .agg(countDistinct(col("file")).as("n_files"))
+      .orderBy("src_module", "dst_module")
+  }
+
+  /** Module-level circular-dependency census: nontrivial SCCs of
+    * [[moduleDeps]] — same kernel and scale envelope as [[depCycles]], one
+    * granularity finer. */
+  def moduleCycles(pages: DataFrame): DataFrame =
+    graft.queries.Iterative.stronglyConnectedComponents(
+        moduleDeps(pages)
+          .select(col("src_module").as("src"), col("dst_module").as("dst")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_modules"),
+        concat_ws("|", array_sort(collect_set(col("node")))).as("modules"))
+      .filter(col("n_modules") > 1)
+
   /** Build-order layers: condense the [[repoDeps]] graph by its strongly
     * connected components (a cyclic group builds as ONE unit or not at
     * all), project edges onto components (dropping intra-group edges),
@@ -892,6 +931,8 @@ object CodeGraph {
     QueryDef("kg_code_external", (s, _) => externalImports(corpus(s)), None),
     QueryDef("kg_code_reposim", (s, _) => repoImportSimilarity(corpus(s)), None),
     QueryDef("kg_code_comments", (s, _) => commentCensus(corpus(s)), None),
+    QueryDef("kg_code_moddeps", (s, _) => moduleDeps(corpus(s)), None),
+    QueryDef("kg_code_modcycles", (s, _) => moduleCycles(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -201,6 +201,72 @@ class CodeGraphSpec extends AnyFunSuite {
       row(0).getLong(5)) === ((4L, 35L, 4L, 1142L)))
   }
 
+  test("kg_code_moddeps vs DuckDB (module-granularity edge replay)") {
+    check("kg_code_moddeps", CodeGraph.moduleDeps(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          mref AS (SELECT '${B}module/' ||
+                     replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                       '\\.(py|scala|java)$$', ''), '/', '.') AS src_module,
+                   file,
+                   '${B}module/' || unnest(regexp_extract_all(content,
+                     '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1)) AS dst_module
+                   FROM f WHERE path LIKE 'src/%')
+          SELECT src_module, dst_module, count(DISTINCT file) AS n_files
+          FROM mref
+          WHERE dst_module IN (SELECT module FROM owns)
+            AND src_module <> dst_module
+          GROUP BY 1, 2
+          ORDER BY 1, 2""")
+  }
+
+  test("module-dep hand check: 48 single-file edges; forks and std.util emit none") {
+    // each of the 24 src module files contributes exactly its two seeded
+    // in-corpus imports (std.util is unowned -> dropped; the fork files
+    // import nothing); no two files share an edge, so every weight is 1
+    val e = CodeGraph.moduleDeps(CodeGraph.corpus(spark)).collect()
+    assert(e.length === 48)
+    assert(e.forall(_.getLong(2) === 1L))
+    assert(!e.exists(r => r.getString(0).contains("common.strutil") ||
+      r.getString(1).contains("std.util")))
+  }
+
+  test("kg_code_modcycles vs DuckDB (module-level SCC census replay)") {
+    check("kg_code_modcycles", CodeGraph.moduleCycles(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte,
+          mdeps AS (SELECT DISTINCT '${B}module/' ||
+                      replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                        '\\.(py|scala|java)$$', ''), '/', '.') AS src,
+                    '${B}module/' || unnest(regexp_extract_all(content,
+                      '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1)) AS dst
+                    FROM f WHERE path LIKE 'src/%'),
+          deps AS (SELECT src, dst FROM mdeps
+                   WHERE dst IN (SELECT module FROM owns) AND src <> dst),
+          reach(src, dst) AS (
+            SELECT src, dst FROM deps
+            UNION
+            SELECT r.src, d.dst FROM reach r JOIN deps d ON d.src = r.dst),
+          mutual AS (SELECT f.src AS node, f.dst AS peer
+                     FROM reach f JOIN reach b
+                       ON f.src = b.dst AND f.dst = b.src),
+          nodes AS (SELECT src AS node FROM deps UNION SELECT dst FROM deps),
+          comp AS (SELECT n.node,
+                          least(coalesce(min(m.peer), n.node), n.node) AS component
+                   FROM nodes n LEFT JOIN mutual m USING (node)
+                   GROUP BY n.node)
+          SELECT component, count(*) AS n_modules,
+                 array_to_string(list_sort(list(node)), '|') AS modules
+          FROM comp GROUP BY 1 HAVING count(*) > 1""")
+  }
+
+  test("module-cycle hand check: the seeded imports weld all 24 modules into ONE SCC") {
+    // imp1 edges form a 6-cycle per mod_j column; imp2 edges step j -> j+1
+    // and wrap at j=3, so every module reaches (and is reached by) every
+    // other: one component of 24 — finer-granularity truth the repo-level
+    // census cannot express (it reports repo SCCs, not which modules weld)
+    val c = CodeGraph.moduleCycles(CodeGraph.corpus(spark)).collect()
+    assert(c.length === 1 && c(0).getLong(1) === 24L)
+  }
+
   test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
     // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs
