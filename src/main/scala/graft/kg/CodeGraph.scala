@@ -520,6 +520,33 @@ object CodeGraph {
         coalesce(col("layer"), lit(0L)).as("layer"))
   }
 
+  /** Change blast radius: every module transitively impacted by a snapshot
+    * delta, with its BFS hop distance from the nearest changed module — the
+    * query that sizes an incremental rebuild / re-test / re-extract before
+    * running it. Seeds are the delta rows' OWN modules (src-rooted code
+    * files on either side of the change — an added, removed, or edited
+    * module all seed); impact flows opposite the import direction, over the
+    * UNION of prev's and cur's [[moduleDeps]] edges so a DELETED module
+    * still reaches its now-dangling importers (cur's graph alone has no
+    * edge to them — the import no longer resolves). Seeded semi-naive BFS
+    * ([[graft.queries.Iterative.bfsDistances]]): rounds bounded by impact
+    * diameter, per-round work by the frontier — never all-pairs, never
+    * file-scaled past the delta scan and the module-scaled edge build. */
+  def blastRadius(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val (stale, fresh) = snapshotDelta(prev, cur)
+    val changed = stale.unionByName(fresh)
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("node"))
+      .distinct()
+    val rev = moduleDeps(prev).unionByName(moduleDeps(cur))
+      .select(col("dst_module").as("src"), col("src_module").as("dst"))
+      .distinct()
+    graft.queries.Iterative.bfsDistances(rev, changed)
+      .select(col("node").as("module"), col("dist"))
+      .orderBy("dist", "module")
+  }
+
   /** Snapshot delta keyed on the north rule's per-row lineage invariant:
     * a row is UNCHANGED iff (repo, path, commit, sha256(content)) matches
     * across snapshots — content equality checked through the same digest
@@ -933,6 +960,8 @@ object CodeGraph {
     QueryDef("kg_code_comments", (s, _) => commentCensus(corpus(s)), None),
     QueryDef("kg_code_moddeps", (s, _) => moduleDeps(corpus(s)), None),
     QueryDef("kg_code_modcycles", (s, _) => moduleCycles(corpus(s)), None),
+    QueryDef("kg_code_blast", (s, _) =>
+      blastRadius(prevSnapshot(s), corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

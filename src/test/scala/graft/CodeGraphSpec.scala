@@ -267,6 +267,76 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(c.length === 1 && c(0).getLong(1) === 24L)
   }
 
+  test("kg_code_blast vs DuckDB (delta-seeded reverse-BFS impact replay)") {
+    setup
+    CodeGraph.prevSnapshot(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/prev")
+    val modExpr = (t: String) => s"'${B}module/' || replace(regexp_replace(" +
+      s"regexp_replace($t.path, '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.')"
+    val impExpr = (t: String) => s"'${B}module/' || unnest(regexp_extract_all(" +
+      s"$t.content, '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1))"
+    val codeOf = (v: String) =>
+      s"(SELECT * FROM $v WHERE lang IN ('python','scala','java') AND path LIKE 'src/%')"
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c,
+        s"CREATE VIEW prev AS SELECT * FROM read_parquet('$dir/prev/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.blastRadius(CodeGraph.prevSnapshot(spark), CodeGraph.corpus(spark)),
+        s"""WITH RECURSIVE
+            pk AS (SELECT repo, path, "commit", lang,
+                          sha256(content) AS sha FROM pages),
+            vk AS (SELECT repo, path, "commit", lang,
+                          sha256(content) AS sha FROM prev),
+            delta AS (
+              SELECT v.repo, v.path, v.lang FROM vk v
+              WHERE NOT EXISTS (SELECT 1 FROM pk p
+                WHERE p.repo = v.repo AND p.path = v.path
+                  AND p."commit" = v."commit" AND p.sha = v.sha)
+              UNION
+              SELECT p.repo, p.path, p.lang FROM pk p
+              WHERE NOT EXISTS (SELECT 1 FROM vk v
+                WHERE v.repo = p.repo AND v.path = p.path
+                  AND v."commit" = p."commit" AND v.sha = p.sha)),
+            seeds AS (SELECT DISTINCT ${modExpr("delta")} AS node FROM delta
+                      WHERE lang IN ('python', 'scala', 'java')
+                        AND path LIKE 'src/%'),
+            ec AS (SELECT DISTINCT ${modExpr("c")} AS src, ${impExpr("c")} AS dst
+                   FROM ${codeOf("pages")} c),
+            oc AS (SELECT DISTINCT ${modExpr("c")} AS m FROM ${codeOf("pages")} c),
+            ep AS (SELECT DISTINCT ${modExpr("c")} AS src, ${impExpr("c")} AS dst
+                   FROM ${codeOf("prev")} c),
+            op AS (SELECT DISTINCT ${modExpr("c")} AS m FROM ${codeOf("prev")} c),
+            rev AS (SELECT DISTINCT dst AS src, src AS dst FROM (
+                      SELECT src, dst FROM ec
+                      WHERE dst IN (SELECT m FROM oc) AND src <> dst
+                      UNION
+                      SELECT src, dst FROM ep
+                      WHERE dst IN (SELECT m FROM op) AND src <> dst)),
+            walk(node, dist) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT r.dst, w.dist + 1 FROM walk w
+              JOIN rev r ON r.src = w.node WHERE w.dist < 40)
+            SELECT node AS module, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY 1""",
+        "kg_code_blast")
+    }
+  }
+
+  test("blast-radius hand check: one changed module seeds; the SCC pulls in all 24") {
+    // delta = {mod_0.scala changed (seed pkg_1.mod_0), tools/gen.py added
+    // (no module), old/legacy.py removed (no module)}; the module graph is
+    // one SCC, so every module is transitively impacted, at hop >= 1
+    val br = CodeGraph.blastRadius(
+        CodeGraph.prevSnapshot(spark), CodeGraph.corpus(spark))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(br.size === 24)
+    assert(br(s"${CodeGraph.V.Base}module/pkg_1.mod_0") === 0L)
+    assert(br.count(_._2 === 0L) === 1 && br.values.forall(_ <= 23L))
+  }
+
   test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
     // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs

@@ -337,6 +337,21 @@ class PlanSpec extends AnyFunSuite {
       s"triangle plan fell back to a nested-loop join:\n$p")
   }
 
+  test("dead/external censuses anti-join; reposim broadcasts its 1-row cap frame") {
+    // the ownership/imported sets are module-scaled — the never-imported and
+    // never-owned censuses must be LeftAnti joins (a full outer + null
+    // filter would shuffle the file-scaled side twice)
+    for (q <- Seq("kg_code_dead", "kg_code_external")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("LeftAnti"), s"$q lost its anti-join shape:\n$p")
+    }
+    // the df-cap threshold rides a 1-row aggregate crossJoin(broadcast(..)):
+    // a CartesianProduct here would repartition the corpus-scaled side
+    val p = plan(SparkEntry.queries("kg_code_reposim")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"reposim cap frame is not broadcast:\n$p")
+  }
+
   test("calibrated filter: the corpus is never globally sorted (histogram-bounded quantile)") {
     // the only single-partition window may run over the bounded stop_bp
     // histogram; a rangepartitioning exchange would mean the CORPUS is
