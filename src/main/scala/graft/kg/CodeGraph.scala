@@ -815,6 +815,58 @@ object CodeGraph {
       .orderBy("repo", "license")
   }
 
+  /** Per-repo health report — the capstone composition: file/lang counts,
+    * comment density, license set, external-dependency and dead-module
+    * counts, cross-repo exact-dup participation, and dependency in/out
+    * degree, ONE row per repo. Every input census is repo- or
+    * module-scaled after its own aggregation, so the report joins are
+    * dimension-sized (AQE broadcasts them); nothing here re-shuffles
+    * file-scaled rows. A staged build derives the same frame from the
+    * materialized code_triples instead of re-running extraction per
+    * census — this composition form exists for the one-shot path and as
+    * the executable spec of the report's semantics. */
+  def repoReport(pages: DataFrame): DataFrame = {
+    val code = pages.filter(col("lang").isin("python", "scala", "java"))
+    val base = code.groupBy("repo")
+      .agg(count(lit(1)).as("n_files"), countDistinct(col("lang")).as("n_langs"))
+      .withColumn("repo_iri", V.repoIri(col("repo")))
+    val cmt = commentCensus(pages).groupBy("repo")
+      .agg(expr("(10000 * sum(comment_lines)) div sum(total_lines)")
+        .as("comment_bp"))
+    val lic = licenseCensus(pages).groupBy("repo")
+      .agg(concat_ws("|", array_sort(collect_set(col("license")))).as("licenses"))
+    val ext = externalImports(pages).groupBy(col("repo").as("repo_iri"))
+      .agg(countDistinct(col("module")).as("n_external"))
+    val dead = deadModules(pages).groupBy(col("owner").as("repo_iri"))
+      .agg(count(lit(1)).as("n_dead"))
+    val shaRepos = code.select(sha2(col("content"), 256).as("sha"), col("repo"))
+    val vend = shaRepos.join(
+        shaRepos.groupBy("sha").agg(countDistinct(col("repo")).as("nr"))
+          .filter(col("nr") > 1).select("sha"), "sha")
+      .groupBy("repo").agg(count(lit(1)).as("n_vendored"))
+    val deps = repoDeps(pages)
+    val outd = deps.groupBy(col("src_repo").as("repo_iri"))
+      .agg(count(lit(1)).as("deps_out"))
+    val ind = deps.groupBy(col("dst_repo").as("repo_iri"))
+      .agg(count(lit(1)).as("deps_in"))
+    base
+      .join(cmt, Seq("repo"), "left")
+      .join(lic, Seq("repo"), "left")
+      .join(vend, Seq("repo"), "left")
+      .join(ext, Seq("repo_iri"), "left")
+      .join(dead, Seq("repo_iri"), "left")
+      .join(outd, Seq("repo_iri"), "left")
+      .join(ind, Seq("repo_iri"), "left")
+      .select(col("repo"), col("n_files"), col("n_langs"), col("comment_bp"),
+        col("licenses"),
+        coalesce(col("n_external"), lit(0L)).as("n_external"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+        coalesce(col("n_vendored"), lit(0L)).as("n_vendored"),
+        coalesce(col("deps_out"), lit(0L)).as("deps_out"),
+        coalesce(col("deps_in"), lit(0L)).as("deps_in"))
+      .orderBy("repo")
+  }
+
   // ---- deterministic synthetic corpus (tests / verify; no external data) ----
 
   /** Deterministic code corpus in the input_hint shape: `nRepos` repos ×
@@ -962,6 +1014,7 @@ object CodeGraph {
     QueryDef("kg_code_modcycles", (s, _) => moduleCycles(corpus(s)), None),
     QueryDef("kg_code_blast", (s, _) =>
       blastRadius(prevSnapshot(s), corpus(s)), None),
+    QueryDef("kg_code_report", (s, _) => repoReport(corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

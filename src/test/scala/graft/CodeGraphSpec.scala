@@ -337,6 +337,77 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(br.count(_._2 === 0L) === 1 && br.values.forall(_ <= 23L))
   }
 
+  test("kg_code_report vs DuckDB (composite per-repo health replay)") {
+    val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
+    check("kg_code_report", CodeGraph.repoReport(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          base AS (SELECT repo, repoiri, count(*) AS n_files,
+                          count(DISTINCT lang) AS n_langs
+                   FROM f GROUP BY 1, 2),
+          cl AS (SELECT repo, len(string_split(content, chr(10))) AS lines,
+                        len(regexp_extract_all(content, '(?m)^[ \\t]*#')) AS comments
+                 FROM f WHERE lang = 'python'
+                 UNION ALL
+                 SELECT repo, len(string_split(content, chr(10))),
+                        len(regexp_extract_all(content, '(?m)^[ \\t]*(?://|/\\*|\\*)'))
+                 FROM f WHERE lang IN ('scala', 'java')),
+          cmt AS (SELECT repo,
+                         CAST((10000 * sum(comments)) // sum(lines) AS BIGINT)
+                           AS comment_bp
+                  FROM cl GROUP BY 1),
+          lic AS (SELECT repo, array_to_string(list_sort(list(DISTINCT
+                    CASE WHEN regexp_matches(substr(content, 1, 512), '$p0') THEN '$n0'
+                         WHEN regexp_matches(substr(content, 1, 512), '$p1') THEN '$n1'
+                         WHEN regexp_matches(substr(content, 1, 512), '$p2') THEN '$n2'
+                         ELSE 'unknown' END)), '|') AS licenses
+                  FROM f GROUP BY 1),
+          ext AS (SELECT repoiri, count(DISTINCT module) AS n_external
+                  FROM impx WHERE module NOT IN (SELECT module FROM owns)
+                  GROUP BY 1),
+          dead AS (SELECT owner, count(*) AS n_dead FROM owns
+                   WHERE module NOT IN (SELECT module FROM impx) GROUP BY 1),
+          shar AS (SELECT sha256(content) AS sha, repo FROM f),
+          vend AS (SELECT repo, count(*) AS n_vendored FROM shar
+                   WHERE sha IN (SELECT sha FROM shar
+                                 GROUP BY sha HAVING count(DISTINCT repo) > 1)
+                   GROUP BY 1),
+          deps AS (SELECT DISTINCT i.repoiri AS src, o.owner AS dst
+                   FROM impx i JOIN owns o ON o.module = i.module
+                   WHERE i.repoiri <> o.owner),
+          outd AS (SELECT src, count(*) AS deps_out FROM deps GROUP BY 1),
+          ind AS (SELECT dst, count(*) AS deps_in FROM deps GROUP BY 1)
+          SELECT b.repo, b.n_files, b.n_langs, c.comment_bp, l.licenses,
+                 coalesce(e.n_external, 0) AS n_external,
+                 coalesce(d.n_dead, 0) AS n_dead,
+                 coalesce(v.n_vendored, 0) AS n_vendored,
+                 coalesce(o.deps_out, 0) AS deps_out,
+                 coalesce(i.deps_in, 0) AS deps_in
+          FROM base b
+          LEFT JOIN cmt c USING (repo) LEFT JOIN lic l USING (repo)
+          LEFT JOIN vend v USING (repo)
+          LEFT JOIN ext e ON e.repoiri = b.repoiri
+          LEFT JOIN dead d ON d.owner = b.repoiri
+          LEFT JOIN outd o ON o.src = b.repoiri
+          LEFT JOIN ind i ON i.dst = b.repoiri
+          ORDER BY 1""")
+  }
+
+  test("repo-report hand check: repo_0 and repo_1 rows field by field") {
+    // repo_0: 4 src + vendored + gen.py = 6 files over 3 langs; externals
+    // std.util + os; no dead modules; 1 exact-dup file (lib_util.py);
+    // deps_out {repo_1,repo_2,repo_3} = 3. repo_1: 5 files (4 src + vendored
+    // + strutil fork... fork IS under src: 6 files), dead fork module = 1,
+    // externals {std.util} = 1
+    val rep = CodeGraph.repoReport(CodeGraph.corpus(spark))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r0 = rep("repo_0")
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(5), r0.getLong(6),
+      r0.getLong(7), r0.getLong(8)) === ((6L, 3L, 2L, 0L, 1L, 3L)))
+    val r1 = rep("repo_1")
+    assert((r1.getLong(1), r1.getLong(5), r1.getLong(6), r1.getLong(7))
+      === ((6L, 1L, 1L, 1L)))
+  }
+
   test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
     // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs
