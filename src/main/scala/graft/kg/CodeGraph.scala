@@ -867,6 +867,78 @@ object CodeGraph {
       .orderBy("repo")
   }
 
+  // autogenerated-file markers, header-bounded like the license scan; the
+  // RE2 ∩ java.util.regex common subset so the DuckDB oracle replays them
+  private[graft] val AutogenPattern: String =
+    "DO NOT EDIT|@generated|[Cc]ode generated by|[Aa]uto-?generated"
+
+  /** Per-file training-data quality gate for code — the StarCoder-class
+    * filter set a 100 TB code corpus is curated with before tokenization:
+    * line-length profile (minified / data-blob detection), alphanumeric
+    * fraction (binary-ish or ASCII-art payloads), and autogenerated-header
+    * detection, each emitted as an auditable signal plus one `keep`
+    * verdict. Map-only over the scan — the per-line max uses
+    * `transform`+`array_max` on the split array (codegen'd HOF; no per-line
+    * explode, so a 10^12-file corpus never materializes line rows) and
+    * every ratio is integer arithmetic (centi-chars / basis points) so the
+    * DuckDB replay is exact. Thresholds follow the published StarCoder
+    * defaults (avg line ≤ 100 chars, max line ≤ 1000, alnum fraction
+    * ≥ 0.25); autogenerated files are rejected outright. */
+  def codeQuality(pages: DataFrame): DataFrame = {
+    val lines = split(col("content"), "\n")
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("path"),
+        size(lines).cast("long").as("n_lines"),
+        array_max(transform(lines, x => length(x))).cast("long").as("max_line"),
+        // sum of line lengths = content length minus the n_lines-1 separators
+        length(col("content")).cast("long").as("char_len"),
+        length(regexp_replace(col("content"), "[^A-Za-z0-9]", ""))
+          .cast("long").as("alnum_len"),
+        substring(col("content"), 1, 512).rlike(AutogenPattern).as("autogen"))
+      .select(col("repo"), col("path"), col("n_lines"), col("max_line"),
+        expr("(100 * (char_len - n_lines + 1)) div n_lines")
+          .as("avg_line_centi"),
+        expr("(10000 * alnum_len) div greatest(char_len, 1)").as("alnum_bp"),
+        col("autogen"))
+      .withColumn("keep",
+        !col("autogen") && col("max_line") <= 1000L &&
+          col("avg_line_centi") <= 10000L && col("alnum_bp") >= 2500L)
+      .orderBy("repo", "path")
+  }
+
+  /** Snapshot-churn census: per-repo added / removed / changed / unchanged
+    * file counts between two corpus snapshots, plus churn in basis points
+    * of the CURRENT tree — the hotspot signal an incremental ingestion
+    * pipeline budgets re-extraction by (compose with [[blastRadius]] for
+    * the dependency-aware view). ONE full-outer join on the natural key
+    * (repo, path) over digest-projected sides (ids + sha256 only, never
+    * content), partitioned identically at any scale; change detection is
+    * digest inequality, the same lineage invariant [[fileTriples]] emits.
+    * Repos absent from one side degenerate gracefully (all-added /
+    * all-removed). */
+  def churnCensus(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def digests(df: DataFrame, shaCol: String) =
+      df.filter(col("lang").isin("python", "scala", "java"))
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as(shaCol))
+    val p = digests(prev, "sha_prev")
+    val c = digests(cur, "sha_cur")
+    p.join(c, Seq("repo", "path"), "full_outer")
+      .groupBy("repo")
+      .agg(
+        sum(when(col("sha_prev").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("sha_cur").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("sha_prev").isNotNull && col("sha_cur").isNotNull &&
+          col("sha_prev") =!= col("sha_cur"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("sha_prev") === col("sha_cur"), 1L).otherwise(0L))
+          .as("unchanged"),
+        sum(when(col("sha_cur").isNotNull, 1L).otherwise(0L)).as("cur_files"))
+      .select(col("repo"), col("added"), col("removed"), col("changed"),
+        col("unchanged"),
+        expr("(10000 * (added + removed + changed)) div greatest(cur_files, 1)")
+          .as("churn_bp"))
+      .orderBy("repo")
+  }
+
   // ---- deterministic synthetic corpus (tests / verify; no external data) ----
 
   /** Deterministic code corpus in the input_hint shape: `nRepos` repos ×
@@ -1015,6 +1087,9 @@ object CodeGraph {
     QueryDef("kg_code_blast", (s, _) =>
       blastRadius(prevSnapshot(s), corpus(s)), None),
     QueryDef("kg_code_report", (s, _) => repoReport(corpus(s)), None),
+    QueryDef("kg_code_quality", (s, _) => codeQuality(corpus(s)), None),
+    QueryDef("kg_code_churn", (s, _) =>
+      churnCensus(prevSnapshot(s), corpus(s)), None),
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))

@@ -408,6 +408,121 @@ class CodeGraphSpec extends AnyFunSuite {
       === ((6L, 1L, 1L, 1L)))
   }
 
+  test("kg_code_quality vs DuckDB (StarCoder-class gate replay)") {
+    check("kg_code_quality", CodeGraph.codeQuality(CodeGraph.corpus(spark)),
+      s"""WITH f AS (SELECT * FROM pages
+                     WHERE lang IN ('python','scala','java')),
+          q AS (SELECT repo, path,
+                  len(string_split(content, chr(10))) AS n_lines,
+                  list_max(list_transform(string_split(content, chr(10)),
+                    x -> length(x))) AS max_line,
+                  length(content) AS char_len,
+                  length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+                    AS alnum_len,
+                  regexp_matches(substr(content, 1, 512),
+                    '${CodeGraph.AutogenPattern}') AS autogen
+                FROM f),
+          r AS (SELECT repo, path, CAST(n_lines AS BIGINT) AS n_lines,
+                  CAST(max_line AS BIGINT) AS max_line,
+                  CAST((100 * (char_len - n_lines + 1)) // n_lines AS BIGINT)
+                    AS avg_line_centi,
+                  CAST((10000 * alnum_len) // greatest(char_len, 1) AS BIGINT)
+                    AS alnum_bp,
+                  autogen
+                FROM q)
+          SELECT *, (NOT autogen AND max_line <= 1000
+                     AND avg_line_centi <= 10000 AND alnum_bp >= 2500) AS keep
+          FROM r ORDER BY repo, path""")
+  }
+
+  test("code-quality hand check: each gate rejects; the clean corpus keeps") {
+    import spark.implicits._
+    // every fixture file is human-shaped — the whole corpus passes the gate
+    val corpusQ = CodeGraph.codeQuality(CodeGraph.corpus(spark)).collect()
+    assert(corpusQ.length === 34 && corpusQ.forall(_.getAs[Boolean]("keep")))
+    // crafted negatives: one per gate, plus a clean keeper with exact fields
+    val probes = Seq(
+      ("r", "autogen.py", "c0", "python",
+        "# @generated by protoc -- DO NOT EDIT\ndef f():\n    return 1\n"),
+      ("r", "minified.py", "c0", "python",
+        "x = '" + "a" * 1200 + "'\n"),
+      ("r", "wide.py", "c0", "python",
+        (0 until 8).map(i => s"v$i = '" + "b" * 140 + "'").mkString("\n") + "\n"),
+      ("r", "art.py", "c0", "python", "(((((((((( ))))))))))\n"),
+      ("r", "clean.py", "c0", "python", "def ok(x):\n    return x + 1\n")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val q = CodeGraph.codeQuality(probes).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(q("autogen.py").getAs[Boolean]("autogen") &&
+      !q("autogen.py").getAs[Boolean]("keep"))
+    assert(q("minified.py").getLong(3) === 1206L &&
+      !q("minified.py").getAs[Boolean]("keep"))
+    assert(q("wide.py").getLong(3) <= 1000L &&
+      q("wide.py").getLong(4) > 10000L && !q("wide.py").getAs[Boolean]("keep"))
+    assert(q("art.py").getLong(5) < 2500L && !q("art.py").getAs[Boolean]("keep"))
+    // clean.py: 3 split-lines (trailing ""), 26 body chars, 14 alnum of 28
+    val cl = q("clean.py")
+    assert((cl.getLong(2), cl.getLong(3), cl.getLong(4), cl.getLong(5),
+      cl.getAs[Boolean]("autogen"), cl.getAs[Boolean]("keep")) ===
+      ((3L, 16L, 866L, 5000L, false, true)))
+  }
+
+  test("kg_code_churn vs DuckDB (snapshot full-outer digest-diff replay)") {
+    setup
+    CodeGraph.prevSnapshot(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/prev")
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c,
+        s"CREATE VIEW prev AS SELECT * FROM read_parquet('$dir/prev/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.churnCensus(CodeGraph.prevSnapshot(spark),
+          CodeGraph.corpus(spark)),
+        s"""WITH pv AS (SELECT repo, path, sha256(content) AS sha FROM prev
+                        WHERE lang IN ('python','scala','java')),
+            cv AS (SELECT repo, path, sha256(content) AS sha FROM pages
+                   WHERE lang IN ('python','scala','java')),
+            j AS (SELECT coalesce(p.repo, c.repo) AS repo,
+                         p.sha AS sp, c.sha AS sc
+                  FROM pv p FULL OUTER JOIN cv c
+                    ON p.repo = c.repo AND p.path = c.path),
+            a AS (SELECT repo,
+                    CAST(sum(CASE WHEN sp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                      AS added,
+                    CAST(sum(CASE WHEN sc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                      AS removed,
+                    CAST(sum(CASE WHEN sp IS NOT NULL AND sc IS NOT NULL
+                               AND sp <> sc THEN 1 ELSE 0 END) AS BIGINT)
+                      AS changed,
+                    CAST(sum(CASE WHEN sp = sc THEN 1 ELSE 0 END) AS BIGINT)
+                      AS unchanged,
+                    sum(CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END)
+                      AS cur_files
+                  FROM j GROUP BY 1)
+            SELECT repo, added, removed, changed, unchanged,
+                   CAST((10000 * (added + removed + changed))
+                        // greatest(cur_files, 1) AS BIGINT) AS churn_bp
+            FROM a ORDER BY repo""",
+        "kg_code_churn")
+    }
+  }
+
+  test("churn hand check: one added, one changed, one removed repo") {
+    val ch = CodeGraph.churnCensus(CodeGraph.prevSnapshot(spark),
+        CodeGraph.corpus(spark)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(ch.size === 6)
+    assert(ch("repo_0") === ((1L, 0L, 0L, 5L, 1666L))) // gen.py added
+    assert(ch("repo_1") === ((0L, 0L, 1L, 5L, 1666L))) // mod_0.scala changed
+    assert(ch("repo_5") === ((0L, 1L, 0L, 5L, 2000L))) // legacy.py removed
+    assert(Seq("repo_2", "repo_3", "repo_4")
+      .forall(r => ch(r)._1 == 0L && ch(r)._2 == 0L && ch(r)._3 == 0L &&
+        ch(r)._5 == 0L))
+  }
+
   test("structural counts: 34 code files, 294 triples, markdown excluded") {
     val corpus = CodeGraph.corpus(spark)
     // 24 src files + 6 vendored + 2 clones + 2 fork conflicts + 6 READMEs
