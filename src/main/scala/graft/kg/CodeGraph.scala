@@ -906,6 +906,112 @@ object CodeGraph {
       .orderBy("repo", "path")
   }
 
+  /** Branch-keyword complexity census — the cyclomatic-complexity PROXY a
+    * curation pass ranks files by (deeply nested / branch-dense files are
+    * poor training examples and poor maintenance bets). Per file: line
+    * count, branch-keyword occurrences (one shared keyword alternation —
+    * `\b` is ASCII word boundary in BOTH java.util.regex and RE2, so the
+    * DuckDB replay is byte-identical), definition count (the per-lang
+    * [[definesOf]] anchors), max leading-space indentation via a codegen'd
+    * HOF over the split array (no per-line explode — the same
+    * no-line-rows-at-10^12-files rule as [[codeQuality]]; ltrim strips
+    * SPACES in both engines, so tab-indented files read as depth 0 — a
+    * stated census boundary, not a bug), and branches-per-100-lines in
+    * integer arithmetic. Map-only against the scan. */
+  def complexityCensus(pages: DataFrame): DataFrame = {
+    val lines = split(col("content"), "\n")
+    val branchPat =
+      lit("\\b(if|elif|else if|for|while|case|catch|except|when|match)\\b")
+    val defPat = when(col("lang") === "python",
+      lit("(?m)^(?:def|class)\\s+\\w+"))
+      .when(col("lang") === "scala",
+        lit("(?m)^\\s*(?:def|class|object|trait)\\s+\\w+"))
+      .otherwise(lit("(?m)(?:class|interface|enum)\\s+\\w+"))
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("path"),
+        size(lines).cast("long").as("n_lines"),
+        regexp_count(col("content"), branchPat).cast("long").as("n_branches"),
+        regexp_count(col("content"), defPat).cast("long").as("n_defs"),
+        array_max(transform(lines, x => length(x) - length(ltrim(x))))
+          .cast("long").as("max_indent"))
+      .withColumn("branch_per_100_lines",
+        expr("(100 * n_branches) div greatest(n_lines, 1)"))
+      .orderBy("repo", "path")
+  }
+
+  /** Language-tag audit: the `lang` column is ingest metadata (file
+    * extension, upstream classifier) and at 10^12 files some of it is
+    * wrong — a mis-tagged file silently runs the WRONG extraction regexes,
+    * so the audit belongs beside the extractors that trust the tag.
+    * Content-signal detection, priority-ordered (first hit wins, same
+    * first-wins discipline as [[licenseCensus]]): a colon-terminated
+    * python def; a scala object/trait/val marker; a brace-and-semicolon
+    * java type declaration; else 'unknown' (prose, configs, short files —
+    * the audit only CONTRADICTS a tag on positive evidence). Returns every
+    * code-tagged row with the detected signal and the mismatch verdict
+    * (full table, not just mismatches: coverage of the detector is part of
+    * the audit). Narrow map against the scan. */
+  def langAudit(pages: DataFrame): DataFrame = {
+    val detected =
+      when(col("content").rlike("(?m)^def\\s+\\w+\\(.*\\)\\s*:"), lit("python"))
+        .when(col("content").rlike("(?m)^\\s*(?:object|trait)\\s+\\w+") ||
+          col("content").rlike("\\bval\\s+\\w+\\s*="), lit("scala"))
+        .when(col("content").rlike(
+          "(?m)^\\s*(?:public\\s+)?(?:class|interface|enum)\\s+\\w+") &&
+          col("content").rlike(";"), lit("java"))
+        .otherwise(lit("unknown"))
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("path"), col("lang"), detected.as("detected"))
+      .withColumn("mismatch",
+        col("detected") =!= "unknown" && col("detected") =!= col("lang"))
+      .orderBy("repo", "path")
+  }
+
+  /** Untested-module census: modules defined under a source root that no
+    * TEST file references — the coverage-gap worklist (the test-suite
+    * analogue of [[deadModules]]: dead = imported nowhere, untested =
+    * imported by no test). A test file is one under a tests/ directory or
+    * named test_* / *Spec / *Test (the three ecosystems' conventions, one
+    * anchored alternation shared with the DuckDB replay). The tested-module
+    * set is module-scaled after its distinct (map-side combinable), so the
+    * anti-join broadcasts at any realistic module/file ratio. Same
+    * heuristic depth as the rest of the module: a test that exercises a
+    * module through a helper chain without importing it reads as a gap. */
+  def untestedModules(pages: DataFrame): DataFrame = {
+    val code = pages.filter(col("lang").isin("python", "scala", "java"))
+    val isTest = col("path").rlike(
+      "(^|/)tests?/|(^|/)test_[^/]*$|(Spec|Test)\\.(py|scala|java)$")
+    val owns = code.filter(col("path").startsWith("src/"))
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("module"),
+        V.repoIri(col("repo")).as("owner"))
+      .distinct()
+    val tested = code.filter(isTest)
+      .select(explode(importsOf).as("m"))
+      .select(V.moduleIri(col("m")).as("module"))
+      .distinct()
+    owns.join(tested, Seq("module"), "left_anti")
+      .orderBy("module", "owner")
+  }
+
+  /** Tech-debt marker census: per-repo TODO / FIXME / XXX / HACK counts —
+    * the triage table a maintenance or data-quality sweep starts from
+    * (marker-dense files are also a curation signal: unfinished code).
+    * One `regexp_count` per marker class against the scan (word-bounded,
+    * RE2 ∩ java.util.regex), one partial-aggregable repo shuffle. Every
+    * code-bearing repo reports (zeros included — "no debt markers" is a
+    * statement, not an absence). */
+  def todoCensus(pages: DataFrame): DataFrame = {
+    val markers = regexp_count(col("content"),
+      lit("\\b(TODO|FIXME|XXX|HACK)\\b")).cast("long")
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), markers.as("m"))
+      .groupBy("repo")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_marked_files"),
+        sum(col("m")).as("n_markers"))
+      .orderBy("repo")
+  }
+
   /** Snapshot-churn census: per-repo added / removed / changed / unchanged
     * file counts between two corpus snapshots, plus churn in basis points
     * of the CURRENT tree — the hotspot signal an incremental ingestion
@@ -1032,6 +1138,32 @@ object CodeGraph {
       .toDF("repo", "path", "commit", "lang", "content")
   }
 
+  /** [[corpus]] plus the rows the audit censuses need signal from — kept
+    * SEPARATE so every existing hand count over [[corpus]] stays exact:
+    * (a) one test file per repo 0–2 (under tests/, importing that repo's
+    * mod_0 and from-importing mod_1, carrying TODO/FIXME markers) — so
+    * [[untestedModules]] has both tested and untested modules and
+    * [[todoCensus]] has marked and unmarked repos; (b) one MIS-TAGGED file
+    * (java content under lang=python) for [[langAudit]]'s mismatch row. */
+  private[graft] def corpusWithTests(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tests = (0 until 3).map { i =>
+      val repo = s"repo_$i"
+      (repo, "tests/test_mod_0.py",
+        WikitextParser.sha256Hex(repo + "/tests/test_mod_0.py#code=42")
+          .substring(0, 12), "python",
+        s"# TODO: cover negative inputs\n# FIXME handle unicode paths\n" +
+          s"import pkg_$i.mod_0\nfrom pkg_$i.mod_1 import fn_${i}_1\n" +
+          s"def test_basic():\n    assert fn_${i}_1(1) == 2\n")
+    }
+    val mistag = Seq(("repo_5", "scripts/helper.py",
+      WikitextParser.sha256Hex("repo_5/scripts/helper.py#code=42")
+        .substring(0, 12), "python",
+      "public class Helper { int port = 8080; }\n"))
+    corpus(spark).unionByName(
+      (tests ++ mistag).toDF("repo", "path", "commit", "lang", "content"))
+  }
+
   /** Deterministic PREVIOUS snapshot for the incremental-extraction entry:
     * [[corpus]] with (a) repo_0's tools/gen.py absent (ADDED in cur),
     * (b) repo_1's src/pkg_1/mod_0.scala at an older commit with different
@@ -1093,5 +1225,13 @@ object CodeGraph {
     QueryDef("kg_code_delta", (s, _) => {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))
-    }, None))
+    }, None),
+    QueryDef("kg_code_complexity", (s, _) =>
+      complexityCensus(corpusWithTests(s)), None),
+    QueryDef("kg_code_langcheck", (s, _) =>
+      langAudit(corpusWithTests(s)), None),
+    QueryDef("kg_code_untested", (s, _) =>
+      untestedModules(corpusWithTests(s)), None),
+    QueryDef("kg_code_todo", (s, _) =>
+      todoCensus(corpusWithTests(s)), None))
 }

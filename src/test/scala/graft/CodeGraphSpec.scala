@@ -1143,4 +1143,159 @@ class CodeGraphSpec extends AnyFunSuite {
     val ttl = graft.store.TurtleIO.lines(dt)
     assert(ttl.count() === dt.count())
   }
+
+  // ---- audit censuses (complexity / lang-tag / untested / tech-debt) ----
+  // replayed against the richer corpusWithTests fixture (test files, debt
+  // markers, one mis-tagged file) dumped to its own parquet view `pagest`
+
+  private lazy val setupT: Unit =
+    CodeGraph.corpusWithTests(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pagest")
+
+  private def checkT(name: String, df: org.apache.spark.sql.DataFrame,
+                     sql: String): Unit = {
+    setupT
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pagest AS SELECT * FROM read_parquet('$dir/pagest/*.parquet')")
+      DuckOracle.assertMatches(c, df, sql, name)
+    }
+  }
+
+  test("kg_code_complexity vs DuckDB (branch-keyword census replay)") {
+    checkT("kg_code_complexity",
+      CodeGraph.complexityCensus(CodeGraph.corpusWithTests(spark)),
+      """WITH c AS (
+           SELECT repo, path,
+             CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(regexp_extract_all(content,
+               '\b(if|elif|else if|for|while|case|catch|except|when|match)\b'))
+               AS BIGINT) AS n_branches,
+             CAST(CASE
+               WHEN lang = 'python' THEN len(regexp_extract_all(content,
+                 '(?m)^(?:def|class)\s+\w+'))
+               WHEN lang = 'scala' THEN len(regexp_extract_all(content,
+                 '(?m)^\s*(?:def|class|object|trait)\s+\w+'))
+               ELSE len(regexp_extract_all(content,
+                 '(?m)(?:class|interface|enum)\s+\w+')) END AS BIGINT) AS n_defs,
+             CAST(list_max(list_transform(string_split(content, chr(10)),
+               x -> length(x) - length(ltrim(x)))) AS BIGINT) AS max_indent
+           FROM pagest WHERE lang IN ('python', 'scala', 'java'))
+         SELECT *, (100 * n_branches) // greatest(n_lines, 1)
+                     AS branch_per_100_lines
+         FROM c ORDER BY repo, path""")
+  }
+
+  test("complexity hand check: the two generator clones are the only branchy files") {
+    val rows = CodeGraph.complexityCensus(CodeGraph.corpusWithTests(spark))
+      .collect()
+    assert(rows.length === 38) // 34 corpus code files + 3 tests + 1 mistag
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // repo_0 tools/gen.py: 10 split-lines, 1 'for', 1 def, 8-space indent
+    val g0 = byKey(("repo_0", "tools/gen.py"))
+    assert((g0.getLong(2), g0.getLong(3), g0.getLong(4), g0.getLong(5),
+      g0.getLong(6)) === ((10L, 1L, 1L, 8L, 10L)))
+    // repo_3's reformatted copy: extra blank/comment lines, 16-space indent
+    val g3 = byKey(("repo_3", "tools/gen.py"))
+    assert((g3.getLong(2), g3.getLong(3), g3.getLong(4), g3.getLong(5),
+      g3.getLong(6)) === ((13L, 1L, 1L, 16L, 7L)))
+    // nothing else in the fixture carries a branch keyword
+    assert(rows.count(_.getLong(3) > 0L) === 2)
+  }
+
+  test("kg_code_langcheck vs DuckDB (lang-tag audit replay)") {
+    checkT("kg_code_langcheck",
+      CodeGraph.langAudit(CodeGraph.corpusWithTests(spark)),
+      """SELECT repo, path, lang, detected,
+                detected <> 'unknown' AND detected <> lang AS mismatch
+         FROM (SELECT repo, path, lang,
+                 CASE
+                   WHEN regexp_matches(content, '(?m)^def\s+\w+\(.*\)\s*:')
+                     THEN 'python'
+                   WHEN regexp_matches(content, '(?m)^\s*(?:object|trait)\s+\w+')
+                     OR regexp_matches(content, '\bval\s+\w+\s*=')
+                     THEN 'scala'
+                   WHEN regexp_matches(content,
+                       '(?m)^\s*(?:public\s+)?(?:class|interface|enum)\s+\w+')
+                     AND regexp_matches(content, ';')
+                     THEN 'java'
+                   ELSE 'unknown' END AS detected
+               FROM pagest WHERE lang IN ('python', 'scala', 'java'))
+         ORDER BY repo, path""")
+  }
+
+  test("lang-audit hand check: one mismatch (the seeded java-under-python file)") {
+    val rows = CodeGraph.langAudit(CodeGraph.corpusWithTests(spark)).collect()
+    assert(rows.length === 38)
+    val bad = rows.filter(_.getBoolean(4))
+    assert(bad.length === 1)
+    assert((bad(0).getString(0), bad(0).getString(1), bad(0).getString(2),
+      bad(0).getString(3)) === (("repo_5", "scripts/helper.py", "python", "java")))
+    // every honest tag is POSITIVELY confirmed (no unknown fallthrough):
+    // the detector covers all three languages of the fixture
+    assert(rows.filter(!_.getBoolean(4)).forall(r =>
+      r.getString(3) === r.getString(2)))
+  }
+
+  test("kg_code_untested vs DuckDB (coverage-gap anti-join replay)") {
+    checkT("kg_code_untested",
+      CodeGraph.untestedModules(CodeGraph.corpusWithTests(spark)),
+      s"""WITH code AS (SELECT * FROM pagest
+                        WHERE lang IN ('python', 'scala', 'java')),
+          owns AS (SELECT DISTINCT
+                     '${B}module/' || replace(regexp_replace(regexp_replace(path,
+                       '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.') AS module,
+                     '${B}repo/' || repo AS owner
+                   FROM code WHERE path LIKE 'src/%'),
+          tested AS (SELECT DISTINCT '${B}module/' || m AS module
+                     FROM (SELECT unnest(regexp_extract_all(content,
+                             '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1)) AS m
+                           FROM code
+                           WHERE regexp_matches(path,
+                             '(^|/)tests?/|(^|/)test_[^/]*$$|(Spec|Test)\\.(py|scala|java)$$')))
+          SELECT module, owner FROM owns
+          WHERE module NOT IN (SELECT module FROM tested)
+          ORDER BY 1, 2""")
+  }
+
+  test("untested hand check: mod_0/mod_1 of repos 0-2 covered, the rest gap") {
+    val rows = CodeGraph.untestedModules(CodeGraph.corpusWithTests(spark))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // owns = 24 pkg modules + common.strutil x2 owners = 26 pairs;
+    // tests cover pkg_{0,1,2}.mod_{0,1} -> 6 tested -> 20 gaps
+    assert(rows.length === 20)
+    val mods = rows.map(_._1).toSet
+    for (i <- 0 to 2; j <- 0 to 1)
+      assert(!mods.contains(s"${CodeGraph.V.Base}module/pkg_$i.mod_$j"))
+    assert(rows.count(_._1 == s"${CodeGraph.V.Base}module/common.strutil") === 2)
+    for (i <- 3 to 5; j <- 0 to 3)
+      assert(mods.contains(s"${CodeGraph.V.Base}module/pkg_$i.mod_$j"))
+  }
+
+  test("kg_code_todo vs DuckDB (tech-debt marker census replay)") {
+    checkT("kg_code_todo",
+      CodeGraph.todoCensus(CodeGraph.corpusWithTests(spark)),
+      """SELECT repo, count(*) AS n_files,
+                CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_marked_files,
+                CAST(sum(m) AS BIGINT) AS n_markers
+         FROM (SELECT repo,
+                 len(regexp_extract_all(content, '\b(TODO|FIXME|XXX|HACK)\b')) AS m
+               FROM pagest WHERE lang IN ('python', 'scala', 'java'))
+         GROUP BY 1 ORDER BY 1""")
+  }
+
+  test("todo hand check: only the three test files carry markers; zeros reported") {
+    val got = CodeGraph.todoCensus(CodeGraph.corpusWithTests(spark)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size === 6) // every code-bearing repo reports, zeros included
+    // repos 0-2: +1 test file each (TODO + FIXME); repo_1 also owns the fork
+    assert(got("repo_0") === ((7L, 1L, 2L)))
+    assert(got("repo_1") === ((7L, 1L, 2L)))
+    assert(got("repo_2") === ((6L, 1L, 2L)))
+    assert(got("repo_3") === ((6L, 0L, 0L)))
+    assert(got("repo_4") === ((6L, 0L, 0L)))
+    assert(got("repo_5") === ((6L, 0L, 0L))) // incl. the mis-tagged helper
+  }
 }
