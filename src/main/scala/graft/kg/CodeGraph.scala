@@ -547,6 +547,70 @@ object CodeGraph {
       .orderBy("dist", "module")
   }
 
+  /** Breaking-change census: symbols EXPORTED by a src-owned module in the
+    * previous snapshot and gone from it in the current one, with the blast
+    * evidence a migration triages by — how many current files import the
+    * module at all (at risk: their build compiled against the old API) and
+    * how many current python files from-import exactly the removed symbol
+    * (provably broken: the name no longer resolves). A fully-deleted module
+    * reports every symbol it had, and its still-importing files count as
+    * dangling dependents.
+    *
+    * Scale shape (the whole point at 10^12 files): a symbol can only
+    * disappear from a module that had a file in the snapshot delta, so both
+    * export parses are PRUNED to touched modules BEFORE any content regex
+    * runs — the prune key is path-derived ([[moduleOfPath]], no content
+    * I/O) and the touched set is delta-scaled, so the semi-joins broadcast.
+    * The import/ref scans are narrow maps over cur only, semi-join-pruned
+    * to touched modules before their distinct/aggregate; counts are
+    * partial-aggregable. Nothing re-parses the unchanged corpus — the same
+    * no-re-parse contract as [[incrementalFileTriples]]. */
+  def breakingChanges(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val (stale, fresh) = snapshotDelta(prev, cur)
+    val touched = stale.unionByName(fresh)
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("module"))
+      .distinct()
+    def exports(snap: DataFrame): DataFrame = snap
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .withColumn("module", V.moduleIri(moduleOfPath(col("path"))))
+      .join(touched, Seq("module"), "left_semi") // path prune BEFORE parse
+      .select(col("module"), explode(definesOf).as("symbol"))
+      .distinct()
+    val removed = exports(prev).join(exports(cur),
+      Seq("module", "symbol"), "left_anti")
+    val curCode = cur.filter(col("lang").isin("python", "scala", "java"))
+    // module-level dependents in CUR (files that dropped the import have
+    // already migrated; files still importing are the ones at risk)
+    val atRisk = curCode
+      .select(V.fileIri(col("repo"), col("path"), col("commit")).as("file"),
+        explode(importsOf).as("m"))
+      .select(col("file"), V.moduleIri(col("m")).as("module"))
+      .join(touched, Seq("module"), "left_semi")
+      .groupBy("module")
+      .agg(countDistinct(col("file")).as("n_dependent_files"))
+    // symbol-exact refs (python from-imports, the same two-capture zip as
+    // [[symbolXref]]) — these break with certainty
+    val fromPat = lit("(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)")
+    val broken = curCode.filter(col("lang") === "python")
+      .select(V.fileIri(col("repo"), col("path"), col("commit")).as("file"),
+        explode(arrays_zip(
+          regexp_extract_all(col("content"), fromPat, lit(1)),
+          regexp_extract_all(col("content"), fromPat, lit(2)))).as("z"))
+      .select(col("file"), V.moduleIri(col("z.0")).as("module"),
+        col("z.1").as("symbol"))
+      .join(touched, Seq("module"), "left_semi")
+      .groupBy("module", "symbol")
+      .agg(countDistinct(col("file")).as("n_broken_refs"))
+    removed
+      .join(atRisk, Seq("module"), "left")
+      .join(broken, Seq("module", "symbol"), "left")
+      .na.fill(0L, Seq("n_dependent_files", "n_broken_refs"))
+      .orderBy("module", "symbol")
+  }
+
   /** Snapshot delta keyed on the north rule's per-row lineage invariant:
     * a row is UNCHANGED iff (repo, path, commit, sha256(content)) matches
     * across snapshots — content equality checked through the same digest
@@ -1181,7 +1245,10 @@ object CodeGraph {
       .filter(!(col("repo") === "repo_0" && col("path") === "tools/gen.py"))
       .withColumn("content",
         when(col("repo") === "repo_1" && col("path") === changedPath,
-          concat(col("content"), lit("// dropped in the next commit\n")))
+          // a real top-level definition, not just a comment: the next
+          // commit DROPS it, so the breaking-change census has a row
+          concat(col("content"),
+            lit("def fn_dropped(x: Int): Int = x // removed in cur\n")))
           .otherwise(col("content")))
       .withColumn("commit",
         when(col("repo") === "repo_1" && col("path") === changedPath,
@@ -1226,6 +1293,8 @@ object CodeGraph {
       val prev = prevSnapshot(s)
       incrementalFileTriples(fileTriples(prev), prev, corpus(s))
     }, None),
+    QueryDef("kg_code_breaking", (s, _) =>
+      breakingChanges(prevSnapshot(s), corpus(s)), None),
     QueryDef("kg_code_complexity", (s, _) =>
       complexityCensus(corpusWithTests(s)), None),
     QueryDef("kg_code_langcheck", (s, _) =>

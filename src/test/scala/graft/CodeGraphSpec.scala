@@ -1272,6 +1272,134 @@ class CodeGraphSpec extends AnyFunSuite {
       assert(mods.contains(s"${CodeGraph.V.Base}module/pkg_$i.mod_$j"))
   }
 
+  test("kg_code_breaking vs DuckDB (removed-export census replay)") {
+    setup
+    CodeGraph.prevSnapshot(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/prev")
+    val modExpr = (t: String) => s"'${B}module/' || replace(regexp_replace(" +
+      s"regexp_replace($t.path, '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.')"
+    val fileExpr = (t: String) =>
+      s"'${B}file/' || replace(replace($t.repo, '%', '%25'), '/', '%2F')" +
+        s" || '/' || replace(replace($t.path, '%', '%25'), '@', '%40')" +
+        s""" || '@' || replace(replace($t."commit", '%', '%25'), '@', '%40')"""
+    val defCase =
+      """CASE WHEN c.lang = 'python' THEN regexp_extract_all(c.content,
+           '(?m)^(?:def|class)\s+(\w+)', 1)
+         WHEN c.lang = 'scala' THEN regexp_extract_all(c.content,
+           '(?m)^\s*(?:def|class|object|trait)\s+(\w+)', 1)
+         ELSE regexp_extract_all(c.content,
+           '(?m)(?:class|interface|enum)\s+(\w+)', 1) END"""
+    val codeSrc = (v: String) =>
+      s"(SELECT * FROM $v WHERE lang IN ('python','scala','java') AND path LIKE 'src/%')"
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c,
+        s"CREATE VIEW prev AS SELECT * FROM read_parquet('$dir/prev/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.breakingChanges(CodeGraph.prevSnapshot(spark),
+          CodeGraph.corpus(spark)),
+        s"""WITH
+            pk AS (SELECT repo, path, "commit", lang,
+                          sha256(content) AS sha FROM pages),
+            vk AS (SELECT repo, path, "commit", lang,
+                          sha256(content) AS sha FROM prev),
+            delta AS (
+              SELECT v.repo, v.path, v.lang FROM vk v
+              WHERE NOT EXISTS (SELECT 1 FROM pk p
+                WHERE p.repo = v.repo AND p.path = v.path
+                  AND p."commit" = v."commit" AND p.sha = v.sha)
+              UNION
+              SELECT p.repo, p.path, p.lang FROM pk p
+              WHERE NOT EXISTS (SELECT 1 FROM vk v
+                WHERE v.repo = p.repo AND v.path = p.path
+                  AND v."commit" = p."commit" AND v.sha = p.sha)),
+            touched AS (SELECT DISTINCT ${modExpr("delta")} AS module FROM delta
+                        WHERE lang IN ('python', 'scala', 'java')
+                          AND path LIKE 'src/%'),
+            expp AS (SELECT DISTINCT ${modExpr("c")} AS module,
+                       unnest($defCase) AS symbol
+                     FROM ${codeSrc("prev")} c
+                     WHERE ${modExpr("c")} IN (SELECT module FROM touched)),
+            expc AS (SELECT DISTINCT ${modExpr("c")} AS module,
+                       unnest($defCase) AS symbol
+                     FROM ${codeSrc("pages")} c
+                     WHERE ${modExpr("c")} IN (SELECT module FROM touched)),
+            removed AS (SELECT p.module, p.symbol FROM expp p
+                        WHERE NOT EXISTS (SELECT 1 FROM expc e
+                          WHERE e.module = p.module AND e.symbol = p.symbol)),
+            atrisk AS (SELECT module, count(DISTINCT file) AS n_dependent_files
+                       FROM (SELECT ${fileExpr("c")} AS file,
+                               '${B}module/' || unnest(regexp_extract_all(
+                                 c.content,
+                                 '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1))
+                                 AS module
+                             FROM (SELECT * FROM pages WHERE lang IN
+                               ('python','scala','java')) c)
+                       WHERE module IN (SELECT module FROM touched)
+                       GROUP BY 1),
+            broken AS (SELECT module, symbol,
+                         count(DISTINCT file) AS n_broken_refs
+                       FROM (SELECT ${fileExpr("c")} AS file,
+                               '${B}module/' || unnest(regexp_extract_all(
+                                 c.content,
+                                 '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 1))
+                                 AS module,
+                               unnest(regexp_extract_all(c.content,
+                                 '(?m)^from\\s+([\\w.]+)\\s+import\\s+(\\w+)', 2))
+                                 AS symbol
+                             FROM (SELECT * FROM pages
+                                   WHERE lang = 'python') c)
+                       WHERE module IN (SELECT module FROM touched)
+                       GROUP BY 1, 2)
+            SELECT r.module, r.symbol,
+                   coalesce(a.n_dependent_files, 0) AS n_dependent_files,
+                   coalesce(b.n_broken_refs, 0) AS n_broken_refs
+            FROM removed r
+            LEFT JOIN atrisk a USING (module)
+            LEFT JOIN broken b ON b.module = r.module AND b.symbol = r.symbol
+            ORDER BY 1, 2""",
+        "kg_code_breaking")
+    }
+  }
+
+  test("breaking hand check: fn_dropped, two at-risk importers, no exact refs") {
+    val rows = CodeGraph.breakingChanges(
+      CodeGraph.prevSnapshot(spark), CodeGraph.corpus(spark)).collect()
+    assert(rows.length === 1)
+    assert((rows(0).getString(0), rows(0).getString(1), rows(0).getLong(2),
+      rows(0).getLong(3)) ===
+      ((s"${CodeGraph.V.Base}module/pkg_1.mod_0", "fn_dropped", 2L, 0L)))
+  }
+
+  test("breaking crafted case: exact from-import breaks; deleted module dangles") {
+    import spark.implicits._
+    // main.py is UNCHANGED across snapshots and imports both modules; api.py
+    // drops old_fn; gone.py is deleted outright
+    val main = ("r_b", "src/app/main.py", "c9", "python",
+      "from lib.api import old_fn\nimport lib.api\nimport lib.gone\n" +
+        "ans = old_fn(1)\n")
+    val prev = Seq(
+      ("r_a", "src/lib/api.py", "c1", "python",
+        "def old_fn(x):\n    return x\ndef keep_fn(x):\n    return x\n"),
+      ("r_a", "src/lib/gone.py", "c1", "python", "def g():\n    pass\n"),
+      main).toDF("repo", "path", "commit", "lang", "content")
+    val cur = Seq(
+      ("r_a", "src/lib/api.py", "c2", "python",
+        "def keep_fn(x):\n    return x\n"),
+      main).toDF("repo", "path", "commit", "lang", "content")
+    val got = CodeGraph.breakingChanges(prev, cur).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size === 2)
+    // the exact from-import of the removed symbol is provably broken
+    assert(got((s"${CodeGraph.V.Base}module/lib.api", "old_fn")) === ((1L, 1L)))
+    // the deleted module's importer is a dangling dependent, not a ref break
+    assert(got((s"${CodeGraph.V.Base}module/lib.gone", "g")) === ((1L, 0L)))
+    // the surviving symbol never appears
+    assert(!got.keySet.exists(_._2 == "keep_fn"))
+  }
+
   test("kg_code_todo vs DuckDB (tech-debt marker census replay)") {
     checkT("kg_code_todo",
       CodeGraph.todoCensus(CodeGraph.corpusWithTests(spark)),
