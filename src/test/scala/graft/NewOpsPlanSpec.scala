@@ -103,4 +103,33 @@ class NewOpsPlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
     }
   }
+
+  test("kg_code_complexity/langcheck: map-only censuses — the sort owns the one Exchange") {
+    for (q <- Seq("kg_code_complexity", "kg_code_langcheck")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q is per-file: no aggregation/join shuffle belongs in it:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("kg_code_todo: marker census partial-aggregates map-side") {
+    val p = plan("kg_code_todo")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-repo marker counts must map-side combine:\n$p")
+  }
+
+  test("kg_code_untested: the coverage anti-join broadcasts the tested set") {
+    val p = plan("kg_code_untested")
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"expected an anti-join:\n$p")
+    assert(anti.exists(_.contains("Broadcast")),
+      s"the module-scaled tested set must ride a broadcast:\n$p")
+  }
+
+  test("kg_code_breaking: delta prune + export diff stay equi-join, never nested-loop") {
+    val p = plan("kg_code_breaking")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the touched-module prunes and the export anti-join must stay equi-join:\n$p")
+  }
 }
