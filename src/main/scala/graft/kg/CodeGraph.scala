@@ -495,6 +495,66 @@ object CodeGraph {
         concat_ws("|", array_sort(collect_set(col("node")))).as("modules"))
       .filter(col("n_modules") > 1)
 
+  /** Module coupling census — the classic afferent/efferent (Martin)
+    * metrics over the [[moduleDeps]] graph: fan_out = distinct modules this
+    * module imports (efferent coupling, how much it depends on), fan_in =
+    * distinct modules importing it (afferent, how much depends on IT), and
+    * instability I = Ce/(Ce+Ca) in integer basis points — the refactor
+    * triage ordering (high fan_in + high instability = the dangerous
+    * place to change). Every src-owned module reports, zeros included (an
+    * isolated module IS the finding). Both degree aggregations are
+    * partial-aggregable module-scaled shuffles off the already-aggregated
+    * edge set; the report joins are module-dimension-sized (AQE
+    * broadcasts). */
+  def moduleCoupling(pages: DataFrame): DataFrame = {
+    val e = moduleDeps(pages)
+    val owned = pages.filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("module"))
+      .distinct()
+    val ce = e.groupBy(col("src_module").as("module"))
+      .agg(countDistinct(col("dst_module")).as("fan_out"))
+    val ca = e.groupBy(col("dst_module").as("module"))
+      .agg(countDistinct(col("src_module")).as("fan_in"))
+    owned.join(ce, Seq("module"), "left").join(ca, Seq("module"), "left")
+      .na.fill(0L, Seq("fan_out", "fan_in"))
+      .withColumn("instability_bp",
+        expr("(10000 * fan_out) div greatest(fan_out + fan_in, 1)"))
+      .orderBy("module")
+  }
+
+  /** Transitive license exposure — the supply-chain compliance census: for
+    * each repo, the sorted distinct set of license verdicts reachable
+    * through its OWN files plus every repo in its [[depClosure]] (importing
+    * code is consuming it; a copyleft or unlicensed dependency three hops
+    * down is still in the build), with the transitive dependency count and
+    * how many of those dependencies carry an 'unknown' (unlicensed) file.
+    * Composition of two already-verified censuses: the per-repo license
+    * sets are repo×license-scaled after [[licenseCensus]]'s aggregation and
+    * the closure is repo-pair-scaled, so every join here is
+    * dimension-sized. */
+  def licenseExposure(pages: DataFrame): DataFrame = {
+    val lic = licenseCensus(pages)
+      .select(V.repoIri(col("repo")).as("dst"), col("license")).distinct()
+    val self = lic.select(col("dst").as("src"), col("dst")).distinct()
+    val reach = depClosure(pages).unionByName(self).distinct()
+    val unknownDeps = reach.filter(col("src") =!= col("dst"))
+      .join(lic.filter(col("license") === "unknown"), "dst")
+      .groupBy("src").agg(countDistinct(col("dst")).as("n_unlicensed_deps"))
+    val deps = reach.filter(col("src") =!= col("dst"))
+      .groupBy("src").agg(countDistinct(col("dst")).as("n_dep_repos"))
+    reach.join(lic, "dst")
+      .groupBy("src")
+      .agg(concat_ws("|", array_sort(collect_set(col("license"))))
+        .as("license_surface"))
+      .join(deps, Seq("src"), "left")
+      .join(unknownDeps, Seq("src"), "left")
+      .na.fill(0L, Seq("n_dep_repos", "n_unlicensed_deps"))
+      .select(col("src").as("repo"), col("license_surface"),
+        col("n_dep_repos"), col("n_unlicensed_deps"))
+      .orderBy("repo")
+  }
+
   /** Build-order layers: condense the [[repoDeps]] graph by its strongly
     * connected components (a cyclic group builds as ONE unit or not at
     * all), project edges onto components (dropping intra-group edges),
@@ -1295,6 +1355,9 @@ object CodeGraph {
     }, None),
     QueryDef("kg_code_breaking", (s, _) =>
       breakingChanges(prevSnapshot(s), corpus(s)), None),
+    QueryDef("kg_code_coupling", (s, _) => moduleCoupling(corpus(s)), None),
+    QueryDef("kg_code_license_reach", (s, _) =>
+      licenseExposure(corpus(s)), None),
     QueryDef("kg_code_complexity", (s, _) =>
       complexityCensus(corpusWithTests(s)), None),
     QueryDef("kg_code_langcheck", (s, _) =>

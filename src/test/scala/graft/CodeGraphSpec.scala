@@ -1272,6 +1272,122 @@ class CodeGraphSpec extends AnyFunSuite {
       assert(mods.contains(s"${CodeGraph.V.Base}module/pkg_$i.mod_$j"))
   }
 
+  test("kg_code_coupling vs DuckDB (afferent/efferent module-metric replay)") {
+    check("kg_code_coupling", CodeGraph.moduleCoupling(CodeGraph.corpus(spark)),
+      s"""WITH $fCte,
+          mref AS (SELECT '${B}module/' ||
+                     replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                       '\\.(py|scala|java)$$', ''), '/', '.') AS src_module,
+                   '${B}module/' || unnest(regexp_extract_all(content,
+                     '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1)) AS dst_module
+                   FROM f WHERE path LIKE 'src/%'),
+          e AS (SELECT DISTINCT src_module, dst_module FROM mref
+                WHERE dst_module IN (SELECT module FROM owns)
+                  AND src_module <> dst_module),
+          owned AS (SELECT DISTINCT module FROM owns),
+          ce AS (SELECT src_module AS module,
+                        count(DISTINCT dst_module) AS fan_out FROM e GROUP BY 1),
+          ca AS (SELECT dst_module AS module,
+                        count(DISTINCT src_module) AS fan_in FROM e GROUP BY 1)
+          SELECT o.module, coalesce(ce.fan_out, 0) AS fan_out,
+                 coalesce(ca.fan_in, 0) AS fan_in,
+                 (10000 * coalesce(ce.fan_out, 0))
+                   // greatest(coalesce(ce.fan_out, 0) + coalesce(ca.fan_in, 0), 1)
+                   AS instability_bp
+          FROM owned o LEFT JOIN ce USING (module) LEFT JOIN ca USING (module)
+          ORDER BY 1""")
+  }
+
+  test("coupling hand check: balanced 2/2 lattice; the orphan fork reports zeros") {
+    val rows = CodeGraph.moduleCoupling(CodeGraph.corpus(spark)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size === 25) // 24 pkg modules + the fork module, once
+    for (i <- 0 to 5; j <- 0 to 3)
+      assert(rows(s"${CodeGraph.V.Base}module/pkg_$i.mod_$j") === ((2L, 2L, 5000L)))
+    assert(rows(s"${CodeGraph.V.Base}module/common.strutil") === ((0L, 0L, 0L)))
+  }
+
+  test("coupling crafted chain: head maximally unstable, tail maximally stable") {
+    import spark.implicits._
+    val rows = Seq(
+      ("ra", "src/pa/m.py", "c1", "python",
+        "# SPDX-License-Identifier: MIT\nimport pb.m\ndef fa():\n    pass\n"),
+      ("rb", "src/pb/m.py", "c1", "python",
+        "# Licensed under the Apache License, Version 2.0\nimport pc.m\n" +
+          "def fb():\n    pass\n"),
+      ("rc", "src/pc/m.py", "c1", "python", "def fc():\n    pass\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = CodeGraph.moduleCoupling(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(s"${CodeGraph.V.Base}module/pa.m") === ((1L, 0L, 10000L)))
+    assert(got(s"${CodeGraph.V.Base}module/pb.m") === ((1L, 1L, 5000L)))
+    assert(got(s"${CodeGraph.V.Base}module/pc.m") === ((0L, 1L, 0L)))
+  }
+
+  test("kg_code_license_reach vs DuckDB (transitive exposure replay)") {
+    val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
+    check("kg_code_license_reach",
+      CodeGraph.licenseExposure(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte,
+          deps AS (SELECT DISTINCT i.repoiri AS src, o.owner AS dst
+                   FROM impx i JOIN owns o ON o.module = i.module
+                   WHERE i.repoiri <> o.owner),
+          reach(src, dst) AS (
+            SELECT src, dst FROM deps
+            UNION
+            SELECT r.src, d.dst FROM reach r JOIN deps d ON d.src = r.dst),
+          lic AS (SELECT DISTINCT '${B}repo/' || repo AS dst,
+                    CASE WHEN regexp_matches(substr(content, 1, 512), '$p0') THEN '$n0'
+                         WHEN regexp_matches(substr(content, 1, 512), '$p1') THEN '$n1'
+                         WHEN regexp_matches(substr(content, 1, 512), '$p2') THEN '$n2'
+                         ELSE 'unknown' END AS license
+                  FROM pages WHERE lang IN ('python', 'scala', 'java')),
+          r2 AS (SELECT src, dst FROM reach
+                 UNION SELECT dst AS src, dst FROM lic),
+          surf AS (SELECT r2.src,
+                     array_to_string(list_sort(list(DISTINCT l.license)), '|')
+                       AS license_surface
+                   FROM r2 JOIN lic l USING (dst) GROUP BY 1),
+          dd AS (SELECT src, count(DISTINCT dst) AS n_dep_repos
+                 FROM r2 WHERE src <> dst GROUP BY 1),
+          ud AS (SELECT r2.src, count(DISTINCT r2.dst) AS n_unlicensed_deps
+                 FROM r2 JOIN lic l USING (dst)
+                 WHERE r2.src <> r2.dst AND l.license = 'unknown' GROUP BY 1)
+          SELECT surf.src AS repo, surf.license_surface,
+                 coalesce(dd.n_dep_repos, 0) AS n_dep_repos,
+                 coalesce(ud.n_unlicensed_deps, 0) AS n_unlicensed_deps
+          FROM surf LEFT JOIN dd USING (src) LEFT JOIN ud USING (src)
+          ORDER BY 1""")
+  }
+
+  test("license-reach hand check: one SCC means every repo wears every license") {
+    val rows = CodeGraph.licenseExposure(CodeGraph.corpus(spark)).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getString(1) === "apache-2.0|mit|unknown"))
+    assert(rows.forall(r => r.getLong(2) === 5L && r.getLong(3) === 5L))
+  }
+
+  test("license-reach crafted chain: exposure narrows down the DAG") {
+    import spark.implicits._
+    val rows = Seq(
+      ("ra", "src/pa/m.py", "c1", "python",
+        "# SPDX-License-Identifier: MIT\nimport pb.m\ndef fa():\n    pass\n"),
+      ("rb", "src/pb/m.py", "c1", "python",
+        "# Licensed under the Apache License, Version 2.0\nimport pc.m\n" +
+          "def fb():\n    pass\n"),
+      ("rc", "src/pc/m.py", "c1", "python", "def fc():\n    pass\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = CodeGraph.licenseExposure(rows).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(s"${CodeGraph.V.Base}repo/ra") ===
+      (("apache-2.0|mit|unknown", 2L, 1L)))
+    assert(got(s"${CodeGraph.V.Base}repo/rb") === (("apache-2.0|unknown", 1L, 1L)))
+    assert(got(s"${CodeGraph.V.Base}repo/rc") === (("unknown", 0L, 0L)))
+  }
+
   test("kg_code_breaking vs DuckDB (removed-export census replay)") {
     setup
     CodeGraph.prevSnapshot(spark).coalesce(1)

@@ -127,6 +127,14 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"the module-scaled tested set must ride a broadcast:\n$p")
   }
 
+  test("kg_code_coupling/license_reach: dimension-sized joins, never nested-loop") {
+    for (q <- Seq("kg_code_coupling", "kg_code_license_reach")) {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q composes aggregated censuses — its joins must stay equi-join:\n$p")
+    }
+  }
+
   test("kg_code_breaking: delta prune + export diff stay equi-join, never nested-loop") {
     val p = plan("kg_code_breaking")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
