@@ -534,10 +534,15 @@ object CodeGraph {
     * the closure is repo-pair-scaled, so every join here is
     * dimension-sized. */
   def licenseExposure(pages: DataFrame): DataFrame = {
+    // three consumers each; both frames are repo-scaled, so the eager
+    // localCheckpoints cost two tiny jobs and guarantee the file-scaled
+    // license scan and the iterative closure run ONCE apiece
     val lic = licenseCensus(pages)
       .select(V.repoIri(col("repo")).as("dst"), col("license")).distinct()
+      .localCheckpoint(true)
     val self = lic.select(col("dst").as("src"), col("dst")).distinct()
     val reach = depClosure(pages).unionByName(self).distinct()
+      .localCheckpoint(true)
     val unknownDeps = reach.filter(col("src") =!= col("dst"))
       .join(lic.filter(col("license") === "unknown"), "dst")
       .groupBy("src").agg(countDistinct(col("dst")).as("n_unlicensed_deps"))
@@ -627,11 +632,16 @@ object CodeGraph {
     * no-re-parse contract as [[incrementalFileTriples]]. */
   def breakingChanges(prev: DataFrame, cur: DataFrame): DataFrame = {
     val (stale, fresh) = snapshotDelta(prev, cur)
+    // four consumers prune on this set; the eager localCheckpoint (one
+    // delta-scaled job at construction, same contract as the iterative
+    // kernels' delta checkpoints) guarantees the digest diff computes
+    // ONCE instead of leaning on exchange reuse across join shapes
     val touched = stale.unionByName(fresh)
       .filter(col("lang").isin("python", "scala", "java"))
       .filter(col("path").startsWith("src/"))
       .select(V.moduleIri(moduleOfPath(col("path"))).as("module"))
       .distinct()
+      .localCheckpoint(true)
     def exports(snap: DataFrame): DataFrame = snap
       .filter(col("lang").isin("python", "scala", "java"))
       .filter(col("path").startsWith("src/"))
