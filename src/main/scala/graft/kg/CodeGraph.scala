@@ -681,6 +681,37 @@ object CodeGraph {
       .orderBy("module", "symbol")
   }
 
+  /** The per-file streaming form of [[breakingChanges]]: symbols a live
+    * graph asserts (`defines` triples) for files whose NEW revision no
+    * longer exports them — the alert a CI-shaped consumer wants at ingest
+    * time, before the graph forgets the old revision. Pure batch logic so
+    * the streaming sink stays a composition: `live` is the parsed graph,
+    * `fresh` the delta's [[fileTriples]], `revisedKeys` the micro-batch's
+    * (repo, path) key set in fileIri-SEGMENT encoding (what the IRI regex
+    * parses back out — the same discipline as the streaming retraction).
+    * Output (repo, path, symbol) stays in that encoding; decoding is the
+    * consumer's call. Old-side parse is pruned to the revised keys with a
+    * broadcast semi-join BEFORE the distinct, so the work is
+    * micro-batch-scaled, never graph-scaled past the one live scan the
+    * streaming sink already shares. */
+  def droppedExports(live: DataFrame, fresh: DataFrame,
+                     revisedKeys: DataFrame): DataFrame = {
+    val fileBase = V.Base + "file/"
+    val fileIriPat = "^" + java.util.regex.Pattern.quote(fileBase) +
+      "([^/]+)/(.+)@[^@]+$"
+    def defs(t: DataFrame): DataFrame = t
+      .filter(col("pred") === V.Defines && col("subj").startsWith(fileBase))
+      .withColumn("repo", regexp_extract(col("subj"), fileIriPat, 1))
+      .withColumn("path", regexp_extract(col("subj"), fileIriPat, 2))
+      .select(col("repo"), col("path"), col("objLex").as("symbol"))
+    val old = defs(live)
+      .join(broadcast(revisedKeys), Seq("repo", "path"), "left_semi")
+      .distinct()
+    old.join(defs(fresh).distinct(),
+      Seq("repo", "path", "symbol"), "left_anti")
+      .orderBy("repo", "path", "symbol")
+  }
+
   /** Snapshot delta keyed on the north rule's per-row lineage invariant:
     * a row is UNCHANGED iff (repo, path, commit, sha256(content)) matches
     * across snapshots — content equality checked through the same digest

@@ -314,11 +314,16 @@ object StreamPipeline {
     * same contract as the wiki stream. At-least-once foreachBatch × the
     * content-idempotent sink converges to fileTriples over the latest
     * accepted revision of every path, kill/rerun-safe (checkpointed gate
-    * state). */
+    * state). With `alertDir` set, each micro-batch also appends
+    * breaking-change alerts ([[graft.kg.CodeGraph.droppedExports]]: live
+    * exports the fresh revision dropped) BEFORE the upsert retracts the
+    * old revision — an at-least-once alert stream beside the exactly-once
+    * graph. */
   def codeStreamToGraph(pages: Dataset[PageRev], graphDir: String,
                         checkpointDir: String, watermark: String = "1 hour",
                         stateTtlMs: Long = 3600L * 1000,
-                        compactFileThreshold: Int = 256)
+                        compactFileThreshold: Int = 256,
+                        alertDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -360,6 +365,20 @@ object StreamPipeline {
           }.getOrElse(Seq.empty[String].toDF("subj"))
           val owned = ownedLive.unionByName(
             frozen.filter(col("subj").startsWith(fileBase)).select("subj"))
+          // breaking-change alerts BEFORE the upsert forgets the old
+          // revision: exports the live graph asserts for the batch's keys
+          // that the fresh extraction no longer carries. Append-only sink
+          // (at-least-once foreachBatch can duplicate alert rows across
+          // retries; alerting consumers dedup on (repo, path, symbol) —
+          // the graph itself stays exactly-once via the idempotent upsert)
+          alertDir.foreach { dir =>
+            graft.kg.CodeGraph.droppedExports(
+                live.getOrElse(Seq.empty[(String, String, Boolean, String,
+                  String, String)].toDF(
+                  "subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")),
+                frozen, keys)
+              .write.mode("append").parquet(dir)
+          }
           graft.store.TurtleIO.mergeUpsert(spark, frozen, graphDir, owned,
             compactFileThreshold, live)
         } finally live.foreach(_.unpersist())

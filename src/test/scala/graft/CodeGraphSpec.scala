@@ -1516,6 +1516,29 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._2 == "keep_fn"))
   }
 
+  test("droppedExports: per-file export diff in IRI-segment encoding") {
+    import spark.implicits._
+    val v1 = Seq(
+      ("org/r", "src/p/m.py", "c1", "python",
+        "def f():\n    pass\ndef old():\n    pass\n"),
+      ("org/r", "src/p/n.py", "c1", "python", "def keep():\n    pass\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val v2 = Seq(
+      ("org/r", "src/p/m.py", "c2", "python",
+        "def f():\n    pass\ndef newer():\n    pass\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val (kr, kp) = CodeGraph.V.fileIriKey(col("repo"), col("path"))
+    val keys = v2.select(kr.as("repo"), kp.as("path")).distinct()
+    val got = CodeGraph.droppedExports(
+      CodeGraph.fileTriples(v1), CodeGraph.fileTriples(v2), keys).collect()
+    // only the revised file is consulted (n.py's keep is not an alert),
+    // kept f and added newer stay silent, and the slash-bearing repo id
+    // round-trips through the IRI encoding the live-graph parse uses
+    assert(got.length === 1)
+    assert((got(0).getString(0), got(0).getString(1), got(0).getString(2)) ===
+      (("org%2Fr", "src/p/m.py", "old")))
+  }
+
   test("kg_code_todo vs DuckDB (tech-debt marker census replay)") {
     checkT("kg_code_todo",
       CodeGraph.todoCensus(CodeGraph.corpusWithTests(spark)),

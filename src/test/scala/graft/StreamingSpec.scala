@@ -336,6 +336,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_.contains("@c1")))
   }
 
+  test("codeStreamToGraph: alertDir captures dropped exports before retraction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageRev
+    val root = java.nio.file.Files.createTempDirectory("code-stream-alert").toString
+    val graphDir = s"$root/code-graph.ttl"
+    val ckpt = s"$root/ckpt"
+    val alerts = s"$root/alerts"
+    // v2 drops old_sym and adds g; the sibling file is never revised
+    val m1 = PageRev(new java.sql.Timestamp(1000L), "repo_a", "src/pkg/m.py",
+      "cm1", "def f():\n    pass\ndef old_sym():\n    pass\n")
+    val n1 = PageRev(new java.sql.Timestamp(1000L), "repo_a", "src/pkg/n.py",
+      "cn1", "def keep():\n    pass\n")
+    val m2 = PageRev(new java.sql.Timestamp(2000L), "repo_a", "src/pkg/m.py",
+      "cm2", "def f():\n    pass\ndef g():\n    pass\n")
+    val input = MemoryStream[PageRev]
+    val q = StreamPipeline.codeStreamToGraph(input.toDS(), graphDir, ckpt,
+      alertDir = Some(alerts))
+    try {
+      input.addData(Seq(m1, n1)); q.processAllAvailable()
+      input.addData(Seq(m2)); q.processAllAvailable()
+    } finally q.stop()
+    // exactly the dropped export, once the at-least-once duplicates dedup;
+    // batch 1 (no live graph yet) and the kept/added symbols alert nothing
+    val got = spark.read.parquet(alerts)
+      .select("repo", "path", "symbol").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(("repo_a", "src/pkg/m.py", "old_sym")))
+    // the graph itself no longer asserts the dropped export (the alert
+    // fired BEFORE the upsert forgot it — the live graph was the evidence)
+    val defines = graft.store.TurtleIO.parse(spark, graphDir)
+      .filter(col("pred") === graft.kg.CodeGraph.V.Defines)
+      .select("objLex").collect().map(_.getString(0)).toSet
+    assert(defines === Set("f", "g", "keep"))
+  }
+
   test("streamToGraph: two micro-batches + a restart equal the batch pipeline's graph") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
