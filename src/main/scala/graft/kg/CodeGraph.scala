@@ -1104,6 +1104,43 @@ object CodeGraph {
       .orderBy("repo", "path")
   }
 
+  /** Documentation-coverage census: per (repo, lang), how many of the
+    * export-anchored definitions carry adjacent documentation — python
+    * docstring on the line after the def/class header, a scaladoc/javadoc
+    * block whose closing marker sits on the line directly above the
+    * declaration — as integer bp. The numerator regexes end in the
+    * denominator's own export anchors (python top-level only, scala bare
+    * keyword at line start — a modifier-prefixed scala decl is outside
+    * BOTH, like [[definesOf]]), so documented &le; defined by
+    * construction; nested-def docstrings, a doc block closing on the
+    * declaration's own line, and detached comments are stated census
+    * boundaries, not parsed. The three-quote fence class accepts either
+    * quote style (a mixed fence is invalid python anyway). Map-only
+    * against the scan, one partial-aggregable (repo, lang) shuffle. */
+  def docCoverage(pages: DataFrame): DataFrame = {
+    val docPat = when(col("lang") === "python",
+      lit("(?m)^(?:def|class)\\s+\\w+[^\\n]*:\\n[ \\t]*['\"]{3}"))
+      .when(col("lang") === "scala",
+        lit("\\*/[ \\t]*\\n[ \\t]*(?:def|class|object|trait)\\s+\\w+"))
+      .otherwise(
+        lit("\\*/[ \\t]*\\n[ \\t]*(?:(?:public|private|protected|final|static|" +
+          "abstract)\\s+)*(?:class|interface|enum)\\s+\\w+"))
+    val defPat = when(col("lang") === "python",
+      lit("(?m)^(?:def|class)\\s+\\w+"))
+      .when(col("lang") === "scala",
+        lit("(?m)^\\s*(?:def|class|object|trait)\\s+\\w+"))
+      .otherwise(lit("(?m)(?:class|interface|enum)\\s+\\w+"))
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("lang"),
+        regexp_count(col("content"), defPat).cast("long").as("d"),
+        regexp_count(col("content"), docPat).cast("long").as("doc"))
+      .groupBy("repo", "lang")
+      .agg(sum(col("d")).as("n_defs"), sum(col("doc")).as("n_documented"))
+      .withColumn("doc_bp",
+        expr("(10000 * n_documented) div greatest(n_defs, 1)"))
+      .orderBy("repo", "lang")
+  }
+
   /** Language-tag audit: the `lang` column is ingest metadata (file
     * extension, upstream classifier) and at 10^12 files some of it is
     * wrong — a mis-tagged file silently runs the WRONG extraction regexes,
@@ -1142,10 +1179,32 @@ object CodeGraph {
     * anti-join broadcasts at any realistic module/file ratio. Same
     * heuristic depth as the rest of the module: a test that exercises a
     * module through a helper chain without importing it reads as a gap. */
+  /** Test-file path convention across the three ecosystems (tests/ dirs,
+    * test_* files, *Spec / *Test suffixes) — one anchored alternation in
+    * the RE2 ∩ java.util.regex subset, shared by [[untestedModules]],
+    * [[testRatio]] and their DuckDB replays. */
+  val TestPathPattern: String =
+    "(^|/)tests?/|(^|/)test_[^/]*$|(Spec|Test)\\.(py|scala|java)$"
+
+  /** Test-presence census: per repo, code files vs test files (by the
+    * [[TestPathPattern]] convention) and the ratio in integer basis
+    * points — the repo-granularity companion to [[untestedModules]]'s
+    * module worklist (a repo with zero test files does not need the
+    * module-level diff to be triaged). One partial-aggregable repo
+    * shuffle; zero-test repos report. */
+  def testRatio(pages: DataFrame): DataFrame =
+    pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"),
+        col("path").rlike(TestPathPattern).cast("long").as("t"))
+      .groupBy("repo")
+      .agg(count(lit(1)).as("n_files"), sum(col("t")).as("n_test_files"))
+      .withColumn("test_ratio_bp",
+        expr("(10000 * n_test_files) div greatest(n_files, 1)"))
+      .orderBy("repo")
+
   def untestedModules(pages: DataFrame): DataFrame = {
     val code = pages.filter(col("lang").isin("python", "scala", "java"))
-    val isTest = col("path").rlike(
-      "(^|/)tests?/|(^|/)test_[^/]*$|(Spec|Test)\\.(py|scala|java)$")
+    val isTest = col("path").rlike(TestPathPattern)
     val owns = code.filter(col("path").startsWith("src/"))
       .select(V.moduleIri(moduleOfPath(col("path"))).as("module"),
         V.repoIri(col("repo")).as("owner"))
@@ -1406,5 +1465,8 @@ object CodeGraph {
     QueryDef("kg_code_untested", (s, _) =>
       untestedModules(corpusWithTests(s)), None),
     QueryDef("kg_code_todo", (s, _) =>
-      todoCensus(corpusWithTests(s)), None))
+      todoCensus(corpusWithTests(s)), None),
+    QueryDef("kg_code_testratio", (s, _) =>
+      testRatio(corpusWithTests(s)), None),
+    QueryDef("kg_code_doc", (s, _) => docCoverage(corpusWithTests(s)), None))
 }

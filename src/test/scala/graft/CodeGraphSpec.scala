@@ -1516,6 +1516,82 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._2 == "keep_fn"))
   }
 
+  test("kg_code_testratio vs DuckDB (test-presence census replay)") {
+    checkT("kg_code_testratio",
+      CodeGraph.testRatio(CodeGraph.corpusWithTests(spark)),
+      """SELECT repo, count(*) AS n_files,
+                CAST(sum(CASE WHEN regexp_matches(path,
+                  '(^|/)tests?/|(^|/)test_[^/]*$|(Spec|Test)\.(py|scala|java)$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_test_files,
+                (10000 * CAST(sum(CASE WHEN regexp_matches(path,
+                  '(^|/)tests?/|(^|/)test_[^/]*$|(Spec|Test)\.(py|scala|java)$')
+                  THEN 1 ELSE 0 END) AS BIGINT)) // greatest(count(*), 1)
+                  AS test_ratio_bp
+         FROM pagest WHERE lang IN ('python', 'scala', 'java')
+         GROUP BY 1 ORDER BY 1""")
+  }
+
+  test("test-ratio hand check: seeded tests in repos 0-2, zero-test repos report") {
+    val got = CodeGraph.testRatio(CodeGraph.corpusWithTests(spark)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size === 6)
+    assert(got("repo_0") === ((7L, 1L, 1428L)))
+    assert(got("repo_1") === ((7L, 1L, 1428L)))
+    assert(got("repo_2") === ((6L, 1L, 1666L)))
+    for (r <- Seq("repo_3", "repo_4", "repo_5"))
+      assert(got(r) === ((6L, 0L, 0L)))
+  }
+
+  test("kg_code_doc vs DuckDB (documentation-coverage census replay)") {
+    checkT("kg_code_doc",
+      CodeGraph.docCoverage(CodeGraph.corpusWithTests(spark)),
+      """SELECT repo, lang, CAST(sum(d) AS BIGINT) AS n_defs,
+                CAST(sum(doc) AS BIGINT) AS n_documented,
+                (10000 * CAST(sum(doc) AS BIGINT))
+                  // greatest(CAST(sum(d) AS BIGINT), 1) AS doc_bp
+         FROM (SELECT repo, lang,
+                 CASE WHEN lang = 'python' THEN len(regexp_extract_all(content,
+                        '(?m)^(?:def|class)\s+\w+'))
+                      WHEN lang = 'scala' THEN len(regexp_extract_all(content,
+                        '(?m)^\s*(?:def|class|object|trait)\s+\w+'))
+                      ELSE len(regexp_extract_all(content,
+                        '(?m)(?:class|interface|enum)\s+\w+')) END AS d,
+                 CASE WHEN lang = 'python' THEN len(regexp_extract_all(content,
+                        '(?m)^(?:def|class)\s+\w+[^\n]*:\n[ \t]*[''"]{3}'))
+                      WHEN lang = 'scala' THEN len(regexp_extract_all(content,
+                        '\*/[ \t]*\n[ \t]*(?:def|class|object|trait)\s+\w+'))
+                      ELSE len(regexp_extract_all(content,
+                        '\*/[ \t]*\n[ \t]*(?:(?:public|private|protected|final|static|abstract)\s+)*(?:class|interface|enum)\s+\w+'))
+                 END AS doc
+               FROM pagest WHERE lang IN ('python', 'scala', 'java'))
+         GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  test("doc-coverage hand check: undocumented fixture zeros; crafted probes per lang") {
+    import spark.implicits._
+    // the whole fixture is undocumented — zeros are the statement
+    val rows = CodeGraph.docCoverage(CodeGraph.corpusWithTests(spark)).collect()
+    assert(rows.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
+    val r0py = rows.find(r =>
+      r.getString(0) == "repo_0" && r.getString(1) == "python").get
+    assert(r0py.getLong(2) === 7L) // 2+2 mod defs + vendored + gen + test
+    // crafted probes: one documented + one bare definition per language
+    val probes = Seq(
+      ("r", "a.py", "c", "python",
+        "def ok(x):\n    '''doc'''\n    return x\ndef un(x):\n    return x\n"),
+      ("r", "b.scala", "c", "scala", "/** doc */\nclass A\nobject B\n"),
+      ("r", "c.java", "c", "java",
+        "/** d */\npublic class C { }\ninterface D { }\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val got = CodeGraph.docCoverage(probes).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("python") === ((2L, 1L, 5000L)))
+    assert(got("scala") === ((2L, 1L, 5000L)))
+    assert(got("java") === ((2L, 1L, 5000L)))
+  }
+
   test("droppedExports: per-file export diff in IRI-segment encoding") {
     import spark.implicits._
     val v1 = Seq(

@@ -119,6 +119,15 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"per-repo marker counts must map-side combine:\n$p")
   }
 
+  test("kg_code_testratio/doc: censuses partial-aggregate map-side") {
+    for (q <- Seq("kg_code_testratio", "kg_code_doc")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q must map-side combine:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
   test("kg_code_untested: the coverage anti-join broadcasts the tested set") {
     val p = plan("kg_code_untested")
     val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
