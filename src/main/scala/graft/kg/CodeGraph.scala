@@ -1141,6 +1141,85 @@ object CodeGraph {
       .orderBy("repo", "lang")
   }
 
+  /** Rename census: files that MOVED between snapshots — same (repo,
+    * content digest), old path gone from cur, new path absent from prev.
+    * [[churnCensus]] books a rename as added+removed and an incremental
+    * pipeline would re-extract from scratch; this census is the
+    * correction term that lets lineage travel with the move. The digest
+    * must be UNIQUE within the repo's removed set AND its added set (the
+    * git rename-detection constraint — a vendored digest at several
+    * paths has no well-defined pairing), which also bounds the pairing
+    * join at one row per digest by construction. Only ids + digests ride
+    * the anti/equi joins, never content; both pairing sides are
+    * delta-scaled (removed/added files), so they broadcast against each
+    * other at any realistic churn ratio. */
+  def renameCensus(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def digests(df: DataFrame) =
+      df.filter(col("lang").isin("python", "scala", "java"))
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha256"))
+    val p = digests(prev)
+    val c = digests(cur)
+    // a path present on both sides is unchanged or edited in place — only
+    // side-exclusive paths are rename candidates
+    val removed = p.join(c.select("repo", "path"), Seq("repo", "path"), "left_anti")
+    val added = c.join(p.select("repo", "path"), Seq("repo", "path"), "left_anti")
+    def uniq(df: DataFrame, pathAs: String) =
+      df.groupBy("repo", "sha256")
+        .agg(count(lit(1)).as("n"), min(col("path")).as(pathAs))
+        .filter(col("n") === 1).drop("n")
+    uniq(removed, "old_path").join(uniq(added, "new_path"), Seq("repo", "sha256"))
+      .select(col("repo"), col("old_path"), col("new_path"), col("sha256"))
+      .orderBy("repo", "old_path")
+  }
+
+  /** Hotspot worklist: every file ADDED or CHANGED in the current
+    * snapshot joined to its [[complexityCensus]] row and ordered by
+    * branch count — where a review / re-extraction / re-training budget
+    * goes first (the two-snapshot form of the classic change-frequency ×
+    * complexity hotspot ranking). Change detection reuses
+    * [[churnCensus]]'s digest-inequality discipline on an ids+digest
+    * projection; the complexity side is map-only over cur, so the one
+    * equi-join is delta-sized against file-scale and AQE-broadcastable
+    * at any realistic churn ratio. */
+  def hotspotCensus(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def digests(df: DataFrame, shaCol: String) =
+      df.filter(col("lang").isin("python", "scala", "java"))
+        .select(col("repo"), col("path"), sha2(col("content"), 256).as(shaCol))
+    val delta = digests(cur, "sha_cur")
+      .join(digests(prev, "sha_prev"), Seq("repo", "path"), "left_outer")
+      .filter(col("sha_prev").isNull || col("sha_prev") =!= col("sha_cur"))
+      .select(col("repo"), col("path"),
+        when(col("sha_prev").isNull, "added").otherwise("changed").as("status"))
+    delta.join(complexityCensus(cur), Seq("repo", "path"))
+      .orderBy(desc("n_branches"), col("repo"), col("path"))
+  }
+
+  /** Orphaned-test census: test files importing an internal-SHAPED module
+    * nobody owns — the import's top-level package has at least one
+    * src-owned module in the corpus, but the module itself does not (it
+    * was moved or deleted without its test). External libraries (pytest,
+    * std.util) never flag: their packages own nothing in-corpus. The
+    * complement of [[untestedModules]] (that is code without tests; this
+    * is tests without code). The owned-module and owned-package sides
+    * collapse to module scale before their joins, so both broadcast at
+    * any file count; the anti-join drops resolvable imports first, so
+    * the package semi-join only sees the unresolved residue. */
+  def staleTests(pages: DataFrame): DataFrame = {
+    val code = pages.filter(col("lang").isin("python", "scala", "java"))
+    val owned = code.filter(col("path").startsWith("src/"))
+      .select(moduleOfPath(col("path")).as("module")).distinct()
+    val ownedPkgs = owned
+      .select(split(col("module"), "\\.").getItem(0).as("pkg")).distinct()
+    code.filter(col("path").rlike(TestPathPattern))
+      .select(col("repo"), col("path"), explode(importsOf).as("module"))
+      .join(owned, Seq("module"), "left_anti")
+      .join(ownedPkgs.withColumnRenamed("pkg", "module_pkg"),
+        split(col("module"), "\\.").getItem(0) === col("module_pkg"), "left_semi")
+      .select(col("repo"), col("path"), col("module").as("missing_module"))
+      .distinct()
+      .orderBy("repo", "path", "missing_module")
+  }
+
   /** Language-tag audit: the `lang` column is ingest metadata (file
     * extension, upstream classifier) and at 10^12 files some of it is
     * wrong — a mis-tagged file silently runs the WRONG extraction regexes,
@@ -1388,6 +1467,30 @@ object CodeGraph {
       (tests ++ mistag).toDF("repo", "path", "commit", "lang", "content"))
   }
 
+  /** [[corpusWithTests]] plus ONE orphaned test (repo_4, importing a
+    * pkg_4 module no src file owns, plus an external `pytest` that must
+    * stay silent) — the positive signal for [[staleTests]]; kept separate
+    * so every hand count over [[corpusWithTests]] stays exact. */
+  private[graft] def corpusWithStaleTest(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    corpusWithTests(spark).unionByName(Seq(
+      ("repo_4", "tests/test_legacy.py",
+        WikitextParser.sha256Hex("repo_4/tests/test_legacy.py#code=42")
+          .substring(0, 12), "python",
+        "import pkg_4.legacy_mod\nimport pytest\n" +
+          "def test_old():\n    assert True\n"))
+      .toDF("repo", "path", "commit", "lang", "content"))
+  }
+
+  /** [[corpus]] with repo_2's vendored file MOVED (vendor/ →
+    * third_party/, byte-identical content) — the positive signal for
+    * [[renameCensus]]'s QueryDef; the same digest exists in every OTHER
+    * repo at the old path, pinning that pairing is per-repo. */
+  private[graft] def movedSnapshot(spark: SparkSession): DataFrame =
+    corpus(spark).withColumn("path",
+      when(col("repo") === "repo_2" && col("path") === "vendor/lib_util.py",
+        lit("third_party/lib_util.py")).otherwise(col("path")))
+
   /** Deterministic PREVIOUS snapshot for the incremental-extraction entry:
     * [[corpus]] with (a) repo_0's tools/gen.py absent (ADDED in cur),
     * (b) repo_1's src/pkg_1/mod_0.scala at an older commit with different
@@ -1468,5 +1571,11 @@ object CodeGraph {
       todoCensus(corpusWithTests(s)), None),
     QueryDef("kg_code_testratio", (s, _) =>
       testRatio(corpusWithTests(s)), None),
-    QueryDef("kg_code_doc", (s, _) => docCoverage(corpusWithTests(s)), None))
+    QueryDef("kg_code_doc", (s, _) => docCoverage(corpusWithTests(s)), None),
+    QueryDef("kg_code_renames", (s, _) =>
+      renameCensus(corpus(s), movedSnapshot(s)), None),
+    QueryDef("kg_code_hotspots", (s, _) =>
+      hotspotCensus(prevSnapshot(s), corpus(s)), None),
+    QueryDef("kg_code_staletests", (s, _) =>
+      staleTests(corpusWithStaleTest(s)), None))
 }

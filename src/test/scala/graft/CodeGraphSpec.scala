@@ -1592,6 +1592,170 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(got("java") === ((2L, 1L, 5000L)))
   }
 
+  test("kg_code_renames vs DuckDB (unique-digest pairing replay)") {
+    setup
+    CodeGraph.movedSnapshot(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/moved")
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c,
+        s"CREATE VIEW moved AS SELECT * FROM read_parquet('$dir/moved/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.renameCensus(CodeGraph.corpus(spark),
+          CodeGraph.movedSnapshot(spark)),
+        s"""WITH pv AS (SELECT repo, path, sha256(content) AS sha256 FROM pages
+                        WHERE lang IN ('python','scala','java')),
+            cv AS (SELECT repo, path, sha256(content) AS sha256 FROM moved
+                   WHERE lang IN ('python','scala','java')),
+            rm AS (SELECT * FROM pv WHERE NOT EXISTS (SELECT 1 FROM cv
+                     WHERE cv.repo = pv.repo AND cv.path = pv.path)),
+            ad AS (SELECT * FROM cv WHERE NOT EXISTS (SELECT 1 FROM pv
+                     WHERE pv.repo = cv.repo AND pv.path = cv.path)),
+            ru AS (SELECT repo, sha256, min(path) AS old_path FROM rm
+                   GROUP BY 1, 2 HAVING count(*) = 1),
+            au AS (SELECT repo, sha256, min(path) AS new_path FROM ad
+                   GROUP BY 1, 2 HAVING count(*) = 1)
+            SELECT ru.repo, old_path, new_path, ru.sha256
+            FROM ru JOIN au ON ru.repo = au.repo AND ru.sha256 = au.sha256
+            ORDER BY 1, 2""",
+        "kg_code_renames")
+    }
+  }
+
+  test("rename hand checks: the move pairs per-repo; churn deltas and " +
+    "ambiguous digests never pair") {
+    import spark.implicits._
+    // the moved vendored file pairs ONLY in repo_2 (the same digest sits at
+    // the OLD path in every other repo — pairing is per-repo by key)
+    val got = CodeGraph.renameCensus(CodeGraph.corpus(spark),
+      CodeGraph.movedSnapshot(spark)).collect()
+    assert(got.length === 1)
+    assert((got(0).getString(0), got(0).getString(1), got(0).getString(2)) ===
+      (("repo_2", "vendor/lib_util.py", "third_party/lib_util.py")))
+    // prev→cur carries an add, a remove and an in-place change — none of
+    // which is a rename
+    assert(CodeGraph.renameCensus(CodeGraph.prevSnapshot(spark),
+      CodeGraph.corpus(spark)).isEmpty)
+    // two identical removed files + one added copy: ambiguous, no pairing;
+    // making the removed side unique pairs exactly one
+    val cur = Seq(("r", "c.py", "c", "python", "X"),
+      ("r", "keep.py", "c", "python", "Y"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val ambig = Seq(("r", "a.py", "c", "python", "X"),
+      ("r", "b.py", "c", "python", "X"),
+      ("r", "keep.py", "c", "python", "Y"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    assert(CodeGraph.renameCensus(ambig, cur).isEmpty)
+    val uniq = Seq(("r", "a.py", "c", "python", "X"),
+      ("r", "keep.py", "c", "python", "Y"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val one = CodeGraph.renameCensus(uniq, cur).collect()
+    assert(one.length === 1 &&
+      (one(0).getString(1), one(0).getString(2)) === (("a.py", "c.py")))
+  }
+
+  test("kg_code_hotspots vs DuckDB (delta x complexity replay)") {
+    setup
+    CodeGraph.prevSnapshot(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/prev")
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c,
+        s"CREATE VIEW prev AS SELECT * FROM read_parquet('$dir/prev/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.hotspotCensus(CodeGraph.prevSnapshot(spark),
+          CodeGraph.corpus(spark)),
+        """WITH pv AS (SELECT repo, path, sha256(content) AS sp FROM prev
+                       WHERE lang IN ('python','scala','java')),
+           cv AS (SELECT repo, path, sha256(content) AS sc FROM pages
+                  WHERE lang IN ('python','scala','java')),
+           d AS (SELECT c.repo, c.path,
+                   CASE WHEN p.sp IS NULL THEN 'added'
+                        ELSE 'changed' END AS status
+                 FROM cv c LEFT JOIN pv p
+                   ON p.repo = c.repo AND p.path = c.path
+                 WHERE p.sp IS NULL OR p.sp <> c.sc),
+           cx AS (SELECT repo, path,
+                    CAST(len(string_split(content, chr(10))) AS BIGINT)
+                      AS n_lines,
+                    CAST(len(regexp_extract_all(content,
+                      '\b(if|elif|else if|for|while|case|catch|except|when|match)\b'))
+                      AS BIGINT) AS n_branches,
+                    CAST(CASE
+                      WHEN lang = 'python' THEN len(regexp_extract_all(content,
+                        '(?m)^(?:def|class)\s+\w+'))
+                      WHEN lang = 'scala' THEN len(regexp_extract_all(content,
+                        '(?m)^\s*(?:def|class|object|trait)\s+\w+'))
+                      ELSE len(regexp_extract_all(content,
+                        '(?m)(?:class|interface|enum)\s+\w+')) END AS BIGINT)
+                      AS n_defs,
+                    CAST(list_max(list_transform(string_split(content, chr(10)),
+                      x -> length(x) - length(ltrim(x)))) AS BIGINT)
+                      AS max_indent
+                  FROM pages WHERE lang IN ('python', 'scala', 'java'))
+           SELECT d.repo, d.path, d.status, n_lines, n_branches, n_defs,
+                  max_indent,
+                  (100 * n_branches) // greatest(n_lines, 1)
+                    AS branch_per_100_lines
+           FROM d JOIN cx ON d.repo = cx.repo AND d.path = cx.path
+           ORDER BY n_branches DESC, 1, 2""",
+        "kg_code_hotspots")
+    }
+  }
+
+  test("hotspot hand check: the branchy added file outranks the plain change") {
+    val rows = CodeGraph.hotspotCensus(CodeGraph.prevSnapshot(spark),
+      CodeGraph.corpus(spark)).collect()
+    assert(rows.length === 2)
+    assert((rows(0).getString(0), rows(0).getString(1), rows(0).getString(2),
+      rows(0).getLong(4)) === (("repo_0", "tools/gen.py", "added", 1L)))
+    assert((rows(1).getString(0), rows(1).getString(1), rows(1).getString(2),
+      rows(1).getLong(4)) ===
+      (("repo_1", "src/pkg_1/mod_0.scala", "changed", 0L)))
+  }
+
+  test("kg_code_staletests vs DuckDB (orphaned-test census replay)") {
+    CodeGraph.corpusWithStaleTest(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pagesst")
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pagesst AS SELECT * FROM read_parquet('$dir/pagesst/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.staleTests(CodeGraph.corpusWithStaleTest(spark)),
+        """WITH code AS (SELECT * FROM pagesst
+                         WHERE lang IN ('python','scala','java')),
+           owned AS (SELECT DISTINCT replace(regexp_replace(regexp_replace(
+                       path, '^src/', ''), '\.(py|scala|java)$', ''),
+                       '/', '.') AS module
+                     FROM code WHERE path LIKE 'src/%'),
+           opkg AS (SELECT DISTINCT string_split(module, '.')[1] AS pkg
+                    FROM owned),
+           ti AS (SELECT repo, path, unnest(regexp_extract_all(content,
+                    '(?m)^\s*(?:import|from)\s+([\w.]+)', 1)) AS module
+                  FROM code WHERE regexp_matches(path,
+                    '(^|/)tests?/|(^|/)test_[^/]*$|(Spec|Test)\.(py|scala|java)$'))
+           SELECT DISTINCT repo, path, module AS missing_module
+           FROM ti
+           WHERE module NOT IN (SELECT module FROM owned)
+             AND string_split(module, '.')[1] IN (SELECT pkg FROM opkg)
+           ORDER BY 1, 2, 3""",
+        "kg_code_staletests")
+    }
+  }
+
+  test("stale-test hand check: only the orphaned import flags; externals " +
+    "and owned imports stay silent") {
+    val got = CodeGraph.staleTests(CodeGraph.corpusWithStaleTest(spark))
+      .collect()
+    assert(got.length === 1)
+    assert((got(0).getString(0), got(0).getString(1), got(0).getString(2)) ===
+      (("repo_4", "tests/test_legacy.py", "pkg_4.legacy_mod")))
+    // without the orphan row every test import resolves — empty census
+    assert(CodeGraph.staleTests(CodeGraph.corpusWithTests(spark)).isEmpty)
+  }
+
   test("droppedExports: per-file export diff in IRI-segment encoding") {
     import spark.implicits._
     val v1 = Seq(

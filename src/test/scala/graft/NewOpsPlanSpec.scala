@@ -128,6 +128,21 @@ class NewOpsPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kg_code_renames/hotspots/staletests: equi-joins only, never nested-loop") {
+    for (q <- Seq("kg_code_renames", "kg_code_hotspots", "kg_code_staletests")) {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q must stay equi/broadcast-join shaped:\n$p")
+    }
+  }
+
+  test("kg_code_staletests: both module-scale sides broadcast") {
+    val p = plan("kg_code_staletests")
+    val bc = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bc >= 2,
+      s"owned-module anti-join and owned-package semi-join must broadcast:\n$p")
+  }
+
   test("kg_code_untested: the coverage anti-join broadcasts the tested set") {
     val p = plan("kg_code_untested")
     val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
