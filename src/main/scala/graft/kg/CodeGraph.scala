@@ -774,6 +774,62 @@ object CodeGraph {
       .unionByName(definedInTriples(cur))
   }
 
+  /** The rename-aware split of a snapshot delta: (reparse rows, subject
+    * rewrite map old_subj → new_subj). A fresh row whose path is the
+    * target of a [[renameCensus]] pairing is byte-identical to its prev
+    * row, so every content-derived triple (lang, sha256, imports,
+    * defines) is ALREADY in prevTriples under the old subject — only the
+    * subject IRI (which embeds path + commit) changes. Exposed for the
+    * spec's parse-avoidance assertion. */
+  private[graft] def renameAwareParts(prev: DataFrame, cur: DataFrame)
+  : (DataFrame, DataFrame) = {
+    val renames = renameCensus(prev, cur)
+    val (stale, fresh) = snapshotDelta(prev, cur)
+    val newKeys = renames.select(col("repo"), col("new_path").as("path"))
+    val reparse = fresh.join(newKeys, Seq("repo", "path"), "left_anti")
+    val oldIds = stale.select(col("repo"), col("path").as("old_path"),
+      V.fileIri(col("repo"), col("path"), col("commit")).as("old_subj"))
+    val newIds = fresh.select(col("repo"), col("path").as("new_path"),
+      V.fileIri(col("repo"), col("path"), col("commit")).as("new_subj"))
+    val subjMap = renames.join(oldIds, Seq("repo", "old_path"))
+      .join(newIds, Seq("repo", "new_path"))
+      .select(col("old_subj"), col("new_subj"))
+    (reparse, subjMap)
+  }
+
+  /** [[incrementalFileTriples]] with rename awareness: a moved-but-
+    * byte-identical file (a directory restructure is millions of them at
+    * 10^12 files) is maintained by REWRITING its triples' subject IRI
+    * from the previous graph instead of re-parsing its content — the
+    * parse set shrinks from |delta| to |genuinely new or edited rows|.
+    * Retraction is subject-based (the non-definedIn triples of a file
+    * are exactly those under its injective [[V.fileIri]]), so no stale
+    * content is parsed either; definedIn stays an exact recompute from
+    * cur's narrow key columns (see [[incrementalFileTriples]] for why
+    * per-file retraction is unsound for that one predicate). The stale
+    * subject set and the rewrite map are delta-scaled and broadcast.
+    * CodeGraphSpec differential-proves ≡ full recompute on a snapshot
+    * pair carrying an add, an in-place change, a remove AND a rename at
+    * once, and pins that the renamed path is absent from the parse set. */
+  def renameAwareDelta(prevTriples: DataFrame, prev: DataFrame,
+                       cur: DataFrame): DataFrame = {
+    val (reparse, subjMap) = renameAwareParts(prev, cur)
+    val (stale, _) = snapshotDelta(prev, cur)
+    val staleSubjs = stale.select(
+      V.fileIri(col("repo"), col("path"), col("commit")).as("old_subj"))
+      .distinct()
+    val nonDef = (t: DataFrame) => t.filter(col("pred") =!= V.DefinedIn)
+    val rewritten = nonDef(prevTriples)
+      .join(broadcast(subjMap), col("subj") === col("old_subj"))
+      .select(col("new_subj").as("subj"), col("pred"), col("objIsIri"),
+        col("objLex"), col("objDtype"), col("objLang"))
+    nonDef(prevTriples)
+      .join(broadcast(staleSubjs), col("subj") === col("old_subj"), "left_anti")
+      .unionByName(nonDef(fileTriples(reparse)))
+      .unionByName(rewritten)
+      .unionByName(definedInTriples(cur))
+  }
+
   /** Comment/whitespace normalization for clone detection: line comments
     * (`#`, `//`) stripped, whitespace runs collapsed to one space, ends
     * trimmed. The whitespace class is spelled explicitly ([ \t\n\x0B\f\r])
@@ -1577,5 +1633,9 @@ object CodeGraph {
     QueryDef("kg_code_hotspots", (s, _) =>
       hotspotCensus(prevSnapshot(s), corpus(s)), None),
     QueryDef("kg_code_staletests", (s, _) =>
-      staleTests(corpusWithStaleTest(s)), None))
+      staleTests(corpusWithStaleTest(s)), None),
+    QueryDef("kg_code_delta_rename", (s, _) => {
+      val prev = prevSnapshot(s)
+      renameAwareDelta(fileTriples(prev), prev, movedSnapshot(s))
+    }, None))
 }

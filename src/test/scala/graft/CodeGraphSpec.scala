@@ -802,6 +802,38 @@ class CodeGraphSpec extends AnyFunSuite {
     } finally inc.unpersist()
   }
 
+  test("kg_code_delta_rename: rename-aware ≡ full recompute; the moved file " +
+    "never enters the parse set") {
+    val prev = CodeGraph.prevSnapshot(spark)
+    val cur = CodeGraph.movedSnapshot(spark)
+    // prev→cur carries all four change kinds at once: gen.py added,
+    // mod_0.scala edited in place, legacy.py removed, vendor/ → third_party/
+    // moved byte-identically in repo_2
+    val (reparse, subjMap) = CodeGraph.renameAwareParts(prev, cur)
+    val rp = reparse.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rp === Set(("repo_0", "tools/gen.py"),
+      ("repo_1", "src/pkg_1/mod_0.scala")))
+    val sm = subjMap.collect()
+    assert(sm.length === 1)
+    assert(sm(0).getString(0).contains("/vendor/lib_util.py@") &&
+      sm(0).getString(1).contains("/third_party/lib_util.py@"))
+    val inc = CodeGraph.renameAwareDelta(
+      CodeGraph.fileTriples(prev), prev, cur).cache()
+    try {
+      val full = CodeGraph.fileTriples(cur)
+      assert(inc.count() === full.count())
+      assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
+    } finally inc.unpersist()
+  }
+
+  test("rename-aware delta degenerates to the plain incremental when nothing moved") {
+    val prev = CodeGraph.prevSnapshot(spark)
+    val cur = CodeGraph.corpus(spark)
+    val a = CodeGraph.renameAwareDelta(CodeGraph.fileTriples(prev), prev, cur)
+    val b = CodeGraph.incrementalFileTriples(CodeGraph.fileTriples(prev), prev, cur)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("incremental: deleting one of two same-module files keeps the shared definedIn") {
     import spark.implicits._
     // moduleOfPath is non-injective: both files assert (module/m.a definedIn

@@ -129,7 +129,8 @@ class NewOpsPlanSpec extends AnyFunSuite {
   }
 
   test("kg_code_renames/hotspots/staletests: equi-joins only, never nested-loop") {
-    for (q <- Seq("kg_code_renames", "kg_code_hotspots", "kg_code_staletests")) {
+    for (q <- Seq("kg_code_renames", "kg_code_hotspots", "kg_code_staletests",
+      "kg_code_delta_rename")) {
       val p = plan(q)
       assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
         s"$q must stay equi/broadcast-join shaped:\n$p")
