@@ -907,10 +907,21 @@ object CodeGraph {
   def materialize(spark: SparkSession, pages: DataFrame, outDir: String,
                   fingerprint: String): Seq[String] = {
     import graft.store.TableIO
-    val skipped = Seq.newBuilder[String]
     val (triplesDf, s1) =
       TableIO.stage(spark, s"$outDir/code_triples", fingerprint)(fileTriples(pages))
-    if (s1) skipped += "code_triples"
+    (if (s1) Seq("code_triples") else Nil) ++
+      downstreamStages(spark, pages, outDir, fingerprint, triplesDf)
+  }
+
+  /** The repo/module-scaled stages downstream of the triple table — shared
+    * by the full and incremental builds (they re-derive from whatever
+    * triple snapshot was just committed; none of them is file-scaled, so
+    * recomputing them per refresh is noise next to the parse). */
+  private def downstreamStages(spark: SparkSession, pages: DataFrame,
+                               outDir: String, fingerprint: String,
+                               triplesDf: DataFrame): Seq[String] = {
+    import graft.store.TableIO
+    val skipped = Seq.newBuilder[String]
     val (depsDf, s2) =
       TableIO.stage(spark, s"$outDir/code_deps", fingerprint)(
         repoDepsFromTriples(triplesDf))
@@ -931,6 +942,41 @@ object CodeGraph {
     }
     if (s5) skipped += "code_metrics"
     skipped.result()
+  }
+
+  /** Incremental refresh of the staged code graph: when `outDir` holds a
+    * completed `code_triples` stage committed under `prevFingerprint`,
+    * the triple table advances by [[renameAwareDelta]] — parse only
+    * genuinely new or edited rows, rewrite moved files' subjects, retract
+    * stale subjects — and commits under `curFingerprint`; any other prior
+    * state (no stage, a crash-orphaned dir, an unexpected fingerprint)
+    * falls back to the full [[materialize]] build, so the refresh is
+    * never less safe than a cold one. The prior triples are pinned with
+    * an eager cleanLocalCheckpoint BEFORE the overwrite, so the splice
+    * never reads the parquet files it is replacing. Downstream stages
+    * re-derive from the refreshed snapshot exactly as in [[materialize]]
+    * (repo/module-scaled — at 10^12 files the parse is the cost the
+    * refresh must avoid, and that is exactly what it avoids). */
+  def materializeIncremental(spark: SparkSession, prev: DataFrame,
+                             cur: DataFrame, outDir: String,
+                             prevFingerprint: String, curFingerprint: String)
+  : Seq[String] = {
+    import graft.store.TableIO
+    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
+    val dir = s"$outDir/code_triples"
+    if (!TableIO.stageFingerprint(dir).contains(prevFingerprint))
+      return materialize(spark, cur, outDir, curFingerprint)
+    if (TableIO.stageFingerprint(dir).contains(curFingerprint)) {
+      // already advanced (a resumed rerun): downstream may still be behind
+      val triplesDf = TableIO.readStaged(spark, dir)
+      return Seq("code_triples") ++
+        downstreamStages(spark, cur, outDir, curFingerprint, triplesDf)
+    }
+    val prevTriples = cleanLocalCheckpoint(TableIO.readStaged(spark, dir))
+    val (triplesDf, s1) = TableIO.stage(spark, dir, curFingerprint)(
+      renameAwareDelta(prevTriples, prev, cur))
+    (if (s1) Seq("code_triples") else Nil) ++
+      downstreamStages(spark, cur, outDir, curFingerprint, triplesDf)
   }
 
   /** API-surface usage census: every symbol a repo EXPORTS (defined under

@@ -1058,6 +1058,33 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(staged.count() === CodeGraph.fileTriples(pages).count())
   }
 
+  test("materializeIncremental: staged refresh ≡ full rebuild; resumes; " +
+    "falls back cold without a prior stage") {
+    val dir = "target/code-kg-materialize-inc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val prev = CodeGraph.prevSnapshot(spark)
+    val cur = CodeGraph.movedSnapshot(spark)
+    // no prior stage → falls back to the full build of cur
+    val cold = CodeGraph.materializeIncremental(
+      spark, prev, cur, dir, "fp-inc-prev", "fp-inc-cur")
+    assert(cold.isEmpty, s"fallback cold build must compute every stage: $cold")
+    // rebuild from the prev snapshot, then advance incrementally
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(CodeGraph.materialize(spark, prev, dir, "fp-inc-prev").isEmpty)
+    val inc = CodeGraph.materializeIncremental(
+      spark, prev, cur, dir, "fp-inc-prev", "fp-inc-cur")
+    assert(inc.isEmpty, s"the advance must recompute every stage: $inc")
+    val staged = graft.store.TableIO.readStaged(spark, s"$dir/code_triples")
+    val full = CodeGraph.fileTriples(cur)
+    assert(staged.count() === full.count())
+    assert(staged.except(full).count() === 0 && full.except(staged).count() === 0)
+    // a resumed rerun of the SAME advance skips everything
+    val warm = CodeGraph.materializeIncremental(
+      spark, prev, cur, dir, "fp-inc-prev", "fp-inc-cur")
+    assert(warm.toSet === Set("code_triples", "code_deps", "code_dep_closure",
+      "code_canonical", "code_metrics"))
+  }
+
   test("kg_code_idents vs DuckDB (subword identifier census replay)") {
     check("kg_code_idents", CodeGraph.identifierCensus(CodeGraph.corpus(spark)),
       s"""WITH $fCte,
