@@ -9,6 +9,7 @@ import graft.kg.{Fixtures, Pipeline}
   * Usage: runMain graft.Main <outDir> [k]
   *        runMain graft.Main <outDir> --input <pagesParquetDir>
   *        runMain graft.Main <outDir> [k] --code [--input <dir>]
+  *        runMain graft.Main <outDir> --code --input <cur> --prev <prev>
   *   outDir — checkpoint/output root (stages: emitted, triples, metrics,
   *            vertices, edges)
   *   k      — corpus scale factor (k fixture variants; default 1 = golden)
@@ -18,6 +19,11 @@ import graft.kg.{Fixtures, Pipeline}
   *            triples / deps / closure / canonicalization / metrics stages
   *            over the same input_hint table shape; fixture corpus scales
   *            as 6·k repos)
+  *   --prev  — with --code --input: incremental refresh — advance outDir's
+  *            staged graph from the previous corpus parquet via the
+  *            rename-aware delta (parse only new/edited rows) instead of a
+  *            full re-extraction; falls back to the full build when the
+  *            staged fingerprint does not match the previous corpus
   *   --tsv   — opt-in multilingual label enrichment from a long-format TSV
   *            dictionary (the reference's MultilingualDataHandler stage with
   *            CORRECTED keying — Enrich.scala; off by default because the
@@ -56,10 +62,12 @@ object Main {
   private[graft] final case class CliArgs(outDir: String, k: Int,
                                           inputDir: Option[String],
                                           tsvPath: Option[String],
-                                          code: Boolean = false)
+                                          code: Boolean = false,
+                                          prevDir: Option[String] = None)
 
   private[graft] val usage =
-    "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] [--tsv <tsvPath>] [--code]"
+    "usage: graft.Main <outDir> [k] [--input <pagesParquetDir>] " +
+      "[--tsv <tsvPath>] [--code [--prev <prevPagesParquetDir>]]"
 
   private[graft] def parseArgs(args: Array[String]): CliArgs = {
     def optArg(name: String): Option[String] =
@@ -81,8 +89,13 @@ object Main {
     }
     if (code && tsvPath.isDefined)
       sys.error(s"--tsv applies to the wiki pipeline, not --code ($usage)")
+    val prevDir = optArg("--prev")
+    if (prevDir.isDefined && !code)
+      sys.error(s"--prev applies to the --code refresh only ($usage)")
+    if (prevDir.isDefined && inputDir.isEmpty)
+      sys.error(s"--prev needs --input (the current corpus to advance to) ($usage)")
     val positional = {
-      val flagIdx = Seq("--input", "--tsv").flatMap(n =>
+      val flagIdx = Seq("--input", "--tsv", "--prev").flatMap(n =>
         args.indexOf(n) match { case -1 => Nil; case i => Seq(i, i + 1) }).toSet ++
         (args.indexOf("--code") match { case -1 => Set.empty[Int]; case i => Set(i) })
       args.indices.filterNot(flagIdx).map(args)
@@ -101,7 +114,7 @@ object Main {
     if (positional.length > 2)
       sys.error(s"unexpected arguments: ${positional.drop(2).mkString(", ")} ($usage)")
     CliArgs(positional.headOption.getOrElse("target/kg-out"), k, inputDir,
-      tsvPath, code)
+      tsvPath, code, prevDir)
   }
 
   /** Opt-in TSV label enrichment as its own checkpointed stage: rdfs:label@lang
@@ -133,8 +146,8 @@ object Main {
     * by k: 6·k repos). Same fingerprint policy as the wiki pipeline (config
     * key for deterministic fixtures, content digest for real input). */
   private def runCode(spark: SparkSession, outDir: String, k: Int,
-                      inputDir: Option[String], env: Option[String],
-                      t0: Long): Unit = {
+                      inputDir: Option[String], prevDir: Option[String],
+                      env: Option[String], t0: Long): Unit = {
     val (pages, fingerprint, desc) = inputDir match {
       case Some(in) =>
         val p = spark.read.parquet(in)
@@ -145,7 +158,23 @@ object Main {
         (p, fingerprintFor(p, s"code-fixtures-v1;k=$k", realInput = false, env),
           s"${6 * k} repos (k=$k)")
     }
-    val skipped = graft.kg.CodeGraph.materialize(spark, pages, outDir, fingerprint)
+    val skipped = prevDir match {
+      case Some(pd) =>
+        // incremental refresh: advance the staged graph from the corpus the
+        // outDir was last built from (--input <prevDir> in that run) — the
+        // prev fingerprint re-derives under the SAME policy, so a mismatch
+        // (different dir, edited content, crash-orphaned stage) falls back
+        // to the full build inside materializeIncremental, never a stale
+        // splice
+        val prevPages = spark.read.parquet(pd)
+        val prevFp = fingerprintFor(prevPages, s"code-input-v1;$pd",
+          realInput = true, env)
+        println(s"[graft] incremental refresh from $pd")
+        graft.kg.CodeGraph.materializeIncremental(
+          spark, prevPages, pages, outDir, prevFp, fingerprint)
+      case None =>
+        graft.kg.CodeGraph.materialize(spark, pages, outDir, fingerprint)
+    }
     val triples = spark.read.parquet(s"$outDir/code_triples")
     val canonical = spark.read.parquet(s"$outDir/code_canonical")
     val secs = (System.nanoTime() - t0) / 1e9
@@ -159,7 +188,7 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val CliArgs(outDir, k, inputDir, tsvPath, code) = parseArgs(args)
+    val CliArgs(outDir, k, inputDir, tsvPath, code, prevDir) = parseArgs(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     // north_rule: "run via spark-submit on a multi-executor cluster" — when
     // spark-submit provides a master (or one is set in spark-defaults),
@@ -181,7 +210,7 @@ object Main {
     import spark.implicits._
     val env = sys.env.get("SPARK_GRAFT_CONTENT_FP")
     if (code) {
-      runCode(spark, outDir, k, inputDir, env, t0)
+      runCode(spark, outDir, k, inputDir, prevDir, env, t0)
       spark.stop()
       return
     }

@@ -73,6 +73,19 @@ class MainSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("--tsv applies to the wiki pipeline"))
   }
 
+  test("parseArgs: --prev composes with --code --input; rejected elsewhere") {
+    assert(Main.parseArgs(
+      Array("/tmp/out", "--code", "--input", "/cur", "--prev", "/old")) ===
+      Main.CliArgs("/tmp/out", 1, Some("/cur"), None, code = true,
+        prevDir = Some("/old")))
+    val e1 = intercept[RuntimeException](
+      Main.parseArgs(Array("/tmp/out", "--prev", "/old")))
+    assert(e1.getMessage.contains("--prev applies to the --code refresh"))
+    val e2 = intercept[RuntimeException](
+      Main.parseArgs(Array("/tmp/out", "--code", "--prev", "/old")))
+    assert(e2.getMessage.contains("--prev needs --input"))
+  }
+
   // ---- enrichStage --------------------------------------------------------
 
   /** Minimal triple set with one schema:identifier row (all labelTriples
