@@ -140,7 +140,15 @@ object StreamPipeline {
     * EVENT-TIME timeout, so keys idle past `stateTtl` beyond the watermark
     * are dropped from the state store and the state size tracks the
     * active-page working set, not the corpus. Downstream, the emitted
-    * changed pages feed the same stateless triple emit as batch. */
+    * changed pages feed the same stateless triple emit as batch.
+    *
+    * Tombstones: a revision with NULL content means "this file was
+    * deleted" and passes the gate like any content change (hashed as a
+    * sentinel no real sha-256 hex can collide with, so repeated
+    * tombstones dedup and a re-add after a delete re-emits). Consumers
+    * decide the retraction semantics — [[codeStreamToGraph]] retracts
+    * the deleted file's facts from the live graph; [[streamToGraph]]
+    * (wiki pages have no deletion contract) ignores them. */
   def changedPagesOnly(pages: Dataset[PageRev], watermark: String = "1 hour",
                        stateTtlMs: Long = 3600L * 1000): Dataset[ChangedPage] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -164,7 +172,9 @@ object StreamPipeline {
             val out = Seq.newBuilder[ChangedPage]
             for (r <- sorted) {
               val tsMs = r.ts.getTime
-              val h = sha(r.content)
+              // sentinel outside sha-256's hex range: tombstones dedup
+              // against each other and never against real content
+              val h = if (r.content == null) "tombstone" else sha(r.content)
               // a row is superseded iff it sorts at-or-before the accepted
               // revision in (ts, commit) order — the SAME order the in-batch
               // sort uses, so acceptance is deterministic whether two
@@ -242,7 +252,10 @@ object StreamPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[ChangedPage], _: Long) =>
+        // wiki pages carry no deletion contract: a tombstone (null content,
+        // see changedPagesOnly) is ignored rather than parsed
         val pageRows = batch
+          .filter((cp: ChangedPage) => cp.content != null)
           .map(cp => PageRow(cp.repo, cp.path, cp.commit, lang, cp.content))
         // heal any interrupted swap BEFORE probing existence: a crash
         // between mergeUpsert's two moves leaves the graph at dir.old, and
@@ -341,7 +354,16 @@ object StreamPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[ChangedPage], _: Long) =>
         graft.store.TurtleIO.recover(graphDir)
+        // tombstones (null content, see changedPagesOnly) extract nothing
+        // but their (repo, path) keys stay in the ownership probe below, so
+        // the deleted file's facts retract with no replacement — deletion
+        // is the upsert's degenerate case, exactly-once like any revision.
+        // Stated boundary, same as the co-owner rule: module definedIn
+        // assertions are un-owned and thus monotone here; the batch builds
+        // (materialize / materializeIncremental) recompute them exactly,
+        // so a periodic batch reconcile retires a fully-orphaned module
         val rows = batch.toDF()
+          .filter(col("content").isNotNull)
           .withColumn("lang", langOf)
           .select("repo", "path", "commit", "lang", "content")
         val live =

@@ -301,6 +301,72 @@ class StreamingSpec extends AnyFunSuite {
       s"${CodeGraph.V.Base}repo/repo_b"))
   }
 
+  test("codeStreamToGraph: a tombstone deletes the file's facts and fires " +
+    "the dropped-export alert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageRev
+    import graft.kg.CodeGraph
+    import graft.store.TurtleIO
+    val root = java.nio.file.Files.createTempDirectory("code-tomb").toString
+    val graphDir = s"$root/code-graph.ttl"
+    val alertDir = s"$root/alerts"
+    val gone = ("repo_t", "src/pkg/gone.py", "cg1",
+      "def was_public():\n    return 1\n")
+    val stays = ("repo_t", "src/pkg/stays.py", "cs1",
+      "def still_here():\n    return 2\n")
+    def rev(r: (String, String, String, String), t: Long) =
+      PageRev(new java.sql.Timestamp(t), r._1, r._2, r._3, r._4)
+
+    val input = MemoryStream[PageRev]
+    val q = StreamPipeline.codeStreamToGraph(input.toDS(), graphDir,
+      s"$root/ckpt", alertDir = Some(alertDir))
+    try {
+      input.addData(Seq(rev(gone, 1000L), rev(stays, 1000L)))
+      q.processAllAvailable()
+      // batch 2: tombstone gone.py (null content), revise stays.py
+      input.addData(Seq(
+        PageRev(new java.sql.Timestamp(2000L), "repo_t", "src/pkg/gone.py",
+          "cg2", null),
+        rev(stays, 2000L).copy(commit = "cs2",
+          content = "def still_here():\n    return 2\ndef more():\n    return 3\n")))
+      q.processAllAvailable()
+      // a repeated tombstone dedups in the gate: no third micro-batch work
+      input.addData(Seq(PageRev(new java.sql.Timestamp(3000L), "repo_t",
+        "src/pkg/gone.py", "cg3", null)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cols = Seq("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val got = TurtleIO.parse(spark, graphDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    // the deleted FILE asserts nothing (its subject-owned facts are gone);
+    // the survivor equals its latest batch extraction; the ONE extra row is
+    // the stated monotone boundary — module definedIn is un-owned in the
+    // streaming path, so pkg.gone's ownership assertion persists until a
+    // batch reconcile (materialize/materializeIncremental recompute it)
+    val latest = Seq(("repo_t", "src/pkg/stays.py", "cs2", "python",
+      "def still_here():\n    return 2\ndef more():\n    return 3\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val want = CodeGraph.fileTriples(latest)
+      .select(cols.map(col): _*).distinct().collect().map(_.toString).toSet
+    val monotoneDefinedIn =
+      s"[${CodeGraph.V.Base}module/pkg.gone,${CodeGraph.V.Base}definedIn," +
+        s"true,${CodeGraph.V.Base}repo/repo_t,,]"
+    assert(!got.exists(_.contains("gone.py")),
+      s"deleted file must assert nothing: ${got.filter(_.contains("gone.py"))}")
+    assert(got == want + monotoneDefinedIn,
+      s"missing=${((want + monotoneDefinedIn) -- got).take(3)}, " +
+        s"extra=${(got -- want - monotoneDefinedIn).take(3)}")
+    // the deletion fired a dropped-export alert for the vanished symbol
+    val alerts = spark.read.parquet(alertDir)
+      .select("path", "symbol").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(alerts.contains(("src%2Fpkg%2Fgone.py", "was_public")) ||
+      alerts.exists(a => a._1.contains("gone.py") && a._2 == "was_public"),
+      s"tombstone must alert the dropped export: $alerts")
+  }
+
   test("codeStreamToGraph: slash-bearing repo id still retracts its superseded revision") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
