@@ -1173,6 +1173,68 @@ object CodeGraph {
       .orderBy("repo", "path")
   }
 
+  /** Per-file curation verdict — the training-data gate for code, ONE
+    * composed frame: [[codeQuality]]'s structural filters (StarCoder
+    * class), the [[licenseCensus]] header detection against an explicit
+    * allowlist, the secret scan (the [[graft.ops.Text.secretScan]]
+    * patterns — credential-bearing files are dropped, not redacted: code
+    * with a live key is unsafe to train on in any form), and exact-digest
+    * dedup survivorship (lexicographic-min (repo, path) per sha-256, the
+    * same deterministic rule as [[graft.ops.Dedup.exactGroups]]).
+    * `keep` is the conjunction. Everything except survivorship is ONE
+    * narrow map against the scan; survivorship is one digest-keyed
+    * map-side-combinable aggregate plus an ids-only join back — no
+    * content ever rides a shuffle. Near-dup (reformatted clone) dedup is
+    * the documented escalation: feed [[clonePairs]] survivors through
+    * [[graft.ops.Dedup.resolveNearDups]] and intersect — kept separate
+    * because the winnow index is a build-once artifact at corpus scale,
+    * not a per-gate recompute. */
+  def curateCode(pages: DataFrame,
+                 licenseAllow: Seq[String] = Seq("apache-2.0", "mit"))
+  : DataFrame = {
+    val head = substring(col("content"), 1, 512)
+    val lic = LicensePatterns
+      .foldLeft(when(lit(false), lit("")): Column) { case (acc, (name, pat)) =>
+        acc.when(head.rlike(pat), lit(name))
+      }.otherwise(lit("unknown"))
+    val lines = split(col("content"), "\n")
+    val nSecrets =
+      (size(regexp_extract_all(col("content"),
+        lit(graft.ops.Text.SecretAwsPattern), lit(0))) +
+        size(regexp_extract_all(col("content"),
+          lit(graft.ops.Text.SecretHex40Pattern), lit(0))) +
+        size(regexp_extract_all(col("content"),
+          lit(graft.ops.Text.SecretPemPattern), lit(0)))).cast("long")
+    val flags = pages.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("path"), col("lang"),
+        sha2(col("content"), 256).as("sha256"),
+        size(lines).cast("long").as("n_lines"),
+        array_max(transform(lines, x => length(x))).cast("long").as("max_line"),
+        length(col("content")).cast("long").as("char_len"),
+        length(regexp_replace(col("content"), "[^A-Za-z0-9]", ""))
+          .cast("long").as("alnum_len"),
+        head.rlike(AutogenPattern).as("autogen"),
+        lic.as("license"), nSecrets.as("n_secrets"))
+      .withColumn("q_ok",
+        !col("autogen") && col("max_line") <= 1000L &&
+          expr("(100 * (char_len - n_lines + 1)) div n_lines") <= 10000L &&
+          expr("(10000 * alnum_len) div greatest(char_len, 1)") >= 2500L)
+      .withColumn("license_ok", col("license").isin(licenseAllow: _*))
+      .withColumn("secret_free", col("n_secrets") === 0L)
+    val survivors = flags.groupBy("sha256")
+      .agg(min(struct(col("repo"), col("path"))).as("s"))
+      .select(col("sha256"), col("s.repo").as("s_repo"),
+        col("s.path").as("s_path"))
+    flags.join(survivors, "sha256")
+      .withColumn("exact_survivor",
+        col("repo") === col("s_repo") && col("path") === col("s_path"))
+      .withColumn("keep", col("q_ok") && col("license_ok") &&
+        col("secret_free") && col("exact_survivor"))
+      .select("repo", "path", "lang", "license", "autogen", "q_ok",
+        "license_ok", "n_secrets", "secret_free", "exact_survivor", "keep")
+      .orderBy("repo", "path")
+  }
+
   /** Branch-keyword complexity census — the cyclomatic-complexity PROXY a
     * curation pass ranks files by (deeply nested / branch-dense files are
     * poor training examples and poor maintenance bets). Per file: line
@@ -1683,5 +1745,6 @@ object CodeGraph {
     QueryDef("kg_code_delta_rename", (s, _) => {
       val prev = prevSnapshot(s)
       renameAwareDelta(fileTriples(prev), prev, movedSnapshot(s))
-    }, None))
+    }, None),
+    QueryDef("kg_code_curate", (s, _) => curateCode(corpus(s)), None))
 }

@@ -925,9 +925,9 @@ object Text {
   // secret-detection patterns (RE2 ∩ java.util.regex common subset, like the
   // PII patterns): AWS access-key ids, bare 40-hex tokens (sha1/API-key
   // shaped), PEM private-key headers
-  private[ops] val SecretAwsPattern  = "AKIA[0-9A-Z]{16}"
-  private[ops] val SecretHex40Pattern = "[a-f0-9]{40}"
-  private[ops] val SecretPemPattern  = "-----BEGIN [A-Z ]+PRIVATE KEY-----"
+  private[graft] val SecretAwsPattern  = "AKIA[0-9A-Z]{16}"
+  private[graft] val SecretHex40Pattern = "[a-f0-9]{40}"
+  private[graft] val SecretPemPattern  = "-----BEGIN [A-Z ]+PRIVATE KEY-----"
 
   /** Per-document credential scan — the PII-equivalent for source code:
     * count AWS-key / 40-hex / PEM-header hits, flag clean documents. Narrow

@@ -1815,6 +1815,71 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(CodeGraph.staleTests(CodeGraph.corpusWithTests(spark)).isEmpty)
   }
 
+  test("kg_code_curate vs DuckDB (per-file curation verdict replay)") {
+    val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
+    check("kg_code_curate", CodeGraph.curateCode(CodeGraph.corpus(spark)),
+      s"""WITH f AS (
+           SELECT repo, path, lang, sha256(content) AS sha,
+             CASE WHEN regexp_matches(substr(content, 1, 512), '$p0') THEN '$n0'
+                  WHEN regexp_matches(substr(content, 1, 512), '$p1') THEN '$n1'
+                  WHEN regexp_matches(substr(content, 1, 512), '$p2') THEN '$n2'
+                  ELSE 'unknown' END AS license,
+             regexp_matches(substr(content, 1, 512),
+               '${CodeGraph.AutogenPattern}') AS autogen,
+             CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(string_split(content, chr(10)),
+               x -> length(x))) AS BIGINT) AS max_line,
+             CAST(length(content) AS BIGINT) AS char_len,
+             CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+               AS BIGINT) AS alnum_len,
+             CAST(len(regexp_extract_all(content, 'AKIA[0-9A-Z]{16}'))
+               + len(regexp_extract_all(content, '[a-f0-9]{40}'))
+               + len(regexp_extract_all(content,
+                   '-----BEGIN [A-Z ]+PRIVATE KEY-----')) AS BIGINT)
+               AS n_secrets
+           FROM pages WHERE lang IN ('python', 'scala', 'java')),
+         g AS (
+           SELECT *,
+             NOT autogen AND max_line <= 1000
+               AND (100 * (char_len - n_lines + 1)) // n_lines <= 10000
+               AND (10000 * alnum_len) // greatest(char_len, 1) >= 2500
+               AS q_ok,
+             license IN ('apache-2.0', 'mit') AS license_ok,
+             n_secrets = 0 AS secret_free,
+             row_number() OVER (PARTITION BY sha ORDER BY repo, path) = 1
+               AS exact_survivor
+           FROM f)
+         SELECT repo, path, lang, license, autogen, q_ok, license_ok,
+                n_secrets, secret_free, exact_survivor,
+                q_ok AND license_ok AND secret_free AND exact_survivor AS keep
+         FROM g ORDER BY repo, path""")
+  }
+
+  test("curation verdict hand check: the gate composes exactly on the fixture") {
+    val got = CodeGraph.curateCode(CodeGraph.corpus(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size === 34)
+    // the 6 byte-identical vendored copies: exactly ONE exact-survivor (the
+    // lexicographic min), and even that one is dropped by its unknown license
+    val vend = got.filter(_._1._2 == "vendor/lib_util.py")
+    assert(vend.size === 6)
+    assert(vend.count(_._2.getAs[Boolean]("exact_survivor")) === 1)
+    assert(vend(("repo_0", "vendor/lib_util.py")).getAs[Boolean]("exact_survivor"))
+    assert(vend.values.forall(r => !r.getAs[Boolean]("license_ok") &&
+      !r.getAs[Boolean]("keep")))
+    // license cycle: apache/mit repos keep their src files; unlicensed don't
+    assert(got(("repo_0", "src/pkg_0/mod_0.py")).getAs[Boolean]("keep"))
+    assert(got(("repo_1", "src/pkg_1/mod_0.scala")).getAs[Boolean]("keep"))
+    assert(!got(("repo_2", "src/pkg_2/mod_0.java")).getAs[Boolean]("keep"))
+    // the reformatted clones are byte-DIFFERENT: both survive the exact
+    // stage (the documented near-dup escalation is clonePairs' job)
+    assert(got(("repo_0", "tools/gen.py")).getAs[Boolean]("exact_survivor") &&
+      got(("repo_3", "tools/gen.py")).getAs[Boolean]("exact_survivor"))
+    // nothing in the fixture is autogen, secret-bearing, or quality-dropped
+    assert(got.values.forall(r => r.getAs[Boolean]("q_ok") &&
+      r.getAs[Boolean]("secret_free")))
+  }
+
   test("droppedExports: per-file export diff in IRI-segment encoding") {
     import spark.implicits._
     val v1 = Seq(

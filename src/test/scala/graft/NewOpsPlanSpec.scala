@@ -137,6 +137,14 @@ class NewOpsPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kg_code_curate: survivorship partial-aggregates; equi-join only") {
+    val p = plan("kg_code_curate")
+    assert(p.contains("partial_min"),
+      s"digest survivor min must map-side combine:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the survivor join must stay an equi-join:\n$p")
+  }
+
   test("kg_code_staletests: both module-scale sides broadcast") {
     val p = plan("kg_code_staletests")
     val bc = p.linesIterator.count(_.contains("BroadcastHashJoin"))
