@@ -681,6 +681,39 @@ object CodeGraph {
       .orderBy("module", "symbol")
   }
 
+  /** API-additions census — the semver-MINOR companion to
+    * [[breakingChanges]]: exported symbols cur's src modules carry that
+    * prev's did not (the changelog / release-notes / docs-pass worklist).
+    * Same delta-prune discipline as the breaking census: only modules
+    * with a changed/added/removed file parse on EITHER side, so the
+    * census is delta-scaled, never corpus-scaled. `new_module` marks
+    * symbols whose whole module is new (prev exported nothing under it —
+    * a new surface, not a grown one). */
+  def addedExports(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val (stale, fresh) = snapshotDelta(prev, cur)
+    val touched = stale.unionByName(fresh)
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .select(V.moduleIri(moduleOfPath(col("path"))).as("module"))
+      .distinct()
+      .localCheckpoint(true)
+    def exports(snap: DataFrame): DataFrame = snap
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+      .withColumn("module", V.moduleIri(moduleOfPath(col("path"))))
+      .join(touched, Seq("module"), "left_semi") // path prune BEFORE parse
+      .select(col("module"), explode(definesOf).as("symbol"))
+      .distinct()
+    val prevExports = exports(prev)
+    val prevMods = prevExports.select(col("module")).distinct()
+      .withColumn("had_module", lit(true))
+    exports(cur).join(prevExports, Seq("module", "symbol"), "left_anti")
+      .join(prevMods, Seq("module"), "left")
+      .select(col("module"), col("symbol"),
+        col("had_module").isNull.as("new_module"))
+      .orderBy("module", "symbol")
+  }
+
   /** The per-file streaming form of [[breakingChanges]]: symbols a live
     * graph asserts (`defines` triples) for files whose NEW revision no
     * longer exports them — the alert a CI-shaped consumer wants at ingest
@@ -1646,6 +1679,31 @@ object CodeGraph {
       .toDF("repo", "path", "commit", "lang", "content"))
   }
 
+  /** [[corpus]] GROWN for the API-additions census: repo_0's
+    * src/pkg_0/mod_0.py gains one definition under a new commit (an
+    * addition to an EXISTING module) and repo_2 gains a whole new src
+    * module (a NEW surface). Kept separate from [[movedSnapshot]] so the
+    * rename fixtures' parse-set hand counts stay exact. */
+  private[graft] def grownSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val grownPath = "src/pkg_0/mod_0.py"
+    corpus(spark)
+      .withColumn("content",
+        when(col("repo") === "repo_0" && col("path") === grownPath,
+          concat(col("content"), lit("def fn_extra(x):\n    return x\n")))
+          .otherwise(col("content")))
+      .withColumn("commit",
+        when(col("repo") === "repo_0" && col("path") === grownPath,
+          lit(WikitextParser.sha256Hex(s"repo_0/$grownPath#code=43")
+            .substring(0, 12)))
+          .otherwise(col("commit")))
+      .unionByName(Seq(("repo_2", "src/pkg_2/newmod.py",
+        WikitextParser.sha256Hex("repo_2/src/pkg_2/newmod.py#code=43")
+          .substring(0, 12), "python",
+        "def brand_new():\n    return 7\n"))
+        .toDF("repo", "path", "commit", "lang", "content"))
+  }
+
   /** [[corpus]] with repo_2's vendored file MOVED (vendor/ →
     * third_party/, byte-identical content) — the positive signal for
     * [[renameCensus]]'s QueryDef; the same digest exists in every OTHER
@@ -1746,5 +1804,7 @@ object CodeGraph {
       val prev = prevSnapshot(s)
       renameAwareDelta(fileTriples(prev), prev, movedSnapshot(s))
     }, None),
-    QueryDef("kg_code_curate", (s, _) => curateCode(corpus(s)), None))
+    QueryDef("kg_code_curate", (s, _) => curateCode(corpus(s)), None),
+    QueryDef("kg_code_added", (s, _) =>
+      addedExports(corpus(s), grownSnapshot(s)), None))
 }

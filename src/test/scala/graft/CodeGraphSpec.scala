@@ -1815,6 +1815,78 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(CodeGraph.staleTests(CodeGraph.corpusWithTests(spark)).isEmpty)
   }
 
+  test("kg_code_added vs DuckDB (added-export census replay)") {
+    setup
+    CodeGraph.grownSnapshot(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/grown")
+    val modExpr = (t: String) => s"'${B}module/' || replace(regexp_replace(" +
+      s"regexp_replace($t.path, '^src/', ''), '\\.(py|scala|java)$$', ''), '/', '.')"
+    val defCase =
+      """CASE WHEN c.lang = 'python' THEN regexp_extract_all(c.content,
+           '(?m)^(?:def|class)\s+(\w+)', 1)
+         WHEN c.lang = 'scala' THEN regexp_extract_all(c.content,
+           '(?m)^\s*(?:def|class|object|trait)\s+(\w+)', 1)
+         ELSE regexp_extract_all(c.content,
+           '(?m)(?:class|interface|enum)\s+(\w+)', 1) END"""
+    val codeSrc = (v: String) =>
+      s"(SELECT * FROM $v WHERE lang IN ('python','scala','java') AND path LIKE 'src/%')"
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW pages AS SELECT * FROM read_parquet('$dir/pages/*.parquet')")
+      DuckOracle.exec(c,
+        s"CREATE VIEW grown AS SELECT * FROM read_parquet('$dir/grown/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.addedExports(CodeGraph.corpus(spark),
+          CodeGraph.grownSnapshot(spark)),
+        s"""WITH
+            pk AS (SELECT repo, path, "commit", lang,
+                          sha256(content) AS sha FROM pages),
+            ck AS (SELECT repo, path, "commit", lang,
+                          sha256(content) AS sha FROM grown),
+            delta AS (
+              SELECT p.repo, p.path, p.lang FROM pk p
+              WHERE NOT EXISTS (SELECT 1 FROM ck c
+                WHERE c.repo = p.repo AND c.path = p.path
+                  AND c."commit" = p."commit" AND c.sha = p.sha)
+              UNION
+              SELECT c.repo, c.path, c.lang FROM ck c
+              WHERE NOT EXISTS (SELECT 1 FROM pk p
+                WHERE p.repo = c.repo AND p.path = c.path
+                  AND p."commit" = c."commit" AND p.sha = c.sha)),
+            touched AS (SELECT DISTINCT ${modExpr("delta")} AS module FROM delta
+                        WHERE lang IN ('python', 'scala', 'java')
+                          AND path LIKE 'src/%'),
+            expp AS (SELECT DISTINCT ${modExpr("c")} AS module,
+                       unnest($defCase) AS symbol
+                     FROM ${codeSrc("pages")} c
+                     WHERE ${modExpr("c")} IN (SELECT module FROM touched)),
+            expc AS (SELECT DISTINCT ${modExpr("c")} AS module,
+                       unnest($defCase) AS symbol
+                     FROM ${codeSrc("grown")} c
+                     WHERE ${modExpr("c")} IN (SELECT module FROM touched))
+            SELECT a.module, a.symbol,
+                   a.module NOT IN (SELECT module FROM expp) AS new_module
+            FROM expc a
+            WHERE NOT EXISTS (SELECT 1 FROM expp p
+              WHERE p.module = a.module AND p.symbol = a.symbol)
+            ORDER BY 1, 2""",
+        "kg_code_added")
+    }
+  }
+
+  test("added-export hand check: grown module vs new module; reverse pair empty") {
+    val got = CodeGraph.addedExports(CodeGraph.corpus(spark),
+      CodeGraph.grownSnapshot(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSet === Set(
+      (s"${CodeGraph.V.Base}module/pkg_0.mod_0", "fn_extra", false),
+      (s"${CodeGraph.V.Base}module/pkg_2.newmod", "brand_new", true)))
+    // prev→cur of the rename/churn pair adds no export (the breaking
+    // census owns that direction's one REMOVED symbol)
+    assert(CodeGraph.addedExports(CodeGraph.prevSnapshot(spark),
+      CodeGraph.corpus(spark)).isEmpty)
+  }
+
   test("kg_code_curate vs DuckDB (per-file curation verdict replay)") {
     val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
     check("kg_code_curate", CodeGraph.curateCode(CodeGraph.corpus(spark)),
