@@ -1887,6 +1887,21 @@ class CodeGraphSpec extends AnyFunSuite {
       CodeGraph.corpus(spark)).isEmpty)
   }
 
+  test("added/breaking duality: additions A→B are exactly the removals B→A") {
+    def addSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      CodeGraph.addedExports(a, b).select("module", "symbol")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def remSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      CodeGraph.breakingChanges(a, b).select("module", "symbol")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val c = CodeGraph.corpus(spark)
+    val g = CodeGraph.grownSnapshot(spark)
+    val p = CodeGraph.prevSnapshot(spark)
+    assert(addSet(c, g) === remSet(g, c) && addSet(c, g).nonEmpty)
+    assert(addSet(p, c) === remSet(c, p)) // both empty on this pair
+    assert(remSet(p, c) === addSet(c, p) && remSet(p, c).nonEmpty)
+  }
+
   test("kg_code_curate vs DuckDB (per-file curation verdict replay)") {
     val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
     check("kg_code_curate", CodeGraph.curateCode(CodeGraph.corpus(spark)),

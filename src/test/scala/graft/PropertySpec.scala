@@ -64,6 +64,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("renameCensus recovers exactly the moved set on distinct-content corpora") {
+    import spark.implicits._
+    import graft.kg.CodeGraph
+    val gen = for {
+      n <- Gen.choose(1, 7)
+      moved <- Gen.someOf(0 until n)
+    } yield (n, moved.toSet)
+    check(Prop.forAll(gen) { case (n, moved) =>
+      // n files with DISTINCT contents (the census' uniqueness precondition
+      // holds by construction); `moved` relocate, the rest stay
+      val prev = (0 until n).map(i =>
+        ("r", s"src/a/f$i.py", s"c$i", "python", s"def f$i():\n    return $i\n"))
+        .toDF("repo", "path", "commit", "lang", "content")
+      val cur = (0 until n).map { i =>
+        val p = if (moved(i)) s"lib/g$i.py" else s"src/a/f$i.py"
+        ("r", p, s"c$i", "python", s"def f$i():\n    return $i\n")
+      }.toDF("repo", "path", "commit", "lang", "content")
+      val got = CodeGraph.renameCensus(prev, cur).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      got == moved.map(i => (s"src/a/f$i.py", s"lib/g$i.py"))
+    }, n = 20)
+  }
+
+  test("curateCode: one survivor per digest group; keep implies every gate") {
+    import spark.implicits._
+    import graft.kg.CodeGraph
+    val contentPool = Seq(
+      "# SPDX-License-Identifier: MIT\ndef a():\n    return 1\n",
+      "def b():\n    return 2\n",
+      "# Licensed under the Apache License, Version 2.0\ndef c():\n    return 3\n")
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, contentPool.size - 1))
+      .map(_.take(8))
+    check(Prop.forAll(gen) { picks =>
+      val pages = picks.zipWithIndex.map { case (ci, i) =>
+        (s"r${i % 2}", s"src/p/f$i.py", s"c$i", "python", contentPool(ci))
+      }.toDF("repo", "path", "commit", "lang", "content")
+      val rows = CodeGraph.curateCode(pages).collect()
+      val perSha = picks.zipWithIndex.groupBy(_._1).values
+      val survivors = rows.count(_.getAs[Boolean]("exact_survivor"))
+      val gatesHold = rows.forall { r =>
+        !r.getAs[Boolean]("keep") ||
+          (r.getAs[Boolean]("q_ok") && r.getAs[Boolean]("license_ok") &&
+            r.getAs[Boolean]("secret_free") && r.getAs[Boolean]("exact_survivor"))
+      }
+      survivors == perSha.size && gatesHold
+    }, n = 15)
+  }
+
   test("dedup is idempotent") {
     val emitted = Pipeline.emit(spark, Fixtures.scaled(spark, 2))
     val once = Pipeline.dedup(emitted)
