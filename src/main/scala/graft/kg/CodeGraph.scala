@@ -630,25 +630,35 @@ object CodeGraph {
     * to touched modules before their distinct/aggregate; counts are
     * partial-aggregable. Nothing re-parses the unchanged corpus — the same
     * no-re-parse contract as [[incrementalFileTriples]]. */
-  def breakingChanges(prev: DataFrame, cur: DataFrame): DataFrame = {
+  /** Delta-pruned export machinery shared by [[breakingChanges]] and
+    * [[addedExports]]: the touched-module set (any module with a
+    * changed/added/removed src file — multiple consumers prune on it, so
+    * it is pinned with an eager localCheckpoint: one delta-scaled job at
+    * construction, the iterative kernels' delta discipline) and the
+    * closure computing either snapshot's (module, symbol) exports pruned
+    * to it (path prune BEFORE parse — only touched modules' files ever
+    * hit the symbol regexes, so both censuses are delta-scaled). */
+  private def touchedExports(prev: DataFrame, cur: DataFrame)
+  : (DataFrame, DataFrame => DataFrame) = {
     val (stale, fresh) = snapshotDelta(prev, cur)
-    // four consumers prune on this set; the eager localCheckpoint (one
-    // delta-scaled job at construction, same contract as the iterative
-    // kernels' delta checkpoints) guarantees the digest diff computes
-    // ONCE instead of leaning on exchange reuse across join shapes
     val touched = stale.unionByName(fresh)
       .filter(col("lang").isin("python", "scala", "java"))
       .filter(col("path").startsWith("src/"))
       .select(V.moduleIri(moduleOfPath(col("path"))).as("module"))
       .distinct()
       .localCheckpoint(true)
-    def exports(snap: DataFrame): DataFrame = snap
+    val exports = (snap: DataFrame) => snap
       .filter(col("lang").isin("python", "scala", "java"))
       .filter(col("path").startsWith("src/"))
       .withColumn("module", V.moduleIri(moduleOfPath(col("path"))))
-      .join(touched, Seq("module"), "left_semi") // path prune BEFORE parse
+      .join(touched, Seq("module"), "left_semi")
       .select(col("module"), explode(definesOf).as("symbol"))
       .distinct()
+    (touched, exports)
+  }
+
+  def breakingChanges(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val (touched, exports) = touchedExports(prev, cur)
     val removed = exports(prev).join(exports(cur),
       Seq("module", "symbol"), "left_anti")
     val curCode = cur.filter(col("lang").isin("python", "scala", "java"))
@@ -690,20 +700,7 @@ object CodeGraph {
     * symbols whose whole module is new (prev exported nothing under it —
     * a new surface, not a grown one). */
   def addedExports(prev: DataFrame, cur: DataFrame): DataFrame = {
-    val (stale, fresh) = snapshotDelta(prev, cur)
-    val touched = stale.unionByName(fresh)
-      .filter(col("lang").isin("python", "scala", "java"))
-      .filter(col("path").startsWith("src/"))
-      .select(V.moduleIri(moduleOfPath(col("path"))).as("module"))
-      .distinct()
-      .localCheckpoint(true)
-    def exports(snap: DataFrame): DataFrame = snap
-      .filter(col("lang").isin("python", "scala", "java"))
-      .filter(col("path").startsWith("src/"))
-      .withColumn("module", V.moduleIri(moduleOfPath(col("path"))))
-      .join(touched, Seq("module"), "left_semi") // path prune BEFORE parse
-      .select(col("module"), explode(definesOf).as("symbol"))
-      .distinct()
+    val (_, exports) = touchedExports(prev, cur)
     val prevExports = exports(prev)
     val prevMods = prevExports.select(col("module")).distinct()
       .withColumn("had_module", lit(true))
@@ -807,27 +804,43 @@ object CodeGraph {
       .unionByName(definedInTriples(cur))
   }
 
-  /** The rename-aware split of a snapshot delta: (reparse rows, subject
-    * rewrite map old_subj → new_subj). A fresh row whose path is the
-    * target of a [[renameCensus]] pairing is byte-identical to its prev
-    * row, so every content-derived triple (lang, sha256, imports,
-    * defines) is ALREADY in prevTriples under the old subject — only the
-    * subject IRI (which embeds path + commit) changes. Exposed for the
+  /** The rename-aware split of a snapshot delta: (pinned stale rows,
+    * reparse rows, subject rewrite map old_subj → new_subj). A fresh row
+    * whose path is the target of a [[renamePairing]] is byte-identical
+    * (same lang tag) to its prev row, so every content-derived triple
+    * (lang, sha256, imports, defines) is ALREADY in prevTriples under
+    * the old subject — only the subject IRI (which embeds path + commit)
+    * changes. The delta is pinned ONCE with eager cleanLocalCheckpoints
+    * (delta-scaled — the same discipline as the iterative kernels), so
+    * the full-corpus digest diff computes exactly one time and every
+    * consumer (pairing, parse set, retraction subjects) reads the pinned
+    * frames; the pairing itself digests DELTA rows only. Exposed for the
     * spec's parse-avoidance assertion. */
   private[graft] def renameAwareParts(prev: DataFrame, cur: DataFrame)
-  : (DataFrame, DataFrame) = {
-    val renames = renameCensus(prev, cur)
-    val (stale, fresh) = snapshotDelta(prev, cur)
-    val newKeys = renames.select(col("repo"), col("new_path").as("path"))
+  : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
+    val (stale0, fresh0) = snapshotDelta(prev, cur)
+    val stale = cleanLocalCheckpoint(stale0)
+    val fresh = cleanLocalCheckpoint(fresh0)
+    // side-exclusive paths only: a changed-in-place row sits in both stale
+    // and fresh at the SAME path and is never a rename candidate. A path
+    // absent from the other snapshot is necessarily a delta row, so the
+    // candidates derive from the pinned delta, not the full corpora
+    val removed = stale.join(cur.select("repo", "path"),
+      Seq("repo", "path"), "left_anti")
+    val added = fresh.join(prev.select("repo", "path"),
+      Seq("repo", "path"), "left_anti")
+    val pairs = renamePairing(codeDigests(removed), codeDigests(added))
+    val newKeys = pairs.select(col("repo"), col("new_path").as("path"))
     val reparse = fresh.join(newKeys, Seq("repo", "path"), "left_anti")
     val oldIds = stale.select(col("repo"), col("path").as("old_path"),
       V.fileIri(col("repo"), col("path"), col("commit")).as("old_subj"))
     val newIds = fresh.select(col("repo"), col("path").as("new_path"),
       V.fileIri(col("repo"), col("path"), col("commit")).as("new_subj"))
-    val subjMap = renames.join(oldIds, Seq("repo", "old_path"))
+    val subjMap = pairs.join(oldIds, Seq("repo", "old_path"))
       .join(newIds, Seq("repo", "new_path"))
       .select(col("old_subj"), col("new_subj"))
-    (reparse, subjMap)
+    (stale, reparse, subjMap)
   }
 
   /** [[incrementalFileTriples]] with rename awareness: a moved-but-
@@ -846,8 +859,7 @@ object CodeGraph {
     * once, and pins that the renamed path is absent from the parse set. */
   def renameAwareDelta(prevTriples: DataFrame, prev: DataFrame,
                        cur: DataFrame): DataFrame = {
-    val (reparse, subjMap) = renameAwareParts(prev, cur)
-    val (stale, _) = snapshotDelta(prev, cur)
+    val (stale, reparse, subjMap) = renameAwareParts(prev, cur)
     val staleSubjs = stale.select(
       V.fileIri(col("repo"), col("path"), col("commit")).as("old_subj"))
       .distinct()
@@ -946,10 +958,15 @@ object CodeGraph {
       downstreamStages(spark, pages, outDir, fingerprint, triplesDf)
   }
 
-  /** The repo/module-scaled stages downstream of the triple table — shared
-    * by the full and incremental builds (they re-derive from whatever
-    * triple snapshot was just committed; none of them is file-scaled, so
-    * recomputing them per refresh is noise next to the parse). */
+  /** The stages downstream of the triple table — shared by the full and
+    * incremental builds (they re-derive from whatever triple snapshot was
+    * just committed). code_deps / code_dep_closure / code_metrics are
+    * repo/module-scaled — recomputing them per refresh is noise next to
+    * the parse. code_canonical is NOT: its clone index winnows every
+    * file's content (global clustering has no delta form here), so an
+    * incremental deployment schedules that one stage at its own cadence —
+    * stage-skip makes an unchanged-fingerprint rerun free, and the
+    * refresh's parse-avoidance claim is about code_triples. */
   private def downstreamStages(spark: SparkSession, pages: DataFrame,
                                outDir: String, fingerprint: String,
                                triplesDf: DataFrame): Seq[String] = {
@@ -988,8 +1005,13 @@ object CodeGraph {
     * an eager cleanLocalCheckpoint BEFORE the overwrite, so the splice
     * never reads the parquet files it is replacing. Downstream stages
     * re-derive from the refreshed snapshot exactly as in [[materialize]]
-    * (repo/module-scaled — at 10^12 files the parse is the cost the
-    * refresh must avoid, and that is exactly what it avoids). */
+    * — at 10^12 files the parse is the cost the refresh must avoid, and
+    * the TRIPLE stage avoids exactly that; see [[downstreamStages]] for
+    * which downstream stages are delta-noise and which (code_canonical)
+    * a deployment schedules at its own cadence. A resumed rerun of an
+    * ALREADY-advanced refresh (dir holds curFingerprint, ≠ prev) takes
+    * the fallback: materialize(cur) stage-skips on the matching
+    * fingerprint, so it never recomputes either. */
   def materializeIncremental(spark: SparkSession, prev: DataFrame,
                              cur: DataFrame, outDir: String,
                              prevFingerprint: String, curFingerprint: String)
@@ -999,12 +1021,6 @@ object CodeGraph {
     val dir = s"$outDir/code_triples"
     if (!TableIO.stageFingerprint(dir).contains(prevFingerprint))
       return materialize(spark, cur, outDir, curFingerprint)
-    if (TableIO.stageFingerprint(dir).contains(curFingerprint)) {
-      // already advanced (a resumed rerun): downstream may still be behind
-      val triplesDf = TableIO.readStaged(spark, dir)
-      return Seq("code_triples") ++
-        downstreamStages(spark, cur, outDir, curFingerprint, triplesDf)
-    }
     val prevTriples = cleanLocalCheckpoint(TableIO.readStaged(spark, dir))
     val (triplesDf, s1) = TableIO.stage(spark, dir, curFingerprint)(
       renameAwareDelta(prevTriples, prev, cur))
@@ -1102,12 +1118,17 @@ object CodeGraph {
     * scan keeps regex cost flat in file size), first pattern wins, no hit =
     * 'unknown'. Narrow map + one partial-aggregable (repo, license)
     * shuffle. */
-  def licenseCensus(pages: DataFrame): DataFrame = {
-    val head = substring(col("content"), 1, 512)
-    val lic = LicensePatterns
+  /** First-match license detection over a file HEADER column — shared by
+    * [[licenseCensus]] and [[curateCode]] so the pattern table lives in
+    * exactly one place ([[LicensePatterns]]). */
+  private def licenseOf(head: Column): Column =
+    LicensePatterns
       .foldLeft(when(lit(false), lit("")): Column) { case (acc, (name, pat)) =>
         acc.when(head.rlike(pat), lit(name))
       }.otherwise(lit("unknown"))
+
+  def licenseCensus(pages: DataFrame): DataFrame = {
+    val lic = licenseOf(substring(col("content"), 1, 512))
     pages.filter(col("lang").isin("python", "scala", "java"))
       .select(col("repo"), lic.as("license"))
       .groupBy("repo", "license")
@@ -1184,10 +1205,15 @@ object CodeGraph {
     * DuckDB replay is exact. Thresholds follow the published StarCoder
     * defaults (avg line ≤ 100 chars, max line ≤ 1000, alnum fraction
     * ≥ 0.25); autogenerated files are rejected outright. */
-  def codeQuality(pages: DataFrame): DataFrame = {
+  /** The per-file structural-quality measures shared by [[codeQuality]]
+    * and [[curateCode]] — one narrow map producing the raw counters plus
+    * the derived centi/bp ratios; thresholds ([[QualityKeep]]) applied by
+    * callers. `content` is carried through for the callers' extra
+    * detectors and must be projected away before any shuffle. */
+  private def qualityMeasures(pages: DataFrame): DataFrame = {
     val lines = split(col("content"), "\n")
     pages.filter(col("lang").isin("python", "scala", "java"))
-      .select(col("repo"), col("path"),
+      .select(col("repo"), col("path"), col("lang"), col("content"),
         size(lines).cast("long").as("n_lines"),
         array_max(transform(lines, x => length(x))).cast("long").as("max_line"),
         // sum of line lengths = content length minus the n_lines-1 separators
@@ -1195,16 +1221,25 @@ object CodeGraph {
         length(regexp_replace(col("content"), "[^A-Za-z0-9]", ""))
           .cast("long").as("alnum_len"),
         substring(col("content"), 1, 512).rlike(AutogenPattern).as("autogen"))
-      .select(col("repo"), col("path"), col("n_lines"), col("max_line"),
-        expr("(100 * (char_len - n_lines + 1)) div n_lines")
-          .as("avg_line_centi"),
-        expr("(10000 * alnum_len) div greatest(char_len, 1)").as("alnum_bp"),
-        col("autogen"))
-      .withColumn("keep",
-        !col("autogen") && col("max_line") <= 1000L &&
-          col("avg_line_centi") <= 10000L && col("alnum_bp") >= 2500L)
-      .orderBy("repo", "path")
+      .withColumn("avg_line_centi",
+        expr("(100 * (char_len - n_lines + 1)) div n_lines"))
+      .withColumn("alnum_bp",
+        expr("(10000 * alnum_len) div greatest(char_len, 1)"))
   }
+
+  /** The StarCoder-class keep thresholds over [[qualityMeasures]] columns
+    * — ONE definition so [[codeQuality]]'s verdict and [[curateCode]]'s
+    * q_ok gate cannot drift. */
+  private def QualityKeep: Column =
+    !col("autogen") && col("max_line") <= 1000L &&
+      col("avg_line_centi") <= 10000L && col("alnum_bp") >= 2500L
+
+  def codeQuality(pages: DataFrame): DataFrame =
+    qualityMeasures(pages)
+      .withColumn("keep", QualityKeep)
+      .select("repo", "path", "n_lines", "max_line", "avg_line_centi",
+        "alnum_bp", "autogen", "keep")
+      .orderBy("repo", "path")
 
   /** Per-file curation verdict — the training-data gate for code, ONE
     * composed frame: [[codeQuality]]'s structural filters (StarCoder
@@ -1225,12 +1260,6 @@ object CodeGraph {
   def curateCode(pages: DataFrame,
                  licenseAllow: Seq[String] = Seq("apache-2.0", "mit"))
   : DataFrame = {
-    val head = substring(col("content"), 1, 512)
-    val lic = LicensePatterns
-      .foldLeft(when(lit(false), lit("")): Column) { case (acc, (name, pat)) =>
-        acc.when(head.rlike(pat), lit(name))
-      }.otherwise(lit("unknown"))
-    val lines = split(col("content"), "\n")
     val nSecrets =
       (size(regexp_extract_all(col("content"),
         lit(graft.ops.Text.SecretAwsPattern), lit(0))) +
@@ -1238,22 +1267,14 @@ object CodeGraph {
           lit(graft.ops.Text.SecretHex40Pattern), lit(0))) +
         size(regexp_extract_all(col("content"),
           lit(graft.ops.Text.SecretPemPattern), lit(0)))).cast("long")
-    val flags = pages.filter(col("lang").isin("python", "scala", "java"))
-      .select(col("repo"), col("path"), col("lang"),
-        sha2(col("content"), 256).as("sha256"),
-        size(lines).cast("long").as("n_lines"),
-        array_max(transform(lines, x => length(x))).cast("long").as("max_line"),
-        length(col("content")).cast("long").as("char_len"),
-        length(regexp_replace(col("content"), "[^A-Za-z0-9]", ""))
-          .cast("long").as("alnum_len"),
-        head.rlike(AutogenPattern).as("autogen"),
-        lic.as("license"), nSecrets.as("n_secrets"))
-      .withColumn("q_ok",
-        !col("autogen") && col("max_line") <= 1000L &&
-          expr("(100 * (char_len - n_lines + 1)) div n_lines") <= 10000L &&
-          expr("(10000 * alnum_len) div greatest(char_len, 1)") >= 2500L)
+    val flags = qualityMeasures(pages)
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("license", licenseOf(substring(col("content"), 1, 512)))
+      .withColumn("n_secrets", nSecrets)
+      .withColumn("q_ok", QualityKeep)
       .withColumn("license_ok", col("license").isin(licenseAllow: _*))
       .withColumn("secret_free", col("n_secrets") === 0L)
+      .drop("content") // nothing past the narrow map carries text
     val survivors = flags.groupBy("sha256")
       .agg(min(struct(col("repo"), col("path"))).as("s"))
       .select(col("sha256"), col("s.repo").as("s_repo"),
@@ -1338,33 +1359,49 @@ object CodeGraph {
       .orderBy("repo", "lang")
   }
 
+  /** (repo, path, lang, sha-256) projection of a snapshot's code rows —
+    * the ids+digest frame every snapshot-diff census joins on; content
+    * never rides past this projection. */
+  private def codeDigests(df: DataFrame, shaCol: String = "sha256"): DataFrame =
+    df.filter(col("lang").isin("python", "scala", "java"))
+      .select(col("repo"), col("path"), col("lang"),
+        sha2(col("content"), 256).as(shaCol))
+
+  /** The unique-digest pairing rule shared by [[renameCensus]] and
+    * [[renameAwareParts]]: pair removed rows with added rows on (repo,
+    * lang, digest). Lang equality is part of the key — a byte-identical
+    * file whose lang TAG changed must re-parse, not rewrite, because the
+    * extraction regexes are lang-dispatched. The digest must be UNIQUE
+    * within each side's per-(repo, lang) candidate set (the git
+    * rename-detection constraint — a vendored digest at several paths
+    * has no well-defined pairing), which also bounds the join at one row
+    * per digest by construction. */
+  private def renamePairing(removed: DataFrame, added: DataFrame): DataFrame = {
+    def uniq(df: DataFrame, pathAs: String) =
+      df.groupBy("repo", "lang", "sha256")
+        .agg(count(lit(1)).as("n"), min(col("path")).as(pathAs))
+        .filter(col("n") === 1).drop("n")
+    uniq(removed, "old_path")
+      .join(uniq(added, "new_path"), Seq("repo", "lang", "sha256"))
+  }
+
   /** Rename census: files that MOVED between snapshots — same (repo,
-    * content digest), old path gone from cur, new path absent from prev.
-    * [[churnCensus]] books a rename as added+removed and an incremental
-    * pipeline would re-extract from scratch; this census is the
-    * correction term that lets lineage travel with the move. The digest
-    * must be UNIQUE within the repo's removed set AND its added set (the
-    * git rename-detection constraint — a vendored digest at several
-    * paths has no well-defined pairing), which also bounds the pairing
-    * join at one row per digest by construction. Only ids + digests ride
-    * the anti/equi joins, never content; both pairing sides are
-    * delta-scaled (removed/added files), so they broadcast against each
-    * other at any realistic churn ratio. */
+    * lang, content digest), old path gone from cur, new path absent from
+    * prev. [[churnCensus]] books a rename as added+removed and an
+    * incremental pipeline would re-extract from scratch; this census is
+    * the correction term that lets lineage travel with the move
+    * (pairing rule: [[renamePairing]]). Only ids + digests ride the
+    * anti/equi joins, never content; both pairing sides are delta-scaled
+    * (removed/added files), so they broadcast against each other at any
+    * realistic churn ratio. */
   def renameCensus(prev: DataFrame, cur: DataFrame): DataFrame = {
-    def digests(df: DataFrame) =
-      df.filter(col("lang").isin("python", "scala", "java"))
-        .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha256"))
-    val p = digests(prev)
-    val c = digests(cur)
+    val p = codeDigests(prev)
+    val c = codeDigests(cur)
     // a path present on both sides is unchanged or edited in place — only
     // side-exclusive paths are rename candidates
     val removed = p.join(c.select("repo", "path"), Seq("repo", "path"), "left_anti")
     val added = c.join(p.select("repo", "path"), Seq("repo", "path"), "left_anti")
-    def uniq(df: DataFrame, pathAs: String) =
-      df.groupBy("repo", "sha256")
-        .agg(count(lit(1)).as("n"), min(col("path")).as(pathAs))
-        .filter(col("n") === 1).drop("n")
-    uniq(removed, "old_path").join(uniq(added, "new_path"), Seq("repo", "sha256"))
+    renamePairing(removed, added)
       .select(col("repo"), col("old_path"), col("new_path"), col("sha256"))
       .orderBy("repo", "old_path")
   }
@@ -1379,11 +1416,9 @@ object CodeGraph {
     * equi-join is delta-sized against file-scale and AQE-broadcastable
     * at any realistic churn ratio. */
   def hotspotCensus(prev: DataFrame, cur: DataFrame): DataFrame = {
-    def digests(df: DataFrame, shaCol: String) =
-      df.filter(col("lang").isin("python", "scala", "java"))
-        .select(col("repo"), col("path"), sha2(col("content"), 256).as(shaCol))
-    val delta = digests(cur, "sha_cur")
-      .join(digests(prev, "sha_prev"), Seq("repo", "path"), "left_outer")
+    val delta = codeDigests(cur, "sha_cur").drop("lang")
+      .join(codeDigests(prev, "sha_prev").drop("lang"),
+        Seq("repo", "path"), "left_outer")
       .filter(col("sha_prev").isNull || col("sha_prev") =!= col("sha_cur"))
       .select(col("repo"), col("path"),
         when(col("sha_prev").isNull, "added").otherwise("changed").as("status"))
@@ -1445,16 +1480,6 @@ object CodeGraph {
       .orderBy("repo", "path")
   }
 
-  /** Untested-module census: modules defined under a source root that no
-    * TEST file references — the coverage-gap worklist (the test-suite
-    * analogue of [[deadModules]]: dead = imported nowhere, untested =
-    * imported by no test). A test file is one under a tests/ directory or
-    * named test_* / *Spec / *Test (the three ecosystems' conventions, one
-    * anchored alternation shared with the DuckDB replay). The tested-module
-    * set is module-scaled after its distinct (map-side combinable), so the
-    * anti-join broadcasts at any realistic module/file ratio. Same
-    * heuristic depth as the rest of the module: a test that exercises a
-    * module through a helper chain without importing it reads as a gap. */
   /** Test-file path convention across the three ecosystems (tests/ dirs,
     * test_* files, *Spec / *Test suffixes) — one anchored alternation in
     * the RE2 ∩ java.util.regex subset, shared by [[untestedModules]],
@@ -1478,6 +1503,16 @@ object CodeGraph {
         expr("(10000 * n_test_files) div greatest(n_files, 1)"))
       .orderBy("repo")
 
+  /** Untested-module census: modules defined under a source root that no
+    * TEST file references — the coverage-gap worklist (the test-suite
+    * analogue of [[deadModules]]: dead = imported nowhere, untested =
+    * imported by no test). A test file is one under a tests/ directory or
+    * named test_* / *Spec / *Test (the three ecosystems' conventions, one
+    * anchored alternation shared with the DuckDB replay). The tested-module
+    * set is module-scaled after its distinct (map-side combinable), so the
+    * anti-join broadcasts at any realistic module/file ratio. Same
+    * heuristic depth as the rest of the module: a test that exercises a
+    * module through a helper chain without importing it reads as a gap. */
   def untestedModules(pages: DataFrame): DataFrame = {
     val code = pages.filter(col("lang").isin("python", "scala", "java"))
     val isTest = col("path").rlike(TestPathPattern)
@@ -1523,11 +1558,8 @@ object CodeGraph {
     * Repos absent from one side degenerate gracefully (all-added /
     * all-removed). */
   def churnCensus(prev: DataFrame, cur: DataFrame): DataFrame = {
-    def digests(df: DataFrame, shaCol: String) =
-      df.filter(col("lang").isin("python", "scala", "java"))
-        .select(col("repo"), col("path"), sha2(col("content"), 256).as(shaCol))
-    val p = digests(prev, "sha_prev")
-    val c = digests(cur, "sha_cur")
+    val p = codeDigests(prev, "sha_prev").drop("lang")
+    val c = codeDigests(cur, "sha_cur").drop("lang")
     p.join(c, Seq("repo", "path"), "full_outer")
       .groupBy("repo")
       .agg(

@@ -323,8 +323,12 @@ object StreamPipeline {
     * fact when one fork revises — the revision re-emits its own
     * definedIn identically, so it upserts as a no-op instead. lang
     * derives from the path extension (the gate's rev shape doesn't carry
-    * it). Deletions are out of band (no tombstones in the rev stream) —
-    * same contract as the wiki stream. At-least-once foreachBatch × the
+    * it). Deletions ride IN BAND as tombstones (null-content revisions,
+    * see [[changedPagesOnly]]): the deleted file's subject-owned facts
+    * retract with no replacement — the upsert's degenerate case — while
+    * its module's definedIn stays monotone per the co-owner rule above
+    * (the batch builds recompute it exactly; a periodic reconcile
+    * retires fully-orphaned modules). At-least-once foreachBatch × the
     * content-idempotent sink converges to fileTriples over the latest
     * accepted revision of every path, kill/rerun-safe (checkpointed gate
     * state). With `alertDir` set, each micro-batch also appends

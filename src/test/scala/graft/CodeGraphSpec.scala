@@ -809,7 +809,7 @@ class CodeGraphSpec extends AnyFunSuite {
     // prev→cur carries all four change kinds at once: gen.py added,
     // mod_0.scala edited in place, legacy.py removed, vendor/ → third_party/
     // moved byte-identically in repo_2
-    val (reparse, subjMap) = CodeGraph.renameAwareParts(prev, cur)
+    val (_, reparse, subjMap) = CodeGraph.renameAwareParts(prev, cur)
     val rp = reparse.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(rp === Set(("repo_0", "tools/gen.py"),
       ("repo_1", "src/pkg_1/mod_0.scala")))
@@ -824,6 +824,27 @@ class CodeGraphSpec extends AnyFunSuite {
       assert(inc.count() === full.count())
       assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
     } finally inc.unpersist()
+  }
+
+  test("a byte-identical move with a CHANGED lang tag re-parses, never rewrites") {
+    import spark.implicits._
+    // same content, but the ingest reclassified the file — the extraction
+    // regexes are lang-dispatched, so a subject rewrite would carry
+    // python-parsed triples under a scala-tagged file
+    val body = "def f(x):\n    return x\n"
+    val prev = Seq(("r", "src/a/f.py", "c1", "python", body),
+      ("r", "src/a/keep.py", "c2", "python", "def k():\n    return 0\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val cur = Seq(("r", "src/a/f.scala", "c1", "scala", body),
+      ("r", "src/a/keep.py", "c2", "python", "def k():\n    return 0\n"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    assert(CodeGraph.renameCensus(prev, cur).isEmpty)
+    val (_, reparse, subjMap) = CodeGraph.renameAwareParts(prev, cur)
+    assert(subjMap.isEmpty)
+    assert(reparse.collect().map(_.getString(1)).toSet === Set("src/a/f.scala"))
+    val inc = CodeGraph.renameAwareDelta(CodeGraph.fileTriples(prev), prev, cur)
+    val full = CodeGraph.fileTriples(cur)
+    assert(inc.except(full).count() === 0 && full.except(inc).count() === 0)
   }
 
   test("rename-aware delta degenerates to the plain incremental when nothing moved") {
@@ -1663,20 +1684,21 @@ class CodeGraphSpec extends AnyFunSuite {
       DuckOracle.assertMatches(c,
         CodeGraph.renameCensus(CodeGraph.corpus(spark),
           CodeGraph.movedSnapshot(spark)),
-        s"""WITH pv AS (SELECT repo, path, sha256(content) AS sha256 FROM pages
-                        WHERE lang IN ('python','scala','java')),
-            cv AS (SELECT repo, path, sha256(content) AS sha256 FROM moved
-                   WHERE lang IN ('python','scala','java')),
+        s"""WITH pv AS (SELECT repo, path, lang, sha256(content) AS sha256
+                        FROM pages WHERE lang IN ('python','scala','java')),
+            cv AS (SELECT repo, path, lang, sha256(content) AS sha256
+                   FROM moved WHERE lang IN ('python','scala','java')),
             rm AS (SELECT * FROM pv WHERE NOT EXISTS (SELECT 1 FROM cv
                      WHERE cv.repo = pv.repo AND cv.path = pv.path)),
             ad AS (SELECT * FROM cv WHERE NOT EXISTS (SELECT 1 FROM pv
                      WHERE pv.repo = cv.repo AND pv.path = cv.path)),
-            ru AS (SELECT repo, sha256, min(path) AS old_path FROM rm
-                   GROUP BY 1, 2 HAVING count(*) = 1),
-            au AS (SELECT repo, sha256, min(path) AS new_path FROM ad
-                   GROUP BY 1, 2 HAVING count(*) = 1)
+            ru AS (SELECT repo, lang, sha256, min(path) AS old_path FROM rm
+                   GROUP BY 1, 2, 3 HAVING count(*) = 1),
+            au AS (SELECT repo, lang, sha256, min(path) AS new_path FROM ad
+                   GROUP BY 1, 2, 3 HAVING count(*) = 1)
             SELECT ru.repo, old_path, new_path, ru.sha256
-            FROM ru JOIN au ON ru.repo = au.repo AND ru.sha256 = au.sha256
+            FROM ru JOIN au ON ru.repo = au.repo AND ru.lang = au.lang
+              AND ru.sha256 = au.sha256
             ORDER BY 1, 2""",
         "kg_code_renames")
     }
