@@ -483,6 +483,76 @@ object CodeGraph {
       .orderBy("src_module", "dst_module")
   }
 
+  /** Deterministic module-embedding walk corpus — the KG→training-data
+    * bridge applied to the code domain: [[moduleDeps]] edges (weights
+    * dropped: the walk transition is uniform over distinct neighbors,
+    * the DeepWalk form) walked `nWalks` times from every source module
+    * to `walkLen` steps with the shared reproducible kernel
+    * ([[graft.queries.Iterative.randomWalks]] — seeded-hash choices, so
+    * the corpus is byte-stable across runs and partitionings), then
+    * collapsed to weighted skip-gram (center, context) pairs — the exact
+    * input a word2vec-style module-embedding trainer consumes. The
+    * kernels carry their own in-JVM replay oracles; the spec pins the
+    * composition's determinism and the directed-reachability invariant
+    * every emitted pair must satisfy. */
+  def moduleWalkPairs(pages: DataFrame, nWalks: Int = 2, walkLen: Int = 4,
+                      window: Int = 2, seed: String = "codewalks"): DataFrame = {
+    val edges = moduleDeps(pages)
+      .select(col("src_module").as("src"), col("dst_module").as("dst"))
+    val starts = edges.select(col("src").as("node")).distinct()
+    val walks = graft.queries.Iterative.randomWalks(
+      edges, starts, nWalks, walkLen, seed)
+    graft.queries.Iterative.skipGramPairs(walks, window)
+      .orderBy("center", "context")
+  }
+
+  /** Code-graph validation report — the SHACL-style constraint set over
+    * the code triple schema (the [[Validation]] analogue for the code
+    * domain), with zeros KEPT: "checked and clean" is the report's
+    * statement, same as [[todoCensus]]. Row-level rules (lang value in
+    * the dispatched set, sha-256 lexical form, non-empty import/defines
+    * objects, definedIn targets are repo IRIs) ride one scan+aggregate;
+    * exactly-one-per-file rules (lang / sha256 / inRepo cardinality)
+    * ride one subject-grouped aggregate; the two single-row frames
+    * unpivot and union — no join anywhere. */
+  def codeValidation(triples: DataFrame): DataFrame = {
+    val fileBase = V.Base + "file/"
+    val rowRules = triples.select(
+      sum(when(col("pred") === V.Lang &&
+        !col("objLex").isin("python", "scala", "java"), 1L).otherwise(0L))
+        .as("lang_value"),
+      sum(when(col("pred") === V.Sha256 &&
+        !col("objLex").rlike("^[a-f0-9]{64}$"), 1L).otherwise(0L))
+        .as("sha_format"),
+      sum(when(col("pred").isin(V.Imports, V.Defines) &&
+        (col("objLex").isNull || col("objLex") === "" ||
+          col("objLex") === V.Base + "module/"), 1L).otherwise(0L))
+        .as("empty_object"),
+      sum(when(col("pred") === V.DefinedIn &&
+        !col("objLex").startsWith(V.Base + "repo/"), 1L).otherwise(0L))
+        .as("defined_in_target"))
+      .select(expr("stack(4, 'defined_in_target', defined_in_target, " +
+        "'empty_object', empty_object, 'lang_value', lang_value, " +
+        "'sha_format', sha_format) AS (rule, n_violations)"))
+    val cardRules = triples.filter(col("subj").startsWith(fileBase))
+      .groupBy("subj")
+      .agg(
+        sum(when(col("pred") === V.Lang, 1L).otherwise(0L)).as("nl"),
+        sum(when(col("pred") === V.Sha256, 1L).otherwise(0L)).as("ns"),
+        sum(when(col("pred") === V.InRepo, 1L).otherwise(0L)).as("nr"))
+      .select(
+        sum(when(col("nl") =!= 1L, 1L).otherwise(0L)).as("one_lang"),
+        sum(when(col("ns") =!= 1L, 1L).otherwise(0L)).as("one_sha"),
+        sum(when(col("nr") =!= 1L, 1L).otherwise(0L)).as("one_repo"))
+      .select(expr("stack(3, 'one_lang_per_file', one_lang, " +
+        "'one_repo_per_file', one_repo, 'one_sha_per_file', one_sha) " +
+        "AS (rule, n_violations)"))
+    rowRules.unionByName(cardRules)
+      .select(col("rule"), coalesce(col("n_violations"), lit(0L))
+        .as("n_violations"))
+      .orderBy("rule")
+  }
+
   /** Module-level circular-dependency census: nontrivial SCCs of
     * [[moduleDeps]] — same kernel and scale envelope as [[depCycles]], one
     * granularity finer. */
@@ -1838,5 +1908,8 @@ object CodeGraph {
     }, None),
     QueryDef("kg_code_curate", (s, _) => curateCode(corpus(s)), None),
     QueryDef("kg_code_added", (s, _) =>
-      addedExports(corpus(s), grownSnapshot(s)), None))
+      addedExports(corpus(s), grownSnapshot(s)), None),
+    QueryDef("kg_code_walks", (s, _) => moduleWalkPairs(corpus(s)), None),
+    QueryDef("kg_code_validation", (s, _) =>
+      codeValidation(fileTriples(corpus(s))), None))
 }

@@ -1924,6 +1924,106 @@ class CodeGraphSpec extends AnyFunSuite {
     assert(remSet(p, c) === addSet(c, p) && remSet(p, c).nonEmpty)
   }
 
+  test("kg_code_walks: deterministic corpus; every pair directed-reachable " +
+    "within the window") {
+    import spark.implicits._
+    val a = CodeGraph.moduleWalkPairs(CodeGraph.corpus(spark)).collect()
+    val b = CodeGraph.moduleWalkPairs(
+      CodeGraph.corpus(spark).repartition(7)).collect()
+    // byte-stable across runs AND partitionings (the kernel's seeded-hash
+    // guarantee surviving the composition)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq && a.nonEmpty)
+    // necessary invariant: a (center, context) co-occurrence within ±window
+    // of one walk implies a directed path of length <= window between them
+    // (one direction or the other) in the module-dependency graph
+    val edges = CodeGraph.moduleDeps(CodeGraph.corpus(spark))
+      .select(col("src_module").as("src"), col("dst_module").as("dst"))
+    // pairwise reachability <= 2 hops: 1-hop ∪ 2-hop edge joins (window = 2)
+    val hop1 = edges.select(col("src").as("x"), col("dst").as("y"))
+    val hop2 = hop1.join(hop1.withColumnRenamed("x", "y2").withColumnRenamed("y", "z"),
+      col("y") === col("y2"))
+      .select(col("x"), col("z").as("y"))
+    val reach = hop1.unionByName(hop2).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a.forall { r =>
+      val (c, x) = (r.getString(0), r.getString(1))
+      reach((c, x)) || reach((x, c))
+    })
+  }
+
+  test("kg_code_validation vs DuckDB (fused constraint-report replay); " +
+    "seeded violations count exactly") {
+    // clean fixture: dump the extraction and replay the report in SQL
+    val dir2 = s"$dir/valtriples"
+    CodeGraph.fileTriples(CodeGraph.corpus(spark)).coalesce(1)
+      .write.mode("overwrite").parquet(dir2)
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW vt AS SELECT * FROM read_parquet('$dir2/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.codeValidation(CodeGraph.fileTriples(CodeGraph.corpus(spark))),
+        s"""WITH row_rules AS (
+             SELECT * FROM (VALUES
+               ('defined_in_target', (SELECT CAST(coalesce(sum(CASE WHEN
+                  pred = '${B}definedIn' AND objLex NOT LIKE '${B}repo/%'
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) FROM vt)),
+               ('empty_object', (SELECT CAST(coalesce(sum(CASE WHEN
+                  pred IN ('${B}imports', '${B}defines') AND
+                  (objLex IS NULL OR objLex = '' OR objLex = '${B}module/')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) FROM vt)),
+               ('lang_value', (SELECT CAST(coalesce(sum(CASE WHEN
+                  pred = '${B}lang' AND objLex NOT IN
+                  ('python', 'scala', 'java') THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) FROM vt)),
+               ('sha_format', (SELECT CAST(coalesce(sum(CASE WHEN
+                  pred = '${B}sha256' AND NOT regexp_matches(objLex,
+                  '^[a-f0-9]{64}$$') THEN 1 ELSE 0 END), 0) AS BIGINT)
+                  FROM vt))) AS t(rule, n_violations)),
+           per_subj AS (
+             SELECT subj,
+               sum(CASE WHEN pred = '${B}lang' THEN 1 ELSE 0 END) AS nl,
+               sum(CASE WHEN pred = '${B}sha256' THEN 1 ELSE 0 END) AS ns,
+               sum(CASE WHEN pred = '${B}inRepo' THEN 1 ELSE 0 END) AS nr
+             FROM vt WHERE subj LIKE '${B}file/%' GROUP BY 1),
+           card_rules AS (
+             SELECT * FROM (VALUES
+               ('one_lang_per_file', (SELECT CAST(coalesce(sum(CASE WHEN
+                  nl <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM per_subj)),
+               ('one_repo_per_file', (SELECT CAST(coalesce(sum(CASE WHEN
+                  nr <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM per_subj)),
+               ('one_sha_per_file', (SELECT CAST(coalesce(sum(CASE WHEN
+                  ns <> 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM per_subj)))
+               AS t(rule, n_violations))
+           SELECT * FROM row_rules UNION ALL SELECT * FROM card_rules
+           ORDER BY rule""",
+        "kg_code_validation")
+    }
+    // seeded violations: one bad lang value, one malformed sha, one empty
+    // import object, one non-repo definedIn target, one file missing its
+    // sha triple entirely
+    import spark.implicits._
+    def t(s: String, p: String, o: String) =
+      (s, p, true, o, "", "")
+    val bad = Seq(
+      t(s"${CodeGraph.V.Base}file/r/a.py@c1", s"${CodeGraph.V.Base}lang", "cobol"),
+      t(s"${CodeGraph.V.Base}file/r/a.py@c1", s"${CodeGraph.V.Base}sha256", "XYZ"),
+      t(s"${CodeGraph.V.Base}file/r/a.py@c1", s"${CodeGraph.V.Base}inRepo",
+        s"${CodeGraph.V.Base}repo/r"),
+      t(s"${CodeGraph.V.Base}file/r/b.py@c2", s"${CodeGraph.V.Base}lang", "python"),
+      t(s"${CodeGraph.V.Base}file/r/b.py@c2", s"${CodeGraph.V.Base}inRepo",
+        s"${CodeGraph.V.Base}repo/r"),
+      t(s"${CodeGraph.V.Base}file/r/b.py@c2", s"${CodeGraph.V.Base}imports",
+        s"${CodeGraph.V.Base}module/"),
+      t(s"${CodeGraph.V.Base}module/m", s"${CodeGraph.V.Base}definedIn", "not-a-repo"))
+      .toDF("subj", "pred", "objIsIri", "objLex", "objDtype", "objLang")
+    val got = CodeGraph.codeValidation(bad).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "defined_in_target" -> 1L, "empty_object" -> 1L, "lang_value" -> 1L,
+      "sha_format" -> 1L, "one_lang_per_file" -> 0L,
+      "one_repo_per_file" -> 0L, "one_sha_per_file" -> 1L))
+  }
+
   test("kg_code_curate vs DuckDB (per-file curation verdict replay)") {
     val Seq((n0, p0), (n1, p1), (n2, p2)) = CodeGraph.LicensePatterns
     check("kg_code_curate", CodeGraph.curateCode(CodeGraph.corpus(spark)),

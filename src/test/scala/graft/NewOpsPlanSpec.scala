@@ -145,6 +145,12 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"the survivor join must stay an equi-join:\n$p")
   }
 
+  test("kg_code_validation: the fused report never joins") {
+    val p = plan("kg_code_validation")
+    assert(!p.contains("Join"), s"two aggregates + union, no join:\n$p")
+    assert(p.contains("partial_sum"), s"rule counts must map-side combine:\n$p")
+  }
+
   test("kg_code_staletests: both module-scale sides broadcast") {
     val p = plan("kg_code_staletests")
     val bc = p.linesIterator.count(_.contains("BroadcastHashJoin"))
