@@ -1951,6 +1951,43 @@ class CodeGraphSpec extends AnyFunSuite {
     })
   }
 
+  test("kg_code_walks ≡ in-JVM end-to-end replay (full differential oracle)") {
+    val (nWalks, walkLen, window, seed) = (2, 4, 2, "codewalks")
+    def h60jvm(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val edges = CodeGraph.moduleDeps(CodeGraph.corpus(spark))
+      .select(col("src_module"), col("dst_module")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).distinct.sorted.toIndexedSeq }
+    def walk(start: String, w: Int): Seq[(Int, String)] = {
+      var node = start; var path = Seq((0, node)); var t = 1; var alive = true
+      while (alive && t <= walkLen) {
+        adj.get(node) match {
+          case Some(nbrs) =>
+            node = nbrs((h60jvm(s"$seed:$start:$w:$t:$node") % nbrs.length).toInt)
+            path :+= ((t, node)); t += 1
+          case None => alive = false
+        }
+      }
+      path
+    }
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+    for (st <- adj.keys.toSeq; w <- 0 until nWalks) {
+      val p = walk(st, w)
+      for ((i, c) <- p; d <- 1 to window; (_, x) <- p.filter(_._1 == i + d)) {
+        want((c, x)) = want.getOrElse((c, x), 0L) + 1
+        want((x, c)) = want.getOrElse((x, c), 0L) + 1
+      }
+    }
+    val got = CodeGraph.moduleWalkPairs(CodeGraph.corpus(spark)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want.toMap)
+  }
+
   test("kg_code_validation vs DuckDB (fused constraint-report replay); " +
     "seeded violations count exactly") {
     // clean fixture: dump the extraction and replay the report in SQL
