@@ -964,6 +964,17 @@ object CodeGraph {
       .select(V.fileIri(col("repo"), col("path"), col("commit")).as("doc_id"),
         normalizeCode(col("content")).as("text"))
 
+  /** Code search surface: integer-exact BM25 ranking over
+    * comment/whitespace-NORMALIZED code ([[normalizedDocs]], doc_id =
+    * file IRI), whitespace-tokenized like the text corpus — "find the
+    * files about X" beside [[identifierCensus]]'s vocabulary view. Same
+    * collapse-in-the-scan shape as the t24 retrieval surface
+    * ([[graft.ops.Text.bm25Search]]): tokens filter to the query terms
+    * BEFORE any exchange and the top-k is a TakeOrdered, so a 10^12-file
+    * corpus shuffles only matching (doc, term) partial counts. */
+  def codeSearch(pages: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    graft.ops.Text.bm25Search(normalizedDocs(pages), terms, k)
+
   /** Type-1 / near-Type-1 clone pairs: the winnowed-fingerprint near-dup
     * join ([[graft.ops.Text.winnowNearDupPairs]], MOSS scheme) over
     * NORMALIZED content — catches the reformatted / comment-edited /
@@ -1910,6 +1921,8 @@ object CodeGraph {
     QueryDef("kg_code_added", (s, _) =>
       addedExports(corpus(s), grownSnapshot(s)), None),
     QueryDef("kg_code_walks", (s, _) => moduleWalkPairs(corpus(s)), None),
+    QueryDef("kg_code_search", (s, _) =>
+      codeSearch(corpus(s), Seq("import", "os", "return"), k = 10), None),
     QueryDef("kg_code_validation", (s, _) =>
       codeValidation(fileTriples(corpus(s))), None))
 }

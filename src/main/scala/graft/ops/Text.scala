@@ -456,7 +456,7 @@ object Text {
 
   /** DuckDB replay of [[bm25Search]] — same fixed-point arithmetic, with
     * `//` for div and printf('%b') for the idf bit length. */
-  private[ops] def bm25OracleSql(terms: Seq[String], k: Int,
+  private[graft] def bm25OracleSql(terms: Seq[String], k: Int,
                             k1m: Long, bm: Long): String = {
     val inList = terms.distinct.map(t => s"'$t'").mkString(", ")
     s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),

@@ -1951,6 +1951,28 @@ class CodeGraphSpec extends AnyFunSuite {
     })
   }
 
+  test("kg_code_search vs DuckDB (BM25 replay over normalized code docs)") {
+    // the shared t24 oracle generator replays verbatim: the DuckDB view
+    // named `documents` is simply bound to the dumped normalized code docs
+    CodeGraph.normalizedDocs(CodeGraph.corpus(spark)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codedocs")
+    DuckOracle.withConn { c =>
+      DuckOracle.exec(c,
+        s"CREATE VIEW documents AS SELECT * FROM read_parquet('$dir/codedocs/*.parquet')")
+      DuckOracle.assertMatches(c,
+        CodeGraph.codeSearch(CodeGraph.corpus(spark),
+          Seq("import", "os", "return"), k = 10),
+        graft.ops.Text.bm25OracleSql(Seq("import", "os", "return"), 10,
+          1200, 750),
+        "kg_code_search")
+    }
+    // the two generator clones both carry 'import os' — they must rank
+    val top = CodeGraph.codeSearch(CodeGraph.corpus(spark),
+      Seq("import", "os", "return"), k = 10)
+      .collect().map(_.getString(0))
+    assert(top.count(_.contains("tools/gen.py")) === 2)
+  }
+
   test("kg_code_walks ≡ in-JVM end-to-end replay (full differential oracle)") {
     val (nWalks, walkLen, window, seed) = (2, 4, 2, "codewalks")
     def h60jvm(s: String): Long = {
