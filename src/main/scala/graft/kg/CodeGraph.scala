@@ -506,6 +506,27 @@ object CodeGraph {
       .orderBy("center", "context")
   }
 
+  /** The contrastive half of the module-embedding training set —
+    * [[moduleWalkPairs]]' skip-gram pairs completed with `nNeg`
+    * hash-drawn negatives per pair from the module vocabulary
+    * ([[graft.queries.Iterative.negativeSamples]]: negative j =
+    * vocab[h60(seed:center:context:j) mod |V|] under the node-sorted
+    * rank — byte-reproducible at any parallelism, same contract as the
+    * walk kernel). Together the three stages are the full
+    * walks → pairs → negatives pipeline a word2vec-style module-embedding
+    * trainer consumes. */
+  def moduleWalkNegatives(pages: DataFrame, nWalks: Int = 2, walkLen: Int = 4,
+                          window: Int = 2, nNeg: Int = 2,
+                          seed: String = "codewalks"): DataFrame = {
+    val pairs = moduleWalkPairs(pages, nWalks, walkLen, window, seed)
+    val vocab = moduleDeps(pages)
+      .select(col("src_module").as("node"))
+      .unionByName(moduleDeps(pages).select(col("dst_module").as("node")))
+      .distinct()
+    graft.queries.Iterative.negativeSamples(pairs, vocab, nNeg, seed + "neg")
+      .orderBy("center", "context", "j")
+  }
+
   /** Code-graph validation report — the SHACL-style constraint set over
     * the code triple schema (the [[Validation]] analogue for the code
     * domain), with zeros KEPT: "checked and clean" is the report's
@@ -1923,6 +1944,8 @@ object CodeGraph {
     QueryDef("kg_code_walks", (s, _) => moduleWalkPairs(corpus(s)), None),
     QueryDef("kg_code_search", (s, _) =>
       codeSearch(corpus(s), Seq("import", "os", "return"), k = 10), None),
+    QueryDef("kg_code_negatives", (s, _) =>
+      moduleWalkNegatives(corpus(s)), None),
     QueryDef("kg_code_validation", (s, _) =>
       codeValidation(fileTriples(corpus(s))), None))
 }

@@ -2008,6 +2008,17 @@ class CodeGraphSpec extends AnyFunSuite {
     val got = CodeGraph.moduleWalkPairs(CodeGraph.corpus(spark)).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === want.toMap)
+    // and the contrastive half: negatives replayed from the same pair set
+    // under the node-sorted vocabulary rank (h60(seedneg:c:x:j) mod |V|)
+    val vocab = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.toIndexedSeq
+    val wantNeg = (for (((c, x), _) <- want.toSeq; j <- 0L until 2L) yield
+      (c, x, j) -> vocab((h60jvm(s"codewalksneg:$c:$x:$j") % vocab.size).toInt))
+      .toMap
+    val gotNeg = CodeGraph.moduleWalkNegatives(CodeGraph.corpus(spark))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    assert(gotNeg === wantNeg)
   }
 
   test("kg_code_validation vs DuckDB (fused constraint-report replay); " +
