@@ -660,9 +660,10 @@ object CodeGraph {
     * full-corpus build/migration. Returns (repo, component, layer) —
     * repos sharing a component share a wave by construction. All stages
     * are bounded by the O(repos²) edge set. */
-  def buildLayers(pages: DataFrame): DataFrame = {
-    val e = repoDeps(pages)
-      .select(col("src_repo").as("src"), col("dst_repo").as("dst"))
+  /** SCC condensation + longest-path-to-a-sink build waves over an
+    * arbitrary (src, dst) edge frame — the kernel behind [[buildLayers]]
+    * (repo granularity) and [[moduleLayers]] (module granularity). */
+  private def condensedLayers(e: DataFrame, nodeAs: String): DataFrame = {
     val scc = graft.queries.Iterative.stronglyConnectedComponents(e)
     val bySrc = scc.select(col("node").as("src"), col("component").as("csrc"))
     val byDst = scc.select(col("node").as("dst"), col("component").as("cdst"))
@@ -672,9 +673,23 @@ object CodeGraph {
       .distinct()
     val layers = graft.queries.Iterative.topoLayers(condensed)
     scc.join(layers, scc("component") === layers("node"), "left")
-      .select(scc("node").as("repo"), col("component"),
+      .select(scc("node").as(nodeAs), col("component"),
         coalesce(col("layer"), lit(0L)).as("layer"))
   }
+
+  def buildLayers(pages: DataFrame): DataFrame =
+    condensedLayers(repoDeps(pages)
+      .select(col("src_repo").as("src"), col("dst_repo").as("dst")), "repo")
+
+  /** [[buildLayers]] one granularity finer: build-order waves over the
+    * MODULE dependency graph — the compile/rebuild schedule inside a
+    * repo, where the repo-level waves only order across repos. Same
+    * kernel, same scale envelope (module-scaled edges, SCC condensation
+    * bounds the cyclic groups, LOUD failure if condensation missed). */
+  def moduleLayers(pages: DataFrame): DataFrame =
+    condensedLayers(moduleDeps(pages)
+      .select(col("src_module").as("src"), col("dst_module").as("dst")),
+      "module")
 
   /** Change blast radius: every module transitively impacted by a snapshot
     * delta, with its BFS hop distance from the nearest changed module — the
@@ -1946,6 +1961,7 @@ object CodeGraph {
       codeSearch(corpus(s), Seq("import", "os", "return"), k = 10), None),
     QueryDef("kg_code_negatives", (s, _) =>
       moduleWalkNegatives(corpus(s)), None),
+    QueryDef("kg_code_modlayers", (s, _) => moduleLayers(corpus(s)), None),
     QueryDef("kg_code_validation", (s, _) =>
       codeValidation(fileTriples(corpus(s))), None))
 }

@@ -994,6 +994,45 @@ class CodeGraphSpec extends AnyFunSuite {
           FROM comp c LEFT JOIN lay l ON l.node = c.component""")
   }
 
+  test("kg_code_modlayers vs DuckDB (module-granularity wave replay)") {
+    check("kg_code_modlayers", CodeGraph.moduleLayers(CodeGraph.corpus(spark)),
+      s"""WITH RECURSIVE $fCte,
+          mdeps AS (SELECT DISTINCT '${B}module/' ||
+                      replace(regexp_replace(regexp_replace(path, '^src/', ''),
+                        '\\.(py|scala|java)$$', ''), '/', '.') AS src,
+                      '${B}module/' || unnest(regexp_extract_all(content,
+                        '(?m)^\\s*(?:import|from)\\s+([\\w.]+)', 1)) AS dst
+                    FROM f WHERE path LIKE 'src/%'),
+          deps AS (SELECT src, dst FROM mdeps
+                   WHERE dst IN (SELECT module FROM owns) AND src <> dst),
+          reach(src, dst) AS (
+            SELECT src, dst FROM deps
+            UNION
+            SELECT r.src, d.dst FROM reach r JOIN deps d ON d.src = r.dst),
+          mutual AS (SELECT f.src AS node, f.dst AS peer
+                     FROM reach f JOIN reach b
+                       ON f.src = b.dst AND f.dst = b.src),
+          gnodes AS (SELECT src AS node FROM deps UNION SELECT dst FROM deps),
+          comp AS (SELECT n.node,
+                          least(coalesce(min(m.peer), n.node), n.node) AS component
+                   FROM gnodes n LEFT JOIN mutual m USING (node)
+                   GROUP BY n.node),
+          ce AS (SELECT DISTINCT cs.component AS src, cd.component AS dst
+                 FROM deps d
+                 JOIN comp cs ON cs.node = d.src
+                 JOIN comp cd ON cd.node = d.dst
+                 WHERE cs.component <> cd.component),
+          walk(node, cur, depth) AS (
+            SELECT component, component, 0
+            FROM (SELECT DISTINCT component FROM comp)
+            UNION ALL
+            SELECT w.node, ce.dst, w.depth + 1 FROM walk w JOIN ce ON ce.src = w.cur),
+          lay AS (SELECT node, max(depth) AS layer FROM walk GROUP BY node)
+          SELECT c.node AS module, c.component,
+                 CAST(coalesce(l.layer, 0) AS BIGINT) AS layer
+          FROM comp c LEFT JOIN lay l ON l.node = c.component""")
+  }
+
   test("buildLayers hand check: condensed DAG layers by longest path to a sink") {
     import spark.implicits._
     // crafted graph from the SCC hand case: components a={a,b,c}, d={d,e},
