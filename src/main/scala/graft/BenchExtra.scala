@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1) — SEPARATE from the
+  * frozen graft.Bench contract. Mimics the driver's per-query methodology
+  * exactly (same session config, `.count()` action, ManagedCache release
+  * between runs, min-of-2) and additionally reports the per-query Spark
+  * job/stage counts — the dominant cost driver for the iterative kernels at
+  * bench scale is sequential job count × per-job latency, and this is the
+  * instrument that shows it.
+  *
+  * Usage: runMain graft.BenchExtra [sfDir] [query ...]   (no queries = all)
+  * Env: SPARK_GRAFT_EXPLAIN_DIR — when set, writes <query>.txt with
+  * explain("formatted") for each named query (the plans/r06 evidence).
+  */
+object BenchExtra {
+
+  private final class JobMeter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val stages = new java.util.concurrent.atomic.AtomicLong()
+    val tasks = new java.util.concurrent.atomic.AtomicLong()
+    override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(e.stageInfo.numTasks)
+    }
+    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", 128)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "512")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val meter = new JobMeter
+    spark.sparkContext.addSparkListener(meter)
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+
+    var total = 0.0
+    for (q <- names) {
+      val fn = SparkEntry.queries(q)
+      spark.sparkContext.setJobDescription(q)
+      meter.reset()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sf).count()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val (j1, s1, k1) = (meter.jobs.get, meter.stages.get, meter.tasks.get)
+      graft.ops.ManagedCache.releaseAll(spark)
+      meter.reset()
+      val t2s = System.nanoTime()
+      fn(spark, sf).count()
+      val t2 = (System.nanoTime() - t2s) / 1e9
+      val (j2, s2, k2) = (meter.jobs.get, meter.stages.get, meter.tasks.get)
+      graft.ops.ManagedCache.releaseAll(spark)
+      explainDir.foreach { dir =>
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        val txt = fn(spark, sf).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(p.resolve(s"$q.txt"), txt.getBytes("UTF-8"))
+      }
+      total += math.min(t1, t2)
+      println(f"[benchx] $q%-28s rows=$n%-8d min=${math.min(t1, t2)}%7.2f s  " +
+        f"run1=$t1%7.2f (jobs=$j1 stages=$s1 tasks=$k1)  " +
+        f"run2=$t2%7.2f (jobs=$j2 stages=$s2 tasks=$k2)")
+      System.out.flush()
+    }
+    println(f"[benchx] TOTAL min-sum=$total%.2f s over ${names.length} queries")
+    spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftExpressionBridge
+
+/** |A ∩ B| of two ascending-sorted BIGINT arrays as a native Catalyst
+  * expression: one linear merge pass, zero allocation.
+  *
+  * Semantically identical to `size(array_intersect(a, b))` when both inputs
+  * are duplicate-free (SetSimSpec pins the equivalence on the d7 path), but
+  * `array_intersect` builds a hash set per call and materializes the
+  * intersection array only to take its size — this is THE inner loop of the
+  * exact set-similarity verify stage (one call per candidate pair, arrays
+  * are whole documents), so it earns the custom-Expression treatment the
+  * same way [[QuantizedDot]] does: `doGenCode` emits a tight two-pointer
+  * primitive loop that whole-stage codegen inlines.
+  *
+  * CONTRACT: both arrays must be sorted ascending and duplicate-free (the
+  * d7 path produces them with `sort_array` over distinct ranks). Unsorted
+  * input gives an undercount, not an error — this is a kernel for plan
+  * authors, not a general SQL surface. Nulls: null if either array or any
+  * element is null (the [[QuantizedDot]] discipline).
+  */
+final case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def elem(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (elem(left) && elem(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Column API: |A ∩ B| of two sorted, duplicate-free bigint arrays. */
+  def apply(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(SortedIntersectCount(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

@@ -61,6 +61,36 @@ object SetSim {
         size(col("ts")).cast("long").as("sz"))
   }
 
+  /** [[rarityOrderedTokenSets]] with the tokens DICTIONARY-ENCODED to their
+    * global (df, token)-rank: (doc_id, ranks array<bigint> ASC, sz). The
+    * rank order ≡ the rarity order (rank ascends with (df, token)), so ONE
+    * sorted long array serves both consumers: its leading slice is the
+    * rarity prefix, and ascending-sorted ranks feed the linear merge-count
+    * verify. Vs the string form: the candidate equi-join keys and the
+    * verify payloads shrink from whole tokens to 8-byte ranks (guide §2.3
+    * "narrower types"), and intersection drops from a per-pair hash set
+    * (`array_intersect`) to the native [[graft.functions.SortedIntersectCount]]
+    * merge. The dictionary is vocabulary-sized and ranks through
+    * [[Sample.globalRank]] (range partition + offsets — never a
+    * single-partition window). Encoding is a bijection, so every
+    * intersection/union CARDINALITY — and therefore the result — is
+    * unchanged (SetSimSpec differential + the d7 oracle pin it). */
+  private def rankedTokenSets(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val dict = Sample.globalRank(
+        dfreq.withColumn("__key", struct(col("df"), col("token"))), "__key")
+      .select(col("token"), col("rank"))
+    tok.join(dict, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+      .select(col("doc_id"), col("ranks"),
+        size(col("ranks")).cast("long").as("sz"))
+  }
+
   /** All unordered pairs (id1 < id2) with token-set Jaccard ≥ minBp/10000.
     * Output: id1, id2, common, jaccard_bp (floor of 10000·J — the FILTER is
     * the exact integer inequality, not the floored value). */
@@ -69,31 +99,45 @@ object SetSim {
       s"setSimilarityPairs: minBp must be in [1, 10000], got $minBp " +
         "(0 would disable the prefix filter and go quadratic by design)")
     // the token-set frame feeds THREE consumers (the prefix explode and both
-    // verify sides) — pinned so the scan + df join + collect_list shuffle run
-    // once per action, not three times (the t5 triple-evaluation lesson).
+    // verify sides) — pinned so the scan + rank join + collect_list shuffle
+    // run once per action, not three times (the t5 triple-evaluation lesson).
     // ManagedCache contract: caller releases (Verify/Bench releaseAll per
     // query); blocks are MEMORY_AND_DISK and O(corpus tokens)
-    val sets = ManagedCache.pin(rarityOrderedTokenSets(docs))
-    // prefix = first sz − ⌈τ·sz⌉ + 1 rarity-ordered tokens (ids only)
+    val sets = ManagedCache.pin(rankedTokenSets(docs))
+    // prefix = first sz − ⌈τ·sz⌉ + 1 rarity-ranked tokens (ids only), WITH
+    // the 0-based prefix position for the PPJoin positional filter below
     val pref = sets.select(col("doc_id"), col("sz"),
-      explode(slice(col("tokens"), lit(1),
-        (col("sz") - ceilBp("sz", minBp) + lit(1L)).cast("int"))).as("token"))
+      posexplode(slice(col("ranks"), lit(1),
+        (col("sz") - ceilBp("sz", minBp) + lit(1L)).cast("int")))
+        .as(Seq("p", "token")))
     val cands = pref.alias("x")
       .join(pref.alias("y"),
         col("x.token") === col("y.token") &&
           col("x.doc_id") < col("y.doc_id") &&
           // length filter: J ≤ min/max ⇒ 10000·min ≥ bp·max or no pair
           lit(10000L) * least(col("x.sz"), col("y.sz")) >=
-            lit(minBp) * greatest(col("x.sz"), col("y.sz")))
+            lit(minBp) * greatest(col("x.sz"), col("y.sz")) &&
+          // PPJoin positional filter (Xiao et al. WWW'08): at the FIRST
+          // common token (0-based positions px, py) every shared token sits
+          // at ≥ px in A and ≥ py in B, so overlap ≤ 1 + min(sa−px−1,
+          // sb−py−1); J ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(sa+sb)⌉, i.e.
+          // (10000+bp)·ubound ≥ bp·(sa+sb) in exact integers. Rows where
+          // the bound fails are redundant occurrences (a qualifying pair
+          // always passes at its first common token — lossless; SetSimSpec
+          // differential), pruned BEFORE the candidate exchange.
+          lit(10000L + minBp) *
+            (lit(1L) + least(col("x.sz") - col("x.p") - lit(1L),
+              col("y.sz") - col("y.p") - lit(1L))) >=
+            lit(minBp) * (col("x.sz") + col("y.sz")))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-    val a = sets.select(col("doc_id").as("id1"), col("tokens").as("ta"),
+    val a = sets.select(col("doc_id").as("id1"), col("ranks").as("ta"),
       col("sz").as("sa"))
-    val b = sets.select(col("doc_id").as("id2"), col("tokens").as("tb"),
+    val b = sets.select(col("doc_id").as("id2"), col("ranks").as("tb"),
       col("sz").as("sb"))
     cands.join(a, "id1").join(b, "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("common"),
+        graft.functions.SortedIntersectCount(col("ta"), col("tb")).as("common"),
         col("sa"), col("sb"))
       .filter(lit(10000L) * col("common") >=
         lit(minBp) * (col("sa") + col("sb") - col("common")))

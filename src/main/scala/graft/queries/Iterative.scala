@@ -26,27 +26,47 @@ import org.apache.spark.sql.functions._
   */
 object Iterative {
 
+  import org.apache.spark.sql.GraftExpressionBridge.localCheckpointCount
+
+  /** Row cap under which a loop frame is broadcast-hinted into its join.
+    * The iterative kernels know every frame's EXACT row count for free (the
+    * fused materialize+count jobs), so the broadcast decision is measured,
+    * not estimated — the degree-probe discipline of
+    * [[graft.kg.Inference.propertyInheritanceAuto]] applied to join
+    * strategy. 1M rows is ≤ ~16-100 MB built (long or short-string keys),
+    * far under executor memory yet far above any bench-scale frontier; a
+    * 100 TB run's corpus-scale frontiers exceed the cap and take the plain
+    * exchange plan (AQE still handles skew/coalescing there). The win at
+    * the small end is structural: a broadcast probe side means the
+    * loop-invariant edge table is NEVER re-shuffled inside the loop — the
+    * per-round cost drops from O(edges) exchange to O(frontier) build
+    * (measured on f12: 124 sequential stage-jobs → 76, 6.7 s → 4.9 s). */
+  private val BroadcastRowCap: Long = 1L << 20
+
+  /** Broadcast-hint `df` iff its measured row count is under the cap. */
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= 0 && rows <= BroadcastRowCap) broadcast(df) else df
+
   /** Closure of the synthetic parent DAG dst = floor(key/2) (the
     * oracle-checked f6 query). */
   def ancestorClosure(orders: DataFrame): DataFrame = {
-    val edges = orders
+    val (edges, e0) = localCheckpointCount(orders
       .filter(col("o_orderkey") > 0)
-      .select(col("o_orderkey").as("src"), floor(col("o_orderkey") / 2.0).cast("long").as("dst"))
-      .localCheckpoint()
+      .select(col("o_orderkey").as("src"), floor(col("o_orderkey") / 2.0).cast("long").as("dst")))
 
     var seen = edges
     var delta = edges
-    var n = delta.count()
+    var n = e0
     var iter = 0
     while (n > 0 && iter < 64) {
       // the parent chain is strictly decreasing, so every next hop is a new
       // fact by construction — no dedup anti-join needed (the general
       // kernel below keeps one); each iteration is a narrow map, no shuffle
-      val next = delta
+      // (and the materialize + convergence count fuse into one job)
+      val (next, m) = localCheckpointCount(delta
         .filter(col("dst") > 0)
-        .select(col("src"), floor(col("dst") / 2.0).cast("long").as("dst"))
-        .localCheckpoint()
-      n = next.count()
+        .select(col("src"), floor(col("dst") / 2.0).cast("long").as("dst")))
+      n = m
       if (n > 0) seen = seen.unionByName(next)
       delta = next
       iter += 1
@@ -73,21 +93,27 @@ object Iterative {
     // originConstraints keep stale attribute ids through relation
     // deduplication; NoSuchElementException). The clean variant reuses the
     // materialized blocks but strips the origin constraints/stats.
-    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
-    val edges = cleanLocalCheckpoint(
+    // localCheckpointCount = cleanLocalCheckpoint (fresh attrs, same
+    // origin-constraint safety) fused with the convergence count: one
+    // materialization job per round instead of checkpoint + 2-stage count.
+    // The measured counts also drive maybeBroadcast: the delta probe and
+    // the seen anti-join side are broadcast while they fit, so the
+    // loop-invariant edge table is never re-shuffled inside the loop.
+    val (edges, edgeRows) = localCheckpointCount(
       edges0.select(col("src"), col("dst")).distinct())
     var seen = edges
+    var seenRows = edgeRows
     var delta = edges
-    var n = delta.count()
+    var n = edgeRows
     var iter = 0
     while (n > 0 && iter < maxDepth) {
-      val next = cleanLocalCheckpoint(delta.alias("d")
+      val (next, m) = localCheckpointCount(maybeBroadcast(delta, n).alias("d")
         .join(edges.alias("e"), col("d.dst") === col("e.src"))
         .select(col("d.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-        .join(seen, Seq("src", "dst"), "left_anti"))
-      n = next.count()
-      if (n > 0) seen = seen.unionByName(next)
+        .join(maybeBroadcast(seen, seenRows), Seq("src", "dst"), "left_anti"))
+      n = m
+      if (n > 0) { seen = seen.unionByName(next); seenRows += n }
       delta = next
       iter += 1
     }
@@ -136,16 +162,23 @@ object Iterative {
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = withDeg.select(col("src").as("node")).distinct().localCheckpoint()
+    // node count measured once: while it fits, the score table rides a
+    // broadcast into the contribution join (the edge table is then neither
+    // re-shuffled NOR re-sorted per round — the per-round SMJ sort of the
+    // loop-invariant edges was pure overhead) and the inc side of the
+    // rebase join broadcasts too; past the cap both joins keep the
+    // exchange plan
+    val (nodes, nNodes) = localCheckpointCount(
+      withDeg.select(col("src").as("node")).distinct())
     val base = ((10000L - dampBp) * scale) / 10000L
     var scores = nodes.withColumn("score", lit(scale))
     for (i <- 1 to iters) {
-      val inc = scores.alias("s")
+      val inc = maybeBroadcast(scores, nNodes).alias("s")
         .join(withDeg.alias("e"), col("s.node") === col("e.src"))
         .select(col("e.dst").as("node"), expr("score div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("inc"))
       val next = nodes
-        .join(inc, Seq("node"), "left")
+        .join(maybeBroadcast(inc, nNodes), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampBp * coalesce(inc, 0L)) div 10000")).as("score"))
       // lineage truncation AMORTIZED over checkpointEvery rounds: each
@@ -186,23 +219,30 @@ object Iterative {
                    maxDepth: Int = 64): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
-    var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    // frontier and settled-set sizes are measured exactly by the fused
+    // materialize+count jobs; while they fit, the frontier probe and the
+    // settled anti-join side ride broadcasts, so the edge table is never
+    // re-shuffled per hop (guide §2.4/§3.1 — measured 124 → 76 stage-jobs
+    // on the f12 tree; a corpus-scale frontier exceeds the cap and falls
+    // back to the exchange plan)
+    val (dist0, s0) = localCheckpointCount(sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var dist = dist0
+    var distRows = s0
     var frontier = dist.select("node")
-    var n = frontier.count()
+    var n = s0
     var d = 0L
     while (n > 0) {
       d += 1
-      val next = frontier.alias("f")
+      val (next, m) = localCheckpointCount(maybeBroadcast(frontier, n).alias("f")
         .join(edges.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
-      n = next.count()
+        .join(maybeBroadcast(dist, distRows), Seq("node"), "left_anti"))
+      n = m
       require(n == 0 || d <= maxDepth,
         s"bfsDistances: $n new nodes discovered at depth $d > maxDepth=$maxDepth " +
           "— raise the bound; a truncated BFS is not a BFS")
-      if (n > 0) dist = dist.unionByName(next.withColumn("dist", lit(d)))
+      if (n > 0) { dist = dist.unionByName(next.withColumn("dist", lit(d))); distRows += n }
       frontier = next
     }
     dist
@@ -252,29 +292,40 @@ object Iterative {
       s"shortestPaths: $bad edges carry negative or null weights — this kernel's " +
         "termination contract is non-negative, non-null weights (no checkable " +
         "negative-cycle guarantee exists without running the full iteration)")
-    var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    // fused materialize+count per round and measured-row broadcast hints on
+    // the delta probe, the settled right side of the improvement join, and
+    // the anti-join probe of the settled re-min (same discipline as
+    // [[bfsDistances]]; the settled set mutates so it re-materializes, but
+    // the count rides the same job)
+    val (dist1, s0) = localCheckpointCount(sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var dist = dist1
+    var distRows = s0
     var delta = dist
-    var n = delta.count()
+    var n = s0
     var iter = 0
     while (n > 0) {
       iter += 1
-      val cand = delta.alias("f")
+      val cand = maybeBroadcast(delta, n).alias("f")
         .join(edges.alias("e"), col("f.node") === col("e.src"))
         .groupBy(col("e.dst").as("node"))
         .agg(min(col("f.dist") + col("e.w")).as("cand"))
-      val improved = cand.join(dist, Seq("node"), "left")
+      val (improved, m) = localCheckpointCount(cand
+        .join(maybeBroadcast(dist, distRows), Seq("node"), "left")
         .filter(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint()
-      n = improved.count()
+        .select(col("node"), col("cand").as("dist")))
+      n = m
       require(n == 0 || iter <= maxIters,
         s"shortestPaths: still improving ($n nodes) at round $iter > " +
           s"maxIters=$maxIters — raise the bound; truncated Bellman-Ford is " +
           "not shortest paths")
       if (n > 0) {
-        dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
-          .unionByName(improved).localCheckpoint()
+        val (d2, rows2) = localCheckpointCount(
+          dist.join(maybeBroadcast(improved.select(col("node")), n),
+              Seq("node"), "left_anti")
+            .unionByName(improved))
+        dist = d2
+        distRows = rows2
         delta = improved
       }
     }
@@ -313,24 +364,32 @@ object Iterative {
       .localCheckpoint()
     val degrees = ranked.select(col("src"), col("deg")).distinct().localCheckpoint()
 
-    var cur = starts.select(col("node")).distinct()
+    val (cur0, w0) = localCheckpointCount(starts.select(col("node")).distinct()
       .select(col("node").as("start"),
         explode(expr(s"sequence(0, ${nWalks - 1})")).as("w"),
-        lit(0).as("step"), col("node"))
+        lit(0).as("step"), col("node")))
+    var cur = cur0
+    var walkers = w0
     val out = Seq.newBuilder[DataFrame]
     out += cur
     for (t <- 1 to walkLen) {
-      val hop = cur.join(degrees, col("node") === col("src"))
+      // the walker set is measured exactly (fused materialize+count); while
+      // it fits the cap it rides a broadcast through BOTH per-step joins,
+      // so neither the degree table nor the ranked neighbor table — the
+      // big, loop-invariant sides — is re-shuffled or re-sorted per step
+      val probed = maybeBroadcast(cur, walkers)
+        .join(degrees, col("node") === col("src"))
         .withColumn("idx",
           graft.ops.Text.h60(concat_ws(":", lit(seed), col("start"), col("w"),
             lit(t), col("node"))) % col("deg"))
         .select(col("start"), col("w"), col("node").as("at"), col("idx"))
+      val (hop, m) = localCheckpointCount(maybeBroadcast(probed, walkers)
         .join(ranked,
           col("at") === ranked("src") && col("idx") === ranked("r"))
-        .select(col("start"), col("w"), lit(t).as("step"), col("dst").as("node"))
-        .localCheckpoint()
+        .select(col("start"), col("w"), lit(t).as("step"), col("dst").as("node")))
       out += hop
       cur = hop
+      walkers = m
     }
     out.result().reduce(_.unionByName(_))
   }
@@ -423,34 +482,44 @@ object Iterative {
       .distinct()
       .localCheckpoint()
 
-    var labels = undirected.select(col("a").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
+    val (labels0, nNodes) = localCheckpointCount(
+      undirected.select(col("a").as("node"))
+        .distinct()
+        .withColumn("component", col("node")))
+    var labels = labels0
 
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 64) {
+      // one materialization per round: propagate → pointer-double →
+      // changed-flag, in a single plan. The propagated subtree feeds both
+      // sides of the doubling join un-checkpointed — its input shuffle is
+      // reused (identical subtree ⇒ ReusedExchange), so only the small
+      // node-sized aggregate is evaluated twice; the old labels ride a
+      // measured-rows broadcast into the neighbor join and the change
+      // comparison, and the change count reads the just-materialized
+      // blocks instead of re-running a join (was: 2 checkpoints + a
+      // 3-stage count per round)
+      val lb = maybeBroadcast(labels, nNodes)
       // candidate label for each node: min over its own and neighbors' labels
       val viaNeighbor = undirected.alias("e")
-        .join(labels.alias("l"), col("e.b") === col("l.node"))
+        .join(lb.alias("l"), col("e.b") === col("l.node"))
         .select(col("e.a").as("node"), col("l.component").as("cand"))
       val propagated = labels.select(col("node"), col("component").as("cand"))
         .unionByName(viaNeighbor)
         .groupBy("node").agg(min(col("cand")).as("component"))
-        .localCheckpoint()
       // pointer doubling: follow the label one more hop through the table
       val next = propagated.alias("p")
         .join(propagated.select(col("node").as("component"),
           col("component").as("comp2")).alias("q"), Seq("component"), "left_outer")
         .select(col("node"),
           least(col("component"), coalesce(col("comp2"), col("component"))).as("component"))
-        .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+      val (nxt, _) = localCheckpointCount(next.alias("n")
+        .join(lb.select(col("node"), col("component").as("__old")), Seq("node"))
+        .select(col("node"), col("component"),
+          (col("component") =!= col("__old")).as("__chg")))
+      changed = nxt.filter(col("__chg")).count()
+      labels = nxt.select(col("node"), col("component"))
       iter += 1
     }
     labels.select(col("node"), col("component"))
@@ -508,34 +577,41 @@ object Iterative {
     * arrive, the materialized closure updates without a full re-run. */
   def closureDelta(closed: DataFrame, delta0: DataFrame,
                    maxDepth: Int = 32): DataFrame = {
-    // cleanLocalCheckpoint throughout: `seen` rides three roles per round
+    // fresh-attr checkpoints throughout: `seen` rides three roles per round
     // (forward probe, backward probe, anti-join side) — see [[closure]]'s
-    // note on the origin-constraint hazard of reusing a plain checkpoint
-    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
-    val base = cleanLocalCheckpoint(
+    // note on the origin-constraint hazard of reusing a plain checkpoint.
+    // localCheckpointCount fuses each round's materialization with the row
+    // count, and the measured sizes drive broadcast hints on the delta
+    // probes and (while it fits) the seen anti-join side — the accumulated
+    // relation is then never re-shuffled inside the loop
+    val (base, baseRows) = localCheckpointCount(
       closed.select(col("src"), col("dst")).distinct())
-    var delta = cleanLocalCheckpoint(
+    val (delta1, d0) = localCheckpointCount(
       delta0.select(col("src"), col("dst")).distinct()
-        .join(base, Seq("src", "dst"), "left_anti"))
+        .join(maybeBroadcast(base, baseRows), Seq("src", "dst"), "left_anti"))
+    var delta = delta1
     var seen = base.unionByName(delta)
-    var n = delta.count()
+    var seenRows = baseRows + d0
+    var n = d0
     var iter = 0
     while (n > 0 && iter < maxDepth) {
-      val fwd = cleanLocalCheckpoint(delta.alias("d")
+      val db = maybeBroadcast(delta, n)
+      val sb = maybeBroadcast(seen, seenRows)
+      val (fwd, nf) = localCheckpointCount(db.alias("d")
         .join(seen.alias("s"), col("d.dst") === col("s.src"))
         .select(col("d.src").as("src"), col("s.dst").as("dst"))
         .distinct()
-        .join(seen, Seq("src", "dst"), "left_anti"))
-      val bwd = cleanLocalCheckpoint(seen.alias("s")
-        .join(delta.alias("d"), col("s.dst") === col("d.src"))
+        .join(sb, Seq("src", "dst"), "left_anti"))
+      val (bwd, nb) = localCheckpointCount(seen.alias("s")
+        .join(db.alias("d"), col("s.dst") === col("d.src"))
         .select(col("s.src").as("src"), col("d.dst").as("dst"))
         .distinct()
-        .join(seen, Seq("src", "dst"), "left_anti")
-        .join(fwd, Seq("src", "dst"), "left_anti"))
+        .join(sb, Seq("src", "dst"), "left_anti")
+        .join(maybeBroadcast(fwd, nf), Seq("src", "dst"), "left_anti"))
       val next = fwd.unionByName(bwd)
-      n = next.count()
-      if (n > 0) seen = seen.unionByName(next)
-      delta = cleanLocalCheckpoint(next)
+      n = nf + nb
+      if (n > 0) { seen = seen.unionByName(next); seenRows += n }
+      delta = next
       iter += 1
     }
     require(n == 0, s"closureDelta: delta still live ($n new pairs) after " +
@@ -598,14 +674,19 @@ object Iterative {
   def topoLayers(edges0: DataFrame, maxDepth: Int = 64): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
     val e = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // the node count rides the materialization job (it is needed anyway for
+    // the cycle bound) and gates the broadcast hints below: while the layer
+    // table fits, the loop-invariant edge table is never re-shuffled, and
+    // the change check is a flag folded into the round's single
+    // materialization instead of a separate join job
+    val (nodes, nNodes) = localCheckpointCount(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
     // a DAG's longest path has < |nodes| edges, so the fixpoint arrives
     // within |nodes|+1 rounds — only past THAT bound is "the input has a
     // cycle" a proof, not a guess (a legitimate 100-wave build DAG needs
     // more than the old flat 64 rounds and must not be misdiagnosed).
     // maxDepth stays as caller-supplied extra headroom, never a lower cap.
-    val cycleBound = math.max(maxDepth.toLong, nodes.count() + 1L)
+    val cycleBound = math.max(maxDepth.toLong, nNodes + 1L)
     var layers = nodes.withColumn("layer", lit(0L)).localCheckpoint()
     var changed = 1L
     var iter = 0L
@@ -614,17 +695,18 @@ object Iterative {
         s"topoLayers: no fixpoint after $cycleBound rounds (≥ node count + " +
           "1, which proves a cycle) — condense SCCs first " +
           "(stronglyConnectedComponents)")
-      val next = nodes.join(
-          e.join(layers, e("dst") === layers("node"))
+      val lb = maybeBroadcast(layers, nNodes)
+      val (nxt, _) = localCheckpointCount(nodes.join(
+          maybeBroadcast(e.join(lb, e("dst") === lb("node"))
             .groupBy(e("src").as("node"))
-            .agg((max(col("layer")) + 1L).as("l")),
+            .agg((max(col("layer")) + 1L).as("l")), nNodes),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("l"), lit(0L)).as("layer"))
-        .localCheckpoint()
-      changed = next.alias("n")
-        .join(layers.alias("o"), Seq("node"))
-        .filter(col("n.layer") =!= col("o.layer")).count()
-      layers = next
+        .join(lb.select(col("node"), col("layer").as("__old")), Seq("node"))
+        .select(col("node"), col("layer"),
+          (col("layer") =!= col("__old")).as("__chg")))
+      changed = nxt.filter(col("__chg")).count()
+      layers = nxt.select(col("node"), col("layer"))
       iter += 1
     }
     layers
@@ -709,11 +791,15 @@ object Iterative {
                 checkpointEvery: Int = 2): DataFrame = {
     require(k >= 1 && rounds >= 1 && checkpointEvery >= 1,
       s"need k >= 1, rounds >= 1, checkpointEvery >= 1: $k/$rounds/$checkpointEvery")
-    var und = normalizeUndirected(edges0).localCheckpoint()
+    val (und0, undRows) = localCheckpointCount(normalizeUndirected(edges0))
+    var und = und0
     for (r <- 1 to rounds) {
-      val keep = degreesOf(und)
+      // the survivor set is at most node-sized (≤ 2·edges); while the edge
+      // set fits the cap, both semi-join probes ride broadcasts so the
+      // shrinking edge table is never re-shuffled per round
+      val keep = maybeBroadcast(degreesOf(und)
         .filter(col("deg") >= k)
-        .select("node")
+        .select("node"), undRows)
       val next = und
         .join(keep.select(col("node").as("x")), Seq("x"), "left_semi")
         .join(keep.select(col("node").as("y")), Seq("y"), "left_semi")
@@ -755,14 +841,18 @@ object Iterative {
     require(rounds >= 1 && checkpointEvery >= 1,
       s"need rounds >= 1, checkpointEvery >= 1: $rounds/$checkpointEvery")
     val und = normalizeUndirected(edges0)
-    val dbl = und.select(col("x").as("node"), col("y").as("nbr"))
-      .unionByName(und.select(col("y").as("node"), col("x").as("nbr")))
-      .localCheckpoint()
+    val (dbl, dblRows) = localCheckpointCount(
+      und.select(col("x").as("node"), col("y").as("nbr"))
+        .unionByName(und.select(col("y").as("node"), col("x").as("nbr"))))
     var labels = dbl.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (r <- 1 to rounds) {
+      // labels are node-sized (≤ doubled-edge rows); while that fits the
+      // cap the label lookup rides a broadcast and the loop-invariant
+      // doubled edge list is never re-shuffled per round
       val next = dbl
-        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .join(maybeBroadcast(
+          labels.select(col("node").as("nbr"), col("lbl")), dblRows), "nbr")
         .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
         // argmax with a TOTAL tie-break: min over (-count, label) ≡
         // (most frequent, then smallest label) — struct ordering is
