@@ -61,7 +61,7 @@ object ShingleKernel {
   /** h60: first 15 hex digits of md5 as a long (== Spark
     * `conv(substring(md5(s),1,15),16,10)`). 15 hex digits = 60 bits, never
     * overflows. Shared with [[WinnowKernel]]. */
-  private[functions] def h60(s: String): Long = {
+  private[graft] def h60(s: String): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -496,9 +496,21 @@ object CodeGraph {
     * composition's determinism and the directed-reachability invariant
     * every emitted pair must satisfy. */
   def moduleWalkPairs(pages: DataFrame, nWalks: Int = 2, walkLen: Int = 4,
-                      window: Int = 2, seed: String = "codewalks"): DataFrame = {
-    val edges = moduleDeps(pages)
-      .select(col("src_module").as("src"), col("dst_module").as("dst"))
+                      window: Int = 2, seed: String = "codewalks"): DataFrame =
+    moduleWalkPairsFromEdges(
+      moduleDeps(pages)
+        .select(col("src_module").as("src"), col("dst_module").as("dst"))
+        .localCheckpoint(),
+      nWalks, walkLen, window, seed)
+
+  /** [[moduleWalkPairs]] over an already-materialized edge frame — the
+    * walk edges feed BOTH the start set and the hop kernel, and
+    * [[moduleWalkNegatives]] additionally derives the vocabulary from
+    * them; materializing once means the corpus-scaled parse + resolution
+    * join behind [[moduleDeps]] runs once per pipeline, not three times. */
+  private def moduleWalkPairsFromEdges(edges: DataFrame, nWalks: Int,
+                                       walkLen: Int, window: Int,
+                                       seed: String): DataFrame = {
     val starts = edges.select(col("src").as("node")).distinct()
     val walks = graft.queries.Iterative.randomWalks(
       edges, starts, nWalks, walkLen, seed)
@@ -518,10 +530,15 @@ object CodeGraph {
   def moduleWalkNegatives(pages: DataFrame, nWalks: Int = 2, walkLen: Int = 4,
                           window: Int = 2, nNeg: Int = 2,
                           seed: String = "codewalks"): DataFrame = {
-    val pairs = moduleWalkPairs(pages, nWalks, walkLen, window, seed)
-    val vocab = moduleDeps(pages)
-      .select(col("src_module").as("node"))
-      .unionByName(moduleDeps(pages).select(col("dst_module").as("node")))
+    // moduleDeps is computed ONCE and materialized; walks, pairs and the
+    // vocabulary all derive from the same frame (it used to be re-derived
+    // three times — each a corpus-scaled parse + resolution join)
+    val edges = moduleDeps(pages)
+      .select(col("src_module").as("src"), col("dst_module").as("dst"))
+      .localCheckpoint()
+    val pairs = moduleWalkPairsFromEdges(edges, nWalks, walkLen, window, seed)
+    val vocab = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
       .distinct()
     graft.queries.Iterative.negativeSamples(pairs, vocab, nNeg, seed + "neg")
       .orderBy("center", "context", "j")

@@ -85,28 +85,45 @@ object Dsir {
   def dsirScores(raw: DataFrame, target: DataFrame,
                  buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets >= 2, s"dsirScores: buckets must be >= 2, got $buckets")
-    // pinned: consumed twice (raw bucket counts + per-doc scoring) — one
-    // corpus scan, not two (the t5 pinned-frame discipline)
-    val tf = ManagedCache.pin(
+    import org.apache.spark.sql.GraftExpressionBridge.localCheckpointCount
+    // materialized once and consumed twice (raw bucket counts + per-doc
+    // scoring) — one corpus scan, not two. localCheckpoint rather than a
+    // pin: the old columnar cache cost ~1 s to build and the lazy DAG then
+    // stacked FIVE sequential broadcast builds (tc → totals → scoreTable,
+    // each a driver job) on top — measured, that chain WAS t30's cost
+    // (5.2 s for ~0.6 s of actual scan+hash work; guide §1/§7.3 driver
+    // latency, not data). Blocks are O(corpus distinct features) rows,
+    // freed on GC like every kernel checkpoint.
+    val (tf, _) = localCheckpointCount(
       featureBuckets(raw, buckets)
         .groupBy("doc_id", "bucket")
         .agg(count(lit(1)).cast("long").as("tf")))
-    val rc = tf.groupBy("bucket").agg(sum("tf").cast("long").as("rc"))
-    val tc = featureBuckets(target, buckets)
-      .groupBy("bucket").agg(count(lit(1)).cast("long").as("tc"))
-    val totals = rc.agg(sum("rc").cast("long").as("r_tot"))
-      .crossJoin(tc.agg(coalesce(sum("tc"), lit(0L)).cast("long").as("t_tot")))
+    // both count tables are ≤ `buckets` rows; materializing them flattens
+    // the broadcast-build chain (each downstream broadcast reads cached
+    // blocks instead of re-running its aggregation as a nested job)
+    val (rc, _) = localCheckpointCount(
+      tf.groupBy("bucket").agg(sum("tf").cast("long").as("rc")))
+    val (tc, _) = localCheckpointCount(
+      featureBuckets(target, buckets)
+        .groupBy("bucket").agg(count(lit(1)).cast("long").as("tc")))
+    // the two model totals are single scalars — collected (driver-sized by
+    // construction, over the just-materialized count tables) and inlined
+    // as literals, which deletes the crossJoin(broadcast(totals)) layer
+    // from the plan entirely; the arithmetic is unchanged
+    val rTot = rc.agg(coalesce(sum("rc"), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val tTot = tc.agg(coalesce(sum("tc"), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
     // only buckets PRESENT in raw can contribute to a raw doc's score, so
     // the score table is a left join from the raw counts (target-only
     // buckets are irrelevant; absent target counts smooth to tc = 0)
     val scoreTable = rc
       .join(broadcast(tc), Seq("bucket"), "left")
       .na.fill(0L, Seq("tc"))
-      .crossJoin(broadcast(totals))
       .select(col("bucket"),
         (length(bin(col("tc") + 1)) - length(bin(col("rc") + 1))
-          + length(bin(col("r_tot") + lit(buckets.toLong)))
-          - length(bin(col("t_tot") + lit(buckets.toLong)))).cast("long")
+          + length(bin(lit(rTot) + lit(buckets.toLong)))
+          - length(bin(lit(tTot) + lit(buckets.toLong)))).cast("long")
           .as("score_bits"))
     tf.join(broadcast(scoreTable), "bucket")
       .groupBy("doc_id")

@@ -41,10 +41,16 @@ object Fuzzy {
     val names = Seq(leftId, leftStr, rightId, rightStr)
     require(names.distinct.length == 4,
       s"editDistanceJoin: the four column names must be disjoint: ${names.mkString(", ")}")
+    // signatures are hashed to 8-byte keys before the candidate exchange
+    // (guide §2.3 "narrower types"): a hash collision only ADDS a candidate
+    // pair, and the exact levenshtein verify drops it — lossless, and the
+    // only corpus-scaled shuffle carries (id, long) instead of (id, string)
     val ls = left.select(col(leftId),
-      explode(DeletionNeighborhood(col(leftStr), k, maxLen)).as("__sig"))
+      explode(DeletionNeighborhood(col(leftStr), k, maxLen)).as("__s"))
+      .select(col(leftId), xxhash64(col("__s")).as("__sig"))
     val rs = right.select(col(rightId),
-      explode(DeletionNeighborhood(col(rightStr), k, maxLen)).as("__sig"))
+      explode(DeletionNeighborhood(col(rightStr), k, maxLen)).as("__s"))
+      .select(col(rightId), xxhash64(col("__s")).as("__sig"))
     val cands = ls.join(rs, "__sig").select(col(leftId), col(rightId)).distinct()
     cands
       .join(left.select(leftId, leftStr), leftId)
@@ -77,9 +83,13 @@ object Fuzzy {
       k: Int, maxLen: Int): (DataFrame, DataFrame) = {
     // the signature explode feeds BOTH sides of the self-join; pinned so
     // the deletion-neighborhood kernel runs once per action, not per side
-    // (ManagedCache contract: caller releases — Verify/Bench per query)
+    // (ManagedCache contract: caller releases — Verify/Bench per query).
+    // Signatures are hashed to 8-byte keys first (editDistanceJoin's
+    // reasoning: collisions only add verify-filtered candidates, and both
+    // the pin and the candidate exchange shrink to (id, long) rows)
     val sigs = ManagedCache.pin(docs.select(col(idCol).as("__id"),
-      explode(DeletionNeighborhood(col(strCol), k, maxLen)).as("__sig")))
+      explode(DeletionNeighborhood(col(strCol), k, maxLen)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__sig")))
     val cands = sigs.alias("a")
       .join(sigs.alias("b"),
         col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))

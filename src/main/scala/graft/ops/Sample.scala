@@ -233,6 +233,34 @@ object Sample {
 
   def globalRank(df: DataFrame, orderCol: String,
                  partitions: Int = 0): DataFrame = {
+    // measured-size gate (the LocalGraph discipline): a vocabulary-sized
+    // input sorts in-process under the SAME ordering Spark's range
+    // partition + window would apply (UTF8 binary for strings, field-wise
+    // for structs) — rank values are identical for the unique keys every
+    // caller ranks (a stable sort is a valid row_number assignment either
+    // way). Over the cap, the range-partitioned distributed form below.
+    locally {
+      import org.apache.spark.sql.GraftExpressionBridge.localCheckpointCount
+      import graft.queries.LocalGraph
+      val (src, n) = localCheckpointCount(df)
+      if (n <= LocalGraph.EdgeCap) {
+        LocalGraph.ordering(src.schema(orderCol).dataType).foreach { ord =>
+          val idx = src.schema.fieldIndex(orderCol)
+          val sorted = src.collect().sortBy(_.get(idx))(ord)
+          val out = sorted.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong) }
+          return LocalGraph.toDf(src.sparkSession, out.toSeq,
+            org.apache.spark.sql.types.StructType(src.schema.fields :+
+              org.apache.spark.sql.types.StructField("rank",
+                org.apache.spark.sql.types.LongType, nullable = false)))
+        }
+      }
+      return globalRankDistributed(src, orderCol, partitions)
+    }
+  }
+
+  private def globalRankDistributed(df: DataFrame, orderCol: String,
+                                    partitions: Int): DataFrame = {
     val local = locallyNumbered(df, orderCol, partitions).localCheckpoint()
     val offsets = local.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"))

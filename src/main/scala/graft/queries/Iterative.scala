@@ -54,6 +54,34 @@ object Iterative {
       .filter(col("o_orderkey") > 0)
       .select(col("o_orderkey").as("src"), floor(col("o_orderkey") / 2.0).cast("long").as("dst")))
 
+    // measured-size gate: the halving chain per source is closed-form
+    // (dst, dst/2, ..., 0 — strictly decreasing, so n_anc is the chain
+    // length and max_anc the first parent); under the cap the whole
+    // aggregate is computed in-process instead of ~2·depth sequential jobs
+    if (e0 <= LocalGraph.EdgeCap &&
+        edges.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val agg = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+      edges.collect().foreach { r =>
+        val src = r.getLong(0); val d0 = r.getLong(1)
+        var v = d0; var cnt = 1L
+        while (v > 0) { v = v / 2; cnt += 1 }
+        val cur = agg.get(src)
+        agg(src) = cur match {
+          case Some((c, m)) => (c + cnt, math.max(m, d0))
+          case None => (cnt, d0)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        edges.schema("src"),
+        org.apache.spark.sql.types.StructField("n_anc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_anc",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return LocalGraph.toDf(edges.sparkSession,
+        agg.toSeq.map { case (s, (c, m)) => org.apache.spark.sql.Row(s, c, m) },
+        schema)
+    }
+
     var seen = edges
     var delta = edges
     var n = e0
@@ -101,6 +129,23 @@ object Iterative {
     // loop-invariant edge table is never re-shuffled inside the loop.
     val (edges, edgeRows) = localCheckpointCount(
       edges0.select(col("src"), col("dst")).distinct())
+    // measured-size gate: a bounded (condensed/ontology) graph runs the
+    // SAME semi-naive rounds in-process (LocalGraph.closure — literal round
+    // replication, identical loud failure) instead of paying sequential
+    // stage-job latency per round; over the cap, or on unsupported key
+    // types, or if the local reachability set outgrows its budget, the
+    // distributed kernel below runs unchanged
+    val st = edges.schema
+    if (edgeRows <= LocalGraph.ClosureEdgeCap &&
+        LocalGraph.supported(st("src").dataType) &&
+        LocalGraph.supported(st("dst").dataType)) {
+      LocalGraph.closure(LocalGraph.collectPairs(edges), maxDepth) match {
+        case Some(pairs) =>
+          return LocalGraph.toDf(edges.sparkSession,
+            pairs.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), st)
+        case None => () // budget overflow — fall through to distributed
+      }
+    }
     var seen = edges
     var seenRows = edgeRows
     var delta = edges
@@ -153,7 +198,26 @@ object Iterative {
     require(iters >= 1 && dampBp >= 0 && dampBp <= 10000 && scale > 0,
       s"need iters >= 1, dampBp in [0, 10000], scale > 0: $iters/$dampBp/$scale")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
-    val e = edges0.select(col("src"), col("dst")).distinct()
+    val (e, eRows) = localCheckpointCount(
+      edges0.select(col("src"), col("dst")).distinct())
+    // measured-size gate: under the cap the fixed-iteration integer rounds
+    // run in-process (LocalGraph.pageRank — bit-identical by pure-integer
+    // construction); per-round cost at this size is driver job latency
+    locally {
+      val st = e.schema
+      val dt = st("src").dataType
+      if (eRows <= LocalGraph.EdgeCap && st("dst").dataType == dt &&
+          LocalGraph.supported(dt)) {
+        val out = LocalGraph.pageRank(LocalGraph.collectPairs(e),
+          iters, scale, dampBp)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          st("src").copy(name = "node"),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return LocalGraph.toDf(e.sparkSession,
+          out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+      }
+    }
     // the edge table is loop-INVARIANT: partition it on the join key ONCE
     // (localCheckpoint preserves the partitioning), so each round's
     // scores ⋈ edges join exchanges only the score side — the per-round
@@ -162,23 +226,21 @@ object Iterative {
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
       .localCheckpoint()
-    // node count measured once: while it fits, the score table rides a
-    // broadcast into the contribution join (the edge table is then neither
-    // re-shuffled NOR re-sorted per round — the per-round SMJ sort of the
-    // loop-invariant edges was pure overhead) and the inc side of the
-    // rebase join broadcasts too; past the cap both joins keep the
-    // exchange plan
-    val (nodes, nNodes) = localCheckpointCount(
-      withDeg.select(col("src").as("node")).distinct())
+    // measured (guide §1): broadcast-hinting scores/inc here LOSES — the
+    // amortized checkpointEvery batching leaves rounds un-materialized, so
+    // each hinted broadcast build re-executes the chain since the last
+    // checkpoint as its own job (50 jobs / 4.9 s vs 37 / 4.3 s on the f7
+    // graph). The batched exchange plan stays; AQE picks the strategy.
+    val nodes = withDeg.select(col("src").as("node")).distinct().localCheckpoint()
     val base = ((10000L - dampBp) * scale) / 10000L
     var scores = nodes.withColumn("score", lit(scale))
     for (i <- 1 to iters) {
-      val inc = maybeBroadcast(scores, nNodes).alias("s")
+      val inc = scores.alias("s")
         .join(withDeg.alias("e"), col("s.node") === col("e.src"))
         .select(col("e.dst").as("node"), expr("score div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("inc"))
       val next = nodes
-        .join(maybeBroadcast(inc, nNodes), Seq("node"), "left")
+        .join(inc, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampBp * coalesce(inc, 0L)) div 10000")).as("score"))
       // lineage truncation AMORTIZED over checkpointEvery rounds: each
@@ -218,7 +280,8 @@ object Iterative {
   def bfsDistances(edges0: DataFrame, sources: DataFrame,
                    maxDepth: Int = 64): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
-    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val (edges, edgeRows) = localCheckpointCount(
+      edges0.select(col("src"), col("dst")).distinct())
     // frontier and settled-set sizes are measured exactly by the fused
     // materialize+count jobs; while they fit, the frontier probe and the
     // settled anti-join side ride broadcasts, so the edge table is never
@@ -227,6 +290,19 @@ object Iterative {
     // back to the exchange plan)
     val (dist0, s0) = localCheckpointCount(sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
+    // measured-size gate: under the cap the whole frontier fixpoint runs
+    // in-process (LocalGraph.bfs — identical discovery-time maxDepth
+    // failure); per-hop work at this size is driver job latency, not data
+    val est = edges.schema; val nst = dist0.schema
+    if (edgeRows <= LocalGraph.EdgeCap && s0 <= LocalGraph.EdgeCap &&
+        est("src").dataType == nst("node").dataType &&
+        est("dst").dataType == nst("node").dataType &&
+        LocalGraph.supported(nst("node").dataType)) {
+      val out = LocalGraph.bfs(LocalGraph.collectPairs(edges),
+        dist0.collect().map(_.get(0)), maxDepth)
+      return LocalGraph.toDf(edges.sparkSession,
+        out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), nst)
+    }
     var dist = dist0
     var distRows = s0
     var frontier = dist.select("node")
@@ -282,8 +358,9 @@ object Iterative {
       s"shortestPaths: weight column w must be an integral type, got " +
         s"${wType.catalogString} — quantize explicitly (e.g. cents) so nothing " +
         "truncates silently")
-    val edges = edges0.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .distinct().localCheckpoint()
+    val (edges, edgeRows) = localCheckpointCount(
+      edges0.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .distinct())
     // null weights would slip the `< 0` guard (null < 0 is null) and then
     // poison the distance lattice with null candidates — counted and
     // rejected in the same pass as negatives
@@ -292,6 +369,30 @@ object Iterative {
       s"shortestPaths: $bad edges carry negative or null weights — this kernel's " +
         "termination contract is non-negative, non-null weights (no checkable " +
         "negative-cycle guarantee exists without running the full iteration)")
+    // measured-size gate (the bfsDistances reasoning): the semi-naive
+    // Bellman-Ford rounds run in-process with literal round replication,
+    // so the maxIters loud failure fires on exactly the same inputs
+    locally {
+      val est = edges.schema
+      val nodeDt = est("src").dataType
+      if (edgeRows <= LocalGraph.EdgeCap &&
+          est("dst").dataType == nodeDt && LocalGraph.supported(nodeDt)) {
+        val (src0, s0) = localCheckpointCount(
+          sources.select(col("node")).distinct())
+        if (s0 <= LocalGraph.EdgeCap &&
+            src0.schema("node").dataType == nodeDt) {
+          val out = LocalGraph.shortestPaths(
+            edges.collect().map(r => (r.get(0), r.get(1), r.getLong(2))),
+            src0.collect().map(_.get(0)), maxIters)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            src0.schema("node"),
+            org.apache.spark.sql.types.StructField("dist",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          return LocalGraph.toDf(edges.sparkSession,
+            out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+        }
+      }
+    }
     // fused materialize+count per round and measured-row broadcast hints on
     // the delta probe, the settled right side of the improvement join, and
     // the anti-join probe of the settled re-min (same discipline as
@@ -356,6 +457,35 @@ object Iterative {
     require(nWalks >= 1, s"nWalks must be >= 1: $nWalks")
     require(walkLen >= 1, s"walkLen must be >= 1: $walkLen")
     require(!seed.contains(":"), s"seed must not contain ':' (hash-input delimiter): $seed")
+    // measured-size gate: under the cap the whole deterministic walk runs
+    // in-process (LocalGraph.randomWalks — same h60 hop rule over the same
+    // Spark-ordered neighbor ranking, byte-identical corpus)
+    locally {
+      val (e, eRows) = localCheckpointCount(
+        edges0.select(col("src"), col("dst")).distinct())
+      val st = e.schema
+      val dt = st("src").dataType
+      if (eRows <= LocalGraph.EdgeCap && st("dst").dataType == dt) {
+        LocalGraph.ordering(dt).foreach { ord =>
+          val (s0, sRows) = localCheckpointCount(
+            starts.select(col("node")).distinct())
+          if (sRows <= LocalGraph.EdgeCap && s0.schema("node").dataType == dt) {
+            val out = LocalGraph.randomWalks(LocalGraph.collectPairs(e),
+              s0.collect().map(_.get(0)), nWalks, walkLen, seed, ord)
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              st("src").copy(name = "start"),
+              org.apache.spark.sql.types.StructField("w",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("step",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              st("src").copy(name = "node")))
+            return LocalGraph.toDf(e.sparkSession,
+              out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)),
+              schema)
+          }
+        }
+      }
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("src").orderBy("dst")
     val ranked = edges0.select(col("src"), col("dst")).distinct()
@@ -478,9 +608,28 @@ object Iterative {
     * propagated labels and the shortcut) + one changed-count job. */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val fwd = edges0.select(col("a"), col("b"))
-    val undirected = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
+    val (undirected, undRows) = localCheckpointCount(
+      fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+
+    // measured-size gate: under the cap the min-label fixpoint runs
+    // in-process (union-find with min-member labels under the SPARK
+    // ordering — UTF8 binary for strings — which is exactly the converged
+    // pointer-doubled result); over it, the distributed rounds below
+    locally {
+      val ast = undirected.schema
+      val dt = ast("a").dataType
+      if (undRows <= LocalGraph.EdgeCap && ast("b").dataType == dt) {
+        LocalGraph.ordering(dt).foreach { ord =>
+          val out = LocalGraph.connectedComponents(
+            LocalGraph.collectPairs(undirected), ord)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            ast("a").copy(name = "node"), ast("a").copy(name = "component")))
+          return LocalGraph.toDf(undirected.sparkSession,
+            out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+        }
+      }
+    }
 
     val (labels0, nNodes) = localCheckpointCount(
       undirected.select(col("a").as("node"))
@@ -589,6 +738,23 @@ object Iterative {
     val (delta1, d0) = localCheckpointCount(
       delta0.select(col("src"), col("dst")).distinct()
         .join(maybeBroadcast(base, baseRows), Seq("src", "dst"), "left_anti"))
+    // measured-size gate (the closure reasoning; base is already a
+    // closure, so its row count bounds the merged result linearly in
+    // practice — the PairBudget abort covers the adversarial case)
+    locally {
+      val st = base.schema
+      if (baseRows + d0 <= LocalGraph.ClosureEdgeCap &&
+          LocalGraph.supported(st("src").dataType) &&
+          LocalGraph.supported(st("dst").dataType)) {
+        LocalGraph.closureDelta(LocalGraph.collectPairs(base),
+            LocalGraph.collectPairs(delta1), maxDepth) match {
+          case Some(pairs) =>
+            return LocalGraph.toDf(base.sparkSession,
+              pairs.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), st)
+          case None => ()
+        }
+      }
+    }
     var delta = delta1
     var seen = base.unionByName(delta)
     var seenRows = baseRows + d0
@@ -673,7 +839,25 @@ object Iterative {
     * localCheckpoint per round truncates lineage as in every kernel here. */
   def topoLayers(edges0: DataFrame, maxDepth: Int = 64): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
-    val e = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val (e, eRows) = localCheckpointCount(
+      edges0.select(col("src"), col("dst")).distinct())
+    // measured-size gate: under the cap the layer fixpoint runs in-process
+    // (reverse-Kahn longest-path-to-sink ≡ the converged fixpoint; the
+    // cycle case throws the same loud failure)
+    locally {
+      val st = e.schema
+      val dt = st("src").dataType
+      if (eRows <= LocalGraph.EdgeCap && st("dst").dataType == dt &&
+          LocalGraph.supported(dt)) {
+        val out = LocalGraph.topoLayers(LocalGraph.collectPairs(e), maxDepth)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          st("src").copy(name = "node"),
+          org.apache.spark.sql.types.StructField("layer",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return LocalGraph.toDf(e.sparkSession,
+          out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+      }
+    }
     // the node count rides the materialization job (it is needed anyway for
     // the cycle bound) and gates the broadcast hints below: while the layer
     // table fits, the loop-invariant edge table is never re-shuffled, and
@@ -746,7 +930,24 @@ object Iterative {
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
   def triangleCounts(edges0: DataFrame): DataFrame = {
-    val und = normalizeUndirected(edges0).localCheckpoint()
+    val (und, undRows) = localCheckpointCount(normalizeUndirected(edges0))
+    // measured-size gate: under the cap the wedge count runs in-process
+    // (same (deg, id) orientation under the Spark ordering)
+    locally {
+      val st = und.schema
+      val dt = st("x").dataType
+      if (undRows <= LocalGraph.EdgeCap && st("y").dataType == dt) {
+        LocalGraph.ordering(dt).foreach { ord =>
+          val out = LocalGraph.triangleCounts(LocalGraph.collectPairs(und), ord)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            st("x").copy(name = "node"),
+            org.apache.spark.sql.types.StructField("triangles",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          return LocalGraph.toDf(und.sparkSession,
+            out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+        }
+      }
+    }
     val deg = degreesOf(und)
     // orient by the total order (deg, id): the triangle's three edges form
     // an acyclic tournament, so wedge-at-minimum + one closing direction
@@ -792,6 +993,21 @@ object Iterative {
     require(k >= 1 && rounds >= 1 && checkpointEvery >= 1,
       s"need k >= 1, rounds >= 1, checkpointEvery >= 1: $k/$rounds/$checkpointEvery")
     val (und0, undRows) = localCheckpointCount(normalizeUndirected(edges0))
+    // measured-size gate: the fixed peel rounds run in-process under the cap
+    locally {
+      val st = und0.schema
+      if (undRows <= LocalGraph.EdgeCap &&
+          st("y").dataType == st("x").dataType &&
+          LocalGraph.supported(st("x").dataType)) {
+        val out = LocalGraph.kcorePeel(LocalGraph.collectPairs(und0), k, rounds)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          st("x").copy(name = "node"),
+          org.apache.spark.sql.types.StructField("deg",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return LocalGraph.toDf(und0.sparkSession,
+          out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+      }
+    }
     var und = und0
     for (r <- 1 to rounds) {
       // the survivor set is at most node-sized (≤ 2·edges); while the edge
@@ -844,6 +1060,22 @@ object Iterative {
     val (dbl, dblRows) = localCheckpointCount(
       und.select(col("x").as("node"), col("y").as("nbr"))
         .unionByName(und.select(col("y").as("node"), col("x").as("nbr"))))
+    // measured-size gate: the synchronized rounds run in-process under the
+    // cap (same argmax, same (count desc, label asc) tie-break)
+    locally {
+      val st = dbl.schema
+      val dt = st("node").dataType
+      if (dblRows <= LocalGraph.EdgeCap && st("nbr").dataType == dt) {
+        LocalGraph.ordering(dt).foreach { ord =>
+          val out = LocalGraph.labelPropagation(
+            LocalGraph.collectPairs(dbl), rounds, ord)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            st("node"), st("node").copy(name = "lbl")))
+          return LocalGraph.toDf(dbl.sparkSession,
+            out.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), schema)
+        }
+      }
+    }
     var labels = dbl.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (r <- 1 to rounds) {

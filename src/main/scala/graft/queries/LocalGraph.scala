@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Driver-local exact twins of the [[Iterative]] graph kernels, used when a
+  * MEASURED edge count is under a cap — the join-strategy analogue of a
+  * broadcast join applied to whole fixpoints.
+  *
+  * Why this exists (guide §1.2 "the distributed algorithm" + §7.3 driver
+  * latency): an iterative kernel's per-round cost at small graph sizes is
+  * sequential stage-job latency, not data — measured on this repo's bench,
+  * a 17-round BFS over 150k edges ran 124 sequential driver jobs for 277
+  * tasks. The condensed dependency/ontology graphs these kernels serve are
+  * BOUNDED (O(repos), O(modules)) even when the corpus is 100 TB, so a
+  * production engine wants exactly this: collect the bounded graph once,
+  * run the fixpoint in-process, return a local relation — while anything
+  * over the cap keeps the distributed semi-naive plan unchanged. The gate
+  * is a measured row count from the kernel's own materialization job
+  * (never a size estimate), the same discipline as
+  * [[graft.kg.Inference.propertyInheritanceAuto]]'s degree probe.
+  *
+  * EXACTNESS CONTRACT: each local kernel replicates its distributed twin's
+  * semantics literally — same round structure where the loud-failure
+  * bounds are observable (closure/BFS/Bellman-Ford maxDepth), same
+  * min-label ordering (Spark's UTF8String binary order for strings, not
+  * Java String order), same outputs row-for-row (IterativeSpec pins the
+  * differentials; every driver oracle crosses this path at sf0.01).
+  * Only LONG/INT/STRING node keys take the local path — anything else
+  * stays distributed.
+  */
+private[graft] object LocalGraph {
+
+  /** Collect gate for kernels whose output is node/edge-linear (BFS,
+    * shortest paths, connected components, topo layers, pagerank, walks):
+    * 4M edge rows is ≤ ~hundreds of MB boxed transient on a driver that
+    * runs with SPARK_DRIVER_MEM (8g default, build.sbt) — far above any
+    * bounded condensed graph, far below cluster-scale edge sets.
+    * `var` (not `val`) ONLY so the differential specs can force the
+    * distributed twins onto small fixtures (LocalGraphSpec lowers a cap to
+    * 0 in try/finally); production code never writes these. */
+  @volatile var EdgeCap: Long = 1L << 22
+
+  /** Collect gate for the closure family, whose OUTPUT can exceed the
+    * input quadratically: smaller cap plus the [[PairBudget]] abort.
+    * Test-adjustable like [[EdgeCap]]. */
+  @volatile var ClosureEdgeCap: Long = 1L << 18
+
+  /** Local closure abort: if the reachability set outgrows this, the local
+    * attempt returns None and the caller falls back to the distributed
+    * kernel (which spills instead of filling the driver heap). */
+  val PairBudget: Int = 1 << 24
+
+  /** Spark-identical ordering for the supported key types — String uses
+    * unsigned UTF-8 byte comparison (UTF8String.binaryCompare), which
+    * differs from Java's UTF-16 compareTo above the BMP. */
+  def ordering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+    case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+    case StringType => Some(new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    })
+    case st: StructType =>
+      val fieldOrds = st.fields.map(f => ordering(f.dataType))
+      if (fieldOrds.exists(_.isEmpty)) None
+      else Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val ra = a.asInstanceOf[Row]; val rb = b.asInstanceOf[Row]
+          var i = 0
+          while (i < fieldOrds.length) {
+            val c = fieldOrds(i).get.compare(ra.get(i), rb.get(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      })
+    case _ => None
+  }
+
+  def supported(dt: DataType): Boolean = ordering(dt).isDefined
+
+  /** Rebuild a DataFrame from driver rows with an explicit schema (a local
+    * relation — downstream ops parallelize it as usual). */
+  def toDf(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+
+  /** Collect a 2-column frame to driver pairs. */
+  def collectPairs(df: DataFrame): Array[(Any, Any)] =
+    df.collect().map(r => (r.get(0), r.get(1)))
+
+  // ---------------- kernels ----------------
+
+  /** [[Iterative.closure]]'s semi-naive rounds in-process. Returns None if
+    * the reachability set outgrows [[PairBudget]] (caller falls back).
+    * Throws the same loud failure when maxDepth is hit with a live delta. */
+  def closure(edges: Array[(Any, Any)], maxDepth: Int): Option[Array[(Any, Any)]] = {
+    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    val seen = new mutable.HashSet[(Any, Any)]()
+    edges.foreach { e => if (seen.add(e)) adj.getOrElseUpdate(e._1, new mutable.ArrayBuffer) += e._2 }
+    var delta: Iterable[(Any, Any)] = seen.toArray.toSeq
+    var n = delta.size.toLong
+    var iter = 0
+    while (n > 0 && iter < maxDepth) {
+      val next = new mutable.ArrayBuffer[(Any, Any)]()
+      delta.foreach { case (s, d) =>
+        adj.get(d).foreach(_.foreach { d2 =>
+          val p = (s, d2)
+          if (!seen.contains(p)) { seen += p; next += p }
+        })
+      }
+      if (seen.size > PairBudget) return None
+      n = next.size.toLong
+      delta = next
+      iter += 1
+    }
+    require(n == 0, s"closure: delta still live ($n new pairs) after " +
+      s"maxDepth=$maxDepth rounds — raise maxDepth; refusing to return a " +
+      "silently truncated closure")
+    Some(seen.toArray)
+  }
+
+  /** [[Iterative.closureDelta]]'s fwd/bwd rounds in-process: exactly
+    * closure(base ∪ delta) given transitively-closed base. None on budget
+    * overflow. */
+  def closureDelta(base: Array[(Any, Any)], delta0: Array[(Any, Any)],
+                   maxDepth: Int): Option[Array[(Any, Any)]] = {
+    val seen = new mutable.HashSet[(Any, Any)]()
+    base.foreach(seen += _)
+    var delta = delta0.distinct.filterNot(seen.contains).toSeq
+    delta.foreach(seen += _)
+    // forward/backward index over the ACCUMULATED relation, maintained
+    // incrementally (the distributed form joins against `seen` each round)
+    val fwdIdx = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    val bwdIdx = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    seen.foreach { case (s, d) =>
+      fwdIdx.getOrElseUpdate(s, new mutable.ArrayBuffer) += d
+      bwdIdx.getOrElseUpdate(d, new mutable.ArrayBuffer) += s
+    }
+    var n = delta.size.toLong
+    var iter = 0
+    while (n > 0 && iter < maxDepth) {
+      val next = new mutable.LinkedHashSet[(Any, Any)]()
+      // fwd: delta ⋈ seen on d.dst = s.src
+      delta.foreach { case (s, d) =>
+        fwdIdx.get(d).foreach(_.foreach { d2 =>
+          val p = (s, d2); if (!seen.contains(p)) next += p
+        })
+      }
+      // bwd: seen ⋈ delta on s.dst = d.src
+      delta.foreach { case (s, d) =>
+        bwdIdx.get(s).foreach(_.foreach { s0 =>
+          val p = (s0, d); if (!seen.contains(p)) next += p
+        })
+      }
+      next.foreach { p =>
+        seen += p
+        fwdIdx.getOrElseUpdate(p._1, new mutable.ArrayBuffer) += p._2
+        bwdIdx.getOrElseUpdate(p._2, new mutable.ArrayBuffer) += p._1
+      }
+      if (seen.size > PairBudget) return None
+      n = next.size.toLong
+      delta = next.toSeq
+      iter += 1
+    }
+    require(n == 0, s"closureDelta: delta still live ($n new pairs) after " +
+      s"maxDepth=$maxDepth rounds — raise maxDepth; refusing to return a " +
+      "silently truncated closure")
+    Some(seen.toArray)
+  }
+
+  /** [[Iterative.bfsDistances]]'s frontier rounds in-process (first
+    * discovery is the distance; same loud maxDepth check on discovery). */
+  def bfs(edges: Array[(Any, Any)], sources: Array[Any],
+          maxDepth: Int): Array[(Any, Long)] = {
+    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    edges.foreach { case (s, d) => adj.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    val dist = new mutable.LinkedHashMap[Any, Long]()
+    sources.distinct.foreach(dist(_) = 0L)
+    var frontier: Seq[Any] = dist.keys.toSeq
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = new mutable.LinkedHashSet[Any]()
+      frontier.foreach(u => adj.get(u).foreach(_.foreach { v =>
+        if (!dist.contains(v)) next += v
+      }))
+      require(next.isEmpty || d <= maxDepth,
+        s"bfsDistances: ${next.size} new nodes discovered at depth $d > maxDepth=$maxDepth " +
+          "— raise the bound; a truncated BFS is not a BFS")
+      next.foreach(dist(_) = d)
+      frontier = next.toSeq
+    }
+    dist.toArray
+  }
+
+  /** [[Iterative.shortestPaths]]'s semi-naive Bellman-Ford rounds
+    * in-process — round structure replicated literally so the maxIters
+    * loud failure fires on exactly the same inputs. */
+  def shortestPaths(edges: Array[(Any, Any, Long)], sources: Array[Any],
+                    maxIters: Int): Array[(Any, Long)] = {
+    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[(Any, Long)]]()
+    edges.foreach { case (s, d, w) =>
+      adj.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((d, w)) }
+    val dist = new mutable.LinkedHashMap[Any, Long]()
+    sources.distinct.foreach(dist(_) = 0L)
+    var delta: Seq[Any] = dist.keys.toSeq
+    var iter = 0
+    while (delta.nonEmpty) {
+      iter += 1
+      val cand = new mutable.HashMap[Any, Long]()
+      delta.foreach { u =>
+        val du = dist(u)
+        adj.get(u).foreach(_.foreach { case (v, w) =>
+          val c = du + w
+          if (cand.get(v).forall(c < _)) cand(v) = c
+        })
+      }
+      val improved = cand.filter { case (v, c) => dist.get(v).forall(c < _) }
+      require(improved.isEmpty || iter <= maxIters,
+        s"shortestPaths: still improving (${improved.size} nodes) at round $iter > " +
+          s"maxIters=$maxIters — raise the bound; truncated Bellman-Ford is " +
+          "not shortest paths")
+      improved.foreach { case (v, c) => dist(v) = c }
+      delta = improved.keys.toSeq
+    }
+    dist.toArray
+  }
+
+  /** [[Iterative.pageRank]]'s fixed-iteration INTEGER rounds in-process —
+    * pure integer arithmetic, so the scores are bit-identical to the
+    * distributed loop by construction. Nodes are the distinct edge SOURCES
+    * (the distributed contract: every node must have outdeg ≥ 1; dst-only
+    * nodes drop out of the rebase join there too). */
+  def pageRank(edges: Array[(Any, Any)], iters: Int, scale: Long,
+               dampBp: Int): Array[(Any, Long)] = {
+    // dictionary-encode nodes to dense ints once, then iterate over
+    // primitive arrays — at the cap (4M edges) boxed per-edge hash lookups
+    // per round would dominate; this keeps each round a flat array pass
+    val idOf = new mutable.HashMap[Any, Int]()
+    val srcIds = new Array[Int](edges.length)
+    val dstIds = new Array[Int](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      srcIds(i) = idOf.getOrElseUpdate(edges(i)._1, idOf.size)
+      dstIds(i) = idOf.getOrElseUpdate(edges(i)._2, idOf.size)
+      i += 1
+    }
+    val n = idOf.size
+    val outdeg = new Array[Long](n)
+    srcIds.foreach(outdeg(_) += 1L)
+    val base = ((10000L - dampBp) * scale) / 10000L
+    var score = Array.fill[Long](n)(scale)
+    for (_ <- 1 to iters) {
+      val inc = new Array[Long](n)
+      var j = 0
+      while (j < edges.length) {
+        inc(dstIds(j)) += score(srcIds(j)) / outdeg(srcIds(j))
+        j += 1
+      }
+      val next = new Array[Long](n)
+      var k = 0
+      while (k < n) {
+        if (outdeg(k) > 0) next(k) = base + (dampBp * inc(k)) / 10000L
+        k += 1
+      }
+      score = next
+    }
+    // only edge SOURCES carry a score (the distributed rebase join's node set)
+    idOf.iterator.collect {
+      case (node, idx) if outdeg(idx) > 0 => (node, score(idx))
+    }.toArray
+  }
+
+  /** [[Iterative.randomWalks]]'s per-step hops in-process: the SAME
+    * h60(seed:start:w:t:node) mod outdeg next-hop rule over the SAME
+    * (src, dst)-ranked neighbor order (neighbors sorted by the Spark
+    * ordering — UTF8 binary for strings), so the walk corpus is
+    * byte-identical by construction. Returns flat (start, w, step, node). */
+  def randomWalks(edges: Array[(Any, Any)], starts: Array[Any], nWalks: Int,
+                  walkLen: Int, seed: String,
+                  ord: Ordering[Any]): Array[(Any, Int, Int, Any)] = {
+    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
+    adj.values.foreach(nbrs => { val a = nbrs.sortInPlace()(ord); a })
+    val out = new mutable.ArrayBuffer[(Any, Int, Int, Any)]()
+    var cur = new mutable.ArrayBuffer[(Any, Int, Any)]() // (start, w, node)
+    starts.distinct.foreach { s =>
+      (0 until nWalks).foreach { w => cur += ((s, w, s)); out += ((s, w, 0, s)) }
+    }
+    for (t <- 1 to walkLen) {
+      val next = new mutable.ArrayBuffer[(Any, Int, Any)]()
+      cur.foreach { case (start, w, node) =>
+        adj.get(node).foreach { nbrs =>
+          val h = graft.functions.ShingleKernel.h60(
+            s"$seed:$start:$w:$t:$node")
+          val idx = (h % nbrs.length).toInt
+          val nxt = nbrs(idx)
+          out += ((start, w, t, nxt))
+          next += ((start, w, nxt))
+        }
+      }
+      cur = next
+    }
+    out.toArray
+  }
+
+  /** [[Iterative.connectedComponents]]'s min-label fixpoint in-process:
+    * union-find with min-member labels under the Spark ordering — the
+    * pointer-doubled distributed loop always converges within its 64-round
+    * cap, so the fixpoint (component = min member) IS the result. */
+  def connectedComponents(edges: Array[(Any, Any)],
+                          ord: Ordering[Any]): Array[(Any, Any)] = {
+    val parent = new mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def add(x: Any): Unit = if (!parent.contains(x)) parent(x) = x
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(if (ord.lt(ra, rb)) rb else ra) =
+        if (ord.lt(ra, rb)) ra else rb
+    }
+    parent.keys.toArray.map(n => (n, find(n)))
+  }
+
+  /** [[Iterative.labelPropagation]]'s synchronized rounds in-process: the
+    * same per-round argmax with the same total tie-break (count desc, then
+    * label ASC under the Spark ordering). */
+  def labelPropagation(dbl: Array[(Any, Any)], rounds: Int,
+                       ord: Ordering[Any]): Array[(Any, Any)] = {
+    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    dbl.foreach { case (n, nb) => adj.getOrElseUpdate(n, new mutable.ArrayBuffer) += nb }
+    var labels: mutable.HashMap[Any, Any] = {
+      val m = new mutable.HashMap[Any, Any]()
+      adj.keys.foreach(n => m(n) = n)
+      m
+    }
+    for (_ <- 1 to rounds) {
+      val next = new mutable.HashMap[Any, Any]()
+      adj.foreach { case (n, nbrs) =>
+        val cnt = new mutable.HashMap[Any, Long]()
+        nbrs.foreach { nb => val l = labels(nb); cnt(l) = cnt.getOrElse(l, 0L) + 1L }
+        var best: Any = null; var bestC = -1L
+        cnt.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && ord.lt(l, best))) { best = l; bestC = c }
+        }
+        next(n) = best
+      }
+      labels = next
+    }
+    adj.keys.toArray.map(n => (n, labels(n)))
+  }
+
+  /** [[Iterative.kcorePeel]]'s synchronized peel rounds in-process over the
+    * normalized undirected edge set. Returns surviving (node, deg). */
+  def kcorePeel(und: Array[(Any, Any)], k: Int, rounds: Int): Array[(Any, Long)] = {
+    var edges = und
+    for (_ <- 1 to rounds) {
+      val deg = new mutable.HashMap[Any, Long]()
+      edges.foreach { case (x, y) =>
+        deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
+      edges = edges.filter { case (x, y) => deg(x) >= k && deg(y) >= k }
+    }
+    val deg = new mutable.HashMap[Any, Long]()
+    edges.foreach { case (x, y) =>
+      deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
+    deg.toArray
+  }
+
+  /** [[Iterative.triangleCounts]]'s degree-ordered wedge count in-process:
+    * same (deg, id) orientation under the Spark ordering, same per-corner
+    * counting; only triangle corners appear in the output. */
+  def triangleCounts(und: Array[(Any, Any)], ord: Ordering[Any]): Array[(Any, Long)] = {
+    val undSet = new mutable.HashSet[(Any, Any)]()
+    und.foreach(undSet += _)
+    val deg = new mutable.HashMap[Any, Long]()
+    und.foreach { case (x, y) =>
+      deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
+    def firstSmaller(x: Any, y: Any): Boolean = {
+      val dx = deg(x); val dy = deg(y)
+      dx < dy || (dx == dy && ord.lt(x, y))
+    }
+    val out = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    und.foreach { case (x, y) =>
+      val (u, v) = if (firstSmaller(x, y)) (x, y) else (y, x)
+      out.getOrElseUpdate(u, new mutable.ArrayBuffer) += v
+    }
+    val tri = new mutable.HashMap[Any, Long]()
+    def bump(n: Any): Unit = tri(n) = tri.getOrElse(n, 0L) + 1L
+    out.foreach { case (u, vs) =>
+      var i = 0
+      while (i < vs.length) {
+        var j = 0
+        while (j < vs.length) {
+          // the wedge {v, w} with v < w in the Spark ordering (matching
+          // the distributed e1.v < e2.v filter), closed by the normalized
+          // edge (min, max) — which is exactly (v, w)
+          if (i != j && ord.lt(vs(i), vs(j)) &&
+              undSet.contains((vs(i), vs(j)))) {
+            bump(u); bump(vs(i)); bump(vs(j))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    tri.toArray
+  }
+
+  /** [[Iterative.topoLayers]]'s fixpoint in-process: layer(v) = longest
+    * path to a sink (0 for sinks); the same cycle proof (no fixpoint within
+    * node count + 1 rounds) throws the same loud failure. */
+  def topoLayers(edges: Array[(Any, Any)], maxDepth: Int): Array[(Any, Long)] = {
+    val nodes = new mutable.LinkedHashSet[Any]()
+    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
+    val indegRev = new mutable.HashMap[Any, Int]()   // # of out-edges not yet resolved
+    edges.foreach { case (s, d) =>
+      nodes += s; nodes += d
+      adj.getOrElseUpdate(d, new mutable.ArrayBuffer) += s  // reverse edge d -> s
+      indegRev(s) = indegRev.getOrElse(s, 0) + 1
+    }
+    val cycleBound = math.max(maxDepth.toLong, nodes.size + 1L)
+    val layer = new mutable.HashMap[Any, Long]()
+    // Kahn over the reverse graph: sinks first, layer = 1 + max(out layers)
+    var frontier = nodes.toSeq.filter(n => indegRev.getOrElse(n, 0) == 0)
+    frontier.foreach(layer(_) = 0L)
+    val pendingMax = new mutable.HashMap[Any, Long]()
+    var resolved = frontier.size
+    while (frontier.nonEmpty) {
+      val next = new mutable.ArrayBuffer[Any]()
+      frontier.foreach { v =>
+        adj.get(v).foreach(_.foreach { u =>
+          val cur = pendingMax.getOrElse(u, Long.MinValue)
+          if (layer(v) + 1 > cur) pendingMax(u) = layer(v) + 1
+          val left = indegRev(u) - 1
+          indegRev(u) = left
+          if (left == 0) { layer(u) = pendingMax(u); next += u; resolved += 1 }
+        })
+      }
+      frontier = next.toSeq
+    }
+    require(resolved == nodes.size,
+      s"topoLayers: no fixpoint after $cycleBound rounds (≥ node count + " +
+        "1, which proves a cycle) — condense SCCs first " +
+        "(stronglyConnectedComponents)")
+    nodes.toArray.map(n => (n, layer(n)))
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.queries.{Iterative, LocalGraph}
+
+/** Differential pin: the driver-local small-graph kernels must produce
+  * row-identical results to their distributed twins on the SAME inputs —
+  * including string keys whose UTF-8 byte order differs from Java's UTF-16
+  * order (the min-label tie-breaks must follow Spark's ordering, not the
+  * JVM's). The distributed twin is forced by zeroing the collect caps in
+  * try/finally; the local twin runs at the default caps. */
+class LocalGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  /** Run `f` twice — local path (default caps) vs distributed (caps 0) —
+    * and assert identical row sets AND identical schemas. */
+  private def differential(name: String)(f: => DataFrame): Unit = {
+    val local = f
+    val localRows = rows(local)
+    val localSchema = local.schema.map(fl => (fl.name, fl.dataType))
+    val (e0, c0) = (LocalGraph.EdgeCap, LocalGraph.ClosureEdgeCap)
+    try {
+      LocalGraph.EdgeCap = 0L
+      LocalGraph.ClosureEdgeCap = 0L
+      val dist = f
+      assert(rows(dist) == localRows, s"$name: local != distributed rows")
+      assert(dist.schema.map(fl => (fl.name, fl.dataType)) == localSchema,
+        s"$name: local != distributed schema")
+    } finally {
+      LocalGraph.EdgeCap = e0
+      LocalGraph.ClosureEdgeCap = c0
+    }
+  }
+
+  // string keys where UTF-8 byte order and UTF-16 order DISAGREE:
+  // U+FF61 (EF BC A1 in UTF-8) sorts BELOW U+10000 (F0 90 80 80) in UTF-8
+  // bytes but ABOVE it in UTF-16 code units (D800 DC00 < FF61)
+  private val hi = "｡"          // halfwidth ideographic full stop
+  private val lo16 = "𐀀"  // U+10000 LINEAR B SYLLABLE B008 A
+
+  test("closure: local ≡ distributed (long and string keys)") {
+    differential("closure-long") {
+      Iterative.closure(Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 7L)).toDF("src", "dst"))
+    }
+    differential("closure-str") {
+      Iterative.closure(Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst"))
+    }
+  }
+
+  test("closureDelta: local ≡ distributed") {
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    differential("closureDelta") {
+      Iterative.closureDelta(Iterative.closure(base),
+        Seq((3L, 4L), (10L, 1L)).toDF("src", "dst"))
+    }
+  }
+
+  test("bfsDistances: local ≡ distributed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L), (5L, 2L)).toDF("src", "dst")
+    differential("bfs") {
+      Iterative.bfsDistances(edges, Seq(1L).toDF("node"))
+    }
+  }
+
+  test("shortestPaths: local ≡ distributed (improvement across rounds)") {
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    differential("sssp") {
+      Iterative.shortestPaths(edges, Seq(1L).toDF("node"))
+    }
+  }
+
+  test("connectedComponents: local ≡ distributed incl. UTF-8-order labels") {
+    differential("cc-long") {
+      Iterative.connectedComponents(
+        Seq((5L, 6L), (6L, 7L), (9L, 10L), (11L, 11L)).toDF("a", "b"))
+    }
+    // the component label is the MIN member: hi (EF BC A1) is the min
+    // under UTF-8 byte order while lo16 (surrogate pair) is the min under
+    // UTF-16 — a kernel using Java String order would label differently
+    differential("cc-utf8") {
+      Iterative.connectedComponents(Seq((hi, lo16)).toDF("a", "b"))
+    }
+  }
+
+  test("topoLayers: local ≡ distributed; cycle fails loudly on both paths") {
+    differential("topo") {
+      Iterative.topoLayers(
+        Seq((1L, 2L), (1L, 3L), (3L, 4L), (2L, 4L), (4L, 5L)).toDF("src", "dst"))
+    }
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Iterative.topoLayers(cyc).collect())
+    val (e0, c0) = (LocalGraph.EdgeCap, LocalGraph.ClosureEdgeCap)
+    try {
+      LocalGraph.EdgeCap = 0L
+      intercept[IllegalArgumentException](Iterative.topoLayers(cyc).collect())
+    } finally { LocalGraph.EdgeCap = e0; LocalGraph.ClosureEdgeCap = c0 }
+  }
+
+  test("pageRank: local ≡ distributed (bit-identical integer scores)") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    differential("pagerank") {
+      Iterative.pageRank(edges, iters = 7)
+    }
+  }
+
+  test("labelPropagation: local ≡ distributed (argmax tie-break)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    differential("lpa") { Iterative.labelPropagation(edges, rounds = 4) }
+    differential("lpa-str") {
+      Iterative.labelPropagation(
+        Seq(("a", "b"), ("b", "c"), ("c", hi), (hi, lo16)).toDF("a", "b"),
+        rounds = 3)
+    }
+  }
+
+  test("kcorePeel: local ≡ distributed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    differential("kcore") { Iterative.kcorePeel(edges, k = 2, rounds = 3) }
+  }
+
+  test("triangleCounts: local ≡ distributed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("a", "b")
+    differential("triangles") { Iterative.triangleCounts(edges) }
+  }
+
+  test("ancestorClosure: local ≡ distributed") {
+    val orders = Seq(1L, 2L, 3L, 7L, 12L, 100L).toDF("o_orderkey")
+    differential("ancestor") { Iterative.ancestorClosure(orders) }
+  }
+
+  test("randomWalks: local ≡ distributed (byte-identical corpus, string keys)") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", hi),
+      (hi, lo16)).toDF("src", "dst")
+    differential("walks") {
+      Iterative.randomWalks(edges, Seq("a", "c").toDF("node"),
+        nWalks = 3, walkLen = 5, seed = "lgspec")
+    }
+  }
+}
