@@ -727,7 +727,27 @@ object CodeGraph {
       .filter(col("path").startsWith("src/"))
       .select(V.moduleIri(moduleOfPath(col("path"))).as("node"))
       .distinct()
-    val rev = moduleDeps(prev).unionByName(moduleDeps(cur))
+    // one snapshot-tagged pass replaces the two full moduleDeps scans: an
+    // edge is in moduleDeps(prev) ∪ moduleDeps(cur) iff SOME snapshot both
+    // has the import and owns the target module, so resolution stays
+    // per-snapshot through the (_snap, dst_module) join key while prev and
+    // cur share a single corpus scan. Blast only needs the edge SET, so
+    // the census form's file-count aggregate and sort are dropped, and the
+    // ownership side (module-scaled by construction) broadcasts.
+    val tagged = prev.withColumn("_snap", lit(0))
+      .unionByName(cur.withColumn("_snap", lit(1)))
+      .filter(col("lang").isin("python", "scala", "java"))
+      .filter(col("path").startsWith("src/"))
+    val owned = tagged
+      .select(col("_snap"), V.moduleIri(moduleOfPath(col("path"))).as("dst_module"))
+      .distinct()
+    val rev = tagged
+      .select(col("_snap"),
+        V.moduleIri(moduleOfPath(col("path"))).as("src_module"),
+        explode(importsOf).as("m"))
+      .select(col("_snap"), col("src_module"), V.moduleIri(col("m")).as("dst_module"))
+      .join(broadcast(owned), Seq("_snap", "dst_module"))
+      .filter(col("src_module") =!= col("dst_module"))
       .select(col("dst_module").as("src"), col("src_module").as("dst"))
       .distinct()
     graft.queries.Iterative.bfsDistances(rev, changed)
@@ -1151,13 +1171,20 @@ object CodeGraph {
                              prevFingerprint: String, curFingerprint: String)
   : Seq[String] = {
     import graft.store.TableIO
-    import org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint
     val dir = s"$outDir/code_triples"
+    TableIO.recoverSwap(dir)
     if (!TableIO.stageFingerprint(dir).contains(prevFingerprint))
       return materialize(spark, cur, outDir, curFingerprint)
-    val prevTriples = cleanLocalCheckpoint(TableIO.readStaged(spark, dir))
-    val (triplesDf, s1) = TableIO.stage(spark, dir, curFingerprint)(
-      renameAwareDelta(prevTriples, prev, cur))
+    // the refresh READS the stage it replaces, so it goes through the
+    // sibling-dir atomic swap (TableIO.stageSwap): the splice streams from
+    // the old parquet and only delta-scaled state is ever held — the
+    // previous form eagerly localCheckpointed the ENTIRE prior triple
+    // table into executor block storage to survive the in-place overwrite
+    // (corpus-scaled memory/disk at the 10^12-file design point, and block
+    // loss after the overwrite had deleted the old stage forced a full
+    // rebuild)
+    val (triplesDf, s1) = TableIO.stageSwap(spark, dir, curFingerprint)(
+      renameAwareDelta(TableIO.readStaged(spark, dir), prev, cur))
     (if (s1) Seq("code_triples") else Nil) ++
       downstreamStages(spark, cur, outDir, curFingerprint, triplesDf)
   }

@@ -85,8 +85,28 @@ object Pipeline {
     * already-materialized graph, not just its own (batch-local) corpus
     * (StreamPipeline.streamToGraph). */
   private[graft] def emitWithDict(spark: SparkSession, pages: Dataset[PageRow],
-                                  extraDict: Option[DataFrame]): DataFrame = {
-    val recs = parseRecords(pages)
+                                  extraDict: Option[DataFrame],
+                                  pinParsed: Boolean = true): DataFrame = {
+    // The parsed-record frame feeds THREE consumers (the name→ndex dict and
+    // both prevo branches): unmaterialized, the raw-corpus scan + regex
+    // parse runs once PER CONSUMER per action. Checkpointed it runs once;
+    // the materialized rows are the flat parsed records (short strings,
+    // orders of magnitude smaller than the raw corpus). cleanLocalCheckpoint
+    // over ManagedCache.pin deliberately (both were measured, k=20000):
+    // the SQL persist route stores through the columnar cache, whose
+    // compress-on-write/decompress-per-consumer cost ate the saving at 4+
+    // cores (local[4] wall 26.0→26.5 s, taskSum +26%), while the
+    // checkpoint's serialized RDD blocks write/read flat and win at every
+    // level (local[1] 108.6→77.1 s, local[4] 26.0→24.9 s). Blocks are
+    // GC-cleaned with the frame (ContextCleaner), so the per-micro-batch
+    // streaming caller opts out only of EAGERNESS concerns, not a leak;
+    // it keeps the lazy form (pinParsed = false) because its batches are
+    // small and its own localCheckpoint of the emitted delta already
+    // bounds replay.
+    val recs0 = parseRecords(pages)
+    val recs = if (pinParsed)
+      org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint(recs0.toDF())
+    else recs0.toDF()
 
     // name→ndex dictionary for evolvesFrom resolution (the reference resolves
     // prevo pages by a second fetch — client/DataCollectionCoordinator.java:85-101;

@@ -28,7 +28,19 @@ object ManagedCache {
 
   private val reg = new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
-  /** Persist `df` MEMORY_AND_DISK and register it for [[releaseAll]]. */
+  /** Persist `df` MEMORY_AND_DISK and register it for [[releaseAll]].
+    *
+    * Cached-plan partitioning note (measured, r06): enabling
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+    * (SPARK-38322) here was tried and REVERTED. It lets AQE coalesce the
+    * pinned frame's exchanges by byte size, which trims task counts for
+    * the light consumers (curate flags 1414→17 tasks, d5 1.6→1.0 s) — but
+    * the pin's FROZEN hash partitioning is exactly what lets CPU-heavy
+    * consumers join it exchange-free at full width: with the conf on, the
+    * d7 set-similarity verify collapsed from 128-way to ~3-way parallelism
+    * (bytes are small, per-row verify cost is not) and went 2.9 s → 20.7 s.
+    * AQE's advisory is bytes, not CPU; the frozen width is the safer
+    * default for the pin-consuming operators in this engine. */
   def pin(df: DataFrame): DataFrame = reg.synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     reg.computeIfAbsent(df.sparkSession, _ => new java.util.ArrayList[DataFrame])

@@ -689,7 +689,10 @@ object Text {
     val (cap, bound) = maxDf match {
       case Some(c) => (c, Double.PositiveInfinity)
       case None =>
-        val c = defaultDfCap(train.count() + test.count())
+        // one job for the doc total instead of two sequential counts: the
+        // two sides are narrow 1-column scans and union-count them together
+        val c = defaultDfCap(
+          train.select(lit(1).as("one")).unionByName(test.select(lit(1).as("one"))).count())
         (c, union.count().toDouble / math.max(c, 1L))
     }
     val kept = dfCapFilter(union, "fp", cap, bound)

@@ -153,6 +153,51 @@ object TableIO {
       StandardOpenOption.WRITE)
   }
 
+  /** Heal an interrupted [[stageSwap]]: a crash between the two moves
+    * leaves `dir` missing with `dir.old` complete (restore it); a crash
+    * before cleanup leaves both (the new `dir` wins, drop the old). Same
+    * protocol as TurtleIO.recover — at every instant at least one complete
+    * snapshot exists. */
+  def recoverSwap(dir: String): Unit = {
+    val path = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    if (Files.exists(old)) {
+      if (!Files.exists(path)) Files.move(old, path)
+      else org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+    val tmp = Paths.get(dir + ".new")
+    if (Files.exists(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  /** [[stage]] for a compute that READS the stage's own current contents
+    * (the incremental-refresh shape): the result is written to a sibling
+    * `dir.new` — streaming from the old parquet, nothing pinned in block
+    * storage — and atomically swapped in (dir→dir.old, dir.new→dir, drop
+    * dir.old: the TurtleIO mergeWrite protocol). The manifest travels
+    * inside `dir.new`, so a crash at any instant leaves a complete
+    * snapshot whose manifest matches its data; [[recoverSwap]] (run at
+    * entry) settles interrupted swaps. Returns (result, skipped). */
+  def stageSwap(spark: SparkSession, dir: String, fingerprint: String)
+               (compute: => DataFrame): (DataFrame, Boolean) = {
+    recoverSwap(dir)
+    if (stageFingerprint(dir).contains(fingerprint)) (readStaged(spark, dir), true)
+    else {
+      val tmp = dir + ".new"
+      compute.write.mode("overwrite").parquet(tmp)
+      Files.write(manifestPath(tmp), fingerprint.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      if (Files.exists(Paths.get(dir))) { // a fresh stage has nothing to swap out
+        Files.move(Paths.get(dir), Paths.get(dir + ".old"))
+        Files.move(Paths.get(tmp), Paths.get(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir + ".old"))
+      } else Files.move(Paths.get(tmp), Paths.get(dir))
+      spark.catalog.refreshByPath(dir)
+      (readStaged(spark, dir), false)
+    }
+  }
+
   /** Run `compute` and persist its result under `dir` unless a previous run
     * already completed there with the same fingerprint — then just re-read.
     * The fingerprint should capture the input snapshot + stage config (we use

@@ -278,7 +278,8 @@ object StreamPipeline {
           // its evolution's last revision is a re-extraction event the
           // changed-content gate by design does not replay)
           val triples = Pipeline.dedup(
-            Pipeline.emitWithDict(spark, pageRows, live.map(liveGraphDict)))
+            Pipeline.emitWithDict(spark, pageRows, live.map(liveGraphDict),
+              pinParsed = false))
           // materialize the emitted delta BEFORE retraction: the upsert's
           // swap path rewrites the dir a lazy emission plan would re-read
           val frozen = triples.localCheckpoint()
