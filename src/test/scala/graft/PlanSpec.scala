@@ -52,7 +52,11 @@ class PlanSpec extends AnyFunSuite {
     graft.kg.Fixtures.pages(spark).write.mode("overwrite").parquet(dir)
     import spark.implicits._
     val pages = spark.read.parquet(dir).as[graft.model.PageRow]
-    val p = plan(graft.kg.Pipeline.emit(spark, pages))
+    // emit checkpoints the parsed-record frame (one corpus scan for its
+    // three consumers), so the parquet scan lives in the CHECKPOINTED
+    // subplan — parseRecords is exactly that subplan, and it is where the
+    // prefilter must reach the scan
+    val p = plan(graft.kg.Pipeline.parseRecords(pages).toDF())
     assert(p.contains("PushedFilters") &&
       (p.contains("StringContains(content") || p.contains("IsNotNull(content)")),
       s"content prefilter did not reach the scan:\n${p.take(2000)}")
