@@ -536,8 +536,62 @@ object Iterative {
     * before dropping them, which at embedding-corpus walk lengths IS the
     * shuffle. Symmetric by construction (both directions emitted from the
     * single ordered join). */
+  /** True when the frame's optimized plan is a materialized local relation
+    * — the shape the gated kernels (randomWalks & co) return. Collecting
+    * such a frame launches no Spark job, so a driver-side twin of a
+    * downstream operator costs plan-construction only. */
+  private def isLocalPlan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+
   def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
+    // measured-shape gate (the LocalGraph discipline): when the walk corpus
+    // is ALREADY a local relation — exactly what the gated randomWalks
+    // kernel returns — the banded self-join + count runs in-process
+    // (identical pair multiset: same (walk id, step+Δ) matching on step
+    // VALUES, both directions, multiplicity counted); a distributed walk
+    // frame (over-cap corpus) keeps the composite equi-join plan below
+    if (isLocalPlan(walks)) {
+      val st = walks.schema
+      val iStart = st.fieldIndex("start"); val iW = st.fieldIndex("w")
+      val iStep = st.fieldIndex("step"); val iNode = st.fieldIndex("node")
+      val rows = walks.collect()
+      if (!rows.exists(r => r.isNullAt(iStart) || r.isNullAt(iW) || r.isNullAt(iStep))) {
+        // (start, w) -> step -> node, preserving step-VALUE matching
+        val byWalk = new scala.collection.mutable.LinkedHashMap[(Any, Any),
+          scala.collection.mutable.HashMap[Long, Any]]()
+        rows.foreach { r =>
+          val step = r.get(iStep) match {
+            case i: java.lang.Integer => i.longValue(); case l: java.lang.Long => l.longValue()
+            case x => x.toString.toLong
+          }
+          byWalk.getOrElseUpdate((r.get(iStart), r.get(iW)),
+            new scala.collection.mutable.HashMap[Long, Any]())
+            .update(step, r.get(iNode))
+        }
+        val counts = new scala.collection.mutable.LinkedHashMap[(Any, Any), Long]()
+        byWalk.values.foreach { steps =>
+          steps.foreach { case (i, center) =>
+            var d = 1
+            while (d <= window) {
+              steps.get(i + d).foreach { context =>
+                counts.update((center, context), counts.getOrElse((center, context), 0L) + 1L)
+                counts.update((context, center), counts.getOrElse((context, center), 0L) + 1L)
+              }
+              d += 1
+            }
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          st("node").copy(name = "center"), st("node").copy(name = "context"),
+          org.apache.spark.sql.types.StructField("n_pairs",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        return LocalGraph.toDf(walks.sparkSession,
+          counts.toSeq.map { case ((c, x), n) => org.apache.spark.sql.Row(c, x, n) },
+          schema)
+      }
+    }
     val a = walks.select(col("start"), col("w"), col("step").as("i"),
       col("node").as("center"))
       .select(col("start"), col("w"), col("i"), col("center"),
@@ -570,6 +624,47 @@ object Iterative {
                       seed: String): DataFrame = {
     require(nNeg >= 1, s"nNeg must be >= 1: $nNeg")
     require(!seed.contains(":"), s"seed must not contain ':' (hash-input delimiter): $seed")
+    // measured-shape gate (the skipGramPairs reasoning): local pair + vocab
+    // frames — what the gated walk/pair kernels produce — draw their
+    // negatives in-process with the IDENTICAL h60 arithmetic
+    // (ShingleKernel.h60 is the same 60-bit md5 prefix Text.h60 computes)
+    // over the same node-sorted vocabulary rank; distributed inputs keep
+    // the globalRank + equi-join plan below
+    if (isLocalPlan(pairs) && isLocalPlan(vocab)) {
+      val pst = pairs.schema
+      val nodeField = vocab.schema("node")
+      LocalGraph.ordering(nodeField.dataType) match {
+        case Some(ord) =>
+          val iC = pst.fieldIndex("center"); val iX = pst.fieldIndex("context")
+          val pairRows = pairs.collect()
+          val vocabRaw = vocab.select(col("node")).collect().map(_.get(0))
+          // null center/context/node would render differently than
+          // concat_ws (which skips nulls) — those inputs keep the
+          // distributed plan (they do not occur from the walk kernels)
+          if (!pairRows.exists(r => r.isNullAt(iC) || r.isNullAt(iX)) &&
+              !vocabRaw.contains(null)) {
+            val vocabArr = vocabRaw.distinct.sortWith((a, b) => ord.compare(a, b) < 0)
+            val vs = vocabArr.length.toLong
+            val out = Seq.newBuilder[org.apache.spark.sql.Row]
+            if (vs > 0) pairRows.foreach { r =>
+              val c = r.get(iC); val x = r.get(iX)
+              var j = 0L
+              while (j < nNeg) {
+                val idx = graft.functions.ShingleKernel.h60(s"$seed:$c:$x:$j") % vs
+                out += org.apache.spark.sql.Row(c, x, j, vocabArr(idx.toInt))
+                j += 1L
+              }
+            }
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              pst("center"), pst("context"),
+              org.apache.spark.sql.types.StructField("j",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              nodeField.copy(name = "negative")))
+            return LocalGraph.toDf(pairs.sparkSession, out.result(), schema)
+          }
+        case None => () // unsupported node type — distributed plan below
+      }
+    }
     val ranked = graft.ops.Sample.globalRank(vocab.select(col("node")).distinct(), "node")
     val vSize = ranked.agg(count(lit(1)).as("__vs"))
     val probes = pairs.select(col("center"), col("context"))

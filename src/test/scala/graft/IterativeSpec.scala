@@ -418,6 +418,28 @@ class IterativeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Iterative.skipGramPairs(walks, window = 0))
   }
 
+  test("skipGramPairs/negativeSamples: local twin ≡ distributed plan") {
+    // Seq.toDF is a LocalRelation → the in-process twin runs; repartition
+    // breaks the LocalRelation shape → the composite equi-join / rank-join
+    // plans run. Same inputs, row-multiset-identical outputs.
+    val walksL = Seq(
+      (1L, 0, 0, 10L), (1L, 0, 1, 11L), (1L, 0, 2, 12L), (1L, 0, 3, 13L),
+      (2L, 0, 0, 20L), (2L, 0, 1, 10L), (2L, 0, 2, 11L))
+      .toDF("start", "w", "step", "node")
+    val walksD = walksL.repartition(3)
+    def pairsOf(w: org.apache.spark.sql.DataFrame) =
+      Iterative.skipGramPairs(w, window = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(pairsOf(walksL) == pairsOf(walksD))
+
+    val pairsL = Seq((1L, 2L), (3L, 4L), (1L, 2L)).toDF("center", "context")
+    val vocabL = Seq(10L, 20L, 30L, 40L, 50L).toDF("node")
+    def negsOf(p: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
+      Iterative.negativeSamples(p, v, nNeg = 2, seed = "difftest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(negsOf(pairsL, vocabL) == negsOf(pairsL.repartition(2), vocabL.repartition(2)))
+  }
+
   test("f16 DuckDB oracle replay at sf0.001") {
     DuckOracle.withConn { c =>
       DuckOracle.exec(c,
