@@ -680,7 +680,11 @@ object CodeGraph {
   /** SCC condensation + longest-path-to-a-sink build waves over an
     * arbitrary (src, dst) edge frame — the kernel behind [[buildLayers]]
     * (repo granularity) and [[moduleLayers]] (module granularity). */
-  private def condensedLayers(e: DataFrame, nodeAs: String): DataFrame = {
+  private def condensedLayers(e0: DataFrame, nodeAs: String): DataFrame = {
+    // the edge frame is a corpus-scaled parse + resolution join consumed by
+    // the SCC AND the condensation join — checkpointed once so neither
+    // consumer re-derives it (module/repo-scaled rows, the SCC envelope)
+    val e = org.apache.spark.sql.GraftExpressionBridge.cleanLocalCheckpoint(e0)
     val scc = graft.queries.Iterative.stronglyConnectedComponents(e)
     val bySrc = scc.select(col("node").as("src"), col("component").as("csrc"))
     val byDst = scc.select(col("node").as("dst"), col("component").as("cdst"))

@@ -129,6 +129,15 @@ object Iterative {
     // loop-invariant edge table is never re-shuffled inside the loop.
     val (edges, edgeRows) = localCheckpointCount(
       edges0.select(col("src"), col("dst")).distinct())
+    closureOn(edges, edgeRows, maxDepth)
+  }
+
+  /** [[closure]] over an ALREADY materialized distinct edge frame with its
+    * measured row count — the shared tail that lets callers which need the
+    * edge set for other consumers too ([[stronglyConnectedComponents]]:
+    * mutual-pair join AND node set) materialize it exactly once instead of
+    * re-deriving the upstream plan per consumer. */
+  private def closureOn(edges: DataFrame, edgeRows: Long, maxDepth: Int): DataFrame = {
     // measured-size gate: a bounded (condensed/ontology) graph runs the
     // SAME semi-naive rounds in-process (LocalGraph.closure — literal round
     // replication, identical loud failure) instead of paying sequential
@@ -900,8 +909,14 @@ object Iterative {
     * (hash-partitioned on the composite key), and the min-label aggregate
     * is map-side combinable. */
   def stronglyConnectedComponents(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val e = edges0.select(col("src"), col("dst")).distinct()
-    val c = closure(e, maxDepth)
+    // the distinct edge set feeds THREE consumers (the closure, the
+    // mutual-pair join and the node set) — materialized once through the
+    // fused checkpoint+count so the upstream plan (often a corpus-scaled
+    // parse + resolution join, e.g. moduleDeps) runs once per action, not
+    // once per consumer
+    val (e, eRows) = localCheckpointCount(
+      edges0.select(col("src"), col("dst")).distinct())
+    val c = closureOn(e, eRows, maxDepth)
     val mutual = c.alias("f").join(c.alias("b"),
         col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
       .select(col("f.src").as("node"), col("f.dst").as("peer"))
