@@ -50,7 +50,11 @@ object Dedup {
     * explode + 64-min-aggregation formulation it must equal, kept as the
     * executable spec). */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    Text.shingleHashes(docs)
+    // spreadForKernel: a 1-file scan runs the whole shingle+MinHash fold on
+    // one core (measured: d2 1.0-1.5 s → 0.6-1.1 s, consistent across
+    // interleaved rounds); every consumer pins or single-consumes the
+    // signature table, so the exchange is paid exactly once
+    Text.shingleHashes(Skew.spreadForKernel(docs))
       .select(col("doc_id"), graft.functions.MinHashSignature(col("sh")).as("sig"))
       .filter(col("sig").isNotNull)
 

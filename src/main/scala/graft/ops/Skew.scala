@@ -17,6 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Spread a narrow scan across the session's parallelism before a
+    * CPU-heavy, ONCE-MATERIALIZED per-row kernel: a small single-file
+    * parquet scan arrives as ONE partition, so the kernel runs on one core
+    * while the rest idle — the inverse of the skew problem, same symptom
+    * (a straggler stage). Scale-adaptive, not a constant: a corpus-scale
+    * scan already carries >= defaultParallelism partitions and passes
+    * through UNCHANGED; only an under-split input pays the (row-count-
+    * bounded) round-robin exchange. Round-robin keeps Spark's
+    * sort-before-repartition determinism; callers' outputs are row sets,
+    * unaffected by physical placement.
+    *
+    * ONLY for frames consumed once or pinned after the kernel (the
+    * MinHash signature pin): an UNPINNED multi-consumer frame re-pays the
+    * exchange per consumer — measured on the shingle-jaccard path, which
+    * consumes its input three times unpinned: 1.4 s → 2.7 s. That path
+    * (and the fuzzy/banded kernels, where the A/B was neutral) deliberately
+    * does NOT use this. */
+  def spreadForKernel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val p = try df.rdd.getNumPartitions catch { case _: Throwable => target }
+    if (p > 0 && p < target) df.repartition(target) else df
+  }
+
   /** Repartition by a deterministic hash of `keys` (+ optional salt width
     * for composite heavy keys): spreads mega-rows evenly regardless of the
     * source file layout. */
