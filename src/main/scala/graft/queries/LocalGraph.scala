@@ -347,83 +347,193 @@ private[graft] object LocalGraph {
     * label ASC under the Spark ordering). */
   def labelPropagation(dbl: Array[(Any, Any)], rounds: Int,
                        ord: Ordering[Any]): Array[(Any, Any)] = {
-    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
-    dbl.foreach { case (n, nb) => adj.getOrElseUpdate(n, new mutable.ArrayBuffer) += nb }
-    var labels: mutable.HashMap[Any, Any] = {
-      val m = new mutable.HashMap[Any, Any]()
-      adj.keys.foreach(n => m(n) = n)
-      m
-    }
+    // dictionary-encode nodes to dense ints (the pageRank discipline) and
+    // iterate on primitive CSR arrays; the min-tie-break needs the Spark
+    // ordering of node VALUES, carried as a per-id rank (rank(a) < rank(b)
+    // ⟺ ord.lt(value(a), value(b)) — a total order over distinct nodes)
+    val (idOf, values) = index2(dbl)
+    val n = idOf.size
+    if (n == 0) return Array.empty
+    val rank = rankOf(values, ord)
+    // CSR adjacency over the doubled edge list
+    val deg = new Array[Int](n)
+    dbl.foreach { case (s, _) => deg(idOf(s)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](dbl.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    dbl.foreach { case (s, d) =>
+      val u = idOf(s); nbr(fill(u)) = idOf(d); fill(u) += 1 }
+    var labels = Array.tabulate(n)(identity)
+    val scratch = new Array[Int](deg.max.max(1))
+    // ranks are a permutation of ids: rank→id inverse for mapping winners back
+    val idOfRank = new Array[Int](n)
+    i = 0
+    while (i < n) { idOfRank(rank(i)) = i; i += 1 }
     for (_ <- 1 to rounds) {
-      val next = new mutable.HashMap[Any, Any]()
-      adj.foreach { case (n, nbrs) =>
-        val cnt = new mutable.HashMap[Any, Long]()
-        nbrs.foreach { nb => val l = labels(nb); cnt(l) = cnt.getOrElse(l, 0L) + 1L }
-        var best: Any = null; var bestC = -1L
-        cnt.foreach { case (l, c) =>
-          if (c > bestC || (c == bestC && ord.lt(l, best))) { best = l; bestC = c }
+      val next = new Array[Int](n)
+      var u = 0
+      while (u < n) {
+        val s = off(u); val e = off(u + 1)
+        var j = s
+        while (j < e) { scratch(j - s) = rank(labels(nbr(j))); j += 1 }
+        val m = e - s
+        java.util.Arrays.sort(scratch, 0, m)
+        // longest run of equal ranks; first (lowest-rank) run wins ties —
+        // exactly max-count with ord-min tie-break
+        var bestRank = scratch(0); var bestLen = 1
+        var curLen = 1
+        var p = 1
+        while (p < m) {
+          if (scratch(p) == scratch(p - 1)) curLen += 1 else curLen = 1
+          if (curLen > bestLen) { bestLen = curLen; bestRank = scratch(p) }
+          p += 1
         }
-        next(n) = best
+        next(u) = idOfRank(bestRank)
+        u += 1
       }
       labels = next
     }
-    adj.keys.toArray.map(n => (n, labels(n)))
+    Array.tabulate(n)(u => (values(u), values(labels(u))))
+  }
+
+  /** Dense-int dictionary over both endpoints of a pair list, plus the
+    * id→value table. */
+  private def index2(pairs: Array[(Any, Any)]): (mutable.HashMap[Any, Int], Array[Any]) = {
+    val idOf = new mutable.HashMap[Any, Int]()
+    pairs.foreach { case (a, b) =>
+      idOf.getOrElseUpdate(a, idOf.size); idOf.getOrElseUpdate(b, idOf.size) }
+    val values = new Array[Any](idOf.size)
+    idOf.foreach { case (v, id) => values(id) = v }
+    (idOf, values)
+  }
+
+  /** rank(id) = position of values(id) under `ord` — rank comparisons are
+    * then primitive int compares with identical outcomes. */
+  private def rankOf(values: Array[Any], ord: Ordering[Any]): Array[Int] = {
+    val byOrd = values.indices.toArray.map(Integer.valueOf)
+    java.util.Arrays.sort(byOrd, (x: Integer, y: Integer) => ord.compare(values(x), values(y)))
+    val rank = new Array[Int](values.length)
+    var i = 0
+    while (i < byOrd.length) { rank(byOrd(i)) = i; i += 1 }
+    rank
   }
 
   /** [[Iterative.kcorePeel]]'s synchronized peel rounds in-process over the
     * normalized undirected edge set. Returns surviving (node, deg). */
   def kcorePeel(und: Array[(Any, Any)], k: Int, rounds: Int): Array[(Any, Long)] = {
-    var edges = und
+    // dense-int edges + primitive degree arrays (the pageRank discipline);
+    // the peel itself is value-blind, so no ordering is involved
+    val (idOf, values) = index2(und)
+    val n = idOf.size
+    val xs = new Array[Int](und.length)
+    val ys = new Array[Int](und.length)
+    var i = 0
+    while (i < und.length) { xs(i) = idOf(und(i)._1); ys(i) = idOf(und(i)._2); i += 1 }
+    val live = new Array[Boolean](und.length)
+    java.util.Arrays.fill(live, true)
+    var deg = new Array[Long](n)
     for (_ <- 1 to rounds) {
-      val deg = new mutable.HashMap[Any, Long]()
-      edges.foreach { case (x, y) =>
-        deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
-      edges = edges.filter { case (x, y) => deg(x) >= k && deg(y) >= k }
+      deg = new Array[Long](n)
+      i = 0
+      while (i < und.length) {
+        if (live(i)) { deg(xs(i)) += 1L; deg(ys(i)) += 1L }
+        i += 1
+      }
+      i = 0
+      while (i < und.length) {
+        if (live(i) && (deg(xs(i)) < k || deg(ys(i)) < k)) live(i) = false
+        i += 1
+      }
     }
-    val deg = new mutable.HashMap[Any, Long]()
-    edges.foreach { case (x, y) =>
-      deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
-    deg.toArray
+    deg = new Array[Long](n)
+    i = 0
+    while (i < und.length) {
+      if (live(i)) { deg(xs(i)) += 1L; deg(ys(i)) += 1L }
+      i += 1
+    }
+    val out = Seq.newBuilder[(Any, Long)]
+    i = 0
+    while (i < n) { if (deg(i) > 0) out += ((values(i), deg(i))); i += 1 }
+    out.result().toArray
   }
 
   /** [[Iterative.triangleCounts]]'s degree-ordered wedge count in-process:
     * same (deg, id) orientation under the Spark ordering, same per-corner
     * counting; only triangle corners appear in the output. */
   def triangleCounts(und: Array[(Any, Any)], ord: Ordering[Any]): Array[(Any, Long)] = {
-    val undSet = new mutable.HashSet[(Any, Any)]()
-    und.foreach(undSet += _)
-    val deg = new mutable.HashMap[Any, Long]()
-    und.foreach { case (x, y) =>
-      deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
-    def firstSmaller(x: Any, y: Any): Boolean = {
-      val dx = deg(x); val dy = deg(y)
-      dx < dy || (dx == dy && ord.lt(x, y))
+    // dense-int ids + rank table (the pageRank discipline): the wedge loop
+    // compares ranks (⟺ ord on values) and probes the edge set as packed
+    // (idA << 32 | idB) longs in a sorted array — no tuple allocation, no
+    // boxed hashing in the O(Σ deg²) inner loop
+    val (idOf, values) = index2(und)
+    val n = idOf.size
+    val rank = rankOf(values, ord)
+    val xs = new Array[Int](und.length)
+    val ys = new Array[Int](und.length)
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < und.length) {
+      xs(i) = idOf(und(i)._1); ys(i) = idOf(und(i)._2)
+      deg(xs(i)) += 1L; deg(ys(i)) += 1L
+      i += 1
     }
-    val out = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
-    und.foreach { case (x, y) =>
-      val (u, v) = if (firstSmaller(x, y)) (x, y) else (y, x)
-      out.getOrElseUpdate(u, new mutable.ArrayBuffer) += v
+    val packed = new Array[Long](und.length)
+    i = 0
+    while (i < und.length) {
+      packed(i) = (xs(i).toLong << 32) | (ys(i).toLong & 0xffffffffL); i += 1 }
+    java.util.Arrays.sort(packed)
+    def hasEdge(a: Int, b: Int): Boolean =
+      java.util.Arrays.binarySearch(packed, (a.toLong << 32) | (b.toLong & 0xffffffffL)) >= 0
+    // orient each edge from the (deg, rank)-smaller endpoint
+    val outDeg = new Array[Int](n)
+    i = 0
+    while (i < und.length) {
+      val first = deg(xs(i)) < deg(ys(i)) ||
+        (deg(xs(i)) == deg(ys(i)) && rank(xs(i)) < rank(ys(i)))
+      outDeg(if (first) xs(i) else ys(i)) += 1
+      i += 1
     }
-    val tri = new mutable.HashMap[Any, Long]()
-    def bump(n: Any): Unit = tri(n) = tri.getOrElse(n, 0L) + 1L
-    out.foreach { case (u, vs) =>
-      var i = 0
-      while (i < vs.length) {
-        var j = 0
-        while (j < vs.length) {
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val vsArr = new Array[Int](und.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < und.length) {
+      val first = deg(xs(i)) < deg(ys(i)) ||
+        (deg(xs(i)) == deg(ys(i)) && rank(xs(i)) < rank(ys(i)))
+      val u = if (first) xs(i) else ys(i)
+      val v = if (first) ys(i) else xs(i)
+      vsArr(fill(u)) = v; fill(u) += 1
+      i += 1
+    }
+    val tri = new Array[Long](n)
+    var u = 0
+    while (u < n) {
+      val s = off(u); val e = off(u + 1)
+      var a = s
+      while (a < e) {
+        var b = s
+        while (b < e) {
           // the wedge {v, w} with v < w in the Spark ordering (matching
           // the distributed e1.v < e2.v filter), closed by the normalized
           // edge (min, max) — which is exactly (v, w)
-          if (i != j && ord.lt(vs(i), vs(j)) &&
-              undSet.contains((vs(i), vs(j)))) {
-            bump(u); bump(vs(i)); bump(vs(j))
+          if (a != b && rank(vsArr(a)) < rank(vsArr(b)) &&
+              hasEdge(vsArr(a), vsArr(b))) {
+            tri(u) += 1L; tri(vsArr(a)) += 1L; tri(vsArr(b)) += 1L
           }
-          j += 1
+          b += 1
         }
-        i += 1
+        a += 1
       }
+      u += 1
     }
-    tri.toArray
+    val out = Seq.newBuilder[(Any, Long)]
+    i = 0
+    while (i < n) { if (tri(i) > 0) out += ((values(i), tri(i))); i += 1 }
+    out.result().toArray
   }
 
   /** [[Iterative.topoLayers]]'s fixpoint in-process: layer(v) = longest
