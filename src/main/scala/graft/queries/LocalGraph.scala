@@ -185,25 +185,55 @@ private[graft] object LocalGraph {
     * discovery is the distance; same loud maxDepth check on discovery). */
   def bfs(edges: Array[(Any, Any)], sources: Array[Any],
           maxDepth: Int): Array[(Any, Long)] = {
-    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[Any]]()
-    edges.foreach { case (s, d) => adj.getOrElseUpdate(s, new mutable.ArrayBuffer) += d }
-    val dist = new mutable.LinkedHashMap[Any, Long]()
-    sources.distinct.foreach(dist(_) = 0L)
-    var frontier: Seq[Any] = dist.keys.toSeq
+    // dense-int CSR + primitive distance array (the pageRank discipline);
+    // BFS is value-blind, so no ordering is involved. Sources outside the
+    // edge set still get distance 0 (the LinkedHashMap form did too).
+    val idOf = new mutable.HashMap[Any, Int]()
+    edges.foreach { case (s, d) =>
+      idOf.getOrElseUpdate(s, idOf.size); idOf.getOrElseUpdate(d, idOf.size) }
+    sources.foreach(idOf.getOrElseUpdate(_, idOf.size))
+    val n = idOf.size
+    val values = new Array[Any](n)
+    idOf.foreach { case (v, id) => values(id) = v }
+    val deg = new Array[Int](n)
+    edges.foreach { case (s, _) => deg(idOf(s)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](edges.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    edges.foreach { case (s, dd) =>
+      val u = idOf(s); nbr(fill(u)) = idOf(dd); fill(u) += 1 }
+    val dist = new Array[Long](n)
+    java.util.Arrays.fill(dist, -1L)
+    var frontier = sources.map(idOf(_)).distinct
+    frontier.foreach(dist(_) = 0L)
     var d = 0L
     while (frontier.nonEmpty) {
       d += 1
-      val next = new mutable.LinkedHashSet[Any]()
-      frontier.foreach(u => adj.get(u).foreach(_.foreach { v =>
-        if (!dist.contains(v)) next += v
-      }))
-      require(next.isEmpty || d <= maxDepth,
-        s"bfsDistances: ${next.size} new nodes discovered at depth $d > maxDepth=$maxDepth " +
+      val next = Array.newBuilder[Int]
+      var fi = 0
+      var nNew = 0
+      while (fi < frontier.length) {
+        val u = frontier(fi)
+        var j = off(u)
+        while (j < off(u + 1)) {
+          val v = nbr(j)
+          if (dist(v) < 0) { dist(v) = -2L; next += v; nNew += 1 } // -2 = discovered this round
+          j += 1
+        }
+        fi += 1
+      }
+      require(nNew == 0 || d <= maxDepth,
+        s"bfsDistances: $nNew new nodes discovered at depth $d > maxDepth=$maxDepth " +
           "— raise the bound; a truncated BFS is not a BFS")
-      next.foreach(dist(_) = d)
-      frontier = next.toSeq
+      frontier = next.result()
+      frontier.foreach(dist(_) = d)
     }
-    dist.toArray
+    val out = Seq.newBuilder[(Any, Long)]
+    i = 0
+    while (i < n) { if (dist(i) >= 0) out += ((values(i), dist(i))); i += 1 }
+    out.result().toArray
   }
 
   /** [[Iterative.shortestPaths]]'s semi-naive Bellman-Ford rounds
@@ -211,32 +241,71 @@ private[graft] object LocalGraph {
     * loud failure fires on exactly the same inputs. */
   def shortestPaths(edges: Array[(Any, Any, Long)], sources: Array[Any],
                     maxIters: Int): Array[(Any, Long)] = {
-    val adj = new mutable.HashMap[Any, mutable.ArrayBuffer[(Any, Long)]]()
+    // dense-int CSR + primitive distance/candidate arrays (the pageRank
+    // discipline); the semi-naive round structure — candidate min over the
+    // current delta's out-edges, then strict-improvement filter — is
+    // replicated literally, so the maxIters loud failure fires on exactly
+    // the same inputs.
+    val idOf = new mutable.HashMap[Any, Int]()
+    edges.foreach { case (s, d, _) =>
+      idOf.getOrElseUpdate(s, idOf.size); idOf.getOrElseUpdate(d, idOf.size) }
+    sources.foreach(idOf.getOrElseUpdate(_, idOf.size))
+    val n = idOf.size
+    val values = new Array[Any](n)
+    idOf.foreach { case (v, id) => values(id) = v }
+    val deg = new Array[Int](n)
+    edges.foreach { case (s, _, _) => deg(idOf(s)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](edges.length)
+    val wgt = new Array[Long](edges.length)
+    val fill = java.util.Arrays.copyOf(off, n)
     edges.foreach { case (s, d, w) =>
-      adj.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((d, w)) }
-    val dist = new mutable.LinkedHashMap[Any, Long]()
-    sources.distinct.foreach(dist(_) = 0L)
-    var delta: Seq[Any] = dist.keys.toSeq
+      val u = idOf(s); nbr(fill(u)) = idOf(d); wgt(fill(u)) = w; fill(u) += 1 }
+    val Unset = Long.MaxValue
+    val dist = new Array[Long](n)
+    java.util.Arrays.fill(dist, Unset)
+    var delta = sources.map(idOf(_)).distinct
+    delta.foreach(dist(_) = 0L)
+    val cand = new Array[Long](n)
+    java.util.Arrays.fill(cand, Unset)
     var iter = 0
     while (delta.nonEmpty) {
       iter += 1
-      val cand = new mutable.HashMap[Any, Long]()
-      delta.foreach { u =>
+      val touched = Array.newBuilder[Int]
+      var di = 0
+      while (di < delta.length) {
+        val u = delta(di)
         val du = dist(u)
-        adj.get(u).foreach(_.foreach { case (v, w) =>
-          val c = du + w
-          if (cand.get(v).forall(c < _)) cand(v) = c
-        })
+        var j = off(u)
+        while (j < off(u + 1)) {
+          val v = nbr(j); val c = du + wgt(j)
+          if (c < cand(v)) { if (cand(v) == Unset) touched += v; cand(v) = c }
+          j += 1
+        }
+        di += 1
       }
-      val improved = cand.filter { case (v, c) => dist.get(v).forall(c < _) }
-      require(improved.isEmpty || iter <= maxIters,
-        s"shortestPaths: still improving (${improved.size} nodes) at round $iter > " +
+      val touchedArr = touched.result()
+      val improvedB = Array.newBuilder[Int]
+      var nImp = 0
+      touchedArr.foreach { v =>
+        if (cand(v) < dist(v)) { improvedB += v; nImp += 1 }
+      }
+      require(nImp == 0 || iter <= maxIters,
+        s"shortestPaths: still improving ($nImp nodes) at round $iter > " +
           s"maxIters=$maxIters — raise the bound; truncated Bellman-Ford is " +
           "not shortest paths")
-      improved.foreach { case (v, c) => dist(v) = c }
-      delta = improved.keys.toSeq
+      val improved = improvedB.result()
+      improved.foreach { v => dist(v) = cand(v) }
+      // reset candidate slots for the next round (only the touched ones)
+      touchedArr.foreach(cand(_) = Unset)
+      delta = improved
     }
-    dist.toArray
+    val out = Seq.newBuilder[(Any, Long)]
+    i = 0
+    while (i < n) { if (dist(i) != Unset) out += ((values(i), dist(i))); i += 1 }
+    out.result().toArray
   }
 
   /** [[Iterative.pageRank]]'s fixed-iteration INTEGER rounds in-process —
